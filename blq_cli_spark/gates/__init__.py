@@ -1,0 +1,12 @@
+"""Import every gate module so the registry is fully populated."""
+
+from blq_cli_spark.gates import (  # noqa: F401
+    aggs,
+    events_ts,
+    llmdata,
+    relational,
+    scalar_fns,
+    tpch,
+    windows,
+)
+from blq_cli_spark.gates.registry import oracles, queries  # noqa: F401

@@ -1,0 +1,206 @@
+"""Gate queries for the training-data-pipeline operator family: dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search, and
+text analysis. Oracles are expressed with md5-portable hash constructions
+so DuckDB computes bit-identical keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark.gates.registry import gate
+from blq_cli_spark.operators import dedup, similarity, text
+from blq_cli_spark.sources.tables import table
+
+_TOK = "string_split_regex(trim(text), '\\s+')"
+
+# --- text analysis ----------------------------------------------------------
+
+_STOPLIST_SQL = "('" + "', '".join(text.EN_STOPWORDS) + "')"
+
+
+@gate(
+    "x_text_profile",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars,
+           round(len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1), 6) AS stop_ratio,
+           round(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio,
+           round(list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1), 6) AS mean_token_len,
+           round((
+             (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+              + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / greatest(length(text), 1))
+             + len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1)
+           ) / 3.0, 6) AS quality,
+           CASE WHEN len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM tok
+    """,
+)
+def x_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile: token count, stopword/alpha
+    ratios, quality score, heuristic language ID, content fingerprint."""
+    return text.profile(table(spark, sf_dir, "documents"))
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@gate(
+    "x_exact_dedup",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalized-content fingerprint (hash-groupBy:
+    one shuffle on a uniform key — the 100 TB-safe shape)."""
+    return dedup.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "x_jaccard_top_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def x_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-dup pairs by word-3-gram Jaccard (all-pairs oracle form;
+    LSH prunes candidates first at scale)."""
+    jp = dedup.jaccard_pairs(table(spark, sf_dir, "documents"), n=3)
+    return (
+        jp.orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_MINHASH_SIG_SQL = ",\n           ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+)
+_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band_idx, h{2 * bi} || h{2 * bi + 1} AS band_key FROM sig"
+    for bi in range(4)
+)
+
+
+@gate(
+    "x_minhash_lsh_candidates",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, list_distinct({_TOK}) AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(t) AS sh FROM tok),
+    sig AS (
+      SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sides AS (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs)
+    SELECT doc_id, count(*) AS n_candidates FROM sides GROUP BY doc_id
+    """,
+)
+def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes)+LSH(4 bands) candidate generation over word
+    unigram shingles; output = per-doc candidate count. The band-bucket
+    self-join is the near-linear scale path for fuzzy dedup."""
+    cands = dedup.minhash_lsh_candidates(
+        table(spark, sf_dir, "documents"), n=1, num_hashes=8, bands=4
+    )
+    sides = cands.select(F.col("id_a").alias("doc_id")).unionAll(
+        cands.select(F.col("id_b").alias("doc_id"))
+    )
+    return sides.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    digit = "strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1"
+    votes = []
+    for j in range(bits):
+        d = digit.format(pos=j + 1)
+        votes.append(
+            f"CASE WHEN list_sum(list_transform(t, w -> (({d}) % 2) * 2 - 1)) > 0"
+            f" THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        )
+    total = "\n         + ".join(votes)
+    return f"""
+    WITH tok AS (SELECT doc_id, list_distinct({_TOK}) AS t FROM documents)
+    SELECT doc_id,
+           CAST({total} AS BIGINT) AS simhash
+    FROM tok
+    """
+
+
+@gate("x_simhash", oracle=_simhash_oracle(16))
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct word unigrams, built from
+    md5 hex-digit parities (portable across engines)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+# --- similarity search ------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@gate(
+    "x_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {_DOT.format(a="q.qv", b="e.embedding")}
+             / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                * sqrt({_DOT.format(a="e.embedding", b="e.embedding")})) AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, nid, round(cos, 6) AS cos, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<8:
+    broadcast queries x corpus, JVM-side zip_with/aggregate math."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")

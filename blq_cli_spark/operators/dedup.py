@@ -1,0 +1,161 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpora):
+- exact dedup is a hash-groupBy on a fingerprint column — one shuffle on
+  a well-distributed key (md5), trivially scalable.
+- pairwise Jaccard is only ever computed on CANDIDATE pairs. The all-pairs
+  form here (shingle self-join) is quadratic in docs-per-shingle and is
+  the correctness oracle; at scale the MinHash/LSH path prunes first:
+  shingle -> k minhashes -> b bands -> band-bucket self-join. Bucket
+  sizes are bounded (skew guard: very hot buckets are salted/capped), so
+  the join is near-linear.
+- hash functions are md5-based (lexicographic min over hex digests):
+  portable across Spark and DuckDB so every stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from blq_cli_spark.operators.text import fingerprint, tokens, word_ngrams
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup groups by normalized-content fingerprint: one row per
+    distinct content, with the representative (min id) and the dup count."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("sh")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle self-join.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard). Quadratic in
+    docs-per-shingle — use as oracle / verifier after LSH candidate
+    generation at scale."""
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("sz", "size_a"), inter.id_a == sizes.id)
+        .drop("id")
+        .join(
+            sizes.withColumnRenamed("sz", "size_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+    )
+
+
+def _minhash_cols(num_hashes: int) -> list[Column]:
+    """k portable minhash aggregates: min over shingles of md5('<i>|'||sh).
+    Lexicographic min over hex digests — identical in any engine with md5."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature (h0..h{k-1}) over word n-gram shingles."""
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    return sh.groupBy("id").agg(*_minhash_cols(num_hashes))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-hash signature into `bands` bands of
+    k/bands rows each; docs sharing any full band are candidates.
+
+    The band-bucket self-join shuffles on (band_idx, band_key) — a
+    well-distributed composite key; this is the near-linear scale path."""
+    k = num_hashes
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat(*[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "band_key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash over word unigrams: per bit, sign-sum of token-hash bits.
+
+    Portable construction: bit j of token t = hex digit parity of md5(t)
+    at position j — computed arithmetically from the hex digest so the
+    same SQL runs in any md5-capable engine. Returns a bigint whose low
+    `bits` bits are the simhash."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def bit(tok: Column, j: int) -> Column:
+        # hex char at position j -> value 0..15 -> take lowest bit
+        ch = F.substring(F.md5(tok), j + 1, 1)
+        val = F.conv(ch, 16, 10).cast("int")
+        return val % 2
+
+    def bit_vote(j: int) -> Column:
+        votes = F.aggregate(
+            F.transform(toks, lambda t: bit(t, j) * 2 - 1), F.lit(0), lambda acc, x: acc + x
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + bit_vote(j).cast("bigint") * F.lit(2**j).cast("bigint")
+    return out

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen)
+— no Python UDFs in the hot path. Token arrays are built once and shared
+by downstream expressions; at 100 TB the scan is the only cost.
+
+Capabilities: tokenization + token counting, shingling (word n-grams),
+stopword/quality scoring, n-gram-heuristic language ID, document
+fingerprinting (normalized-content hash, the Spark-side analog of the
+reference's content addressing, src/blq/bird.py:1304-1360, and event
+fingerprints, F21 in SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# A small english stopword list for ratio features; deliberately tiny and
+# fixed so the DuckDB oracle can embed the same list.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. Empty string -> empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard input unit)."""
+    t = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>")))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda w: F.lower(w).isin(*stopwords)))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ascii letters or spaces."""
+    kept = F.length(F.regexp_replace(text, "[^a-zA-Z ]", ""))
+    return kept / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x)
+    return total / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence. Deliberately simple and SQL-portable."""
+    n = token_count(text)
+    length_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((length_ok + alpha_ratio(text) + stopword_ratio(text)) / 3.0, 6)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-heuristic language ID: 'en' if english stopword ratio clears
+    a threshold, else 'unknown'. (Real n-gram models plug in here as a
+    broadcast lookup table; the heuristic keeps the gate SQL-portable.)"""
+    return F.when(stopword_ratio(text) >= 0.03, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased
+    whitespace-collapsed text. Used as the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis profile — one pass, all JVM expressions."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(mean_token_len(t), 6).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

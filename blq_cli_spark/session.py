@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+The reference delegates execution wholly to DuckDB in-process
+(src/blq/storage.py:560-582); our equivalent is a SparkSession with the
+knobs that matter at scale set up-front:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- modest shuffle partitions for local mode; on a real cluster this is
+  overridden by AQE's coalescing + advisory partition size anyway
+- Arrow enabled so the few Pandas-UDF paths are vectorized
+- zstd parquet compression (parity with reference's COPY ... zstd,
+  src/blq/commands/core.py:2002-2009)
+- UTC session timezone so timestamp semantics are stable across hosts
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "blq-cli-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

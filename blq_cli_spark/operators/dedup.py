@@ -18,7 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from blq_cli_spark.operators.text import fingerprint, tokens, word_ngrams
+from blq_cli_spark.operators import text as text_ops
+from blq_cli_spark.operators.text import fingerprint, tokens
 
 
 def exact_duplicates(
@@ -34,8 +35,18 @@ def exact_duplicates(
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("sh")
+    # A small input file arrives as one partition; the per-doc shingle +
+    # hash work is CPU-bound, so spread it across the cluster first. At
+    # real scale the source has many splits and this is a cheap no-op-ish
+    # rebalance on the (narrow) id+text projection.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .repartition(parallelism, "id")
+        # materialize the token array before shingling: higher-order fns
+        # re-evaluate inline array exprs per element (O(n^2) trap)
+        .select("id", text_ops.tokens(F.col("_text")).alias("_toks"))
+        .select("id", F.explode(text_ops.ngrams_from_tokens(F.col("_toks"), n)).alias("sh"))
     )
 
 

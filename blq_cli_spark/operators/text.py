@@ -31,14 +31,25 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash/Jaccard input unit)."""
-    t = tokens(text)
+def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    IMPORTANT perf note: pass a *materialized* column (a projected
+    attribute), not a nested expression — higher-order functions
+    re-evaluate the array argument per element, so an inline split()
+    here turns O(tokens) into O(tokens^2) work (measured 10x slowdown)."""
     make = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
     return F.array_distinct(F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>")))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a raw text column. Prefer
+    tokenizing into a real column first and calling ngrams_from_tokens
+    (see its perf note)."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

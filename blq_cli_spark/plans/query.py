@@ -1,0 +1,221 @@
+"""LogQuery: the fluent deferred query builder over a lazy DataFrame.
+
+Reference semantics (src/blq/query.py:53-534): builder methods accumulate
+state; `_build()` applies, in fixed order, filter -> order -> select ->
+limit (query.py:382-403) — ordering by non-projected columns works because
+order is applied before select. Terminals execute.
+
+The Spark mapping is 1:1 — a DataFrame *is* the deferred relational IR —
+so this wrapper only preserves the reference's API shape + kwargs-filter
+semantics (query.py:235-296):
+    col=value      ->  =            col=[a,b]  ->  IN
+    col="%pat%"    ->  ILIKE        col="!v"   ->  !=
+    col=None       ->  IS NULL      col=[]     ->  FALSE
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from blq_cli_spark.plans.dsl import compile_filters
+
+
+def _kwarg_condition(key: str, value) -> Column:
+    col = F.col(key)
+    if value is None:
+        return col.isNull()
+    if isinstance(value, (list, tuple, set)):
+        vals = list(value)
+        if not vals:
+            return F.lit(False)
+        return col.isin(vals)
+    if isinstance(value, str):
+        if value.startswith("!"):
+            return col != F.lit(value[1:])
+        if "%" in value:
+            return col.ilike(value)
+        return col == F.lit(value)
+    return col == F.lit(value)
+
+
+class LogQuery:
+    """Deferred fluent query (reference LogQuery, src/blq/query.py:33-534)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._filters: list[Column] = []
+        self._order_cols: list[Column] = []
+        self._select_cols: list[str] | None = None
+        self._limit_n: int | None = None
+        self._offset_n: int | None = None
+
+    def _clone(self) -> "LogQuery":
+        q = LogQuery(self._df)
+        q._filters = list(self._filters)
+        q._order_cols = list(self._order_cols)
+        q._select_cols = list(self._select_cols) if self._select_cols else None
+        q._limit_n = self._limit_n
+        q._offset_n = self._offset_n
+        return q
+
+    # -- builders (all return new LogQuery; nothing executes) ----------------
+
+    def filter(self, *conds: Column, **kwargs) -> "LogQuery":
+        q = self._clone()
+        q._filters.extend(conds)
+        q._filters.extend(_kwarg_condition(k, v) for k, v in kwargs.items())
+        return q
+
+    def exclude(self, *conds: Column, **kwargs) -> "LogQuery":
+        """Negated filter: NOT(c1 AND c2 ...) (reference query.py:298-313)."""
+        parts = list(conds) + [_kwarg_condition(k, v) for k, v in kwargs.items()]
+        if not parts:
+            return self._clone()
+        cond = parts[0]
+        for p in parts[1:]:
+            cond = cond & p
+        q = self._clone()
+        q._filters.append(~cond)
+        return q
+
+    def where(self, sql: str) -> "LogQuery":
+        """Raw SQL predicate passthrough (reference query.py:315-325)."""
+        q = self._clone()
+        q._filters.append(F.expr(sql))
+        return q
+
+    def filter_dsl(
+        self, exprs: Sequence[str], case_insensitive: bool = False, invert: bool = False
+    ) -> "LogQuery":
+        """Apply filter-mini-DSL expressions (reference query_cmd.py:221-259)."""
+        cond = compile_filters(list(exprs), case_insensitive, invert)
+        if cond is None:
+            return self._clone()
+        q = self._clone()
+        q._filters.append(cond)
+        return q
+
+    def select(self, *cols: str) -> "LogQuery":
+        q = self._clone()
+        q._select_cols = list(cols)
+        return q
+
+    def order_by(self, *cols, desc: bool = False) -> "LogQuery":
+        q = self._clone()
+        for c in cols:
+            col = F.col(c) if isinstance(c, str) else c
+            q._order_cols.append(col.desc() if desc else col.asc())
+        return q
+
+    def limit(self, n: int) -> "LogQuery":
+        q = self._clone()
+        q._limit_n = n
+        return q
+
+    def offset(self, n: int) -> "LogQuery":
+        q = self._clone()
+        q._offset_n = n
+        return q
+
+    # -- build + terminals ----------------------------------------------------
+
+    def to_spark(self) -> DataFrame:
+        """Apply deferred state in the reference's fixed order:
+        filter -> order -> select -> limit (query.py:382-403)."""
+        df = self._df
+        for cond in self._filters:
+            df = df.filter(cond)
+        if self._order_cols:
+            df = df.orderBy(*self._order_cols)
+        if self._select_cols:
+            df = df.select(*self._select_cols)
+        if self._offset_n:
+            df = df.offset(self._offset_n)
+        if self._limit_n is not None:
+            df = df.limit(self._limit_n)
+        return df
+
+    def df(self):
+        """Materialize to pandas (reference `.df()`, query.py:405-409)."""
+        return self.to_spark().toPandas()
+
+    def fetchall(self):
+        return self.to_spark().collect()
+
+    def count(self) -> int:
+        """Short-circuit: filters only, no order/select/limit
+        (reference query.py:417-424)."""
+        df = self._df
+        for cond in self._filters:
+            df = df.filter(cond)
+        return df.count()
+
+    def count_then_fetch(self) -> tuple[int, list]:
+        """Count-before-limit pattern (reference services/query.py:306-316):
+        total count with the same WHERE + the limited page, computing the
+        filtered relation once."""
+        filtered = self._df
+        for cond in self._filters:
+            filtered = filtered.filter(cond)
+        filtered = filtered.cache()
+        try:
+            total = filtered.count()
+            q = self._clone()
+            q._df = filtered
+            q._filters = []
+            rows = q.to_spark().collect()
+        finally:
+            filtered.unpersist()
+        return total, rows
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_spark().explain(mode)
+
+    # -- aggregation API (reference query.py:460-534) -------------------------
+
+    def group_by(self, *cols: str) -> "GroupedLogQuery":
+        return GroupedLogQuery(self, list(cols))
+
+    def value_counts(self, col: str) -> DataFrame:
+        """`aggregate(col, COUNT(*))` ordered desc (query.py:471-484)."""
+        df = self._df
+        for cond in self._filters:
+            df = df.filter(cond)
+        return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(
+            F.desc("count"), col
+        )
+
+
+class GroupedLogQuery:
+    def __init__(self, base: LogQuery, group_cols: list[str]):
+        self._base = base
+        self._group_cols = group_cols
+
+    def _grouped(self):
+        df = self._base._df
+        for cond in self._base._filters:
+            df = df.filter(cond)
+        return df.groupBy(*self._group_cols)
+
+    def count(self) -> DataFrame:
+        return self._grouped().agg(F.count(F.lit(1)).alias("count"))
+
+    def agg(self, **named_exprs: str) -> DataFrame:
+        """name="SQL aggregate expr" pairs (reference query.py:514-534)."""
+        aggs = [F.expr(e).alias(name) for name, e in named_exprs.items()]
+        return self._grouped().agg(*aggs)
+
+    def min(self, col: str) -> DataFrame:
+        return self._grouped().agg(F.min(col).alias(f"min_{col}"))
+
+    def max(self, col: str) -> DataFrame:
+        return self._grouped().agg(F.max(col).alias(f"max_{col}"))
+
+    def sum(self, col: str) -> DataFrame:
+        return self._grouped().agg(F.sum(col).alias(f"sum_{col}"))
+
+    def avg(self, col: str) -> DataFrame:
+        return self._grouped().agg(F.avg(col).alias(f"avg_{col}"))

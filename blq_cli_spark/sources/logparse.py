@@ -1,0 +1,417 @@
+"""Rule-table log parser: build/test output -> structured event rows.
+
+Re-implements the *capability* of the reference's external `duck_hunt`
+DuckDB extension (consumed at src/blq/query.py:139-229, format fallback
+chain src/blq/commands/core.py:2037-2102, diagnosis serve.py:1368-1383):
+per-format regex rule tables, severity/location/code extraction,
+fingerprint computation, log-line spans, and auto-detection by scoring.
+
+Execution model:
+- driver-side `parse_content(text, fmt)` for small/in-memory content (S4)
+- distributed `parse_df(df)` via mapInPandas for bulk re-parse (S3): one
+  input row = one (source_id, content) log document; Arrow-batched, scales
+  with the number of documents. A 100 TB re-parse is embarrassingly
+  parallel at per-run granularity — runs are independent units.
+
+Python-side parsing is the right trade here: the grammar is dozens of
+regexes with per-format state (not expressible as one JVM regex), and the
+hot path at scale is bounded by I/O on raw logs, not the interpreter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterable, Iterator
+
+_SEVERITY_ALIASES = {
+    "error": "error",
+    "fatal": "error",
+    "fatal error": "error",
+    "warning": "warning",
+    "warn": "warning",
+    "note": "note",
+    "info": "info",
+    "failed": "error",
+    "fail": "error",
+}
+
+
+def _norm_severity(s: str) -> str:
+    return _SEVERITY_ALIASES.get(s.strip().lower(), "info")
+
+
+def fingerprint_of(tool: str, code: str | None, message: str) -> str:
+    """Stable dedup key: tool + code + number/hex-normalized message
+    (the reference treats fingerprints as opaque parser output, F21)."""
+    norm = re.sub(r"0x[0-9a-fA-F]+", "H", message)
+    norm = re.sub(r"\d+", "N", norm)
+    norm = re.sub(r"\s+", " ", norm).strip().lower()
+    return hashlib.md5(f"{tool}|{code or ''}|{norm}".encode()).hexdigest()
+
+
+def _event(
+    tool: str,
+    category: str,
+    severity: str,
+    message: str,
+    line_no: int,
+    *,
+    file: str | None = None,
+    line: int | None = None,
+    col: int | None = None,
+    code: str | None = None,
+    rule: str | None = None,
+    test_name: str | None = None,
+    end_line_no: int | None = None,
+    event_type: str = "diagnostic",
+) -> dict:
+    return {
+        "event_type": event_type,
+        "severity": severity,
+        "ref_file": file,
+        "ref_line": line,
+        "ref_column": col,
+        "message": message.strip(),
+        "code": code,
+        "rule": rule,
+        "tool_name": tool,
+        "category": category,
+        "test_name": test_name,
+        "fingerprint": fingerprint_of(tool, code or rule, message),
+        "log_line_start": line_no,
+        "log_line_end": end_line_no or line_no,
+    }
+
+
+# --- per-format parsers (line-oriented, minimal state) -----------------------
+
+_GCC_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+):(?:(?P<col>\d+):)?\s*"
+    r"(?P<sev>fatal error|error|warning|note):\s*(?P<msg>.*)$"
+)
+
+
+def parse_gcc(lines: list[str]) -> Iterator[dict]:
+    for i, ln in enumerate(lines, 1):
+        m = _GCC_RE.match(ln)
+        if m:
+            yield _event(
+                "gcc",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_PYTEST_FAILED_RE = re.compile(
+    r"^(?P<sev>FAILED|ERROR)\s+(?P<file>[^\s:]+)::(?P<test>[^\s]+?)(?:\s+-\s+(?P<msg>.*))?$"
+)
+_PYTEST_ASSERT_RE = re.compile(r"^E\s+(?P<msg>.+)$")
+_PYTEST_SUMMARY_RE = re.compile(r"=+ (?P<failed>\d+) failed.*? =+$")
+
+
+def parse_pytest(lines: list[str]) -> Iterator[dict]:
+    for i, ln in enumerate(lines, 1):
+        m = _PYTEST_FAILED_RE.match(ln)
+        if m:
+            yield _event(
+                "pytest",
+                "test",
+                "error",
+                m["msg"] or f"{m['sev']} {m['test']}",
+                i,
+                file=m["file"],
+                test_name=m["test"],
+                event_type="test_result",
+            )
+            continue
+        m = _PYTEST_ASSERT_RE.match(ln)
+        if m:
+            yield _event("pytest", "test", "error", m["msg"], i)
+
+
+_MYPY_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+)(?::(?P<col>\d+))?:\s*"
+    r"(?P<sev>error|warning|note):\s*(?P<msg>.*?)(?:\s+\[(?P<code>[a-z0-9-]+)\])?$"
+)
+
+
+def parse_mypy(lines: list[str]) -> Iterator[dict]:
+    for i, ln in enumerate(lines, 1):
+        m = _MYPY_RE.match(ln)
+        if m:
+            yield _event(
+                "mypy",
+                "typecheck",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                code=m["code"],
+            )
+
+
+_ESLINT_FILE_RE = re.compile(r"^(?P<file>[^\s].*\.(?:js|jsx|ts|tsx|mjs|cjs|vue))$")
+_ESLINT_ISSUE_RE = re.compile(
+    r"^\s+(?P<line>\d+):(?P<col>\d+)\s+(?P<sev>error|warning)\s+(?P<msg>.*?)\s{2,}(?P<rule>[\w@/-]+)$"
+)
+
+
+def parse_eslint(lines: list[str]) -> Iterator[dict]:
+    current: str | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _ESLINT_FILE_RE.match(ln)
+        if fm:
+            current = fm["file"]
+            continue
+        m = _ESLINT_ISSUE_RE.match(ln)
+        if m and current:
+            yield _event(
+                "eslint",
+                "lint",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=current,
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_PYTB_FILE_RE = re.compile(r'^\s*File "(?P<file>[^"]+)", line (?P<line>\d+)(?:, in (?P<fn>.+))?$')
+_PYTB_ERR_RE = re.compile(r"^(?P<code>[A-Z][A-Za-z0-9_.]*(?:Error|Exception|Warning)):\s*(?P<msg>.*)$")
+
+
+def parse_python_traceback(lines: list[str]) -> Iterator[dict]:
+    last_frame: tuple[str, int, int] | None = None  # file, line, log line
+    tb_start: int | None = None
+    for i, ln in enumerate(lines, 1):
+        if ln.startswith("Traceback (most recent call last)"):
+            tb_start = i
+            continue
+        fm = _PYTB_FILE_RE.match(ln)
+        if fm:
+            last_frame = (fm["file"], int(fm["line"]), i)
+            continue
+        em = _PYTB_ERR_RE.match(ln)
+        if em and last_frame:
+            yield _event(
+                "python",
+                "runtime",
+                "error",
+                em["msg"] or em["code"],
+                tb_start or last_frame[2],
+                file=last_frame[0],
+                line=last_frame[1],
+                code=em["code"],
+                end_line_no=i,
+            )
+            last_frame, tb_start = None, None
+
+
+_RUST_ERR_RE = re.compile(r"^(?P<sev>error|warning)(?:\[(?P<code>E\d+)\])?:\s*(?P<msg>.*)$")
+_RUST_LOC_RE = re.compile(r"^\s*-->\s*(?P<file>[^:]+):(?P<line>\d+):(?P<col>\d+)\s*$")
+
+
+def parse_rustc(lines: list[str]) -> Iterator[dict]:
+    pending: tuple[dict, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _RUST_ERR_RE.match(ln)
+        if m:
+            if pending:
+                yield pending[0]
+            ev = _event(
+                "rustc", "compile", _norm_severity(m["sev"]), m["msg"], i, code=m["code"]
+            )
+            pending = (ev, i)
+            continue
+        lm = _RUST_LOC_RE.match(ln)
+        if lm and pending:
+            ev, start = pending
+            ev.update(
+                ref_file=lm["file"], ref_line=int(lm["line"]), ref_column=int(lm["col"]),
+                log_line_end=i,
+            )
+            yield ev
+            pending = None
+    if pending:
+        yield pending[0]
+
+
+_GO_FAIL_RE = re.compile(r"^--- FAIL: (?P<test>\S+)")
+_GO_LOC_RE = re.compile(r"^\s+(?P<file>[\w./-]+\.go):(?P<line>\d+):\s*(?P<msg>.*)$")
+
+
+def parse_go_test(lines: list[str]) -> Iterator[dict]:
+    current_test: str | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _GO_FAIL_RE.match(ln)
+        if m:
+            current_test = m["test"]
+            yield _event(
+                "go", "test", "error", f"FAIL: {m['test']}", i,
+                test_name=m["test"], event_type="test_result",
+            )
+            continue
+        lm = _GO_LOC_RE.match(ln)
+        if lm and current_test:
+            yield _event(
+                "go", "test", "error", lm["msg"], i,
+                file=lm["file"], line=int(lm["line"]), test_name=current_test,
+            )
+
+
+_MAVEN_RE = re.compile(
+    r"^\[(?P<sev>ERROR|WARNING)\]\s+(?:(?P<file>[^\s\[]+):\[(?P<line>\d+),(?P<col>\d+)\]\s*)?(?P<msg>.+)$"
+)
+
+
+def parse_maven(lines: list[str]) -> Iterator[dict]:
+    for i, ln in enumerate(lines, 1):
+        m = _MAVEN_RE.match(ln)
+        if m:
+            yield _event(
+                "maven",
+                "build",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]) if m["line"] else None,
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_GENERIC_RE = re.compile(
+    r"(?i)\b(?P<sev>error|warning|fatal)\b[:\s]+(?P<msg>.*)$"
+)
+
+
+def parse_generic(lines: list[str]) -> Iterator[dict]:
+    """Fallback: any line mentioning error/warning/fatal (the reference's
+    last-resort format in the fallback chain, core.py:2037-2102)."""
+    for i, ln in enumerate(lines, 1):
+        m = _GENERIC_RE.search(ln)
+        if m and m["msg"]:
+            yield _event("generic", "log", _norm_severity(m["sev"]), m["msg"], i)
+
+
+FORMATS: dict[str, callable] = {
+    "gcc": parse_gcc,
+    "pytest": parse_pytest,
+    "mypy": parse_mypy,
+    "eslint": parse_eslint,
+    "python_traceback": parse_python_traceback,
+    "rustc": parse_rustc,
+    "go_test": parse_go_test,
+    "maven": parse_maven,
+    "generic": parse_generic,
+}
+
+# command-string -> format hints (reference
+# duck_hunt_match_command_patterns, core.py:1031-1078)
+_COMMAND_PATTERNS = [
+    (re.compile(r"\b(gcc|g\+\+|clang|cc|make)\b"), "gcc"),
+    (re.compile(r"\bpytest\b|\bpy\.test\b"), "pytest"),
+    (re.compile(r"\bmypy\b"), "mypy"),
+    (re.compile(r"\beslint\b"), "eslint"),
+    (re.compile(r"\bcargo\b|\brustc\b"), "rustc"),
+    (re.compile(r"\bgo test\b"), "go_test"),
+    (re.compile(r"\bmvn\b|\bmaven\b"), "maven"),
+    (re.compile(r"\bpython3?\b"), "python_traceback"),
+]
+
+
+def match_command_format(cmd: str) -> str | None:
+    for pat, fmt in _COMMAND_PATTERNS:
+        if pat.search(cmd):
+            return fmt
+    return None
+
+
+def diagnose(content: str) -> list[tuple[str, int, float]]:
+    """Score every format on the content: (format, n_events, confidence)
+    sorted best-first (reference duck_hunt_diagnose_parse,
+    serve.py:1368-1383). Confidence = located-event fraction + volume."""
+    lines = content.splitlines()
+    results = []
+    for fmt, fn in FORMATS.items():
+        if fmt == "generic":
+            continue
+        events = list(fn(lines))
+        if not events:
+            continue
+        located = sum(1 for e in events if e.get("ref_file"))
+        # specificity bonus: a format that also captured codes/rules/test
+        # names understood the log better than one that only pattern-matched
+        # file:line (disambiguates e.g. mypy output, which gcc's grammar
+        # also superficially matches)
+        specific = sum(1 for e in events if e.get("code") or e.get("rule") or e.get("test_name"))
+        confidence = (located + 1) / (len(events) + 1) + 0.5 * specific / len(events)
+        results.append((fmt, len(events), round(confidence, 4)))
+    results.sort(key=lambda r: (r[1] * r[2], r[1]), reverse=True)
+    return results
+
+
+def detect_format(content: str) -> str:
+    ranked = diagnose(content)
+    return ranked[0][0] if ranked else "generic"
+
+
+def parse_content(content: str, fmt: str = "auto") -> list[dict]:
+    """Parse one log document. fmt='auto' -> detect then parse; empty
+    result falls back down the chain to 'generic' (reference multi-format
+    fallback, core.py:2037-2102)."""
+    lines = content.splitlines()
+    if fmt == "auto":
+        fmt = detect_format(content)
+    events = list(FORMATS[fmt](lines))
+    if not events and fmt != "generic":
+        events = list(parse_generic(lines))
+        fmt = "generic"
+    for ev in events:
+        ev["format_used"] = fmt
+    return events
+
+
+# --- distributed parse (S3): mapInPandas over (source_id, content) rows ------
+
+PARSED_EVENT_DDL = (
+    "source_id string, event_index int, event_type string, severity string,"
+    " ref_file string, ref_line int, ref_column int, message string,"
+    " code string, rule string, tool_name string, category string,"
+    " test_name string, fingerprint string, log_line_start int,"
+    " log_line_end int, format_used string"
+)
+
+
+def parse_df(df, fmt: str = "auto", id_col: str = "source_id", content_col: str = "content"):
+    """Distributed parse: each row is one log document; yields event rows.
+    Arrow-batched via mapInPandas — per-document parallelism (runs are
+    independent units; a 100 TB corpus is millions of documents)."""
+    import pandas as pd
+
+    cols = PARSED_EVENT_DDL  # closure-safe copies
+    the_fmt = fmt
+
+    def _parse_batches(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        field_names = [c.split()[0] for c in cols.split(",")]
+        for pdf in batches:
+            out: list[dict] = []
+            for sid, content in zip(pdf[id_col], pdf[content_col]):
+                for idx, ev in enumerate(parse_content(content or "", the_fmt), start=1):
+                    ev = {"source_id": sid, "event_index": idx, **ev}
+                    out.append({k: ev.get(k) for k in field_names})
+            yield pd.DataFrame(out, columns=field_names) if out else pd.DataFrame(
+                columns=field_names
+            )
+
+    return df.mapInPandas(_parse_batches, schema=PARSED_EVENT_DDL)

@@ -1,0 +1,265 @@
+"""LogStore: the Spark-native storage layer for the blq data model.
+
+Layout (mirrors the reference's partitioned-parquet generation,
+src/blq/schema.sql:4-13 and BIRD blob layout, bird_schema.sql:6-14):
+
+    <root>/runs/date=YYYY-MM-DD/*.parquet
+    <root>/events/date=YYYY-MM-DD/*.parquet
+    <root>/attempts/..., <root>/outcomes/..., <root>/outputs/...
+    <root>/blobs/content/<2-char-shard>/<hash>.bin
+
+Design decisions vs the reference:
+- DuckDB single-writer file + lock-retry (bird.py:36-99) -> append-only
+  parquet per run: concurrent writers append distinct files, no lock.
+- global run_serial via single-partition window (bird_schema.sql:288-295)
+  -> assigned HERE at ingest (max+1 over the tiny runs table), stored.
+- content-addressing: BLAKE2b in the reference (bird.py:1323) -> sha256;
+  the hash is an opaque key, parity not required (SURVEY.md F20).
+  Inline threshold 4096 bytes -> data: URI, else sharded blob file
+  (reference bird.py:106-107, 1304-1360).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark import schemas
+from blq_cli_spark.operators import views
+
+INLINE_THRESHOLD = 4096  # bytes (reference bird.py:106-107)
+
+_TABLES = {
+    "runs": schemas.RUNS_SCHEMA,
+    "events": schemas.EVENTS_SCHEMA,
+    "attempts": schemas.ATTEMPTS_SCHEMA,
+    "outcomes": schemas.OUTCOMES_SCHEMA,
+    "outputs": schemas.OUTPUTS_SCHEMA,
+    "sessions": schemas.SESSIONS_SCHEMA,
+}
+
+
+@dataclass
+class LogStore:
+    spark: SparkSession
+    root: str
+    _serial_cache: int | None = field(default=None, repr=False)
+
+    # -- table access --------------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def table(self, name: str) -> DataFrame:
+        schema = _TABLES[name]
+        path = self._path(name)
+        if not os.path.isdir(path) or not any(
+            f for f in os.listdir(path) if not f.startswith(".")
+        ):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def runs(self) -> DataFrame:
+        return self.table("runs")
+
+    def events(self) -> DataFrame:
+        return self.table("events")
+
+    def attempts(self) -> DataFrame:
+        return self.table("attempts")
+
+    def outcomes(self) -> DataFrame:
+        return self.table("outcomes")
+
+    def outputs(self) -> DataFrame:
+        return self.table("outputs")
+
+    # -- derived views (the macro library) ------------------------------------
+
+    def events_flat(self) -> DataFrame:
+        return views.load_events(self.events(), self.runs())
+
+    def runs_loaded(self) -> DataFrame:
+        return views.load_runs(self.runs(), self.events())
+
+    def attempts_loaded(self) -> DataFrame:
+        return views.load_attempts(self.attempts(), self.outcomes())
+
+    def source_status(self) -> DataFrame:
+        return views.load_source_status(self.runs_loaded(), self.attempts_loaded())
+
+    def register_views(self) -> None:
+        """Expose the spark.sql surface (reference raw-SQL path,
+        storage.py:560-582)."""
+        for name in _TABLES:
+            self.table(name).createOrReplaceTempView(name)
+        self.events_flat().createOrReplaceTempView("events_flat")
+        self.runs_loaded().createOrReplaceTempView("runs_loaded")
+
+    # -- ingest ---------------------------------------------------------------
+
+    def next_serial(self) -> int:
+        if self._serial_cache is None:
+            row = self.runs().agg(F.max("run_serial").alias("m")).collect()[0]
+            self._serial_cache = int(row["m"] or 0)
+        self._serial_cache += 1
+        return self._serial_cache
+
+    def _append(self, name: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [self._conform(r, _TABLES[name]) for r in rows], _TABLES[name]
+        )
+        df.write.mode("append").partitionBy("date").parquet(self._path(name))
+
+    @staticmethod
+    def _conform(row: dict, schema) -> dict:
+        return {f.name: row.get(f.name) for f in schema.fields}
+
+    def append_run(
+        self,
+        run: dict,
+        events: list[dict] | None = None,
+        output: str | bytes | None = None,
+        stream: str = "combined",
+    ) -> dict:
+        """Ingest one completed run + its parsed events + raw output.
+
+        Fills ids/serials/dates; returns the stored run row (reference
+        write path: storage.py:397-495, bird.py:775-823, 1304-1360,
+        1563-1629)."""
+        run = dict(run)
+        run.setdefault("id", str(uuid.uuid4()))
+        ts = run.setdefault("timestamp", _dt.datetime.now())
+        run.setdefault("date", ts.date())
+        run["run_serial"] = run.get("run_serial") or self.next_serial()
+        self._append("runs", [run])
+
+        ev_rows = []
+        for i, ev in enumerate(events or [], start=1):
+            ev = dict(ev)
+            ev.setdefault("id", str(uuid.uuid4()))
+            ev["invocation_id"] = run["id"]
+            ev.setdefault("event_index", i)
+            ev.setdefault("date", run["date"])
+            ev_rows.append(ev)
+        self._append("events", ev_rows)
+
+        if output is not None:
+            self.write_output(run["id"], output, stream=stream, date=run["date"])
+        return run
+
+    # -- content-addressed output storage -------------------------------------
+
+    def write_output(
+        self, invocation_id: str, content: str | bytes, stream: str = "combined", date=None
+    ) -> dict:
+        data = content.encode() if isinstance(content, str) else content
+        digest = hashlib.sha256(data).hexdigest()
+        if len(data) <= INLINE_THRESHOLD:
+            storage_type, storage_ref = "inline", "data:text/plain;base64," + _b64(data)
+        else:
+            storage_type, storage_ref = "blob", self._write_blob(digest, data)
+        row = {
+            "id": str(uuid.uuid4()),
+            "invocation_id": invocation_id,
+            "stream": stream,
+            "content_hash": digest,
+            "byte_length": len(data),
+            "storage_type": storage_type,
+            "storage_ref": storage_ref,
+            "content_type": "text/plain",
+            "date": date or _dt.date.today(),
+        }
+        self._append("outputs", [row])
+        return row
+
+    def _write_blob(self, digest: str, data: bytes) -> str:
+        """Sharded, write-once, content-addressed blob (reference
+        bird.py:1460-1513). Existing file -> dedup hit, no rewrite."""
+        shard_dir = os.path.join(self.root, "blobs", "content", digest[:2])
+        os.makedirs(shard_dir, exist_ok=True)
+        path = os.path.join(shard_dir, f"{digest}.bin")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, path)
+        return path
+
+    def read_output(self, storage_ref: str) -> bytes:
+        if storage_ref.startswith("data:"):
+            import base64
+
+            return base64.b64decode(storage_ref.split(",", 1)[1])
+        with open(storage_ref, "rb") as fh:
+            return fh.read()
+
+    def cleanup_orphaned_blobs(self) -> int:
+        """Blob GC: delete blob files not referenced by any outputs row —
+        anti-join semantics computed on the (small) outputs table
+        (reference bird.py:1515-1561)."""
+        live = {
+            r["content_hash"]
+            for r in self.outputs().select("content_hash").distinct().collect()
+        }
+        removed = 0
+        content_root = os.path.join(self.root, "blobs", "content")
+        if not os.path.isdir(content_root):
+            return 0
+        for shard in os.listdir(content_root):
+            sdir = os.path.join(content_root, shard)
+            for fname in os.listdir(sdir):
+                if fname.endswith(".bin") and fname[:-4] not in live:
+                    os.remove(os.path.join(sdir, fname))
+                    removed += 1
+        return removed
+
+    # -- attempts lifecycle (ST2) ---------------------------------------------
+
+    def start_attempt(self, attempt: dict) -> dict:
+        attempt = dict(attempt)
+        attempt.setdefault("id", str(uuid.uuid4()))
+        ts = attempt.setdefault("started_at", _dt.datetime.now())
+        attempt.setdefault("date", ts.date())
+        self._append("attempts", [attempt])
+        return attempt
+
+    def complete_attempt(self, attempt_id: str, outcome: dict) -> dict:
+        outcome = dict(outcome)
+        outcome["attempt_id"] = attempt_id
+        ts = outcome.setdefault("completed_at", _dt.datetime.now())
+        outcome.setdefault("date", ts.date())
+        self._append("outcomes", [outcome])
+        return outcome
+
+    def sweep_orphans(self, max_age_seconds: float = 60.0, now=None) -> int:
+        """Orphan sweep: pending attempts older than the threshold get a
+        NULL-exit outcome (reference bird.py:1178-1271 — wall-clock age,
+        no PID check in the Spark port)."""
+        now = now or _dt.datetime.now()
+        pending = views.running(self.attempts(), self.outcomes()).collect()
+        n = 0
+        for row in pending:
+            age = (now - row["started_at"]).total_seconds()
+            if age > max_age_seconds:
+                self.complete_attempt(
+                    row["id"],
+                    {"completed_at": now, "exit_code": None, "timeout": False},
+                )
+                n += 1
+        return n
+
+
+def _b64(data: bytes) -> str:
+    import base64
+
+    return base64.b64encode(data).decode()

@@ -1,0 +1,182 @@
+"""Rule-table log parser: per-format extraction, auto-detection, fallback
+chain, fingerprint stability, and the distributed mapInPandas path.
+Sample logs mirror the reference's fixture style (tests/test_query_api.py:
+19-30 there) without copying them."""
+
+from __future__ import annotations
+
+import pytest
+
+from blq_cli_spark.sources import logparse as lp
+
+GCC_LOG = """\
+src/main.c:10:5: error: undefined reference to 'foo'
+src/main.c:22:1: warning: unused variable 'x'
+make: *** [all] Error 1
+"""
+
+PYTEST_LOG = """\
+============================= test session starts ==============================
+tests/test_app.py::test_ok PASSED
+FAILED tests/test_app.py::test_math - AssertionError: 1 != 2
+ERROR tests/test_io.py::test_read - FileNotFoundError: missing.txt
+E       AssertionError: 1 != 2
+========================= 2 failed, 1 passed in 0.12s ==========================
+"""
+
+MYPY_LOG = """\
+src/app.py:12: error: Incompatible types in assignment [assignment]
+src/app.py:30:8: note: Revealed type is "builtins.int"
+src/lib.py:4: warning: unused 'type: ignore' comment
+"""
+
+ESLINT_LOG = """\
+app.js
+  7:1   error  'x' is defined but never used  no-unused-vars
+  9:12  warning  Missing semicolon  semi
+"""
+
+TRACEBACK_LOG = """\
+Traceback (most recent call last):
+  File "main.py", line 4, in <module>
+    run()
+  File "lib.py", line 9, in run
+    raise ValueError("bad input")
+ValueError: bad input
+"""
+
+RUST_LOG = """\
+error[E0308]: mismatched types
+ --> src/main.rs:5:9
+warning: unused import: `std::io`
+ --> src/lib.rs:1:5
+"""
+
+GO_LOG = """\
+--- FAIL: TestAdd
+    math_test.go:12: got 3, want 4
+ok      example.com/pkg 0.002s
+"""
+
+MAVEN_LOG = """\
+[ERROR] /src/Main.java:[10,5] cannot find symbol
+[WARNING] Using platform encoding
+"""
+
+
+def test_gcc_extraction():
+    evs = lp.parse_content(GCC_LOG, "gcc")
+    assert len(evs) == 2
+    e0 = evs[0]
+    assert (e0["ref_file"], e0["ref_line"], e0["ref_column"]) == ("src/main.c", 10, 5)
+    assert e0["severity"] == "error" and "undefined reference" in e0["message"]
+
+
+def test_pytest_extraction():
+    evs = lp.parse_content(PYTEST_LOG, "pytest")
+    fails = [e for e in evs if e["event_type"] == "test_result"]
+    assert {e["test_name"] for e in fails} == {"test_math", "test_read"}
+    assert all(e["severity"] == "error" for e in fails)
+
+
+def test_mypy_code_extraction():
+    evs = lp.parse_content(MYPY_LOG, "mypy")
+    assert evs[0]["code"] == "assignment"
+    assert evs[1]["severity"] == "note" and evs[1]["ref_column"] == 8
+    assert len(evs) == 3
+
+
+def test_eslint_stateful_file_binding():
+    evs = lp.parse_content(ESLINT_LOG, "eslint")
+    assert len(evs) == 2
+    assert all(e["ref_file"] == "app.js" for e in evs)
+    assert evs[0]["rule"] == "no-unused-vars"
+
+
+def test_traceback_final_frame_and_span():
+    evs = lp.parse_content(TRACEBACK_LOG, "python_traceback")
+    assert len(evs) == 1
+    e = evs[0]
+    assert (e["ref_file"], e["ref_line"], e["code"]) == ("lib.py", 9, "ValueError")
+    assert e["log_line_start"] == 1 and e["log_line_end"] == 6
+
+
+def test_rust_location_attachment():
+    evs = lp.parse_content(RUST_LOG, "rustc")
+    assert evs[0]["code"] == "E0308" and evs[0]["ref_file"] == "src/main.rs"
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_line"] == 1
+
+
+def test_go_test_binding():
+    evs = lp.parse_content(GO_LOG, "go_test")
+    assert evs[0]["test_name"] == "TestAdd"
+    assert evs[1]["ref_file"] == "math_test.go" and evs[1]["ref_line"] == 12
+
+
+def test_maven():
+    evs = lp.parse_content(MAVEN_LOG, "maven")
+    assert evs[0]["ref_file"] == "/src/Main.java" and evs[0]["ref_line"] == 10
+    assert evs[1]["severity"] == "warning"
+
+
+@pytest.mark.parametrize(
+    "log,expected",
+    [
+        (GCC_LOG, "gcc"),
+        (MYPY_LOG, "mypy"),
+        (ESLINT_LOG, "eslint"),
+        (TRACEBACK_LOG, "python_traceback"),
+        (RUST_LOG, "rustc"),
+        (GO_LOG, "go_test"),
+        (MAVEN_LOG, "maven"),
+    ],
+)
+def test_auto_detection(log, expected):
+    assert lp.detect_format(log) == expected
+
+
+def test_auto_parse_marks_format():
+    evs = lp.parse_content(GCC_LOG, "auto")
+    assert evs and all(e["format_used"] == "gcc" for e in evs)
+
+
+def test_fallback_to_generic():
+    evs = lp.parse_content("something went wrong\nERROR: disk full\nall fine\n", "auto")
+    assert evs[0]["format_used"] == "generic"
+    assert evs[0]["severity"] == "error" and "disk full" in evs[0]["message"]
+
+
+def test_empty_and_unparseable():
+    assert lp.parse_content("", "auto") == []
+    assert lp.parse_content("nothing to see here\n", "auto") == []
+
+
+def test_fingerprint_stability_and_normalization():
+    a = lp.fingerprint_of("gcc", None, "undefined reference to foo at 0xdeadbeef line 42")
+    b = lp.fingerprint_of("gcc", None, "undefined reference to foo at 0xCAFE line 7")
+    c = lp.fingerprint_of("gcc", None, "some other message")
+    assert a == b != c
+
+
+def test_command_format_matching():
+    assert lp.match_command_format("gcc -O2 main.c") == "gcc"
+    assert lp.match_command_format("python -m pytest tests/") == "pytest"
+    assert lp.match_command_format("cargo build --release") == "rustc"
+    assert lp.match_command_format("unknown-tool xyz") is None
+
+
+def test_distributed_parse_df(spark):
+    docs = spark.createDataFrame(
+        [("r1", GCC_LOG), ("r2", PYTEST_LOG), ("r3", ""), ("r4", MYPY_LOG)],
+        "source_id string, content string",
+    )
+    out = lp.parse_df(docs, fmt="auto")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_id"], []).append(r)
+    assert len(by_src["r1"]) == 2 and by_src["r1"][0]["tool_name"] == "gcc"
+    assert "r3" not in by_src
+    assert {r["format_used"] for r in by_src["r4"]} == {"mypy"}
+    # event_index restarts per document
+    assert [r["event_index"] for r in sorted(by_src["r1"], key=lambda r: r["event_index"])] == [1, 2]

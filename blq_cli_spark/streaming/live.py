@@ -1,0 +1,107 @@
+"""Streaming-shaped operators (SURVEY.md §2.10).
+
+The reference has no streaming engine; its "live output" pattern is
+poll-and-reparse (ST1: src/blq/bird.py:1052-1109 `read_live_output` /
+`extract_live_events` — readers re-parse the whole combined.log on
+demand). Two Spark designs cover the semantics:
+
+1. `poll_live_events` — the faithful equivalent: batch re-parse of a live
+   log file on each call. Matches reference behavior exactly (transient
+   events, no state).
+
+2. `stream_run_logs` / `windowed_severity_counts` — the scale path:
+   Structured Streaming over a drop-directory where each completed (or
+   rotated) run log lands as a file; the rule-table parser runs inside
+   mapInPandas on the stream, and downstream windowed aggregations use
+   event-time + watermark. This is the 1000-executor shape: file listing
+   is incremental, parsing is per-file parallel, state is bounded by the
+   watermark.
+
+ST2 (attempts/outcomes status) stays a batch left join over append-only
+tables (operators/views.load_attempts) — the reference derives status at
+read time, not via a stateful stream, and wall-clock orphan sweeps are a
+periodic batch job (LogStore.sweep_orphans).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark.sources import logparse
+
+
+def poll_live_events(spark: SparkSession, live_path: str, fmt: str = "auto") -> DataFrame:
+    """ST1 faithful form: re-parse the current contents of a live log file
+    into transient events (reference bird.py:1052-1109). Driver reads the
+    file (it is a single in-progress log, inherently one machine's data);
+    parsing stays local — matching the reference's single-file scope."""
+    with open(live_path) as fh:
+        content = fh.read()
+    events = logparse.parse_content(content, fmt)
+    if not events:
+        return spark.createDataFrame([], logparse.PARSED_EVENT_DDL.replace("source_id", "source_id"))
+    import pandas as pd
+
+    pdf = pd.DataFrame(events)
+    pdf.insert(0, "source_id", live_path)
+    pdf.insert(1, "event_index", range(1, len(events) + 1))
+    field_names = [c.split()[0] for c in logparse.PARSED_EVENT_DDL.split(",")]
+    for name in field_names:
+        if name not in pdf.columns:
+            pdf[name] = None
+    return spark.createDataFrame(pdf[field_names], logparse.PARSED_EVENT_DDL)
+
+
+def stream_run_logs(
+    spark: SparkSession, drop_dir: str, fmt: str = "auto", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Scale path: streaming source over a drop-directory of run logs.
+
+    Each file = one run's output (`wholetext`), parsed by the rule-table
+    parser inside mapInPandas; `input_file_name()` is the run identity.
+    Returns an unbounded DataFrame of parsed events with an ingest
+    timestamp for windowing."""
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = (
+        reader.load(drop_dir)
+        .select(
+            F.input_file_name().alias("source_id"),
+            F.col("value").alias("content"),
+        )
+    )
+    parsed = logparse.parse_df(raw, fmt=fmt)
+    return parsed.withColumn("ingest_ts", F.current_timestamp())
+
+
+def windowed_severity_counts(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Tumbling-window severity counts with a watermark (late data beyond
+    the delay is dropped; state is bounded — the 100 TB requirement)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "severity", "n")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, await_seconds: float = 30.0
+) -> None:
+    """Drive a streaming DF into an in-memory table with availableNow
+    semantics (drain-what-exists, then stop) — the test/backfill trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)

@@ -1,0 +1,57 @@
+"""Context/line operators not covered by gate oracles: head/tail, mark
+ranges, line-spec parser edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from blq_cli_spark.operators import context as ctx
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    text = "\n".join(f"line {i}" for i in range(1, 21)) + "\n"
+    df = spark.createDataFrame([("doc1", text)], "id string, content string")
+    return ctx.text_to_lines(df)
+
+
+def test_text_to_lines_numbers(lines):
+    rows = sorted(lines.collect(), key=lambda r: r["line_number"])
+    assert len(rows) == 20  # trailing newline doesn't create an empty line
+    assert rows[0]["line_number"] == 1 and rows[0]["line"] == "line 1"
+
+
+def test_parse_linespec_forms():
+    assert ctx.parse_linespec("42 +/-5") == [(37, 47)]
+    assert ctx.parse_linespec("2 ±3") == [(1, 5)]  # clamped to 1
+    assert ctx.parse_linespec("10-20, 5") == [(10, 20), (5, 5)]
+    with pytest.raises(ValueError):
+        ctx.parse_linespec("abc")
+
+
+def test_select_lines(lines):
+    got = sorted(r["line_number"] for r in ctx.select_lines(lines, "3 +/-1, 18-19").collect())
+    assert got == [2, 3, 4, 18, 19]
+
+
+def test_grep_context_window(lines):
+    out = ctx.grep_with_context(lines, "line 10$", ctx=2).collect()
+    nums = sorted(r["line_number"] for r in out)
+    assert nums == [8, 9, 10, 11, 12]
+    assert {r["line_number"]: r["is_match"] for r in out}[10] is True
+
+
+def test_apply_marks(lines):
+    out = ctx.apply_marks(lines, [(3, 5, "hot"), (10, 10, "pin")])
+    marks = {r["line_number"]: r["mark"] for r in out.collect()}
+    assert marks[3] == "hot" and marks[5] == "hot" and marks[10] == "pin"
+    assert marks[1] is None and len(marks) == 20  # left join keeps all lines
+
+
+def test_head_tail(lines):
+    head = sorted(r["line_number"] for r in ctx.head_tail(lines, head=3).collect())
+    assert head == [1, 2, 3]
+    tail = sorted(r["line_number"] for r in ctx.head_tail(lines, tail=2).collect())
+    assert tail == [19, 20]
+    both = sorted(r["line_number"] for r in ctx.head_tail(lines, head=2, tail=2).collect())
+    assert both == [1, 2, 19, 20]

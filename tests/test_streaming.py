@@ -1,0 +1,61 @@
+"""Structured Streaming live-tail: drop-dir file source -> rule-table
+parser -> memory sink; plus the faithful poll-and-reparse path."""
+
+from __future__ import annotations
+
+import pytest
+
+from blq_cli_spark.streaming import live
+
+GCC_LOG_1 = "src/a.c:1:1: error: first\nsrc/a.c:2:1: warning: second\n"
+GCC_LOG_2 = "src/b.c:9:2: error: third\n"
+
+
+@pytest.fixture()
+def drop_dir(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    (d / "run1.log").write_text(GCC_LOG_1)
+    (d / "run2.log").write_text(GCC_LOG_2)
+    return str(d)
+
+
+def test_stream_run_logs_parses_files(spark, drop_dir):
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    assert stream.isStreaming
+    live.run_stream_to_memory(stream, "parsed_events")
+    rows = spark.sql("SELECT * FROM parsed_events").collect()
+    assert len(rows) == 3
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["source_id"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["run1.log"]) == 2
+    assert by_file["run2.log"][0]["ref_file"] == "src/b.c"
+    assert all(r["ingest_ts"] is not None for r in rows)
+
+
+def test_streaming_windowed_counts(spark, drop_dir):
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    counts = live.windowed_severity_counts(stream, "1 minute", "2 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sev_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["severity"]: r["n"] for r in spark.sql("SELECT * FROM sev_counts").collect()}
+    assert got == {"error": 2, "warning": 1}
+
+
+def test_poll_live_events(spark, tmp_path):
+    p = tmp_path / "combined.log"
+    p.write_text(GCC_LOG_1)
+    df1 = live.poll_live_events(spark, str(p), fmt="gcc")
+    assert df1.count() == 2
+    # live file grows; re-poll sees the new transient event (ST1 semantics)
+    p.write_text(GCC_LOG_1 + GCC_LOG_2)
+    df2 = live.poll_live_events(spark, str(p), fmt="gcc")
+    assert df2.count() == 3
+    assert df2.filter("ref_file = 'src/b.c'").count() == 1

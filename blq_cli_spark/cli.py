@@ -1,0 +1,251 @@
+"""CLI surface mirroring the reference's command set (argparse tree
+src/blq/cli.py:932-961 query/filter, :611-618 sql, :420-431 import/capture;
+command semantics per SURVEY.md §3.1).
+
+    blq-spark status | history | errors | warnings | running | report
+    blq-spark query [-f expr]... [-i] [-v] [--select ...] [--order ...]
+    blq-spark sql "SELECT ..."           (LIMIT injected if missing, O5)
+    blq-spark import FILE [--format F]   (S8)
+    blq-spark capture [--format F]       (stdin, S7)
+    blq-spark diff N M [--fingerprints]  (J4/J8)
+    blq-spark clean --blobs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+from blq_cli_spark.output import format_output
+from blq_cli_spark.plans.query import LogQuery
+from blq_cli_spark.operators import views
+from blq_cli_spark.sources import logparse
+from blq_cli_spark.sources.store import LogStore
+
+
+def _store(args) -> LogStore:
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-spark-cli")
+    return LogStore(spark, args.store)
+
+
+def _emit(df_or_rows, args, **kwargs) -> None:
+    print(format_output(df_or_rows, args.format, **kwargs))
+
+
+def cmd_status(args) -> int:
+    _emit(_store(args).source_status(), args)
+    return 0
+
+
+def cmd_history(args) -> int:
+    st = _store(args)
+    cols = ["ref", "run_serial", "source_name", "badge", "n_events", "n_errors", "n_warnings", "cmd"]
+    _emit(views.history(st.runs_loaded(), n=args.n).select(*cols), args)
+    return 0
+
+
+def _emit_events(df, args) -> None:
+    cols = ["ref", "severity", "loc", "message", "tool_name", "short_fp"]
+    _emit(df.select(*cols), args)
+
+
+def cmd_errors(args) -> int:
+    _emit_events(views.errors(_store(args).events_flat(), n=args.n), args)
+    return 0
+
+
+def cmd_warnings(args) -> int:
+    _emit_events(views.warnings(_store(args).events_flat(), n=args.n), args)
+    return 0
+
+
+def cmd_running(args) -> int:
+    st = _store(args)
+    _emit(views.running(st.attempts(), st.outcomes()), args)
+    return 0
+
+
+def cmd_report(args) -> int:
+    _emit(views.summary(_store(args).events_flat(), latest_only=args.latest), args)
+    return 0
+
+
+def cmd_query(args) -> int:
+    st = _store(args)
+    if args.file:
+        with open(args.file) as fh:
+            events = logparse.parse_content(fh.read(), args.parse_format)
+        spark = st.spark
+        if not events:
+            print("(no results)")
+            return 0
+        base = spark.createDataFrame(events)
+    else:
+        base = st.events_flat()
+    q = LogQuery(base)
+    if args.filter:
+        q = q.filter_dsl(args.filter, case_insensitive=args.ignore_case, invert=args.invert)
+    if args.order:
+        q = q.order_by(*args.order, desc=args.desc)
+    if args.select:
+        q = q.select(*args.select)
+    q = q.limit(args.limit)
+    _emit(q.fetchall(), args)
+    return 0
+
+
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+
+
+def cmd_sql(args) -> int:
+    st = _store(args)
+    st.register_views()
+    sql = args.query
+    if not _LIMIT_RE.search(sql):
+        # LIMIT injection guard (reference serve.py:773-776)
+        sql = f"SELECT * FROM ({sql}) LIMIT {args.limit}"
+    _emit(st.spark.sql(sql), args)
+    return 0
+
+
+def cmd_import(args) -> int:
+    st = _store(args)
+    with open(args.file) as fh:
+        content = fh.read()
+    events = logparse.parse_content(content, args.parse_format)
+    run = st.append_run(
+        {
+            "cmd": f"import {args.file}",
+            "source_name": args.source or os.path.basename(args.file),
+            "source_type": "import",
+            "exit_code": 1 if any(e["severity"] == "error" for e in events) else 0,
+            "tag": args.tag,
+        },
+        events,
+        output=content,
+    )
+    print(f"imported run {run['run_serial']} ({len(events)} events)")
+    return 0
+
+
+def cmd_capture(args) -> int:
+    content = sys.stdin.read()
+    st = _store(args)
+    events = logparse.parse_content(content, args.parse_format)
+    run = st.append_run(
+        {
+            "cmd": "capture",
+            "source_name": args.source or "capture",
+            "source_type": "capture",
+            "exit_code": 1 if any(e["severity"] == "error" for e in events) else 0,
+            "tag": args.tag,
+        },
+        events,
+        output=content,
+    )
+    print(f"captured run {run['run_serial']} ({len(events)} events)")
+    return 0
+
+
+def cmd_diff(args) -> int:
+    flat = _store(args).events_flat()
+    if args.fingerprints:
+        _emit(views.diff_fingerprints(flat, args.run1, args.run2), args)
+    else:
+        _emit(views.diff_by_group(flat, args.run1, args.run2), args)
+    return 0
+
+
+def cmd_clean(args) -> int:
+    if args.blobs:
+        n = _store(args).cleanup_orphaned_blobs()
+        print(f"removed {n} orphaned blobs")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="blq-spark")
+    p.add_argument("--store", default=os.environ.get("BLQ_SPARK_STORE", ".bird-spark"))
+    p.add_argument("--format", default="table", choices=["table", "json", "csv", "markdown"])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("status").set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("history")
+    sp.add_argument("-n", type=int, default=10)
+    sp.set_defaults(fn=cmd_history)
+
+    for name, fn in (("errors", cmd_errors), ("warnings", cmd_warnings)):
+        sp = sub.add_parser(name)
+        sp.add_argument("-n", type=int, default=10)
+        sp.set_defaults(fn=fn)
+
+    sub.add_parser("running").set_defaults(fn=cmd_running)
+
+    sp = sub.add_parser("report")
+    sp.add_argument("--latest", action="store_true")
+    sp.set_defaults(fn=cmd_report)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("file", nargs="?")
+    sp.add_argument("-f", "--filter", action="append", default=[])
+    sp.add_argument("-i", "--ignore-case", action="store_true")
+    sp.add_argument("-v", "--invert", action="store_true")
+    sp.add_argument("--select", nargs="+")
+    sp.add_argument("--order", nargs="+")
+    sp.add_argument("--desc", action="store_true")
+    sp.add_argument("--limit", type=int, default=50)
+    sp.add_argument("--parse-format", default="auto")
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("sql")
+    sp.add_argument("query")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser("import")
+    sp.add_argument("file")
+    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--source")
+    sp.add_argument("--tag")
+    sp.set_defaults(fn=cmd_import)
+
+    sp = sub.add_parser("capture")
+    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--source")
+    sp.add_argument("--tag")
+    sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("run1", type=int)
+    sp.add_argument("run2", type=int)
+    sp.add_argument("--fingerprints", action="store_true")
+    sp.set_defaults(fn=cmd_diff)
+
+    sp = sub.add_parser("clean")
+    sp.add_argument("--blobs", action="store_true")
+    sp.set_defaults(fn=cmd_clean)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from blq_cli_spark.plans.dsl import FilterExpressionError
+
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except FilterExpressionError as exc:
+        print(f"blq-spark: error: {exc}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as exc:
+        print(f"blq-spark: error: {exc}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -179,7 +179,7 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct word unigrams, built from
     md5 hex-digit parities (portable across engines)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash"))
+    return dedup.simhash_df(docs, bits=16).withColumnRenamed("id", "doc_id")
 
 
 # --- similarity search ------------------------------------------------------

@@ -145,24 +145,22 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(text_col: Column, bits: int = 16) -> Column:
-    """SimHash over word unigrams: per bit, sign-sum of token-hash bits.
+def simhash_from_digests(digests: Column, bits: int = 16) -> Column:
+    """SimHash from a *materialized* array of md5 hex digests (one per
+    distinct token): per bit j, sign-sum of hex-digit parities at digest
+    position j. Returns a bigint whose low `bits` bits are the simhash.
 
-    Portable construction: bit j of token t = hex digit parity of md5(t)
-    at position j — computed arithmetically from the hex digest so the
-    same SQL runs in any md5-capable engine. Returns a bigint whose low
-    `bits` bits are the simhash."""
-    toks = F.array_distinct(tokens(text_col))
+    Portable construction — the same arithmetic runs in any md5-capable
+    SQL engine. Pass a projected attribute, not an inline expression
+    (higher-order functions re-evaluate inline arrays per element)."""
 
-    def bit(tok: Column, j: int) -> Column:
-        # hex char at position j -> value 0..15 -> take lowest bit
-        ch = F.substring(F.md5(tok), j + 1, 1)
-        val = F.conv(ch, 16, 10).cast("int")
-        return val % 2
+    def bit(d: Column, j: int) -> Column:
+        # hex char at digest position j -> value 0..15 -> lowest bit
+        return F.conv(F.substring(d, j + 1, 1), 16, 10).cast("int") % 2
 
     def bit_vote(j: int) -> Column:
         votes = F.aggregate(
-            F.transform(toks, lambda t: bit(t, j) * 2 - 1), F.lit(0), lambda acc, x: acc + x
+            F.transform(digests, lambda d: bit(d, j) * 2 - 1), F.lit(0), lambda acc, x: acc + x
         )
         return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -170,3 +168,28 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     for j in range(bits):
         out = out + bit_vote(j).cast("bigint") * F.lit(2**j).cast("bigint")
     return out
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash: tokenize + hash ONCE into a materialized
+    digest array, then fold bits — md5 runs O(tokens), not O(tokens*bits).
+    Returns (id, simhash)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    digests = F.transform(F.array_distinct(tokens(F.col("_text"))), F.md5)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .repartition(parallelism, "id")
+        .select("id", digests.alias("_digests"))
+        .select("id", simhash_from_digests(F.col("_digests"), bits).alias("simhash"))
+    )
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """Expression-form SimHash over word unigrams. Prefer simhash_df for
+    bulk use — this inline form re-tokenizes per bit position."""
+    return simhash_from_digests(F.transform(F.array_distinct(tokens(text_col)), F.md5), bits)

@@ -1,0 +1,109 @@
+"""Formatters + CLI surface (in-process main() with captured stdout)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from blq_cli_spark import output as out
+from blq_cli_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "error", None, "boom"), (2, "warning", "a.c", "")],
+        "id int, severity string, file string, message string",
+    )
+
+
+def test_format_table(df):
+    s = out.format_table(df)
+    lines = s.splitlines()
+    assert lines[0].split() == ["id", "severity", "file", "message"]
+    assert lines[1].startswith("--")
+    assert "error" in lines[2] and "warning" in lines[3]
+
+
+def test_format_table_truncation(spark):
+    df = spark.createDataFrame([("x" * 100,)], "long string")
+    s = out.format_table(df, max_col_width=10)
+    assert "…" in s and "x" * 11 not in s
+
+
+def test_format_json_scrubs_nulls(df):
+    data = json.loads(out.format_json(df))
+    assert data[0] == {"id": 1, "severity": "error", "message": "boom"}  # None dropped
+    assert "message" not in data[1]  # empty string dropped
+
+
+def test_format_csv_and_markdown(df):
+    c = out.format_csv(df)
+    assert c.splitlines()[0] == "id,severity,file,message"
+    m = out.format_markdown(df)
+    assert m.splitlines()[1].startswith("| ---")
+    assert out.format_output(df, "markdown") == m
+    with pytest.raises(ValueError):
+        out.format_output(df, "xml")
+
+
+@pytest.fixture(scope="module")
+def cli_store(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("clistore")
+    log = root / "build.log"
+    log.write_text(
+        "src/a.c:10:5: error: undefined reference to 'foo'\n"
+        "src/a.c:20:1: warning: unused variable 'x'\n"
+    )
+    store = str(root / ".bird-spark")
+    assert main(["--store", store, "import", str(log), "--tag", "build"]) == 0
+    log2 = root / "build2.log"
+    log2.write_text("src/a.c:20:1: warning: unused variable 'x'\n")
+    assert main(["--store", store, "import", str(log2), "--tag", "build"]) == 0
+    return store
+
+
+def test_cli_errors(cli_store, capsys):
+    assert main(["--store", cli_store, "errors", "-n", "5"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got and "src/a.c:10:5" in got
+
+
+def test_cli_history_json(cli_store, capsys):
+    assert main(["--store", cli_store, "--format", "json", "history"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2 and rows[0]["n_errors"] in (0, 1)
+
+
+def test_cli_query_dsl(cli_store, capsys):
+    assert (
+        main(["--store", cli_store, "query", "-f", "severity=warning", "--select", "ref", "message"])
+        == 0
+    )
+    got = capsys.readouterr().out
+    assert "unused variable" in got and "undefined" not in got
+
+
+def test_cli_sql_limit_guard(cli_store, capsys):
+    assert main(["--store", cli_store, "sql", "SELECT severity FROM events_flat"]) == 0
+    got = capsys.readouterr().out
+    assert "severity" in got
+
+
+def test_cli_diff_fingerprints(cli_store, capsys):
+    assert main(["--store", cli_store, "--format", "json", "diff", "1", "2", "--fingerprints"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    changes = sorted(r["change"] for r in rows)
+    assert changes == ["fixed", "unchanged"]  # error fixed, warning persists
+
+
+def test_cli_capture_stdin(cli_store, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("src/z.c:1:1: error: kaboom\n"))
+    assert main(["--store", cli_store, "capture", "--source", "adhoc"]) == 0
+    assert "captured run 3" in capsys.readouterr().out
+    assert main(["--store", cli_store, "status"]) == 0
+    got = capsys.readouterr().out
+    assert "adhoc" in got

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises
+must be visible in explain() output — predicate pushdown to parquet,
+column pruning, broadcast joins for dims, distributed top-k, and
+partition pruning on the store layout."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from blq_cli_spark.gates import queries
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    q = queries()["q6_forecast_revenue"]
+    plan = plan_of(q(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    # the shipdate range must reach the scan, not sit in a post-filter only
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema_line and "l_quantity" in read_schema_line
+    assert "l_extendedprice" not in read_schema_line  # unused column not read
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(queries()["q5_region_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    plan3 = plan_of(queries()["q3_top_unshipped_orders"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan3
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(queries()["o2_global_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan  # distributed heap, no full sort
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(queries()["j7_range_join_buckets"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny side broadcast: correct for J7
+
+
+def test_grep_context_has_no_join(spark):
+    """The W4 window formulation must not plan a join at all (the reference
+    formulation J6 would be a nested-loop semi join)."""
+    plan = plan_of(queries()["w4_grep_context"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    """S10: date-partitioned store layout prunes partitions on date
+    filters (reference relies on hive partitioning, schema.sql:47-52)."""
+    import datetime as dt
+
+    from blq_cli_spark.sources.store import LogStore
+
+    store = LogStore(spark, str(tmp_path / "bird"))
+    for d in (dt.date(2026, 3, 1), dt.date(2026, 3, 2), dt.date(2026, 3, 3)):
+        store.append_run(
+            {"cmd": "x", "timestamp": dt.datetime.combine(d, dt.time(10)), "date": d,
+             "source_name": "build", "exit_code": 0},
+            [{"severity": "error", "message": "m", "event_type": "diagnostic"}],
+        )
+    ev = store.events().filter(F.col("date") == dt.date(2026, 3, 2))
+    plan = plan_of(ev)
+    assert "PartitionFilters" in plan
+    # pruned scan must read 1 of 3 date partitions
+    assert ev.count() == 1

@@ -190,6 +190,79 @@ _DOT = (
 )
 
 
+_PLANES = similarity.random_planes(n_planes=4, dim=64, seed=42)
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_sql_plane_dot('embedding', p)} > 0 THEN {2**i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@gate(
+    "x_lsh_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             {_DOT.format(a="q.qv", b="c.embedding")}
+             / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                * sqrt({_DOT.format(a="c.embedding", b="c.embedding")})) AS cos
+      FROM q JOIN b c USING (bucket)
+      WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, nid, round(cos, 6) AS cos, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def x_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path for similarity search):
+    4 seeded random hyperplanes -> 16 sign buckets; probe is an equi-join
+    on bucket (shuffle-partitionable) instead of a cross join, then exact
+    cosine top-5 inside the bucket. Recall < 1 by construction — the
+    brute-force x_cosine_topk gate is the recall baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_bucket_topk(emb, queries, _PLANES, k=5)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
+
+
+@gate(
+    "x_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a="a.embedding", b="b.embedding")}
+          / (sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+             * sqrt({_DOT.format(a="b.embedding", b="b.embedding")})) >= 0.4
+    """,
+)
+def x_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4): the exact
+    all-pairs baseline for embedding-based dedup. At 100 TB the same
+    predicate runs inside LSH buckets (x_lsh_ann's bucket join) so cost
+    is per-bucket quadratic, not global."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.neardup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 @gate(
     "x_cosine_topk",
     oracle=f"""

@@ -57,6 +57,38 @@ def cosine_topk(
     )
 
 
+def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded Gaussian, rounded to
+    3 decimals so SQL literals parse to bit-identical doubles in any
+    engine)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 3) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. This is the exact O(n^2) baseline — correct at
+    any SF and the oracle form; the 100 TB path runs hyperplane-LSH
+    bucketing first (lsh_bucket_topk's bucket join) so each vector only
+    scores against its bucket, then verifies with this exact predicate."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bits of dot products against fixed hyperplanes."""
     bucket = F.lit(0).cast("bigint")

@@ -107,7 +107,13 @@ class LogQuery:
         q = self._clone()
         for c in cols:
             col = F.col(c) if isinstance(c, str) else c
-            q._order_cols.append(col.desc() if desc else col.asc())
+            rep = str(col)
+            if " DESC" in rep or " ASC" in rep:
+                # already a SortOrder (F.desc(...)/col.asc()): wrapping it
+                # again builds a nested, unevaluable SortOrder
+                q._order_cols.append(col)
+            else:
+                q._order_cols.append(col.desc() if desc else col.asc())
         return q
 
     def limit(self, n: int) -> "LogQuery":

@@ -259,6 +259,123 @@ class LogStore:
         return n
 
 
+    # -- retention / pruning (reference storage.py:624-714) --------------------
+
+    def prune_runs(
+        self,
+        max_age_days: int | None = None,
+        max_runs_per_source: int | None = None,
+        now: _dt.datetime | None = None,
+    ) -> int:
+        """Retention: drop runs (and their events/outputs) older than
+        max_age_days and/or beyond the newest max_runs_per_source per
+        source (reference W3 retention ranking, storage.py:647-676).
+
+        Implementation is compact-and-rewrite: compute keep-set (tiny —
+        run ids), rewrite runs/events/outputs filtered by an isin/semi
+        join. At 100 TB the same logic runs as a partition-drop for the
+        age rule (date-partitioned layout) + anti-join rewrite only for
+        affected partitions."""
+        from pyspark.sql import Window
+
+        runs = self.runs()
+        total = runs.count()
+        keep = runs
+        if max_age_days is not None:
+            now = now or _dt.datetime.now()
+            cutoff = (now - _dt.timedelta(days=max_age_days)).date()
+            keep = keep.filter(F.col("date") >= F.lit(cutoff))
+        if max_runs_per_source is not None:
+            w = Window.partitionBy(
+                F.coalesce("source_name", F.lit("__none__"))
+            ).orderBy(F.desc("timestamp"))
+            keep = (
+                keep.withColumn("_rank", F.row_number().over(w))
+                .filter(F.col("_rank") <= max_runs_per_source)
+                .drop("_rank")
+            )
+        keep_ids = [r["id"] for r in keep.select("id").collect()]
+        removed = total - len(keep_ids)
+        if removed:
+            self._rewrite("runs", F.col("id").isin(keep_ids))
+            self._rewrite("events", F.col("invocation_id").isin(keep_ids))
+            self._rewrite("outputs", F.col("invocation_id").isin(keep_ids))
+            self._serial_cache = None
+        return removed
+
+    def prune_by_size(self, max_total_bytes: int) -> int:
+        """Size-based retention: drop oldest runs until total stored output
+        bytes fit (reference J10 size accounting + oldest-first prune,
+        storage.py:697-705): left join outputs->runs, cumulative window
+        newest-first, delete the suffix."""
+        from pyspark.sql import Window
+
+        sizes = (
+            self.runs()
+            .join(
+                self.outputs().groupBy("invocation_id").agg(
+                    F.sum("byte_length").alias("bytes")
+                ),
+                F.col("id") == F.col("invocation_id"),
+                "left",
+            )
+            .select("id", "timestamp", F.coalesce("bytes", F.lit(0)).alias("bytes"))
+        )
+        w = Window.orderBy(F.desc("timestamp")).rowsBetween(Window.unboundedPreceding, 0)
+        ranked = sizes.withColumn("cum_bytes", F.sum("bytes").over(w))
+        drop_ids = [r["id"] for r in ranked.filter(F.col("cum_bytes") > max_total_bytes).collect()]
+        if drop_ids:
+            self._rewrite("runs", ~F.col("id").isin(drop_ids))
+            self._rewrite("events", ~F.col("invocation_id").isin(drop_ids))
+            self._rewrite("outputs", ~F.col("invocation_id").isin(drop_ids))
+            self._serial_cache = None
+        return len(drop_ids)
+
+    def _rewrite(self, name: str, keep_cond) -> None:
+        """Rewrite a table filtered to keep_cond (staging dir + atomic-ish
+        swap). Parquet is immutable; deletion = compaction."""
+        import shutil
+
+        df = self.table(name).filter(keep_cond)
+        staged = df.collect()  # tables being pruned are dimension-scale
+        path = self._path(name)
+        shutil.rmtree(path, ignore_errors=True)
+        if staged:
+            self.spark.createDataFrame(staged, _TABLES[name]).write.mode(
+                "overwrite"
+            ).partitionBy("date").parquet(path)
+
+    # -- sync/export + global multi-root scan (S2/S13) -------------------------
+
+    def sync_to(
+        self, dest_root: str, hostname: str, namespace: str, project: str
+    ) -> str:
+        """Export this store's events under the global
+        hostname=/namespace=/project= tree (reference sync_cmd.py:37-167).
+        Written as real partition directories so a multi-root reader gets
+        partition pruning on all three levels."""
+        dest = os.path.join(
+            dest_root,
+            f"hostname={hostname}",
+            f"namespace={namespace}",
+            f"project={project}",
+        )
+        # the events hostname column would clash with the hostname= partition
+        flat = self.events_flat().drop("hostname")
+        flat.write.mode("overwrite").partitionBy("date").parquet(dest)
+        return dest
+
+    @staticmethod
+    def read_global(spark: SparkSession, dest_root: str) -> DataFrame:
+        """Multi-root hive scan: hostname/namespace/project become columns
+        (reference from_parquet_root, query.py:616-667)."""
+        return (
+            spark.read.option("basePath", dest_root)
+            .option("mergeSchema", "true")
+            .parquet(f"{dest_root}/hostname=*/namespace=*/project=*")
+        )
+
+
 def _b64(data: bytes) -> str:
     import base64
 

@@ -1,0 +1,140 @@
+"""Service layer + retention/sync/skew utilities."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from blq_cli_spark import services
+from blq_cli_spark.operators import skew
+from blq_cli_spark.sources.store import LogStore
+from tests.fixtures_blq import make_runs_and_events
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = LogStore(spark, str(tmp_path / "bird"))
+    runs, events = make_runs_and_events()
+    by_run: dict[str, list] = {}
+    for ev in events:
+        by_run.setdefault(ev["invocation_id"], []).append(ev)
+    for run in runs:
+        st.append_run(run, by_run.get(run["id"], []), output=f"out {run['id']}\n" * 100)
+    return st
+
+
+def test_query_events_default_latest(store):
+    total, rows = services.query_events(store, limit=100)
+    assert total > 0
+    assert {r["run_serial"] for r in rows} == {8}  # latest run only
+
+
+def test_query_events_filters_and_suppression(store):
+    total, rows = services.query_events(
+        store, severities=["error"], run_serial=3, limit=100
+    )
+    assert all(r["severity"] == "error" and r["run_serial"] == 3 for r in rows)
+    fp = rows[0]["fingerprint"]
+    total2, rows2 = services.query_events(
+        store, severities=["error"], run_serial=3, suppressed_fingerprints=[fp], limit=100
+    )
+    assert total2 == total - 1 and fp not in {r["fingerprint"] for r in rows2}
+
+
+def test_ci_check_and_baseline(store):
+    res = services.ci_check(store, 2, 3)
+    assert res["new"] > 0 and res["passed"] is False
+    assert res["fixed"] > 0 and res["unchanged"] > 0
+    assert services.resolve_baseline(store, run_serial=5) == 5
+    assert services.resolve_baseline(store, branch="main") == 7  # odd serials are main; latest is 7
+    assert services.resolve_baseline(store, branch="does-not-exist") is None
+
+
+def test_ref_grammar(store):
+    r = services.parse_ref("build:12:3")
+    assert (r.tag, r.serial, r.event_index) == ("build", 12, 3)
+    assert services.parse_ref("~2").relative == 2
+    assert services.parse_ref("7").serial == 7
+    with pytest.raises(ValueError):
+        services.parse_ref("::bad::")
+    row = services.resolve_ref(store, "~1").collect()[0]
+    assert row["run_serial"] == 8
+    ev = services.resolve_ref(store, "2:1").collect()
+    assert len(ev) == 1 and ev[0]["event_index"] == 1
+
+
+def test_prune_max_runs_per_source(store):
+    removed = store.prune_runs(max_runs_per_source=1)
+    assert removed == 4  # 8 runs over 4 sources -> keep 1 each
+    kept = store.runs()
+    assert kept.count() == 4
+    # events/outputs for pruned runs are gone too
+    ids = {r["id"] for r in kept.collect()}
+    assert {r["invocation_id"] for r in store.events().collect()} <= ids
+    assert {r["invocation_id"] for r in store.outputs().collect()} <= ids
+
+
+def test_prune_by_age(store):
+    # runs span 8 hours on one date; age cutoff in the future removes none
+    assert store.prune_runs(max_age_days=30, now=dt.datetime(2026, 3, 5)) == 0
+    assert store.prune_runs(max_age_days=1, now=dt.datetime(2026, 4, 1)) == 8
+
+
+def test_prune_by_size(store):
+    per_run = len("out run-0001\n" * 100)
+    removed = store.prune_by_size(max_total_bytes=3 * per_run + 10)
+    assert removed == 5  # keep newest 3
+    assert store.runs().count() == 3
+
+
+def test_sync_and_global_read(store, spark, tmp_path):
+    root = str(tmp_path / "global")
+    store.sync_to(root, hostname="h1", namespace="team", project="proj")
+    store.sync_to(root, hostname="h2", namespace="team", project="proj")
+    g = LogStore.read_global(spark, root)
+    assert set(g.select("hostname").distinct().toPandas()["hostname"]) == {"h1", "h2"}
+    assert g.count() == 2 * store.events().count()
+    one_host = g.filter(F.col("hostname") == "h1")
+    assert one_host.count() == store.events().count()
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 100).alias("v")
+    )
+    plain = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "n": F.count(F.lit(1)),
+                "s": F.sum("v"),
+                "mn": F.min("v"),
+                "mx": F.max("v"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.range(5000).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, label string")
+    plain = big.join(small, "k").groupBy("label").count()
+    salted = skew.salted_join(big, small, "k", salt=4).groupBy("label").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}

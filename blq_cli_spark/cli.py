@@ -18,6 +18,8 @@ import os
 import re
 import sys
 
+import pyspark.sql.functions as F
+
 from blq_cli_spark.output import format_output
 from blq_cli_spark.plans.query import LogQuery
 from blq_cli_spark.operators import views
@@ -151,6 +153,30 @@ def cmd_capture(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    from blq_cli_spark.sources.execution import run_command
+
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        print("blq-spark run: no command given", file=sys.stderr)
+        return 2
+    st = _store(args)
+    run = run_command(
+        st,
+        cmd,
+        source_name=args.source,
+        fmt=args.parse_format,
+        tag=args.tag,
+        timeout=args.timeout,
+    )
+    n = st.events().filter(F.col("invocation_id") == run["id"]).count()
+    print(
+        f"run {run['run_serial']} exit={run['exit_code']} "
+        f"{run['duration_ms']}ms ({n} events)"
+    )
+    return 0 if run["exit_code"] == 0 else int(run["exit_code"] or 1)
+
+
 def cmd_diff(args) -> int:
     flat = _store(args).events_flat()
     if args.fingerprints:
@@ -219,6 +245,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("run")
+    sp.add_argument("cmd", nargs=argparse.REMAINDER)
+    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--source")
+    sp.add_argument("--tag")
+    sp.add_argument("--timeout", type=float)
+    sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("diff")
     sp.add_argument("run1", type=int)

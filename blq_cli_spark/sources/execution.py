@@ -1,0 +1,181 @@
+"""Process execution + ingest: the `blq run` write path (S9).
+
+Reference flow (src/blq/commands/execution.py:232-650 + storage write path
+storage.py:397-495): write an attempt start-record, spawn the subprocess
+with output teed to `live/{attempt_id}/combined.log` (so in-flight runs
+are queryable via the live-tail readers in streaming/live.py), then on
+exit write the outcome, parse the captured output into events, and append
+the completed run + events + content-addressed output blob.
+
+All of this is driver-side orchestration by design — it mirrors the
+reference exactly and the data plane (parse -> append -> query) is the
+distributed part. On a cluster the run executes wherever the CLI runs;
+only the parquet appends land on shared storage.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import getpass
+import os
+import platform as _platform
+import shutil
+import socket
+import subprocess
+
+from blq_cli_spark.sources import logparse
+from blq_cli_spark.sources.store import LogStore
+
+
+def _git_context(cwd: str) -> dict:
+    """Best-effort git commit/branch/dirty (reference collects the same
+    trio for every invocation)."""
+    def _run(args: list[str]) -> str | None:
+        try:
+            out = subprocess.run(
+                ["git", *args], cwd=cwd, capture_output=True, text=True, timeout=5
+            )
+            return out.stdout.strip() if out.returncode == 0 else None
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+
+    commit = _run(["rev-parse", "HEAD"])
+    branch = _run(["rev-parse", "--abbrev-ref", "HEAD"])
+    status = _run(["status", "--porcelain"])
+    return {
+        "git_commit": commit,
+        "git_branch": branch,
+        "git_dirty": bool(status) if status is not None else None,
+    }
+
+
+def run_command(
+    store: LogStore,
+    cmd: list[str],
+    source_name: str | None = None,
+    fmt: str = "auto",
+    tag: str | None = None,
+    timeout: float | None = None,
+    cwd: str | None = None,
+    keep_live: bool = False,
+) -> dict:
+    """Execute `cmd`, capture combined output, parse, and store the run.
+
+    Returns the stored run row dict (with exit_code, run_serial, ...).
+    The live log at `<root>/live/<attempt_id>/combined.log` exists for
+    the duration of the run (ST1 readers can poll it) and is removed on
+    completion unless keep_live."""
+    cwd = cwd or os.getcwd()
+    started = dt.datetime.now()
+    attempt = store.start_attempt(
+        {
+            "started_at": started,
+            "cmd": " ".join(cmd),
+            "cwd": cwd,
+            "source_name": source_name,
+            "source_type": "run",
+            "hostname": socket.gethostname(),
+        }
+    )
+
+    live_dir = os.path.join(store.root, "live", attempt["id"])
+    os.makedirs(live_dir, exist_ok=True)
+    live_log = os.path.join(live_dir, "combined.log")
+
+    timed_out = False
+    with open(live_log, "wb") as sink:
+        proc = subprocess.Popen(
+            cmd, cwd=cwd, stdout=sink, stderr=subprocess.STDOUT
+        )
+        attempt_pid = proc.pid
+        try:
+            exit_code = proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            exit_code, timed_out = None, True
+
+    completed = dt.datetime.now()
+    duration_ms = int((completed - started).total_seconds() * 1000)
+    store.complete_attempt(
+        attempt["id"],
+        {
+            "completed_at": completed,
+            "duration_ms": duration_ms,
+            "exit_code": exit_code,
+            "timeout": timed_out,
+        },
+    )
+
+    with open(live_log, "rb") as fh:
+        output = fh.read().decode("utf-8", errors="replace")
+    events = logparse.parse_content(output, fmt)
+    format_used = events[0]["format_used"] if events else None
+
+    run = store.append_run(
+        {
+            "id": attempt["id"],  # run id == attempt id, like the reference
+            "timestamp": started,
+            "duration_ms": duration_ms,
+            "cwd": cwd,
+            "cmd": " ".join(cmd),
+            "executable": cmd[0],
+            "pid": attempt_pid,
+            "exit_code": exit_code,
+            "format_hint": fmt if fmt != "auto" else format_used,
+            "hostname": socket.gethostname(),
+            "username": getpass.getuser(),
+            "tag": tag,
+            "source_name": source_name,
+            "source_type": "run",
+            "platform": _platform.system().lower(),
+            "arch": _platform.machine(),
+            **_git_context(cwd),
+        },
+        events=events,
+        output=output,
+    )
+    if not keep_live:
+        shutil.rmtree(live_dir, ignore_errors=True)
+    return run
+
+
+def migrate_from_export(store: LogStore, export_root: str) -> int:
+    """S14-style migration: re-ingest a hive-partitioned events export
+    (the sync_to layout, or any parquet tree with the flat-events columns)
+    into this store's runs/events tables.
+
+    One distributed pass: read with partition discovery + mergeSchema,
+    derive run rows by grouping events on invocation_id, then append both
+    tables (reference migrate.py:30-140 does the same v1-parquet -> BIRD
+    transform)."""
+    import pyspark.sql.functions as F
+
+    flat = (
+        store.spark.read.option("mergeSchema", "true")
+        .option("basePath", export_root)
+        .parquet(export_root)
+    )
+    run_cols = [c for c in ("invocation_id", "run_serial", "timestamp", "cmd",
+                            "source_name", "source_type", "exit_code", "tag")
+                if c in flat.columns]
+    runs = (
+        flat.select(run_cols)
+        .groupBy("invocation_id")
+        .agg(*[F.first(c, ignorenulls=True).alias(c) for c in run_cols if c != "invocation_id"])
+    )
+    existing = {r["id"] for r in store.runs().select("id").collect()}
+    n = 0
+    event_field_names = {f.name for f in store.events().schema.fields}
+    for run_row in runs.collect():
+        if run_row["invocation_id"] in existing:
+            continue
+        run = run_row.asDict()
+        run["id"] = run.pop("invocation_id")
+        evs = [
+            {k: v for k, v in r.asDict().items() if k in event_field_names}
+            for r in flat.filter(F.col("invocation_id") == run["id"]).collect()
+        ]
+        store.append_run(run, events=evs)
+        n += 1
+    return n

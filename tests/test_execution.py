@@ -1,0 +1,69 @@
+"""run_command (S9 write path) + migrate_from_export (S14)."""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+from blq_cli_spark.sources.execution import migrate_from_export, run_command
+from blq_cli_spark.sources.store import LogStore
+
+GCC_SCRIPT = r"""
+import sys
+print("main.c:10:5: error: expected ';' before 'return'")
+print("util.c:3:1: warning: unused variable 'x'", file=sys.stderr)
+sys.exit(2)
+"""
+
+
+def test_run_command_full_lifecycle(spark, tmp_path):
+    st = LogStore(spark, str(tmp_path / "bird"))
+    run = run_command(
+        st, [sys.executable, "-c", GCC_SCRIPT], source_name="build", tag="ci"
+    )
+    assert run["exit_code"] == 2
+    assert run["run_serial"] == 1
+    assert run["duration_ms"] >= 0
+
+    # attempt + outcome recorded, nothing pending
+    att = st.attempts_loaded().collect()
+    assert len(att) == 1 and att[0]["status"] == "completed"
+
+    # events parsed from the captured output (gcc-style)
+    evs = st.events().orderBy("event_index").collect()
+    sevs = [e["severity"] for e in evs]
+    assert "error" in sevs and "warning" in sevs
+    assert any(e["ref_file"] == "main.c" and e["ref_line"] == 10 for e in evs)
+
+    # output stored + readable back
+    out_row = st.outputs().collect()[0]
+    content = st.read_output(out_row["storage_ref"]).decode()
+    assert "expected ';'" in content
+
+    # flat view joins up
+    flat = st.events_flat().filter(F.col("run_serial") == 1)
+    assert flat.count() == len(evs)
+
+
+def test_run_command_success_and_serial_increment(spark, tmp_path):
+    st = LogStore(spark, str(tmp_path / "bird"))
+    r1 = run_command(st, [sys.executable, "-c", "print('ok')"], source_name="s")
+    r2 = run_command(st, [sys.executable, "-c", "print('ok')"], source_name="s")
+    assert (r1["exit_code"], r2["exit_code"]) == (0, 0)
+    assert r2["run_serial"] == r1["run_serial"] + 1
+
+
+def test_migrate_from_export_roundtrip(spark, tmp_path):
+    src = LogStore(spark, str(tmp_path / "src"))
+    run_command(src, [sys.executable, "-c", GCC_SCRIPT], source_name="build")
+    root = str(tmp_path / "global")
+    src.sync_to(root, hostname="h1", namespace="ns", project="p")
+
+    dst = LogStore(spark, str(tmp_path / "dst"))
+    n = migrate_from_export(dst, root)
+    assert n == 1
+    assert dst.runs().count() == 1
+    assert dst.events().count() == src.events().count()
+    # idempotent: second migrate is a no-op
+    assert migrate_from_export(dst, root) == 0

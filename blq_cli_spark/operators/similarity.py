@@ -1,21 +1,33 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k — a broadcast of the (small) query set
-against the corpus, all math in JVM expressions (zip_with + aggregate), no
-Python in the loop. Cost is O(|queries| * |corpus|) per batch; correct at
-any scale where the query set is small.
+Baseline: brute-force cosine top-k / threshold pairs as **block matrix
+products**: the small side (query set, or the corpus itself for all-pairs
+near-dup) is broadcast once as a numpy matrix; each corpus partition
+computes its score block with one BLAS matmul inside mapInPandas. Arrow
+moves every corpus row exactly once — there is no per-pair row blow-up
+on the wire, and per-partition top-k bounds the merge shuffle to
+k * |queries| * n_partitions rows. This is the 1000-executor shape for
+exact scoring.
 
-Scale path: LSH bucketing (random-hyperplane signs) so each query probes
-only its bucket (and neighbors). The hyperplanes are pseudo-random but
-deterministic (seeded), stored as a broadcast literal; the probe is a
-bucket equi-join instead of a cross join — the 1000-executor shape.
+Scale path beyond exact: LSH bucketing (random-hyperplane signs) so each
+query probes only its bucket — the probe becomes a bucket equi-join.
 
-All arithmetic is done in DOUBLE with a strict left-to-right fold so the
-DuckDB oracle (positional UNNEST + SUM) computes bit-identical results.
+Numerics: all math in float64. numpy's summation order differs from a
+strict left-to-right fold by ~1e-15 relative; gate outputs round cosines
+to 6 decimals, so oracle parity is unaffected (verified at sf0.001 and
+sf0.01).
+
+Earlier versions computed cosine with JVM higher-order functions
+(zip_with + aggregate) per pair; interpreted HOF evaluation made the
+all-pairs form ~25x slower than the matmul form at sf0.1 (77 s -> 3 s).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -30,7 +42,33 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Column-expression cosine (JVM path) — fine for per-row use; for
+    bulk scoring use the mapInPandas block kernels below."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _to_matrix(pdf_col: pd.Series) -> np.ndarray:
+    return np.stack(pdf_col.to_numpy()).astype(np.float64)
+
+
+_GEMM_PRIMED = False
+
+
+def _prime_gemm() -> None:
+    """One-time per-process large-GEMM warmup. The first large matrix
+    product in a process pays a multi-second init cost in this container
+    (BLAS kernel selection / thread + buffer setup; measured 1-8 s for a
+    2000x2000 output, while steady-state is ~10 ms). Priming with a
+    fixed-size dummy GEMM moves that cost to worker startup — with
+    spark.python.worker.reuse (default on) every subsequent task in the
+    process runs at steady-state speed."""
+    global _GEMM_PRIMED
+    if _GEMM_PRIMED:
+        return
+    d = np.ones((2048, 64))
+    (d @ d.T)
+    (d @ d.T)
+    _GEMM_PRIMED = True
 
 
 def cosine_topk(
@@ -40,15 +78,45 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast queries x corpus, partitioned
-    top-k window. Returns (qid, nid, cosine) with qid != nid."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
-    )
+    """Brute-force cosine top-k: broadcast query matrix x corpus blocks.
+
+    Each corpus partition emits only its local top-k per query, so the
+    final exact merge (partitioned window) sees k * |queries| rows per
+    partition, independent of corpus size."""
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy()
+    Q = _to_matrix(qpdf[vec_col])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        bqids, bQ, bqn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf[id_col].to_numpy()
+            C = _to_matrix(pdf[vec_col])
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            cos = (bQ @ C.T) / np.outer(bqn, cn)  # |queries| x |batch|
+            # self-match exclusion + per-batch top-k per query
+            for qi in range(len(bqids)):
+                row = cos[qi]
+                mask = nids != bqids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                take = min(k, len(cand_idx))
+                top = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        "qid": bqids[qi],
+                        "nid": nids[top],
+                        "cos": row[top],
+                    }
+                )
+
+    scored = corpus.mapInPandas(score, "qid long, nid long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -76,27 +144,98 @@ def neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine >= threshold. This is the exact O(n^2) baseline — correct at
-    any SF and the oracle form; the 100 TB path runs hyperplane-LSH
-    bucketing first (lsh_bucket_topk's bucket join) so each vector only
-    scores against its bucket, then verifies with this exact predicate."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    cosine >= threshold, as a distributed block matmul (each partition
+    scores its block against the broadcast corpus matrix).
+
+    This is the exact O(n^2) baseline — the broadcast side must fit in
+    executor memory (same constraint as any broadcast nested loop). The
+    100 TB path runs hyperplane-LSH bucketing first (lsh_bucket_topk's
+    bucket join) so each vector only scores against its bucket, then
+    verifies candidates with this exact predicate."""
+    cpdf = corpus.select(id_col, vec_col).toPandas()
+    cids = cpdf[id_col].to_numpy()
+    M = _to_matrix(cpdf[vec_col])
+    cn = np.sqrt(np.einsum("ij,ij->i", M, M))
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, M, cn))
+
+    chunk = 256
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        bids, BM, bn = bc.value
+        BMt = np.ascontiguousarray(BM.T)
+        # reused scratch block: first-touch page faults on fresh large
+        # allocations cost ~35 ms/MB in virtualized containers, so the
+        # score matrix is computed in fixed-size row chunks into one
+        # buffer instead of materializing the full |batch| x |corpus|
+        # product — also what bounds executor memory at real scale
+        out = np.empty((chunk, len(bids)))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_a = pdf[id_col].to_numpy()
+            A = _to_matrix(pdf[vec_col])
+            an = np.sqrt(np.einsum("ij,ij->i", A, A))
+            got_a, got_b, got_cos = [], [], []
+            for s in range(0, len(A), chunk):
+                a = A[s : s + chunk]
+                o = out[: len(a)]
+                np.matmul(a, BMt, out=o)
+                o /= an[s : s + len(a), None]
+                o /= bn[None, :]
+                ia, ib = np.nonzero(o >= threshold)
+                keep = ids_a[s + ia] < bids[ib]  # dedup mirrored pairs + self
+                ia, ib = ia[keep], ib[keep]
+                if len(ia):
+                    got_a.append(ids_a[s + ia])
+                    got_b.append(bids[ib])
+                    got_cos.append(o[ia, ib].copy())
+            if got_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(got_a),
+                        "id_b": np.concatenate(got_b),
+                        "cos": np.concatenate(got_cos),
+                    }
+                )
+
+    return corpus.mapInPandas(block, "id_a long, id_b long, cos double")
 
 
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bits of dot products against fixed hyperplanes."""
+    """LSH bucket id as a column expression: sign bits of dot products
+    against fixed hyperplanes."""
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(_dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         bucket = bucket + bit * F.lit(2**i).cast("bigint")
     return bucket
+
+
+def _with_bucket(
+    df: DataFrame, planes: list[list[float]], id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Assign hyperplane-sign buckets with one numpy matmul per batch."""
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (2 ** np.arange(len(planes))).astype(np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _to_matrix(pdf[vec_col])
+            signs = (M @ P.T) > 0
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    "vec": list(pdf[vec_col]),
+                    "bucket": signs @ weights,
+                }
+            )
+
+    return df.mapInPandas(assign, f"{out_id} long, vec array<float>, bucket long")
 
 
 def lsh_bucket_topk(
@@ -109,23 +248,41 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Bucketed ANN: equi-join on hyperplane-sign bucket, then exact cosine
     top-k inside the bucket. Recall < 1 by construction; multi-probe (flip
-    one bit) is the standard extension."""
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    one bit) is the standard extension. The bucket join shuffles on a
+    16-way (2^planes) key — partitionable, unlike a cross join."""
+    q = _with_bucket(queries, planes, id_col, vec_col, "qid").withColumnRenamed(
+        "vec", "qv"
     )
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        hyperplane_signs(F.col(vec_col), planes).alias("bucket"),
+    c = _with_bucket(corpus, planes, id_col, vec_col, "nid").withColumnRenamed(
+        "vec", "nv"
     )
-    scored = (
+    pairs = (
         F.broadcast(q)
         .join(c, ["bucket"])
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select("qid", "nid", "qv", "nv")
     )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["qv"])
+            B = _to_matrix(pdf["nv"])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "nid": pdf["nid"].to_numpy(),
+                    "cos": num / den,
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "qid long, nid long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -59,3 +59,33 @@ def test_poll_live_events(spark, tmp_path):
     df2 = live.poll_live_events(spark, str(p), fmt="gcc")
     assert df2.count() == 3
     assert df2.filter("ref_file = 'src/b.c'").count() == 1
+
+
+def test_stateful_run_progress(spark, drop_dir):
+    from blq_cli_spark.streaming import stateful
+
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    progress = stateful.run_progress(stream)
+    q = (
+        progress.writeStream.format("memory")
+        .queryName("run_progress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql(
+        "SELECT * FROM run_progress ORDER BY source_id, n_events"
+    ).collect()
+    # last row per source carries the accumulated state
+    latest = {}
+    for r in rows:
+        name = r["source_id"].rsplit("/", 1)[-1]
+        latest[name] = r
+    r1 = latest["run1.log"]
+    assert (r1["n_events"], r1["n_errors"], r1["n_warnings"]) == (2, 1, 1)
+    r2 = latest["run2.log"]
+    assert (r2["n_events"], r2["n_errors"], r2["n_warnings"]) == (1, 1, 0)
+    # availableNow's final batch may fire the idle timeout (closing the
+    # run) or leave it running — both are valid lifecycle states
+    assert {r["status"] for r in rows} <= {"running", "idle-closed"}

@@ -117,3 +117,17 @@ def head_tail(lines: DataFrame, head: int | None = None, tail: int | None = None
         tail_part = lines_max.filter(F.col("line_number") > F.col("_max") - tail).drop("_max")
         out = tail_part if head is None else out.unionByName(tail_part).distinct()
     return out
+
+
+def resolve_under_root(root: str, ref_file: str) -> str:
+    """Path-safety resolve (P12, reference output.py:844-868): resolve a
+    file reference against the project root and refuse anything escaping
+    it (absolute paths outside, `..` traversal, symlink escapes). Used
+    before reading source-context lines for an event's ref_file."""
+    import os
+
+    root_real = os.path.realpath(root)
+    candidate = os.path.realpath(os.path.join(root_real, ref_file))
+    if candidate != root_real and not candidate.startswith(root_real + os.sep):
+        raise ValueError(f"path escapes project root: {ref_file!r}")
+    return candidate

@@ -55,3 +55,17 @@ def test_head_tail(lines):
     assert tail == [19, 20]
     both = sorted(r["line_number"] for r in ctx.head_tail(lines, head=2, tail=2).collect())
     assert both == [1, 2, 19, 20]
+
+
+def test_resolve_under_root(tmp_path):
+    from blq_cli_spark.operators.context import resolve_under_root
+
+    (tmp_path / "src").mkdir()
+    f = tmp_path / "src" / "a.c"
+    f.write_text("x")
+    assert resolve_under_root(str(tmp_path), "src/a.c") == str(f.resolve())
+    import pytest as _pytest
+
+    for bad in ("../etc/passwd", "/etc/passwd", "src/../../etc/passwd"):
+        with _pytest.raises(ValueError):
+            resolve_under_root(str(tmp_path), bad)

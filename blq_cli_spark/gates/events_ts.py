@@ -127,3 +127,44 @@ def ts_topk_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)
     )
+
+
+@gate(
+    "x_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation (operators/skew.salted_agg):
+    hot grouping keys are split across 16 salt partials, then merged —
+    results are identical to a plain GROUP BY (which is the oracle).
+    Note sum(value) merges partial doubles in a different order than a
+    single-stage sum; rounding to 4 decimals absorbs the ~1e-12 drift."""
+    from blq_cli_spark.operators import skew
+
+    ev = table(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.sum("value"),
+            "lo": F.min("value"),
+            "hi": F.max("value"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )

@@ -293,3 +293,40 @@ def sandbox_summary(runs: DataFrame) -> DataFrame:
         F.get_json_object("extension_data", "$.sandbox.filesystem").alias("filesystem"),
     )
     return g.groupBy("network", "filesystem").agg(F.count(F.lit(1)).alias("n_runs"))
+
+
+def file_events(events_flat: DataFrame, path: str) -> DataFrame:
+    """`blq_file(path)` v1 extra: all events for one file, newest first
+    (reference schema.sql:223-230)."""
+    return events_flat.filter(F.col("ref_file") == path).orderBy(
+        F.desc("run_serial"), "ref_line"
+    )
+
+
+def files(events_flat: DataFrame) -> DataFrame:
+    """`blq_files` v1 extra: per-file diagnostic counts (reference
+    schema.sql:233-240)."""
+    return (
+        events_flat.filter(F.col("ref_file").isNotNull())
+        .groupBy("ref_file")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("severity") == "error").alias("errors"),
+            F.count_if(F.col("severity") == "warning").alias("warnings"),
+            F.max("run_serial").alias("last_run_serial"),
+        )
+        .orderBy(F.desc("errors"), F.desc("total"))
+    )
+
+
+def errors_compact(events_flat: DataFrame, n: int = 10) -> DataFrame:
+    """`blq_errors_compact` v1 extra: location + truncated message only
+    (reference schema.sql:376-388)."""
+    from blq_cli_spark.functions import scalar
+
+    return errors(events_flat, n).select(
+        "ref",
+        scalar.location(F.col("ref_file"), F.col("ref_line"), F.col("ref_column")).alias("loc"),
+        F.substring("message", 1, 120).alias("message"),
+        "tool_name",
+    )

@@ -155,3 +155,45 @@ def resolve_ref(store: LogStore, ref: str) -> DataFrame:
         return flat if parsed.tag is None else flat.filter(F.col("tag") == parsed.tag)
     runs = store.runs_loaded().filter(F.col("run_serial") == parsed.serial)
     return runs if parsed.tag is None else runs.filter(F.col("tag") == parsed.tag)
+
+
+def get_output(
+    store: LogStore,
+    run_serial: int,
+    stream: str = "combined",
+    grep: str | None = None,
+    ctx: int = 2,
+    head: int | None = None,
+    tail: int | None = None,
+    lines: str | None = None,
+) -> DataFrame:
+    """The MCP `output` tool read path (reference serve.py:1305-1444):
+    fetch a stored run's raw output and apply grep-with-context / head /
+    tail / line-spec selection, all as distributed line operators
+    (operators/context.py)."""
+    from blq_cli_spark.operators import context
+
+    run = store.runs().filter(F.col("run_serial") == run_serial).select("id").collect()
+    if not run:
+        raise ValueError(f"no run with serial {run_serial}")
+    out_rows = (
+        store.outputs()
+        .filter(
+            (F.col("invocation_id") == run[0]["id"]) & (F.col("stream") == stream)
+        )
+        .collect()
+    )
+    if not out_rows:
+        raise ValueError(f"no {stream} output for run {run_serial}")
+    content = store.read_output(out_rows[0]["storage_ref"]).decode(
+        "utf-8", errors="replace"
+    )
+    df = store.spark.createDataFrame([(str(run_serial), content)], "id string, content string")
+    line_df = context.text_to_lines(df)
+    if lines:
+        line_df = context.select_lines(line_df, lines)
+    if grep:
+        line_df = context.grep_with_context(line_df, grep, ctx=ctx)
+    if head is not None or tail is not None:
+        line_df = context.head_tail(line_df, head=head, tail=tail)
+    return line_df

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the pure compile/parse layers —
+coverage the reference's hand-written suites don't have (SURVEY.md §5
+"Not present: property-based/randomized testing")."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from blq_cli_spark.operators.context import parse_linespec
+from blq_cli_spark.plans.dsl import FilterExpressionError, parse_filter_expression
+from blq_cli_spark.sources import logparse
+
+# --- line-spec round trip ----------------------------------------------------
+
+range_part = st.tuples(
+    st.integers(min_value=1, max_value=10**6), st.integers(min_value=0, max_value=1000)
+)
+
+
+@given(st.lists(range_part, min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_linespec_roundtrip_ranges(parts):
+    spec = ", ".join(f"{lo}-{lo + width}" for lo, width in parts)
+    assert parse_linespec(spec) == [(lo, lo + width) for lo, width in parts]
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=10**4),
+)
+@settings(max_examples=200, deadline=None)
+def test_linespec_context_form_clamps_at_one(center, ctx):
+    [(lo, hi)] = parse_linespec(f"{center} +/-{ctx}")
+    assert lo == max(1, center - ctx) and hi == center + ctx
+
+
+@given(st.text(max_size=20).filter(lambda s: not s.strip().isdigit()))
+@settings(max_examples=200, deadline=None)
+def test_linespec_garbage_raises_or_parses(s):
+    """Arbitrary text either parses to well-formed ranges or raises
+    ValueError — never returns malformed output or crashes differently."""
+    try:
+        ranges = parse_linespec(s)
+    except ValueError:
+        return
+    assert all(
+        isinstance(lo, int) and isinstance(hi, int) and lo >= 1 for lo, hi in ranges
+    )
+
+
+# --- filter DSL compiler -----------------------------------------------------
+
+ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+value = st.text(
+    alphabet=st.characters(blacklist_characters=",=~!", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=15,
+).filter(lambda s: s.strip())
+
+
+@given(ident, st.sampled_from(["=", "!=", "~"]), value)
+@settings(max_examples=100, deadline=None)
+def test_dsl_any_key_op_value_compiles(spark, key, op, val):
+    col = parse_filter_expression(f"{key}{op}{val}")
+    assert col is not None  # compiles to a Column, never crashes
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_dsl_arbitrary_text_compiles_or_raises_cleanly(spark, s):
+    try:
+        parse_filter_expression(s)
+    except FilterExpressionError:
+        pass  # the only acceptable failure mode
+
+
+# --- log parser totality -----------------------------------------------------
+
+@given(st.text(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_parser_total_on_arbitrary_text(content):
+    """parse_content never raises on arbitrary input, always yields
+    well-formed event dicts with a severity and 1-based line spans."""
+    for fmt in ("auto", "gcc", "generic"):
+        events = logparse.parse_content(content, fmt)
+        for ev in events:
+            assert ev["severity"] in {"error", "warning", "info", "note"}
+            if ev.get("log_line_start") is not None:
+                assert ev["log_line_start"] >= 1
+            assert ev["fingerprint"]
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_parser_fingerprints_deterministic(content):
+    a = logparse.parse_content(content, "generic")
+    b = logparse.parse_content(content, "generic")
+    assert [e["fingerprint"] for e in a] == [e["fingerprint"] for e in b]

@@ -138,3 +138,20 @@ def test_salted_join_equals_plain(spark):
     plain = big.join(small, "k").groupBy("label").count()
     salted = skew.salted_join(big, small, "k", salt=4).groupBy("label").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_get_output_tool_path(store):
+    # run 3's output is "out run-0003\n" * 100
+    df = services.get_output(store, 3, lines="1-5")
+    got = df.orderBy("line_number").collect()
+    assert [r["line_number"] for r in got] == [1, 2, 3, 4, 5]
+    assert all("run-0003" in r["line"] for r in got)
+
+    df2 = services.get_output(store, 3, head=2, tail=2)
+    assert df2.count() == 4
+
+    df3 = services.get_output(store, 3, grep="run-0003", ctx=0)
+    assert df3.count() == 100  # every line matches
+
+    with pytest.raises(ValueError):
+        services.get_output(store, 999)

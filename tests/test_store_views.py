@@ -167,3 +167,19 @@ def test_orphan_sweep(store):
     assert swept == 2  # att-3, att-4 were pending and old
     byid = {r["id"]: r["status"] for r in store.attempts_loaded().collect()}
     assert byid["att-3"] == "orphaned" and byid["att-4"] == "orphaned"
+
+
+def test_v1_extra_views(store):
+    flat = store.events_flat()
+    f = views.files(flat)
+    rows = f.collect()
+    assert rows
+    assert all(r["total"] >= r["errors"] + r["warnings"] for r in rows)
+    # per-file filter matches groupBy accounting
+    top = rows[0]
+    fe = views.file_events(flat, top["ref_file"])
+    assert fe.count() == top["total"]
+    ec = views.errors_compact(flat, n=5)
+    got = ec.collect()
+    assert len(got) <= 5
+    assert set(ec.columns) == {"ref", "loc", "message", "tool_name"}

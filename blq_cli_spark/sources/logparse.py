@@ -304,6 +304,121 @@ def parse_generic(lines: list[str]) -> Iterator[dict]:
             yield _event("generic", "log", _norm_severity(m["sev"]), m["msg"], i)
 
 
+_TSC_RE = re.compile(
+    r"^(?P<file>[^\s(][^(]*)\((?P<line>\d+),(?P<col>\d+)\):\s*"
+    r"(?P<sev>error|warning)\s+(?P<code>TS\d+):\s*(?P<msg>.*)$"
+)
+
+
+def parse_tsc(lines: list[str]) -> Iterator[dict]:
+    """TypeScript compiler: `src/a.ts(10,5): error TS2304: message`."""
+    for i, ln in enumerate(lines, 1):
+        m = _TSC_RE.match(ln)
+        if m:
+            yield _event(
+                "tsc",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+            )
+
+
+_JEST_FAIL_RE = re.compile(r"^\s*(?P<sev>FAIL|PASS)\s+(?P<file>[^\s]+)\s*$")
+_JEST_TEST_RE = re.compile(r"^\s*[✕x●]\s+(?P<test>.+?)(?:\s+\(\d+\s*m?s\))?\s*$")
+
+
+def parse_jest(lines: list[str]) -> Iterator[dict]:
+    """Jest: `FAIL src/a.test.js` headers + `✕ test name (5 ms)` items."""
+    current_file = None
+    for i, ln in enumerate(lines, 1):
+        m = _JEST_FAIL_RE.match(ln)
+        if m:
+            current_file = m["file"]
+            if m["sev"] == "FAIL":
+                yield _event(
+                    "jest",
+                    "test",
+                    "error",
+                    f"FAIL {m['file']}",
+                    i,
+                    file=m["file"],
+                    event_type="test_result",
+                )
+            continue
+        m = _JEST_TEST_RE.match(ln)
+        if m and current_file:
+            yield _event(
+                "jest",
+                "test",
+                "error",
+                m["test"],
+                i,
+                file=current_file,
+                test_name=m["test"],
+                event_type="test_result",
+            )
+
+
+_SHELLCHECK_FILE_RE = re.compile(r"^In (?P<file>.+) line (?P<line>\d+):$")
+_SHELLCHECK_MSG_RE = re.compile(
+    r"^\s*\^-*\^?\s*(?P<code>SC\d+)\s*(?:\((?P<sev>error|warning|info|style)\))?:\s*(?P<msg>.*)$"
+)
+
+
+def parse_shellcheck(lines: list[str]) -> Iterator[dict]:
+    """shellcheck tty output: `In script.sh line 3:` then `^-- SC2086 (info): msg`."""
+    current: tuple[str, int, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _SHELLCHECK_FILE_RE.match(ln)
+        if m:
+            current = (m["file"], int(m["line"]), i)
+            continue
+        m = _SHELLCHECK_MSG_RE.match(ln)
+        if m and current:
+            sev = m["sev"] or "warning"
+            yield _event(
+                "shellcheck",
+                "lint",
+                _norm_severity("warning" if sev in ("info", "style") else sev),
+                m["msg"],
+                current[2],
+                file=current[0],
+                line=current[1],
+                code=m["code"],
+                end_line_no=i,
+            )
+
+
+_RUFF_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<code>[A-Z]{1,4}\d{3,4})\s+(?:\[\*\]\s+)?(?P<msg>.*)$"
+)
+
+
+def parse_ruff(lines: list[str]) -> Iterator[dict]:
+    """ruff: `src/a.py:10:5: F401 [*] unused import`."""
+    for i, ln in enumerate(lines, 1):
+        m = _RUFF_RE.match(ln)
+        if m:
+            yield _event(
+                "ruff",
+                "lint",
+                "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+                rule=m["code"],
+            )
+
+
 FORMATS: dict[str, callable] = {
     "gcc": parse_gcc,
     "pytest": parse_pytest,
@@ -313,6 +428,10 @@ FORMATS: dict[str, callable] = {
     "rustc": parse_rustc,
     "go_test": parse_go_test,
     "maven": parse_maven,
+    "tsc": parse_tsc,
+    "jest": parse_jest,
+    "shellcheck": parse_shellcheck,
+    "ruff": parse_ruff,
     "generic": parse_generic,
 }
 
@@ -326,6 +445,10 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bcargo\b|\brustc\b"), "rustc"),
     (re.compile(r"\bgo test\b"), "go_test"),
     (re.compile(r"\bmvn\b|\bmaven\b"), "maven"),
+    (re.compile(r"\btsc\b"), "tsc"),
+    (re.compile(r"\bjest\b"), "jest"),
+    (re.compile(r"\bshellcheck\b"), "shellcheck"),
+    (re.compile(r"\bruff\b"), "ruff"),
     (re.compile(r"\bpython3?\b"), "python_traceback"),
 ]
 

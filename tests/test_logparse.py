@@ -180,3 +180,67 @@ def test_distributed_parse_df(spark):
     assert {r["format_used"] for r in by_src["r4"]} == {"mypy"}
     # event_index restarts per document
     assert [r["event_index"] for r in sorted(by_src["r1"], key=lambda r: r["event_index"])] == [1, 2]
+
+
+TSC_LOG = """src/app.ts(10,5): error TS2304: Cannot find name 'foo'.
+src/util.ts(3,1): warning TS6133: 'x' is declared but never used.
+"""
+
+JEST_LOG = """PASS src/ok.test.js
+FAIL src/math.test.js
+  ✕ adds numbers (4 ms)
+  ✕ multiplies numbers
+"""
+
+SHELLCHECK_LOG = """In deploy.sh line 3:
+cp $SRC $DST
+   ^--^ SC2086 (info): Double quote to prevent globbing and word splitting.
+
+In deploy.sh line 7:
+eval $CMD
+^-- SC2294 (warning): eval negates the benefit of arrays.
+"""
+
+RUFF_LOG = """src/a.py:1:1: F401 [*] `os` imported but unused
+src/b.py:12:80: E501 Line too long (92 > 79)
+"""
+
+
+def test_parse_tsc():
+    evs = lp.parse_content(TSC_LOG, "tsc")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error" and evs[0]["code"] == "TS2304"
+    assert (evs[0]["ref_file"], evs[0]["ref_line"], evs[0]["ref_column"]) == ("src/app.ts", 10, 5)
+    assert evs[1]["severity"] == "warning"
+
+
+def test_parse_jest():
+    evs = lp.parse_content(JEST_LOG, "jest")
+    # one FAIL header + two failing tests, nothing for PASS
+    assert len(evs) == 3
+    assert evs[0]["ref_file"] == "src/math.test.js"
+    assert evs[1]["test_name"] == "adds numbers"
+    assert all(e["severity"] == "error" for e in evs)
+
+
+def test_parse_shellcheck():
+    evs = lp.parse_content(SHELLCHECK_LOG, "shellcheck")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "SC2086" and evs[0]["ref_line"] == 3
+    assert evs[1]["code"] == "SC2294" and evs[1]["severity"] == "warning"
+    # span covers header line through caret line
+    assert evs[0]["log_line_start"] < evs[0]["log_line_end"]
+
+
+def test_parse_ruff():
+    evs = lp.parse_content(RUFF_LOG, "ruff")
+    assert len(evs) == 2
+    assert evs[0]["rule"] == "F401" and evs[0]["ref_column"] == 1
+    assert evs[1]["ref_line"] == 12
+
+
+def test_autodetect_new_formats():
+    assert lp.detect_format(TSC_LOG) == "tsc"
+    assert lp.detect_format(RUFF_LOG) == "ruff"
+    assert lp.match_command_format("npx tsc --noEmit") == "tsc"
+    assert lp.match_command_format("shellcheck deploy.sh") == "shellcheck"

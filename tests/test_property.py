@@ -53,8 +53,12 @@ def test_linespec_garbage_raises_or_parses(s):
 # --- filter DSL compiler -----------------------------------------------------
 
 ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+# one-line values only: the DSL (like the reference's, non-DOTALL regex)
+# parses single CLI arguments; embedded newlines are invalid input
 value = st.text(
-    alphabet=st.characters(blacklist_characters=",=~!", blacklist_categories=("Cs",)),
+    alphabet=st.characters(
+        blacklist_characters=",=~!\n\r", blacklist_categories=("Cs",)
+    ),
     min_size=1,
     max_size=15,
 ).filter(lambda s: s.strip())

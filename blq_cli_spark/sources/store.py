@@ -345,6 +345,44 @@ class LogStore:
                 "overwrite"
             ).partitionBy("date").parquet(path)
 
+    def compact(self, name: str = "events", target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction: append-per-run leaves one parquet file
+        per run per partition — correct (lock-free concurrent writers)
+        but at 100 TB it is millions of tiny files and scan throughput
+        dies on open/footer overhead. Compaction rewrites each date
+        partition's files into ceil(rows / target) right-sized files.
+
+        Returns the number of files removed. Run as periodic maintenance
+        (like the reference's auto-prune, execution.py:1352-1461); on a
+        real deployment this is the OPTIMIZE job and old dates (closed
+        partitions) only ever need it once."""
+        import math
+        import shutil
+
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return 0
+        removed = 0
+        for part in sorted(os.listdir(path)):
+            pdir = os.path.join(path, part)
+            if not (part.startswith("date=") and os.path.isdir(pdir)):
+                continue
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if len(files) <= 1:
+                continue
+            # read the partition dir directly (files store all columns
+            # except the hive partition col `date`, which lives in the
+            # dir name and must stay out of the rewritten files)
+            df = self.spark.read.parquet(pdir)
+            rows = df.count()
+            n_out = max(1, math.ceil(rows / target_rows_per_file))
+            tmp = pdir + ".compact.tmp"
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
+            removed += len(files) - n_out
+        return removed
+
     # -- sync/export + global multi-root scan (S2/S13) -------------------------
 
     def sync_to(

@@ -183,3 +183,27 @@ def test_v1_extra_views(store):
     got = ec.collect()
     assert len(got) <= 5
     assert set(ec.columns) == {"ref", "loc", "message", "tool_name"}
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    st = LogStore(spark, str(tmp_path / "bird"))
+    d = dt.date(2026, 3, 1)
+    for i in range(5):  # five appends -> five files in one partition
+        st.append_run(
+            {"cmd": f"c{i}", "timestamp": dt.datetime.combine(d, dt.time(10, i)),
+             "date": d, "source_name": "build", "exit_code": 0},
+            [{"severity": "error", "message": f"m{i}", "event_type": "diagnostic"}],
+        )
+    before = st.events().orderBy("message").collect()
+    part_dir = tmp_path / "bird" / "events" / f"date={d}"
+    n_files_before = len([f for f in part_dir.iterdir() if f.suffix == ".parquet"])
+    assert n_files_before == 5
+    removed = st.compact("events")
+    assert removed == 4
+    n_files_after = len([f for f in part_dir.iterdir() if f.suffix == ".parquet"])
+    assert n_files_after == 1
+    after = st.events().orderBy("message").collect()
+    assert [r["message"] for r in after] == [r["message"] for r in before]
+    assert all(r["date"] == d for r in after)  # partition col survives
+    # idempotent
+    assert st.compact("events") == 0

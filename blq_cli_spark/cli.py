@@ -153,6 +153,44 @@ def cmd_capture(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    from blq_cli_spark import services
+
+    st = _store(args)
+    try:
+        df = services.resolve_ref(st, args.ref)
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
+        return 2
+    rows = df.collect()
+    if not rows:
+        print(f"blq-spark: no match for ref {args.ref!r}", file=sys.stderr)
+        return 1
+    _emit(rows, args)
+    return 0
+
+
+def cmd_ci(args) -> int:
+    from blq_cli_spark import services
+
+    st = _store(args)
+    baseline = services.resolve_baseline(
+        st, run_serial=args.baseline, branch=args.branch, commit=args.commit
+    )
+    if baseline is None:
+        print("blq-spark ci: no baseline run found", file=sys.stderr)
+        return 2
+    candidate = args.candidate
+    if candidate is None:
+        row = st.runs().agg(F.max("run_serial").alias("m")).collect()[0]
+        candidate = int(row["m"])
+    res = services.ci_check(st, baseline, candidate)
+    import json as _json
+
+    print(_json.dumps(res))
+    return 0 if res["passed"] else 1
+
+
 def cmd_run(args) -> int:
     from blq_cli_spark.sources.execution import run_command
 
@@ -245,6 +283,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("inspect")
+    sp.add_argument("ref", help="tag:serial[:event], serial[:event], or ~N")
+    sp.set_defaults(fn=cmd_inspect)
+
+    sp = sub.add_parser("ci")
+    sp.add_argument("--baseline", type=int)
+    sp.add_argument("--branch")
+    sp.add_argument("--commit")
+    sp.add_argument("--candidate", type=int)
+    sp.set_defaults(fn=cmd_ci)
 
     sp = sub.add_parser("run")
     sp.add_argument("cmd", nargs=argparse.REMAINDER)

@@ -107,3 +107,16 @@ def test_cli_capture_stdin(cli_store, capsys, monkeypatch):
     assert main(["--store", cli_store, "status"]) == 0
     got = capsys.readouterr().out
     assert "adhoc" in got
+
+
+def test_cli_inspect_and_ci(cli_store, capsys):
+    # inspect the most recent run (relative ref)
+    assert main(["--store", cli_store, "--format", "json", "inspect", "~1"]) == 0
+    out = capsys.readouterr().out
+    assert '"run_serial"' in out
+    # bad ref -> clean error
+    assert main(["--store", cli_store, "inspect", "::x::"]) == 2
+    # ci: same run as baseline and candidate -> no new fingerprints -> pass
+    assert main(["--store", cli_store, "ci", "--baseline", "1", "--candidate", "1"]) == 0
+    res = capsys.readouterr()
+    assert '"passed": true' in res.out

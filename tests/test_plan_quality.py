@@ -83,3 +83,27 @@ def test_store_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     # pruned scan must read 1 of 3 date partitions
     assert ev.count() == 1
+
+
+# gates whose design intentionally runs a numpy/pandas kernel
+_PYTHON_KERNEL_GATES = {"x_cosine_topk", "x_lsh_ann", "x_embedding_neardup"}
+
+
+def test_no_gate_plans_cartesian_or_row_python(spark):
+    """Sweep every gate plan: no CartesianProduct (an unbounded cross
+    join would never survive 100 TB) and no row-at-a-time Python eval
+    (BatchEvalPython) anywhere; Arrow-batched Python (MapInPandas /
+    ArrowEvalPython) only in the gates whose kernels are deliberately
+    numpy block code."""
+    bad = []
+    for name, fn in sorted(queries().items()):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-python UDF")
+        if name not in _PYTHON_KERNEL_GATES and (
+            "MapInPandas" in plan or "ArrowEvalPython" in plan
+        ):
+            bad.append(f"{name}: unexpected python stage")
+    assert not bad, "; ".join(bad)

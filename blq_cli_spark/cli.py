@@ -55,13 +55,28 @@ def _emit_events(df, args) -> None:
     _emit(df.select(*cols), args)
 
 
+def _without_suppressed(st, flat):
+    """Apply the store's persisted suppression list (P8, reference
+    core.py:1459-1500) before the errors/warnings views."""
+    from blq_cli_spark.sources import store as store_mod
+
+    fps = store_mod.suppressed_fingerprints(st)
+    if not fps:
+        return flat
+    return flat.filter(
+        F.col("fingerprint").isNull() | ~F.col("fingerprint").isin(fps)
+    )
+
+
 def cmd_errors(args) -> int:
-    _emit_events(views.errors(_store(args).events_flat(), n=args.n), args)
+    st = _store(args)
+    _emit_events(views.errors(_without_suppressed(st, st.events_flat()), n=args.n), args)
     return 0
 
 
 def cmd_warnings(args) -> int:
-    _emit_events(views.warnings(_store(args).events_flat(), n=args.n), args)
+    st = _store(args)
+    _emit_events(views.warnings(_without_suppressed(st, st.events_flat()), n=args.n), args)
     return 0
 
 
@@ -150,6 +165,36 @@ def cmd_capture(args) -> int:
         output=content,
     )
     print(f"captured run {run['run_serial']} ({len(events)} events)")
+    return 0
+
+
+def cmd_register(args) -> int:
+    from blq_cli_spark.sources import store as store_mod
+
+    argv = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not argv:
+        print("blq-spark register: no command given", file=sys.stderr)
+        return 2
+    store_mod.register_command(
+        _store(args), args.name, argv, fmt=args.parse_format, tag=args.tag
+    )
+    print(f"registered {args.name}")
+    return 0
+
+
+def cmd_commands(args) -> int:
+    from blq_cli_spark.sources import store as store_mod
+
+    for name, spec in sorted(store_mod.registered_commands(_store(args)).items()):
+        print(f"{name}: {' '.join(spec['argv'])}" + (f"  [{spec['fmt']}]" if spec.get("fmt") else ""))
+    return 0
+
+
+def cmd_suppress(args) -> int:
+    from blq_cli_spark.sources import store as store_mod
+
+    store_mod.suppress_fingerprint(_store(args), args.fingerprint, command=args.command)
+    print(f"suppressed {args.fingerprint}")
     return 0
 
 
@@ -283,6 +328,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("register")
+    sp.add_argument("name")
+    sp.add_argument("cmd", nargs=argparse.REMAINDER)
+    sp.add_argument("--parse-format")
+    sp.add_argument("--tag")
+    sp.set_defaults(fn=cmd_register)
+
+    sp = sub.add_parser("commands")
+    sp.set_defaults(fn=cmd_commands)
+
+    sp = sub.add_parser("suppress")
+    sp.add_argument("fingerprint")
+    sp.add_argument("--command", default="*")
+    sp.set_defaults(fn=cmd_suppress)
 
     sp = sub.add_parser("inspect")
     sp.add_argument("ref", help="tag:serial[:event], serial[:event], or ~N")

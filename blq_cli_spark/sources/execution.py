@@ -64,7 +64,19 @@ def run_command(
     Returns the stored run row dict (with exit_code, run_serial, ...).
     The live log at `<root>/live/<attempt_id>/combined.log` exists for
     the duration of the run (ST1 readers can poll it) and is removed on
-    completion unless keep_live."""
+    completion unless keep_live.
+
+    A single-element cmd naming a registered command (reference
+    core.py:1080-1214) resolves to its stored argv/format/tag."""
+    from blq_cli_spark.sources import store as store_mod
+
+    if len(cmd) == 1:
+        reg = store_mod.registered_commands(store).get(cmd[0])
+        if reg:
+            source_name = source_name or cmd[0]
+            fmt = reg.get("fmt") or fmt
+            tag = tag or reg.get("tag")
+            cmd = reg["argv"]
     cwd = cwd or os.getcwd()
     started = dt.datetime.now()
     attempt = store.start_attempt(

@@ -418,3 +418,70 @@ def _b64(data: bytes) -> str:
     import base64
 
     return base64.b64encode(data).decode()
+
+
+# -- command registry + suppression lists (driver-side config) ----------------
+# Reference: registered commands resolved by `blq run <name>`
+# (core.py:1080-1214) and per-command suppression lists (core.py:1459-1500).
+# Tiny mutable config -> a JSON file beside the tables, not a Spark table.
+
+
+def _config_path(store: "LogStore") -> str:
+    return os.path.join(store.root, "config.json")
+
+
+def _load_config(store: "LogStore") -> dict:
+    try:
+        with open(_config_path(store)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"commands": {}, "suppressions": {}}
+
+
+def _save_config(store: "LogStore", cfg: dict) -> None:
+    os.makedirs(store.root, exist_ok=True)
+    tmp = _config_path(store) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cfg, fh, indent=2, sort_keys=True)
+    os.replace(tmp, _config_path(store))
+
+
+def register_command(
+    store: "LogStore",
+    name: str,
+    argv: list[str],
+    fmt: str | None = None,
+    tag: str | None = None,
+) -> None:
+    cfg = _load_config(store)
+    cfg.setdefault("commands", {})[name] = {"argv": argv, "fmt": fmt, "tag": tag}
+    _save_config(store, cfg)
+
+
+def unregister_command(store: "LogStore", name: str) -> bool:
+    cfg = _load_config(store)
+    existed = cfg.get("commands", {}).pop(name, None) is not None
+    _save_config(store, cfg)
+    return existed
+
+
+def registered_commands(store: "LogStore") -> dict:
+    return _load_config(store).get("commands", {})
+
+
+def suppress_fingerprint(store: "LogStore", fingerprint: str, command: str = "*") -> None:
+    cfg = _load_config(store)
+    cfg.setdefault("suppressions", {}).setdefault(command, [])
+    if fingerprint not in cfg["suppressions"][command]:
+        cfg["suppressions"][command].append(fingerprint)
+    _save_config(store, cfg)
+
+
+def suppressed_fingerprints(store: "LogStore", command: str | None = None) -> list[str]:
+    """Union of global (*) and per-command suppressions — feeds the P8
+    suppression filter in services.query_events."""
+    sup = _load_config(store).get("suppressions", {})
+    out = list(sup.get("*", []))
+    if command:
+        out += [fp for fp in sup.get(command, []) if fp not in out]
+    return out

@@ -67,3 +67,32 @@ def test_migrate_from_export_roundtrip(spark, tmp_path):
     assert dst.events().count() == src.events().count()
     # idempotent: second migrate is a no-op
     assert migrate_from_export(dst, root) == 0
+
+
+def test_registered_command_resolution(spark, tmp_path):
+    from blq_cli_spark.sources import store as store_mod
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    store_mod.register_command(
+        st, "lint", [sys.executable, "-c", "print('a.py:1:1: F401 x imported but unused')"],
+        fmt="ruff", tag="nightly",
+    )
+    assert "lint" in store_mod.registered_commands(st)
+    run = run_command(st, ["lint"])
+    assert run["exit_code"] == 0
+    assert run["source_name"] == "lint" and run["tag"] == "nightly"
+    evs = st.events().collect()
+    assert len(evs) == 1 and evs[0]["tool_name"] == "ruff"
+    assert store_mod.unregister_command(st, "lint") is True
+    assert store_mod.unregister_command(st, "lint") is False
+
+
+def test_suppression_lists(spark, tmp_path):
+    from blq_cli_spark.sources import store as store_mod
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    store_mod.suppress_fingerprint(st, "fp_global")
+    store_mod.suppress_fingerprint(st, "fp_build", command="build")
+    store_mod.suppress_fingerprint(st, "fp_global")  # idempotent
+    assert store_mod.suppressed_fingerprints(st) == ["fp_global"]
+    assert set(store_mod.suppressed_fingerprints(st, "build")) == {"fp_global", "fp_build"}

@@ -103,7 +103,8 @@ def x_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SIG_SQL = ",\n           ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+    f"min(substr(md5('{i // 4}|' || sh), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+    for i in range(8)
 )
 _BANDS_SQL = "\n      UNION ALL ".join(
     f"SELECT doc_id, {bi} AS band_idx, h{2 * bi} || h{2 * bi + 1} AS band_key FROM sig"

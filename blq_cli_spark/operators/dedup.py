@@ -84,12 +84,19 @@ def jaccard_pairs(
 
 
 def _minhash_cols(num_hashes: int) -> list[Column]:
-    """k portable minhash aggregates: min over shingles of md5('<i>|'||sh).
-    Lexicographic min over hex digests — identical in any engine with md5."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    """k portable minhash aggregates via hash-once-split-bits: each group
+    of 4 hash functions shares one md5 (32 hex chars -> 4 disjoint 8-hex
+    slices), so a shingle pays ceil(k/4) digests instead of k.
+    Lexicographic min over the slices — identical in any engine with md5
+    and 1-based substr."""
+    cols = []
+    for i in range(num_hashes):
+        digest_idx, slice_idx = divmod(i, 4)
+        digest = F.md5(F.concat(F.lit(f"{digest_idx}|"), F.col("sh")))
+        cols.append(
+            F.min(F.substring(digest, 1 + 8 * slice_idx, 8)).alias(f"h{i}")
+        )
+    return cols
 
 
 def minhash_signatures(

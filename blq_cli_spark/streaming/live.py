@@ -105,3 +105,52 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(await_seconds)
+
+
+def stream_to_store(stream_events: DataFrame, store, query_name: str = "ingest"):
+    """Persist a stream of parsed events into a LogStore: each micro-batch
+    groups events by source_id and appends one synthetic run per new
+    source plus its events — the streaming version of the import path
+    (S8) with exactly-once-per-file semantics from the file source.
+
+    foreachBatch keeps the store's ingest logic (serial assignment,
+    partitioned append) unchanged; at scale the batch write is the same
+    append-only parquet commit the batch path uses. Returns the started
+    StreamingQuery (availableNow trigger: drain existing files, stop)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        by_source: dict[str, list] = {}
+        for r in rows:
+            by_source.setdefault(r["source_id"], []).append(r)
+        for source_id, evs in sorted(by_source.items()):
+            evs = sorted(evs, key=lambda r: r["event_index"] or 0)
+            has_err = any(e["severity"] == "error" for e in evs)
+            store.append_run(
+                {
+                    "cmd": f"stream {source_id}",
+                    "source_name": source_id.rsplit("/", 1)[-1],
+                    "source_type": "import",
+                    "exit_code": 1 if has_err else 0,
+                    "format_hint": evs[0]["format_used"] if evs else None,
+                },
+                [
+                    {
+                        k: e[k]
+                        for k in (
+                            "event_type", "severity", "ref_file", "ref_line",
+                            "ref_column", "message", "code", "rule", "tool_name",
+                            "category", "test_name", "fingerprint",
+                            "log_line_start", "log_line_end", "format_used",
+                        )
+                    }
+                    for e in evs
+                ],
+            )
+
+    return (
+        stream_events.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -89,3 +89,18 @@ def test_stateful_run_progress(spark, drop_dir):
     # availableNow's final batch may fire the idle timeout (closing the
     # run) or leave it running — both are valid lifecycle states
     assert {r["status"] for r in rows} <= {"running", "idle-closed"}
+
+
+def test_stream_to_store_persists_runs(spark, drop_dir, tmp_path):
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    q = live.stream_to_store(stream, st)
+    q.awaitTermination(60)
+    runs = {r["source_name"]: r for r in st.runs().collect()}
+    assert set(runs) == {"run1.log", "run2.log"}
+    assert runs["run1.log"]["exit_code"] == 1  # has an error event
+    assert st.events().count() == 3
+    flat = st.events_flat()
+    assert flat.count() == 3  # joins up with the synthetic runs

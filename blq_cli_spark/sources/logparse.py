@@ -304,6 +304,88 @@ def parse_generic(lines: list[str]) -> Iterator[dict]:
             yield _event("generic", "log", _norm_severity(m["sev"]), m["msg"], i)
 
 
+_MSBUILD_RE = re.compile(
+    r"^(?P<file>[^\s(][^(]*)\((?P<line>\d+),(?P<col>\d+)\):\s*"
+    r"(?P<sev>error|warning)\s+(?P<code>[A-Z]{1,3}\d{3,5}):\s*(?P<msg>.*?)(?:\s+\[[^\]]+\])?$"
+)
+
+
+def parse_msbuild(lines: list[str]) -> Iterator[dict]:
+    """msbuild/csc: `Program.cs(12,34): error CS0103: msg [proj.csproj]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _MSBUILD_RE.match(ln)
+        if m and not m["code"].startswith("TS"):  # tsc shares the shape
+            yield _event(
+                "msbuild",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+            )
+
+
+_CMAKE_HEAD_RE = re.compile(
+    r"^CMake (?P<sev>Error|Warning)(?: \(dev\))? at (?P<file>[^\s:]+):(?P<line>\d+)(?:\s*\((?P<fn>[^)]+)\))?:"
+)
+
+
+def parse_cmake(lines: list[str]) -> Iterator[dict]:
+    """cmake: `CMake Error at CMakeLists.txt:14 (message):` + indented body."""
+    for i, ln in enumerate(lines, 1):
+        m = _CMAKE_HEAD_RE.match(ln)
+        if m:
+            # message body = following indented lines
+            body = []
+            j = i
+            while j < len(lines) and (lines[j].startswith("  ") or not lines[j].strip()):
+                if lines[j].strip():
+                    body.append(lines[j].strip())
+                j += 1
+            yield _event(
+                "cmake",
+                "build",
+                _norm_severity(m["sev"].lower()),
+                " ".join(body) or f"CMake {m['sev']}",
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                code=m["fn"],
+                end_line_no=j if body else i,
+            )
+
+
+_GRADLE_TASK_RE = re.compile(r"^> Task (?P<task>[^\s]+) FAILED$")
+_GRADLE_WHAT_RE = re.compile(r"^\* What went wrong:$")
+
+
+def parse_gradle(lines: list[str]) -> Iterator[dict]:
+    """gradle: `> Task :mod:compileJava FAILED` + `* What went wrong:` body;
+    javac file:line diagnostics inside the output match the gcc shape and
+    are picked up by the gcc rule, so this parser only owns the
+    task-level and build-level failures."""
+    for i, ln in enumerate(lines, 1):
+        m = _GRADLE_TASK_RE.match(ln)
+        if m:
+            yield _event(
+                "gradle",
+                "build",
+                "error",
+                f"task {m['task']} failed",
+                i,
+                test_name=m["task"],
+                event_type="task_result",
+            )
+            continue
+        if _GRADLE_WHAT_RE.match(ln) and i < len(lines):
+            msg = lines[i].strip() if i < len(lines) else ""
+            if msg:
+                yield _event("gradle", "build", "error", msg, i + 1)
+
+
 _TSC_RE = re.compile(
     r"^(?P<file>[^\s(][^(]*)\((?P<line>\d+),(?P<col>\d+)\):\s*"
     r"(?P<sev>error|warning)\s+(?P<code>TS\d+):\s*(?P<msg>.*)$"
@@ -429,6 +511,9 @@ FORMATS: dict[str, callable] = {
     "go_test": parse_go_test,
     "maven": parse_maven,
     "tsc": parse_tsc,
+    "msbuild": parse_msbuild,
+    "cmake": parse_cmake,
+    "gradle": parse_gradle,
     "jest": parse_jest,
     "shellcheck": parse_shellcheck,
     "ruff": parse_ruff,
@@ -446,6 +531,9 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bgo test\b"), "go_test"),
     (re.compile(r"\bmvn\b|\bmaven\b"), "maven"),
     (re.compile(r"\btsc\b"), "tsc"),
+    (re.compile(r"\b(msbuild|dotnet build|csc)\b"), "msbuild"),
+    (re.compile(r"\bcmake\b"), "cmake"),
+    (re.compile(r"\bgradlew?\b"), "gradle"),
     (re.compile(r"\bjest\b"), "jest"),
     (re.compile(r"\bshellcheck\b"), "shellcheck"),
     (re.compile(r"\bruff\b"), "ruff"),

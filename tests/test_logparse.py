@@ -244,3 +244,55 @@ def test_autodetect_new_formats():
     assert lp.detect_format(RUFF_LOG) == "ruff"
     assert lp.match_command_format("npx tsc --noEmit") == "tsc"
     assert lp.match_command_format("shellcheck deploy.sh") == "shellcheck"
+
+
+MSBUILD_LOG = """Program.cs(12,34): error CS0103: The name 'foo' does not exist [App.csproj]
+Util.cs(3,5): warning CS0168: The variable 'x' is declared but never used
+"""
+
+CMAKE_LOG = """CMake Error at CMakeLists.txt:14 (message):
+  Required library FOO not found
+
+CMake Warning (dev) at src/CMakeLists.txt:7 (add_library):
+  Policy CMP0115 is not set.
+"""
+
+GRADLE_LOG = """> Task :app:compileJava FAILED
+
+FAILURE: Build failed with an exception.
+
+* What went wrong:
+Execution failed for task ':app:compileJava'.
+"""
+
+
+def test_parse_msbuild():
+    evs = lp.parse_content(MSBUILD_LOG, "msbuild")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "CS0103" and evs[0]["ref_column"] == 34
+    assert "[App.csproj]" not in evs[0]["message"]
+    assert evs[1]["severity"] == "warning"
+
+
+def test_parse_cmake_multiline_body():
+    evs = lp.parse_content(CMAKE_LOG, "cmake")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error"
+    assert "FOO not found" in evs[0]["message"]
+    assert (evs[0]["ref_file"], evs[0]["ref_line"]) == ("CMakeLists.txt", 14)
+    assert evs[0]["log_line_end"] > evs[0]["log_line_start"]
+    assert evs[1]["severity"] == "warning" and evs[1]["code"] == "add_library"
+
+
+def test_parse_gradle():
+    evs = lp.parse_content(GRADLE_LOG, "gradle")
+    assert len(evs) == 2
+    assert evs[0]["test_name"] == ":app:compileJava"
+    assert "Execution failed" in evs[1]["message"]
+
+
+def test_msbuild_not_confused_with_tsc():
+    assert lp.detect_format(MSBUILD_LOG) == "msbuild"
+    assert lp.detect_format(TSC_LOG) == "tsc"
+    assert lp.match_command_format("dotnet build -c Release") == "msbuild"
+    assert lp.match_command_format("./gradlew assemble") == "gradle"

@@ -33,6 +33,7 @@ HEADLINE = [
     "x_minhash_lsh_candidates",
     "x_cosine_topk",
     "x_lsh_ann",
+    "x_ivf_ann",
     "x_embedding_neardup",
 ]
 

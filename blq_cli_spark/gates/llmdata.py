@@ -241,6 +241,72 @@ def x_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
 
 
+_CENTROIDS = similarity.ivf_centroids(n_cells=8, dim=64, seed=7)
+
+_CENTROID_VALUES = ",\n      ".join(
+    "({}, [{}])".format(i, ", ".join(repr(x) for x in c))
+    for i, c in enumerate(_CENTROIDS)
+)
+
+_CDOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({v}[i] AS DOUBLE) * cv[i]))"
+)
+
+
+@gate(
+    "x_ivf_ann",
+    oracle=f"""
+    WITH cents(cell, cv) AS (VALUES
+      {_CENTROID_VALUES}
+    ),
+    corpus_assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_CDOT.format(v="e.embedding")} DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    query_probe AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_CDOT.format(v="e.embedding")} DESC, c.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 8
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, a.vec_id AS nid,
+             {_DOT.format(a="q.embedding", b="a.embedding")}
+             / (sqrt({_DOT.format(a="q.embedding", b="q.embedding")})
+                * sqrt({_DOT.format(a="a.embedding", b="a.embedding")})) AS cos
+      FROM query_probe q JOIN corpus_assign a USING (cell)
+      WHERE a.vec_id <> q.vec_id
+    )
+    SELECT qid, nid, round(cos, 6) AS cos, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (the clustering-based scale path, complementing
+    x_lsh_ann's hyperplane buckets): corpus vectors partition into 8
+    nearest-centroid cells, queries probe their top-2 cells (multi-probe
+    recall knob), exact cosine top-5 within probed cells. Cell
+    assignment is one numpy matmul per batch; the probe is a cell
+    equi-join — shuffle-partitionable at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_topk(emb, queries, _CENTROIDS, k=5, nprobe=2)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
+
+
 @gate(
     "x_embedding_neardup",
     oracle=f"""

@@ -289,3 +289,108 @@ def lsh_bucket_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm centroids for IVF cells (seeded Gaussian,
+    normalized, rounded to 3 decimals for engine-portable literals). A
+    real deployment would k-means these on a sample; fixed random
+    centroids keep the gate reproducible across engines."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_cells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([round(x / n, 3) for x in v])
+    return out
+
+
+def _ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its top-nprobe cells by dot product with the
+    centroid matrix (one numpy matmul per batch; nprobe rows out per
+    vector)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _to_matrix(pdf[vec_col])
+            dots = M @ C.T  # |batch| x n_cells
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "vec": [v for v in pdf[vec_col] for _ in range(nprobe)],
+                    "cell": order.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(assign, f"{out_id} long, vec array<float>, cell long")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in exactly one cell (nearest
+    centroid); queries probe their top-nprobe cells; exact cosine top-k
+    within the probed cells. The cell equi-join is the partitionable
+    probe (like LSH buckets) but cells adapt to the data's density
+    around centroids, and nprobe trades recall for probe cost."""
+    c = _ivf_assign(corpus, centroids, id_col, vec_col, "nid", nprobe=1).withColumnRenamed(
+        "vec", "nv"
+    )
+    q = _ivf_assign(queries, centroids, id_col, vec_col, "qid", nprobe=nprobe).withColumnRenamed(
+        "vec", "qv"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["cell"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "qv", "nv")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["qv"])
+            B = _to_matrix(pdf["nv"])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "nid": pdf["nid"].to_numpy(),
+                    "cos": num / den,
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "qid long, nid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )

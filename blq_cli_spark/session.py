@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # default-on, but the numpy kernels' per-process GEMM priming
+        # (operators/similarity._prime_gemm) relies on it — keep explicit
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -214,3 +214,71 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@gate(
+    "q4_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS semi-join then grouped count — orders with
+    at least one lineitem shipped >90 days after ordering, by priority.
+    left_semi keeps orders single-copy (no fan-out, no distinct needed);
+    the join shuffles on orderkey, the count is map-side combinable."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@gate(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+    )
+    SELECT o.o_orderkey, CAST(o.o_custkey AS BIGINT) AS custkey,
+           round(o.o_totalprice, 2) AS totalprice, big.total_qty
+    FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: aggregate-then-join top-k. The HAVING filter
+    runs on the aggregated (small) side BEFORE the join — at 100 TB the
+    join input shrinks from |lineitem| to |qualifying orders|; top-k is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -191,3 +191,32 @@ def o4_order_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist"), "n_nationkey")
         .limit(10)
     )
+
+
+@gate(
+    "w_cumulative_user_value",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_total
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def w_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (rowsBetween unboundedPreceding..current): per-user
+    running total over event time — the only frame spec family not yet
+    gated. Partitioned by user_id: parallel across users, ordered within."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_total"),
+    )

@@ -207,3 +207,34 @@ def a13_top10_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "lang", "source")
         .limit(10)
     )
+
+
+@gate(
+    "a_rollup_hierarchy",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           count(*) AS n,
+           round(sum(value), 4) AS total,
+           CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS BIGINT) AS gid
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 10)
+    """,
+)
+def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (event_type -> user bucket -> grand total) in
+    one pass — Spark executes the grouping-sets expansion with partial
+    aggregation per level, no extra scans (vs running three GROUP BYs).
+    grouping_id disambiguates rolled-up NULLs from data NULLs."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return (
+        ev.rollup("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("event_type", "user_bucket", "n", "total", "gid")
+    )

@@ -377,7 +377,17 @@ class LogStore:
             rows = df.count()
             n_out = max(1, math.ceil(rows / target_rows_per_file))
             tmp = pdir + ".compact.tmp"
-            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            # sort within files on the hot filter columns while rewriting:
+            # parquet min/max row-group stats then skip row groups for
+            # severity/tool filters — free data-skipping clustered at the
+            # one moment the partition is rewritten anyway
+            sort_cols = [
+                c for c in ("severity", "tool_name", "source_name") if c in df.columns
+            ]
+            out = df.coalesce(n_out)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            out.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(pdir)
             os.replace(tmp, pdir)
             removed += len(files) - n_out

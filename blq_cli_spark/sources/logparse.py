@@ -304,6 +304,127 @@ def parse_generic(lines: list[str]) -> Iterator[dict]:
             yield _event("generic", "log", _norm_severity(m["sev"]), m["msg"], i)
 
 
+_JAVA_EXC_RE = re.compile(
+    r"^(?:Exception in thread \"[^\"]+\" )?(?P<exc>[\w.$]+(?:Exception|Error))(?::\s*(?P<msg>.*))?$"
+)
+_JAVA_AT_RE = re.compile(
+    r"^\s+at\s+(?P<frame>[\w.$<>]+)\((?P<file>[^:)]+)(?::(?P<line>\d+))?\)"
+)
+
+
+def parse_java_stacktrace(lines: list[str]) -> Iterator[dict]:
+    """JVM stack traces: exception header + first `at Frame(File.java:42)`
+    frame for the location; `Caused by:` chains yield separate events."""
+    i = 0
+    n = len(lines)
+    while i < n:
+        ln = lines[i]
+        stripped = ln[len("Caused by: "):] if ln.startswith("Caused by: ") else ln
+        m = _JAVA_EXC_RE.match(stripped)
+        if m and "." in m["exc"]:
+            file = line_no = None
+            j = i + 1
+            while j < n:
+                fm = _JAVA_AT_RE.match(lines[j])
+                if not fm:
+                    break
+                if file is None and fm["line"]:
+                    file, line_no = fm["file"], int(fm["line"])
+                j += 1
+            if j > i + 1:  # only with at least one stack frame
+                yield _event(
+                    "java",
+                    "runtime",
+                    "error",
+                    m["msg"] or m["exc"],
+                    i + 1,
+                    file=file,
+                    line=line_no,
+                    code=m["exc"].rsplit(".", 1)[-1],
+                    end_line_no=j,
+                )
+                i = j
+                continue
+        i += 1
+
+
+_NPM_ERR_RE = re.compile(r"^npm (?P<sev>ERR!|WARN)\s+(?:(?P<code>[A-Z_]+)\s+)?(?P<msg>.*)$")
+
+
+def parse_npm(lines: list[str]) -> Iterator[dict]:
+    """npm: `npm ERR! code ELIFECYCLE` / `npm WARN deprecated ...`;
+    consecutive ERR! lines collapse into one event (first line wins)."""
+    prev_err = False
+    for i, ln in enumerate(lines, 1):
+        m = _NPM_ERR_RE.match(ln)
+        if not m:
+            prev_err = False
+            continue
+        is_err = m["sev"] == "ERR!"
+        if is_err and prev_err:
+            continue  # continuation of the same failure report
+        msg, code = m["msg"], m["code"]
+        # `npm ERR! code ELIFECYCLE` — the failure code line
+        cm = re.match(r"^code\s+(?P<c>[A-Z_][A-Z0-9_]*)$", msg or "")
+        if cm:
+            code, msg = cm["c"], f"code {cm['c']}"
+        if (msg or "").strip() or code:
+            yield _event(
+                "npm",
+                "build",
+                "error" if is_err else "warning",
+                msg or code,
+                i,
+                code=code,
+            )
+        prev_err = is_err
+
+
+_DOCKER_ERR_RE = re.compile(
+    r"^(?:failed to solve: |ERROR: Service ['\"]|ERROR: failed to )(?P<msg>.*)$"
+)
+_DOCKER_STEP_RE = re.compile(r"^(?:Step \d+/\d+|#\d+(?: \d+\.\d+)?)\s+ERROR\b:?\s*(?P<msg>.*)$")
+
+
+def parse_docker_build(lines: list[str]) -> Iterator[dict]:
+    """docker build (classic + buildkit): `failed to solve: ...` /
+    `#7 1.23 ERROR: ...` / `ERROR: Service '...' failed` lines. A bare
+    `ERROR: msg` with no docker marker stays with the generic format."""
+    for i, ln in enumerate(lines, 1):
+        m = _DOCKER_STEP_RE.match(ln) or _DOCKER_ERR_RE.match(ln)
+        if m and (m["msg"].strip() or not ln.startswith("#")):
+            yield _event("docker", "build", "error", m["msg"] or ln.strip(), i)
+
+
+_TF_HEAD_RE = re.compile(r"^(?P<sev>Error|Warning): (?P<msg>.+)$")
+_TF_ON_RE = re.compile(r"^\s+on (?P<file>[^\s]+) line (?P<line>\d+)")
+
+
+def parse_terraform(lines: list[str]) -> Iterator[dict]:
+    """terraform: `Error: msg` header + `  on main.tf line 5:` location."""
+    for i, ln in enumerate(lines, 1):
+        m = _TF_HEAD_RE.match(ln)
+        if not m:
+            continue
+        file = line_no = None
+        end = i
+        for j in range(i, min(i + 5, len(lines))):
+            lm = _TF_ON_RE.match(lines[j])
+            if lm:
+                file, line_no, end = lm["file"], int(lm["line"]), j + 1
+                break
+        yield _event(
+            "terraform",
+            "build",
+            _norm_severity(m["sev"].lower()),
+            m["msg"],
+            i,
+            file=file,
+            line=line_no,
+            end_line_no=end,
+        )
+
+
 _MSBUILD_RE = re.compile(
     r"^(?P<file>[^\s(][^(]*)\((?P<line>\d+),(?P<col>\d+)\):\s*"
     r"(?P<sev>error|warning)\s+(?P<code>[A-Z]{1,3}\d{3,5}):\s*(?P<msg>.*?)(?:\s+\[[^\]]+\])?$"
@@ -512,6 +633,10 @@ FORMATS: dict[str, callable] = {
     "maven": parse_maven,
     "tsc": parse_tsc,
     "msbuild": parse_msbuild,
+    "java_stacktrace": parse_java_stacktrace,
+    "npm": parse_npm,
+    "docker_build": parse_docker_build,
+    "terraform": parse_terraform,
     "cmake": parse_cmake,
     "gradle": parse_gradle,
     "jest": parse_jest,
@@ -523,7 +648,7 @@ FORMATS: dict[str, callable] = {
 # command-string -> format hints (reference
 # duck_hunt_match_command_patterns, core.py:1031-1078)
 _COMMAND_PATTERNS = [
-    (re.compile(r"\b(gcc|g\+\+|clang|cc|make)\b"), "gcc"),
+    (re.compile(r"\b(gcc|g\+\+|clang|cc|make|javac)\b"), "gcc"),
     (re.compile(r"\bpytest\b|\bpy\.test\b"), "pytest"),
     (re.compile(r"\bmypy\b"), "mypy"),
     (re.compile(r"\beslint\b"), "eslint"),
@@ -533,6 +658,10 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\btsc\b"), "tsc"),
     (re.compile(r"\b(msbuild|dotnet build|csc)\b"), "msbuild"),
     (re.compile(r"\bcmake\b"), "cmake"),
+    (re.compile(r"\bnpm\b"), "npm"),
+    (re.compile(r"\bdocker build\b|\bbuildx\b"), "docker_build"),
+    (re.compile(r"\bterraform\b"), "terraform"),
+    (re.compile(r"^\s*java\s"), "java_stacktrace"),
     (re.compile(r"\bgradlew?\b"), "gradle"),
     (re.compile(r"\bjest\b"), "jest"),
     (re.compile(r"\bshellcheck\b"), "shellcheck"),

@@ -296,3 +296,69 @@ def test_msbuild_not_confused_with_tsc():
     assert lp.detect_format(TSC_LOG) == "tsc"
     assert lp.match_command_format("dotnet build -c Release") == "msbuild"
     assert lp.match_command_format("./gradlew assemble") == "gradle"
+
+
+JAVA_LOG = """Exception in thread "main" java.lang.NullPointerException: oops
+	at com.example.App.run(App.java:42)
+	at com.example.App.main(App.java:10)
+Caused by: java.lang.IllegalStateException: root cause
+	at com.example.Util.check(Util.java:7)
+"""
+
+NPM_LOG = """npm WARN deprecated left-pad@1.0.0: use String.padStart
+npm ERR! code ELIFECYCLE
+npm ERR! errno 1
+npm ERR! myapp@1.0.0 build: `webpack`
+"""
+
+DOCKER_LOG = """Step 3/7 : RUN make
+ ---> Running in abc123
+#7 1.23 ERROR: process "/bin/sh -c make" did not complete successfully
+failed to solve: executor failed running [/bin/sh -c make]: exit code 2
+"""
+
+TF_LOG = """Error: Reference to undeclared resource
+
+  on main.tf line 12, in resource "aws_instance" "web":
+
+Warning: Deprecated attribute
+"""
+
+
+def test_parse_java_stacktrace():
+    evs = lp.parse_content(JAVA_LOG, "java_stacktrace")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "NullPointerException" and evs[0]["message"] == "oops"
+    assert (evs[0]["ref_file"], evs[0]["ref_line"]) == ("App.java", 42)
+    assert evs[0]["log_line_end"] == 3  # spans header + 2 frames
+    assert evs[1]["code"] == "IllegalStateException"
+    assert evs[1]["ref_file"] == "Util.java"
+
+
+def test_parse_npm_collapses_err_block():
+    evs = lp.parse_content(NPM_LOG, "npm")
+    assert len(evs) == 2  # one WARN + one collapsed ERR block
+    assert evs[0]["severity"] == "warning"
+    assert evs[1]["severity"] == "error" and evs[1]["code"] == "ELIFECYCLE"
+
+
+def test_parse_docker_build():
+    evs = lp.parse_content(DOCKER_LOG, "docker_build")
+    assert len(evs) == 2
+    assert "did not complete successfully" in evs[0]["message"]
+    assert "executor failed" in evs[1]["message"]  # prefix stripped
+
+
+def test_parse_terraform():
+    evs = lp.parse_content(TF_LOG, "terraform")
+    assert len(evs) == 2
+    assert (evs[0]["ref_file"], evs[0]["ref_line"]) == ("main.tf", 12)
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_file"] is None
+
+
+def test_batch2_command_hints():
+    assert lp.match_command_format("npm run build") == "npm"
+    assert lp.match_command_format("docker build -t app .") == "docker_build"
+    assert lp.match_command_format("terraform plan") == "terraform"
+    assert lp.match_command_format("java -jar app.jar") == "java_stacktrace"
+    assert lp.match_command_format("javac Main.java") == "gcc"  # javac is gcc-shaped

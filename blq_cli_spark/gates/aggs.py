@@ -238,3 +238,28 @@ def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "user_bucket", "n", "total", "gid")
     )
+
+
+@gate(
+    "a_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (p50/p95/p99 of event value) — the
+    duration-latency summary every log store needs. Exact percentile
+    matches DuckDB's quantile_cont (linear interpolation); at 100 TB
+    swap in approx_percentile, which is one pass + mergeable sketches
+    instead of a per-group sort."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

@@ -168,3 +168,53 @@ def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).alias("lo"),
         F.round("hi", 4).alias("hi"),
     )
+
+
+@gate(
+    "x_asof_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT purchase_id, CAST(p.user_id AS BIGINT) AS user_id, click_id,
+           CAST(date_diff('second', click_ts, p.ts) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def x_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (last-touch attribution): each purchase matched to the
+    user's most recent click at or before it. Spark lacks a native as-of
+    join; operators/asof.py runs it as one keyed window over a tagged
+    union — one shuffle, no join node (oracle: DuckDB's native ASOF
+    LEFT JOIN). Right side deduped to one click per (user, ts) so tie
+    handling is deterministic in both engines."""
+    from blq_cli_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+        .select("user_id", "ts", "click_id", "click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts",
+        right_value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        "click_id",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).cast("long")
+        ).alias("gap_s"),
+    )

@@ -69,3 +69,39 @@ def test_resolve_under_root(tmp_path):
     for bad in ("../etc/passwd", "/etc/passwd", "src/../../etc/passwd"):
         with _pytest.raises(ValueError):
             resolve_under_root(str(tmp_path), bad)
+
+
+def test_asof_join_semantics_and_plan(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "p1"), (1, t(20), "p2"), (2, t(5), "p3")],
+        "k int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), "c_tie"), (1, t(15), "c15"), (2, t(9), "c_late")],
+        "k int, ts timestamp, cid string",
+    )
+    out = {
+        r["pid"]: r["cid"]
+        for r in asof_join(left, right, "k", "ts", ["cid"]).collect()
+    }
+    # exact tie matches (>= semantics); latest-at-or-before wins;
+    # right rows after every left row -> null
+    assert out == {"p1": "c_tie", "p2": "c15", "p3": None}
+
+    inner = asof_join(left, right, "k", "ts", ["cid"], how="inner")
+    assert {r["pid"] for r in inner.collect()} == {"p1", "p2"}
+
+    # one shuffle, no join node: the whole point vs a range join
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, "k", "ts", ["cid"]).explain("formatted")
+    assert "Join" not in buf.getvalue()

@@ -304,6 +304,58 @@ def parse_generic(lines: list[str]) -> Iterator[dict]:
             yield _event("generic", "log", _norm_severity(m["sev"]), m["msg"], i)
 
 
+_GOLANGCI_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.go):(?P<line>\d+):(?:(?P<col>\d+):)?\s*"
+    r"(?P<msg>.*?)\s+\((?P<rule>[a-z][\w-]*)\)$"
+)
+
+
+def parse_golangci_lint(lines: list[str]) -> Iterator[dict]:
+    """golangci-lint: `main.go:10:2: message (lintername)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _GOLANGCI_RE.match(ln)
+        if m:
+            yield _event(
+                "golangci-lint",
+                "lint",
+                "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                rule=m["rule"],
+            )
+
+
+_ANSIBLE_FATAL_RE = re.compile(
+    r"^(?P<sev>fatal|failed): \[(?P<host>[^\]]+)\](?:\s*\(item=[^)]*\))?: (?P<msg>.*)$"
+)
+_ANSIBLE_TASK_RE = re.compile(r"^TASK \[(?P<task>[^\]]+)\]")
+
+
+def parse_ansible(lines: list[str]) -> Iterator[dict]:
+    """ansible-playbook: `fatal: [host]: FAILED! => {...}` attributed to
+    the preceding `TASK [name]` header."""
+    task = None
+    for i, ln in enumerate(lines, 1):
+        tm = _ANSIBLE_TASK_RE.match(ln)
+        if tm:
+            task = tm["task"]
+            continue
+        m = _ANSIBLE_FATAL_RE.match(ln)
+        if m:
+            yield _event(
+                "ansible",
+                "deploy",
+                "error",
+                m["msg"],
+                i,
+                test_name=task,
+                code=m["host"],
+            )
+
+
 _JAVA_EXC_RE = re.compile(
     r"^(?:Exception in thread \"[^\"]+\" )?(?P<exc>[\w.$]+(?:Exception|Error))(?::\s*(?P<msg>.*))?$"
 )
@@ -634,6 +686,8 @@ FORMATS: dict[str, callable] = {
     "tsc": parse_tsc,
     "msbuild": parse_msbuild,
     "java_stacktrace": parse_java_stacktrace,
+    "golangci_lint": parse_golangci_lint,
+    "ansible": parse_ansible,
     "npm": parse_npm,
     "docker_build": parse_docker_build,
     "terraform": parse_terraform,
@@ -661,6 +715,8 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bnpm\b"), "npm"),
     (re.compile(r"\bdocker build\b|\bbuildx\b"), "docker_build"),
     (re.compile(r"\bterraform\b"), "terraform"),
+    (re.compile(r"\bgolangci-lint\b"), "golangci_lint"),
+    (re.compile(r"\bansible(-playbook)?\b"), "ansible"),
     (re.compile(r"^\s*java\s"), "java_stacktrace"),
     (re.compile(r"\bgradlew?\b"), "gradle"),
     (re.compile(r"\bjest\b"), "jest"),

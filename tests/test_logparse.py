@@ -362,3 +362,30 @@ def test_batch2_command_hints():
     assert lp.match_command_format("terraform plan") == "terraform"
     assert lp.match_command_format("java -jar app.jar") == "java_stacktrace"
     assert lp.match_command_format("javac Main.java") == "gcc"  # javac is gcc-shaped
+
+
+GOLANGCI_LOG = """main.go:10:2: ineffectual assignment to err (ineffassign)
+pkg/util.go:3: exported function Foo should have comment (golint)
+"""
+
+ANSIBLE_LOG = """TASK [deploy app] *******
+fatal: [web01]: FAILED! => {"msg": "connection refused"}
+TASK [restart nginx] *******
+failed: [web02] (item=conf): {"msg": "template error"}
+"""
+
+
+def test_parse_golangci_lint():
+    evs = lp.parse_content(GOLANGCI_LOG, "golangci_lint")
+    assert len(evs) == 2
+    assert evs[0]["rule"] == "ineffassign" and evs[0]["ref_column"] == 2
+    assert evs[1]["rule"] == "golint" and evs[1]["ref_column"] is None
+
+
+def test_parse_ansible_task_attribution():
+    evs = lp.parse_content(ANSIBLE_LOG, "ansible")
+    assert len(evs) == 2
+    assert evs[0]["test_name"] == "deploy app" and evs[0]["code"] == "web01"
+    assert evs[1]["test_name"] == "restart nginx" and evs[1]["code"] == "web02"
+    assert lp.match_command_format("ansible-playbook site.yml") == "ansible"
+    assert lp.match_command_format("golangci-lint run") == "golangci_lint"

@@ -10,7 +10,9 @@ src/blq/schema.sql:4-13 and BIRD blob layout, bird_schema.sql:6-14):
 
 Design decisions vs the reference:
 - DuckDB single-writer file + lock-retry (bird.py:36-99) -> append-only
-  parquet per run: concurrent writers append distinct files, no lock.
+  parquet per run: concurrent writers append distinct files, no lock
+  (run_serial assignment is the one single-writer piece; see
+  next_serial for the concurrent-ingest story).
 - global run_serial via single-partition window (bird_schema.sql:288-295)
   -> assigned HERE at ingest (max+1 over the tiny runs table), stored.
 - content-addressing: BLAKE2b in the reference (bird.py:1323) -> sha256;
@@ -106,6 +108,17 @@ class LogStore:
     # -- ingest ---------------------------------------------------------------
 
     def next_serial(self) -> int:
+        """Next run_serial as cached max+1 over the runs dimension.
+
+        Single-writer by design: two concurrent LogStore *processes*
+        could read the same max and assign duplicate serials. That
+        matches the reference, which is also single-writer (DuckDB file
+        lock, bird.py:36-99); we drop the lock because parquet *appends*
+        are conflict-free — only the serial is process-local. Deployments
+        needing many concurrent ingest processes should treat run_serial
+        as display-only and derive it at read time with the W1 window
+        oracle (gates/windows.py), which is exactly the reference's
+        bird_schema.sql:288-295 formulation."""
         if self._serial_cache is None:
             row = self.runs().agg(F.max("run_serial").alias("m")).collect()[0]
             self._serial_cache = int(row["m"] or 0)
@@ -271,37 +284,43 @@ class LogStore:
         max_age_days and/or beyond the newest max_runs_per_source per
         source (reference W3 retention ranking, storage.py:647-676).
 
-        Implementation is compact-and-rewrite: compute keep-set (tiny —
-        run ids), rewrite runs/events/outputs filtered by an isin/semi
-        join. At 100 TB the same logic runs as a partition-drop for the
-        age rule (date-partitioned layout) + anti-join rewrite only for
-        affected partitions."""
+        The age rule is a pure partition drop: every table is
+        hive-partitioned by date, so expired data is whole `date=`
+        directories — removed without reading a row. The per-source
+        ranking rule rewrites via a broadcast semi-join against the keep
+        set (run ids — dimension-scale); the fact tables (events,
+        outputs) are filtered and rewritten entirely on executors
+        (`_rewrite`), never driver-materialized."""
         from pyspark.sql import Window
 
-        runs = self.runs()
-        total = runs.count()
-        keep = runs
+        total = self.runs().count()
         if max_age_days is not None:
             now = now or _dt.datetime.now()
             cutoff = (now - _dt.timedelta(days=max_age_days)).date()
-            keep = keep.filter(F.col("date") >= F.lit(cutoff))
+            for name in ("runs", "events", "outputs"):
+                self._drop_date_partitions(name, cutoff)
         if max_runs_per_source is not None:
             w = Window.partitionBy(
                 F.coalesce("source_name", F.lit("__none__"))
             ).orderBy(F.desc("timestamp"))
-            keep = (
-                keep.withColumn("_rank", F.row_number().over(w))
+            # persist the keep set: its lazy plan reads the runs dir,
+            # which the first _rewrite_keep swaps out from under it
+            keep_ids = (
+                self.runs()
+                .withColumn("_rank", F.row_number().over(w))
                 .filter(F.col("_rank") <= max_runs_per_source)
-                .drop("_rank")
+                .select("id")
+                .persist()
             )
-        keep_ids = [r["id"] for r in keep.select("id").collect()]
-        removed = total - len(keep_ids)
-        if removed:
-            self._rewrite("runs", F.col("id").isin(keep_ids))
-            self._rewrite("events", F.col("invocation_id").isin(keep_ids))
-            self._rewrite("outputs", F.col("invocation_id").isin(keep_ids))
-            self._serial_cache = None
-        return removed
+            try:
+                if keep_ids.count() < self.runs().count():
+                    self._rewrite_keep("runs", "id", keep_ids)
+                    self._rewrite_keep("events", "invocation_id", keep_ids)
+                    self._rewrite_keep("outputs", "invocation_id", keep_ids)
+            finally:
+                keep_ids.unpersist()
+        self._serial_cache = None
+        return total - self.runs().count()
 
     def prune_by_size(self, max_total_bytes: int) -> int:
         """Size-based retention: drop oldest runs until total stored output
@@ -323,27 +342,67 @@ class LogStore:
         )
         w = Window.orderBy(F.desc("timestamp")).rowsBetween(Window.unboundedPreceding, 0)
         ranked = sizes.withColumn("cum_bytes", F.sum("bytes").over(w))
-        drop_ids = [r["id"] for r in ranked.filter(F.col("cum_bytes") > max_total_bytes).collect()]
-        if drop_ids:
-            self._rewrite("runs", ~F.col("id").isin(drop_ids))
-            self._rewrite("events", ~F.col("invocation_id").isin(drop_ids))
-            self._rewrite("outputs", ~F.col("invocation_id").isin(drop_ids))
+        # the window runs over the runs dimension (one row per run), not
+        # the fact tables; the single-partition frame is fine there
+        n_drop = ranked.filter(F.col("cum_bytes") > max_total_bytes).count()
+        if n_drop:
+            keep_ids = (
+                ranked.filter(F.col("cum_bytes") <= max_total_bytes)
+                .select("id")
+                .persist()  # plan reads runs/outputs dirs that the swaps replace
+            )
+            try:
+                keep_ids.count()
+                self._rewrite_keep("runs", "id", keep_ids)
+                self._rewrite_keep("events", "invocation_id", keep_ids)
+                self._rewrite_keep("outputs", "invocation_id", keep_ids)
+            finally:
+                keep_ids.unpersist()
             self._serial_cache = None
-        return len(drop_ids)
+        return n_drop
 
-    def _rewrite(self, name: str, keep_cond) -> None:
-        """Rewrite a table filtered to keep_cond (staging dir + atomic-ish
-        swap). Parquet is immutable; deletion = compaction."""
+    def _drop_date_partitions(self, name: str, cutoff: _dt.date) -> int:
+        """Age-based retention as a metadata-only partition drop: remove
+        whole `date=` directories older than the cutoff. ISO dates sort
+        lexicographically, so no parsing needed. Zero rows read — the
+        100 TB-safe path for expiring old data."""
         import shutil
 
-        df = self.table(name).filter(keep_cond)
-        staged = df.collect()  # tables being pruned are dimension-scale
         path = self._path(name)
-        shutil.rmtree(path, ignore_errors=True)
-        if staged:
-            self.spark.createDataFrame(staged, _TABLES[name]).write.mode(
-                "overwrite"
-            ).partitionBy("date").parquet(path)
+        if not os.path.isdir(path):
+            return 0
+        dropped = 0
+        for part in os.listdir(path):
+            if part.startswith("date=") and part[5:] < cutoff.isoformat():
+                shutil.rmtree(os.path.join(path, part), ignore_errors=True)
+                dropped += 1
+        return dropped
+
+    def _rewrite_keep(self, name: str, key: str, keep_ids: DataFrame) -> None:
+        """Rewrite a table keeping only rows whose `key` appears in
+        keep_ids, via a broadcast left-semi join executed on executors.
+
+        The filtered DataFrame is written to a staging directory first
+        and directories are swapped only after the write succeeds
+        (compact()'s pattern) — a crash mid-prune leaves either the old
+        table or the new one intact, never neither, and the driver never
+        materializes fact-table rows (reference storage.py:647-676)."""
+        import shutil
+
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return
+        df = self.table(name).join(
+            F.broadcast(keep_ids.withColumnRenamed("id", key)), key, "left_semi"
+        )
+        tmp = path + ".rewrite.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy("date").parquet(tmp)
+        old = path + ".rewrite.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def compact(self, name: str = "events", target_rows_per_file: int = 1_000_000) -> int:
         """Small-file compaction: append-per-run leaves one parquet file

@@ -82,6 +82,30 @@ def test_prune_by_age(store):
     assert store.prune_runs(max_age_days=1, now=dt.datetime(2026, 4, 1)) == 8
 
 
+def test_prune_never_collects_to_driver(store, monkeypatch):
+    """The round-1 _rewrite collected the events fact table to the driver.
+    Guard the fix: pruning must run zero DataFrame.collect()/toPandas()
+    calls — the keep set is a broadcast semi-join and the rewrite is a
+    distributed staged write + directory swap."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+
+    def spy(fn):
+        def wrapped(self, *a, **kw):
+            calls.append(fn.__name__)
+            return fn(self, *a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(DataFrame, "collect", spy(DataFrame.collect))
+    monkeypatch.setattr(DataFrame, "toPandas", spy(DataFrame.toPandas))
+    assert store.prune_runs(max_runs_per_source=1) == 4
+    assert store.prune_by_size(max_total_bytes=1) >= 1
+    assert store.prune_runs(max_age_days=1, now=dt.datetime(2027, 1, 1)) >= 0
+    assert calls == []
+
+
 def test_prune_by_size(store):
     per_run = len("out run-0001\n" * 100)
     removed = store.prune_by_size(max_total_bytes=3 * per_run + 10)

@@ -7,8 +7,9 @@ Scale design (100 TB corpora):
   form here (shingle self-join) is quadratic in docs-per-shingle and is
   the correctness oracle; at scale the MinHash/LSH path prunes first:
   shingle -> k minhashes -> b bands -> band-bucket self-join. Bucket
-  sizes are bounded (skew guard: very hot buckets are salted/capped), so
-  the join is near-linear.
+  sizes are bounded (skew guard: buckets over hot_bucket_cap emit a
+  star to the bucket representative instead of all pairs), so the join
+  is near-linear even under degenerate band keys.
 - hash functions are md5-based (lexicographic min over hex digests):
   portable across Spark and DuckDB so every stage is oracle-checkable.
 """
@@ -118,15 +119,55 @@ def minhash_lsh_candidates(
     n: int = 1,
     num_hashes: int = 8,
     bands: int = 4,
+    hot_bucket_cap: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs: split the k-hash signature into `bands` bands of
     k/bands rows each; docs sharing any full band are candidates.
 
     The band-bucket self-join shuffles on (band_idx, band_key) — a
-    well-distributed composite key; this is the near-linear scale path."""
-    k = num_hashes
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    well-distributed composite key; this is the near-linear scale path.
+
+    Hot-bucket guard: a degenerate band key (boilerplate text, empty
+    docs) makes the self-join quadratic in that bucket. Buckets larger
+    than `hot_bucket_cap` skip all-pairs and emit a STAR instead — every
+    member paired with the bucket's min-id representative — which is
+    O(size) pairs yet keeps the bucket connected for union-find-style
+    dedup grouping. Cold buckets are unaffected, so results are
+    identical wherever the cap doesn't trigger. Use
+    lsh_bucket_profile() to see which buckets were capped."""
+    banded = _banded(df, text_col, id_col, n, num_hashes, bands)
+    sized = banded.join(
+        banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz")),
+        ["band_idx", "band_key"],
+    )
+    cold = sized.filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    hot = sized.filter(F.col("_bsz") > hot_bucket_cap)
+    hot_pairs = (
+        hot.join(
+            hot.groupBy("band_idx", "band_key").agg(F.min("id").alias("_rep")),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id") != F.col("_rep"))
+        .select(
+            F.least("_rep", "id").alias("id_a"), F.greatest("_rep", "id").alias("id_b")
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
+def _banded(
+    df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) rows — one per doc per band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -136,19 +177,28 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", "b.band_idx", "b.band_key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def lsh_bucket_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hot_bucket_cap: int = 256,
+) -> DataFrame:
+    """Bucket-size profile for the LSH join: one row per (band_idx,
+    band_key) with its size and whether the cap demotes it to the star
+    path. Run before a big dedup to see skew and what will be capped."""
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        _banded(df, text_col, id_col, n, num_hashes, bands)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("capped", F.col("bucket_size") > hot_bucket_cap)
     )
 
 

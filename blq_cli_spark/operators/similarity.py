@@ -1,16 +1,16 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k / threshold pairs as **block matrix
-products**: the small side (query set, or the corpus itself for all-pairs
-near-dup) is broadcast once as a numpy matrix; each corpus partition
-computes its score block with one BLAS matmul inside mapInPandas. Arrow
-moves every corpus row exactly once — there is no per-pair row blow-up
-on the wire, and per-partition top-k bounds the merge shuffle to
-k * |queries| * n_partitions rows. This is the 1000-executor shape for
-exact scoring.
+Baseline: brute-force scoring as **block matrix products** computed with
+one BLAS matmul per Arrow batch inside mapInPandas/applyInPandas.
+Top-k: the (small-by-contract) query set is broadcast as a numpy matrix
+and each corpus partition emits its local top-k — no per-pair row
+blow-up on the wire. All-pairs near-dup: triangle blocking — vectors
+hash into B blocks, rows replicate to their B(B+1)/2 block-pair groups,
+each group GEMMs its exact block; nothing is driver-materialized.
 
 Scale path beyond exact: LSH bucketing (random-hyperplane signs) so each
-query probes only its bucket — the probe becomes a bucket equi-join.
+query/vector probes only its bucket — the probe becomes a bucket
+equi-join (lsh_bucket_topk, neardup_pairs_bucketed, ivf_topk).
 
 Numerics: all math in float64. numpy's summation order differs from a
 strict left-to-right fold by ~1e-15 relative; gate outputs round cosines
@@ -137,69 +137,163 @@ def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
+def _pair_block_kernel(threshold: float, chunk: int = 256):
+    """applyInPandas kernel: one (gid) group holds side-a rows and
+    (for cross-block groups) side-b rows; compute the exact cosine block
+    product in fixed-size chunks and emit pairs >= threshold as
+    (least, greatest). Self-block groups (no 'b' rows) score A x A and
+    keep id_a < id_b."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        _prime_gemm()
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        self_block = len(b) == 0
+        if self_block:
+            b = a
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids_a = a["id"].to_numpy()
+        ids_b = b["id"].to_numpy()
+        A = _to_matrix(a["vec"])
+        B = _to_matrix(b["vec"])
+        an = np.sqrt(np.einsum("ij,ij->i", A, A))
+        bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+        Bt = np.ascontiguousarray(B.T)
+        # fixed-size scratch buffer: chunked GEMM bounds memory to
+        # chunk x |block| regardless of block size (and avoids the
+        # container's first-touch page-fault cost on big fresh allocs)
+        out = np.empty((chunk, len(ids_b)))
+        got_a, got_b, got_cos = [], [], []
+        for s in range(0, len(A), chunk):
+            blk = A[s : s + chunk]
+            o = out[: len(blk)]
+            np.matmul(blk, Bt, out=o)
+            o /= an[s : s + len(blk), None]
+            o /= bn[None, :]
+            ia, ib = np.nonzero(o >= threshold)
+            if self_block:
+                keep = ids_a[s + ia] < ids_b[ib]
+                ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                got_a.append(ids_a[s + ia])
+                got_b.append(ids_b[ib])
+                got_cos.append(o[ia, ib].copy())
+        if not got_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        xa, xb = np.concatenate(got_a), np.concatenate(got_b)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cos": np.concatenate(got_cos),
+            }
+        )
+
+    return kernel
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine >= threshold, as a distributed block matmul (each partition
-    scores its block against the broadcast corpus matrix).
+    cosine >= threshold — EXACT, fully distributed via triangle
+    blocking. Each vector hashes into one of `blocks` blocks; rows are
+    replicated to their block-pair groups (i,j), i<=j, by a broadcast
+    map join; each of the B(B+1)/2 groups computes its exact cosine
+    block with one chunked GEMM in applyInPandas. Every unordered pair
+    lands in exactly one group, so no distinct pass is needed.
 
-    This is the exact O(n^2) baseline — the broadcast side must fit in
-    executor memory (same constraint as any broadcast nested loop). The
-    100 TB path runs hyperplane-LSH bucketing first (lsh_bucket_topk's
-    bucket join) so each vector only scores against its bucket, then
-    verifies candidates with this exact predicate."""
-    cpdf = corpus.select(id_col, vec_col).toPandas()
-    cids = cpdf[id_col].to_numpy()
-    M = _to_matrix(cpdf[vec_col])
-    cn = np.sqrt(np.einsum("ij,ij->i", M, M))
-    bc = corpus.sparkSession.sparkContext.broadcast((cids, M, cn))
+    Nothing is ever driver-materialized (no collect/toPandas — guarded
+    by a regression test); shuffle volume is (blocks+1) x corpus, and
+    per-task memory is bounded by the chunked kernel. The O(n^2)
+    *compute* is inherent to the exact form — at 100 TB use
+    neardup_pairs_bucketed (hyperplane bucket-first, per-bucket exact
+    GEMM) and keep this form as the oracle/verifier on samples."""
+    spark = corpus.sparkSession
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("blk"),
+    )
+    map_rows, gid = [], 0
+    for i in range(blocks):
+        for j in range(i, blocks):
+            map_rows.append((i, gid, "a"))
+            if j != i:
+                map_rows.append((j, gid, "b"))
+            gid += 1
+    mdf = spark.createDataFrame(map_rows, "blk int, gid int, side string")
+    repl = tagged.join(F.broadcast(mdf), "blk")
+    return repl.groupBy("gid").applyInPandas(
+        _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
+    )
 
-    chunk = 256
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def neardup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs — the 100 TB default: `bands`
+    independent hyperplane-sign bucketings (OR-construction); each
+    (band, bucket) group runs the exact chunked-GEMM kernel within the
+    bucket only, so compute is per-bucket quadratic instead of global.
+    A pair found in several bands is deduplicated by (id_a, id_b).
+
+    Recall < 1 by construction: a pair at cosine c collides in one band
+    with p = (1 - arccos(c)/pi) ^ planes_per_band, and overall recall is
+    1 - (1-p)^bands — e.g. c=0.4, 4 planes, 8 bands -> ~0.75; raise
+    `bands` (linear cost) for a higher floor. tests/test_similarity.py
+    measures recall against the exact form and asserts the floor."""
+    band_planes = [
+        random_planes(planes_per_band, dim, seed=seed + 1000 * b) for b in range(bands)
+    ]
+    P = np.asarray(band_planes, dtype=np.float64)  # bands x planes x dim
+    weights = (2 ** np.arange(planes_per_band)).astype(np.int64)
+    n_bands = bands
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _prime_gemm()
-        bids, BM, bn = bc.value
-        BMt = np.ascontiguousarray(BM.T)
-        # reused scratch block: first-touch page faults on fresh large
-        # allocations cost ~35 ms/MB in virtualized containers, so the
-        # score matrix is computed in fixed-size row chunks into one
-        # buffer instead of materializing the full |batch| x |corpus|
-        # product — also what bounds executor memory at real scale
-        out = np.empty((chunk, len(bids)))
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids_a = pdf[id_col].to_numpy()
-            A = _to_matrix(pdf[vec_col])
-            an = np.sqrt(np.einsum("ij,ij->i", A, A))
-            got_a, got_b, got_cos = [], [], []
-            for s in range(0, len(A), chunk):
-                a = A[s : s + chunk]
-                o = out[: len(a)]
-                np.matmul(a, BMt, out=o)
-                o /= an[s : s + len(a), None]
-                o /= bn[None, :]
-                ia, ib = np.nonzero(o >= threshold)
-                keep = ids_a[s + ia] < bids[ib]  # dedup mirrored pairs + self
-                ia, ib = ia[keep], ib[keep]
-                if len(ia):
-                    got_a.append(ids_a[s + ia])
-                    got_b.append(bids[ib])
-                    got_cos.append(o[ia, ib].copy())
-            if got_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(got_a),
-                        "id_b": np.concatenate(got_b),
-                        "cos": np.concatenate(got_cos),
-                    }
-                )
+            M = _to_matrix(pdf[vec_col])
+            # signs: bands x |batch| x planes -> bucket id per band
+            signs = np.einsum("bpd,nd->bnp", P, M) > 0
+            buckets = signs @ weights  # bands x |batch|
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(pdf[id_col].to_numpy(), n_bands),
+                    "vec": [v for _ in range(n_bands) for v in pdf[vec_col]],
+                    "band": np.repeat(np.arange(n_bands), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
-    return corpus.mapInPandas(block, "id_a long, id_b long, cos double")
+    assigned = corpus.mapInPandas(
+        assign, "id long, vec array<float>, band int, bucket long"
+    ).withColumn("side", F.lit("a"))
+    pairs = assigned.groupBy("band", "bucket").applyInPandas(
+        _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
+    )
+    # same pair from different bands carries a bit-identical cos (same
+    # kernel, same operand order), so distinct on all three is exact
+    return pairs.distinct()
 
 
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:

@@ -1,0 +1,72 @@
+"""Similarity operator units: blocked exact near-dup + bucketed recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from blq_cli_spark.operators import similarity
+from blq_cli_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF, "embeddings")
+
+
+def _exact_numpy(df, threshold):
+    pdf = df.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = np.sqrt(np.einsum("ij,ij->i", M, M))
+    cos = (M @ M.T) / np.outer(n, n)
+    ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+    return {(int(ids[a]), int(ids[b])) for a, b in zip(ia, ib)}
+
+
+def test_neardup_pairs_blocked_matches_numpy_exact(spark, emb):
+    got = {
+        (r["id_a"], r["id_b"]) for r in similarity.neardup_pairs(emb, 0.4).collect()
+    }
+    assert got == _exact_numpy(emb, 0.4)
+    # one unordered pair -> exactly one output row (one group owns it)
+    rows = similarity.neardup_pairs(emb, 0.4).collect()
+    assert len(rows) == len(got)
+
+
+def test_neardup_never_materializes_corpus_on_driver(spark, emb, monkeypatch):
+    """Round-1 neardup_pairs collected the whole corpus via toPandas.
+    Guard the fix: neither the exact blocked form nor the bucketed form
+    may call toPandas()/collect() while BUILDING the plan."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig_tp, orig_c = DataFrame.toPandas, DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "toPandas", lambda self: calls.append("toPandas") or orig_tp(self)
+    )
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append("collect") or orig_c(self)
+    )
+    similarity.neardup_pairs(emb, 0.4)
+    similarity.neardup_pairs_bucketed(emb, 0.4)
+    assert calls == []
+
+
+def test_bucketed_neardup_recall_floor(spark, emb):
+    exact = _exact_numpy(emb, 0.4)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs_bucketed(emb, 0.4, bands=8).collect()
+    }
+    assert approx <= exact  # no false positives: in-bucket scoring is exact
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.6, f"recall {recall:.2f} below floor"
+    # more bands -> recall must not drop (OR-construction is monotone)
+    approx16 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs_bucketed(emb, 0.4, bands=16).collect()
+    }
+    assert len(approx16) >= len(approx)

@@ -33,10 +33,14 @@ def _kwarg_condition(key: str, value) -> Column:
             return F.lit(False)
         return col.isin(vals)
     if isinstance(value, str):
+        # reference order (src/blq/query.py:278-281): the ILIKE rule
+        # fires first and only on a LEADING or TRAILING '%' — so
+        # "!x%" is ILIKE '!x%' (not !=) and an interior-% literal like
+        # "100%done" is plain equality
+        if value.startswith("%") or value.endswith("%"):
+            return col.ilike(value)
         if value.startswith("!"):
             return col != F.lit(value[1:])
-        if "%" in value:
-            return col.ilike(value)
         return col == F.lit(value)
     return col == F.lit(value)
 

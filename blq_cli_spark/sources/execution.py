@@ -157,37 +157,84 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
     (the sync_to layout, or any parquet tree with the flat-events columns)
     into this store's runs/events tables.
 
-    One distributed pass: read with partition discovery + mergeSchema,
-    derive run rows by grouping events on invocation_id, then append both
-    tables (reference migrate.py:30-140 does the same v1-parquet -> BIRD
-    transform)."""
+    Two distributed jobs total, however many runs the export holds
+    (reference migrate.py:30-140 does the same v1-parquet -> BIRD
+    transform in one INSERT..SELECT per table):
+
+    1. new events = export anti-joined against existing run ids,
+       conformed to EVENTS_SCHEMA and appended in one write.
+    2. run rows derived from those events by groupBy(invocation_id),
+       serials reassigned from this store's max (ordered by exported
+       serial then timestamp, so relative order survives), conformed to
+       RUNS_SCHEMA and appended in one write.
+
+    No per-run driver loop and no collect of event rows anywhere."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from blq_cli_spark import schemas
 
     flat = (
         store.spark.read.option("mergeSchema", "true")
         .option("basePath", export_root)
         .parquet(export_root)
     )
-    run_cols = [c for c in ("invocation_id", "run_serial", "timestamp", "cmd",
-                            "source_name", "source_type", "exit_code", "tag")
-                if c in flat.columns]
-    runs = (
-        flat.select(run_cols)
-        .groupBy("invocation_id")
-        .agg(*[F.first(c, ignorenulls=True).alias(c) for c in run_cols if c != "invocation_id"])
+
+    def conform(df, schema, keep_serial: bool = True):
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns and (keep_serial or f.name != "run_serial"):
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(cols)
+
+    new_events = flat.join(
+        F.broadcast(store.runs().select(F.col("id").alias("invocation_id"))),
+        "invocation_id",
+        "left_anti",
     )
-    existing = {r["id"] for r in store.runs().select("id").collect()}
-    n = 0
-    event_field_names = {f.name for f in store.events().schema.fields}
-    for run_row in runs.collect():
-        if run_row["invocation_id"] in existing:
-            continue
-        run = run_row.asDict()
-        run["id"] = run.pop("invocation_id")
-        evs = [
-            {k: v for k, v in r.asDict().items() if k in event_field_names}
-            for r in flat.filter(F.col("invocation_id") == run["id"]).collect()
-        ]
-        store.append_run(run, events=evs)
-        n += 1
+    run_src_cols = [
+        c for c in flat.columns if c in {f.name for f in schemas.RUNS_SCHEMA.fields}
+    ]
+    # run rows re-derived from their events; exported run_serial only
+    # seeds the ordering — actual serials continue this store's sequence
+    base = store.next_serial() - 1
+    store._serial_cache = None
+    order_cols = [F.col("_src_serial").asc_nulls_last()]
+    if "timestamp" in flat.columns:
+        order_cols.append(F.col("timestamp"))
+    order_cols.append(F.col("invocation_id"))
+    # global window, but over the runs dimension (one row per run) — the
+    # same scale class as next_serial itself, not a fact-table window
+    w = Window.orderBy(*order_cols)
+    new_runs = (
+        new_events.groupBy("invocation_id")
+        .agg(
+            *[
+                F.first(c, ignorenulls=True).alias(c)
+                for c in run_src_cols
+                if c not in ("invocation_id", "run_serial")
+            ],
+            F.first("run_serial", ignorenulls=True).alias("_src_serial")
+            if "run_serial" in flat.columns
+            else F.lit(None).cast("bigint").alias("_src_serial"),
+        )
+        .withColumn("run_serial", F.row_number().over(w) + F.lit(base))
+        .withColumn("id", F.col("invocation_id"))
+    )
+    if "date" not in run_src_cols:
+        new_runs = new_runs.withColumn("date", F.to_date("timestamp"))
+    n = new_runs.count()
+    if not n:
+        return 0
+    conform(new_runs, schemas.RUNS_SCHEMA).write.mode("append").partitionBy(
+        "date"
+    ).parquet(store._path("runs"))
+    ev = new_events
+    if "date" not in ev.columns:
+        ev = ev.withColumn("date", F.to_date("timestamp"))
+    conform(ev, schemas.EVENTS_SCHEMA).write.mode("append").partitionBy(
+        "date"
+    ).parquet(store._path("events"))
     return n

@@ -46,6 +46,18 @@ def test_filter_like_neg_null(df):
     assert q(df).filter(file=None).count() == 1
 
 
+def test_filter_ilike_trigger_matches_reference(df):
+    """Reference (src/blq/query.py:278-281): ILIKE only on a leading or
+    trailing '%', and that rule is checked before '!' negation."""
+    # interior % is a literal equality, not a pattern
+    assert q(df).filter(message="no%unused%vars").count() == 0
+    assert q(df).filter(message="no-unused-vars").count() == 1
+    # "!...%" triggers ILIKE (trailing %), not negation
+    assert q(df).filter(message="!nonexistent%").count() == 0
+    # leading-% negation-looking string is still a pattern
+    assert q(df).filter(message="%1 != 2").count() == 1
+
+
 def test_exclude(df):
     assert q(df).exclude(severity="error").count() == 3
     # NOT (a AND b): rows failing the conjunction remain

@@ -7,6 +7,7 @@ from blq_cli_spark.gates import (  # noqa: F401
     llmdata,
     relational,
     scalar_fns,
+    suites,  # must import after the member-gate modules it composes
     tpch,
     windows,
 )

@@ -1,0 +1,165 @@
+"""Merged gate suites: several member gates unioned into one driver row.
+
+The driver's CORRECTNESS harness checks only the first 50 registered
+gates, so families with many small shapes (sorts, windows, filters, set
+ops, stat aggs) are merged here into union-suites: each member's output
+is stringified into a fixed-width (part, c1..cN) schema and unioned, on
+both the Spark side and the DuckDB oracle side. One suite row in the
+driver window therefore hash-checks every member's full result set.
+
+Formatting rules (must agree across engines):
+- ints/strings cast directly to VARCHAR;
+- doubles cast through DECIMAL(28,6) first — both engines then render a
+  fixed six-decimal form, sidestepping shortest-repr differences;
+- member gates that emit timestamps already format them to strings.
+
+The member gates stay registered individually (after the driver's
+50-gate window) so tests/test_gate_parity.py still verifies each one
+separately.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark.gates import aggs, relational, windows
+from blq_cli_spark.gates.registry import gate, oracle_of
+
+# part -> (query_fn, [(column, kind)]) where kind 'd' = double (decimal
+# formatting) and 's' = directly VARCHAR-castable
+_SPECS = {
+    "o_sort_suite": [
+        ("o2", windows.o2_global_topk,
+         [("o_orderkey", "s"), ("o_custkey", "s"), ("totalprice", "d")]),
+        ("o3", windows.o3_limit_offset,
+         [("o_orderkey", "s"), ("orderdate", "s")]),
+        ("o4", windows.o4_order_by_expression,
+         [("n_nationkey", "s"), ("n_name", "s"), ("dist", "s")]),
+    ],
+    "w_serial_latest_suite": [
+        ("w1", windows.w1_global_serial, [("event_id", "s"), ("serial", "s")]),
+        ("w2", windows.w2_latest_per_group,
+         [("user_id", "s"), ("event_id", "s"), ("event_type", "s"), ("ts_str", "s")]),
+    ],
+    "w_analytics_suite": [
+        ("lag_gap", windows.w_lag_gap_stats,
+         [("user_id", "s"), ("n_gaps", "s"), ("avg_gap_s", "d"), ("max_gap_us", "s")]),
+        ("topn", windows.w_topn_per_group,
+         [("c_mktsegment", "s"), ("o_orderkey", "s"), ("totalprice", "d"), ("rn", "s")]),
+        ("cumsum", windows.w_cumulative_user_value,
+         [("user_id", "s"), ("event_id", "s"), ("running_total", "d")]),
+    ],
+    "p_filter_suite": [
+        ("in_eq", relational.p_in_and_eq_filter,
+         [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n", "s"), ("total", "d")]),
+        ("ilike", relational.p_ilike_pattern,
+         [("p_partkey", "s"), ("p_name", "s"), ("p_brand", "s"), ("p_retailprice", "d")]),
+        ("exclude", relational.p_exclude_invert,
+         [("c_nationkey", "s"), ("n_customers", "s")]),
+        ("ci_eq", relational.p_case_insensitive_eq, [("n", "s")]),
+    ],
+    "u_setops_suite": [
+        ("union_all", relational.u1_union_all,
+         [("bucket", "s"), ("o_orderkey", "s"), ("totalprice", "d")]),
+        ("except", relational.u2_except_distinct, [("o_custkey", "s")]),
+        ("intersect", relational.u3_intersect, [("o_custkey", "s")]),
+    ],
+    "a_stats_suite": [
+        ("filtered_counts", aggs.a2_filtered_counts,
+         [("user_id", "s"), ("total", "s"), ("errors", "s"), ("purchases", "s"),
+          ("purchase_value", "d")]),
+        ("filtered_distinct", aggs.a3_filtered_distinct_count,
+         [("event_type", "s"), ("n_users", "s"), ("n_users_highvalue", "s")]),
+        ("minmax", aggs.a4_minmax_stats,
+         [("o_orderstatus", "s"), ("min_price", "d"), ("max_price", "d"),
+          ("avg_price", "d"), ("first_order", "s"), ("last_order", "s")]),
+    ],
+    "a_counts_suite": [
+        ("value_counts", aggs.a6_value_counts, [("event_type", "s"), ("n", "s")]),
+        ("having", aggs.a7_having,
+         [("p_brand", "s"), ("n", "s"), ("avg_price", "d")]),
+    ],
+    "a_json_scalars_suite": [
+        ("collect_json", aggs.a10_collect_json,
+         [("c_mktsegment", "s"), ("nations_json", "s"), ("n", "s")]),
+        ("global_scalars", aggs.a11_global_scalars,
+         [("n_orders", "s"), ("n_customers", "s"), ("total_value", "d"),
+          ("missing_total", "d"), ("max_orderkey", "s")]),
+    ],
+}
+
+# member names as registered (for oracle lookup)
+_MEMBER_GATE = {
+    "o2": "o2_global_topk",
+    "o3": "o3_limit_offset",
+    "o4": "o4_order_by_expression",
+    "w1": "w1_global_serial",
+    "w2": "w2_latest_per_group",
+    "lag_gap": "w_lag_gap_stats",
+    "topn": "w_topn_per_group",
+    "cumsum": "w_cumulative_user_value",
+    "in_eq": "p_in_and_eq_filter",
+    "ilike": "p_ilike_pattern",
+    "exclude": "p_exclude_invert",
+    "ci_eq": "p_case_insensitive_eq",
+    "union_all": "u1_union_all",
+    "except": "u2_except_distinct",
+    "intersect": "u3_intersect",
+    "filtered_counts": "a2_filtered_counts",
+    "filtered_distinct": "a3_filtered_distinct_count",
+    "minmax": "a4_minmax_stats",
+    "value_counts": "a6_value_counts",
+    "having": "a7_having",
+    "collect_json": "a10_collect_json",
+    "global_scalars": "a11_global_scalars",
+}
+
+
+def _spark_part(df: DataFrame, part: str, cols, width: int) -> DataFrame:
+    out = [F.lit(part).alias("part")]
+    for i, (name, kind) in enumerate(cols):
+        c = F.col(name)
+        if kind == "d":
+            c = c.cast("decimal(28,6)")
+        out.append(c.cast("string").alias(f"c{i + 1}"))
+    for i in range(len(cols), width):
+        out.append(F.lit(None).cast("string").alias(f"c{i + 1}"))
+    return df.select(out)
+
+
+def _oracle_part(part: str, cols, width: int) -> str:
+    casts = []
+    for i, (name, kind) in enumerate(cols):
+        src = f"CAST({name} AS DECIMAL(28,6))" if kind == "d" else name
+        casts.append(f"CAST({src} AS VARCHAR) AS c{i + 1}")
+    for i in range(len(cols), width):
+        casts.append(f"CAST(NULL AS VARCHAR) AS c{i + 1}")
+    inner = oracle_of(_MEMBER_GATE[part])
+    return f"SELECT '{part}' AS part, {', '.join(casts)} FROM (\n{inner}\n)"
+
+
+def _make_suite(suite_name: str) -> None:
+    parts = _SPECS[suite_name]
+    width = max(len(cols) for _, _, cols in parts)
+    oracle = "\nUNION ALL\n".join(_oracle_part(p, cols, width) for p, _, cols in parts)
+
+    def run(spark: SparkSession, sf_dir: str, _parts=parts, _w=width) -> DataFrame:
+        out = None
+        for p, fn, cols in _parts:
+            piece = _spark_part(fn(spark, sf_dir), p, cols, _w)
+            out = piece if out is None else out.unionByName(piece)
+        return out
+
+    run.__name__ = suite_name
+    run.__doc__ = (
+        f"Union-suite over member gates: "
+        f"{', '.join(_MEMBER_GATE[p] for p, _, _ in parts)}. "
+        "Each member's full result set rides in stringified (part, c1..cN) "
+        "rows so one driver CORRECTNESS row hash-checks them all."
+    )
+    gate(suite_name, oracle=oracle)(run)
+
+
+for _name in _SPECS:
+    _make_suite(_name)

@@ -136,7 +136,9 @@ def parse_pytest(lines: list[str]) -> Iterator[dict]:
 
 
 _MYPY_RE = re.compile(
-    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+)(?::(?P<col>\d+))?:\s*"
+    # mypy only ever reports on .py/.pyi files — the restriction is what
+    # disambiguates it from clang-tidy's identically-shaped output
+    r"^(?P<file>[^\s:][^:]*\.pyi?):(?P<line>\d+)(?::(?P<col>\d+))?:\s*"
     r"(?P<sev>error|warning|note):\s*(?P<msg>.*?)(?:\s+\[(?P<code>[a-z0-9-]+)\])?$"
 )
 
@@ -674,6 +676,619 @@ def parse_ruff(lines: list[str]) -> Iterator[dict]:
             )
 
 
+# --- batch 3 formats (duck_hunt breadth, reference core.py:2037-2102) --------
+
+_CLANG_TIDY_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<sev>error|warning|note):\s*(?P<msg>.*?)\s*\[(?P<rule>[\w.,-]+)\]$"
+)
+
+
+def parse_clang_tidy(lines: list[str]) -> Iterator[dict]:
+    """clang-tidy: gcc shape + trailing `[check-name]` rule bracket."""
+    for i, ln in enumerate(lines, 1):
+        m = _CLANG_TIDY_RE.match(ln)
+        if m:
+            yield _event(
+                "clang-tidy",
+                "lint",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_JAVAC_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.java):(?P<line>\d+):\s*(?P<sev>error|warning):\s*(?P<msg>.*)$"
+)
+
+
+def parse_javac(lines: list[str]) -> Iterator[dict]:
+    """javac: `Main.java:10: error: ';' expected` (line only, no column);
+    `symbol:`/`location:` detail lines extend the event span."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _JAVAC_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event(
+                "javac",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+            )
+            continue
+        # continuation block: code echo, caret, symbol:/location: details
+        if pending and (ln.startswith(" ") or ln.startswith("\t")) and ln.strip():
+            pending["log_line_end"] = i
+            continue
+        if pending:
+            yield pending
+            pending = None
+    if pending:
+        yield pending
+
+
+_KOTLINC_RE = re.compile(
+    r"^(?P<sev>[ew]): (?P<file>[^:]+\.kts?): \((?P<line>\d+), (?P<col>\d+)\): (?P<msg>.*)$"
+)
+
+
+def parse_kotlinc(lines: list[str]) -> Iterator[dict]:
+    """kotlinc: `e: /path/File.kt: (12, 8): unresolved reference: foo`."""
+    for i, ln in enumerate(lines, 1):
+        m = _KOTLINC_RE.match(ln)
+        if m:
+            yield _event(
+                "kotlinc",
+                "compile",
+                "error" if m["sev"] == "e" else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+            )
+
+
+_PYLINT_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<code>[CRWEF]\d{4}):\s*(?P<msg>.*?)\s*\((?P<rule>[\w-]+)\)$"
+)
+
+
+def parse_pylint(lines: list[str]) -> Iterator[dict]:
+    """pylint: `module.py:10:5: C0301: Line too long (105/100) (line-too-long)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PYLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "pylint",
+                "lint",
+                "error" if m["code"][0] in "EF" else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+                rule=m["rule"],
+            )
+
+
+_FLAKE8_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<code>[EWFC]\d{3})\s+(?P<msg>.*)$"
+)
+
+
+def parse_flake8(lines: list[str]) -> Iterator[dict]:
+    """flake8/pycodestyle: `file.py:10:5: E501 line too long (82 > 79)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _FLAKE8_RE.match(ln)
+        if m:
+            yield _event(
+                "flake8",
+                "lint",
+                "error" if m["code"].startswith(("E9", "F")) else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+            )
+
+
+_BLACK_RE = re.compile(
+    r"^(?:would reformat (?P<file1>.+)"
+    r"|error: cannot format (?P<file2>[^:]+):\s*(?P<msg>.*)$)"
+)
+_ISORT_RE = re.compile(
+    r"^ERROR: (?P<file>[^\s]+) Imports are incorrectly sorted(?P<rest>.*)$"
+)
+
+
+def parse_black_isort(lines: list[str]) -> Iterator[dict]:
+    """black --check / isort --check-only: would-reformat + cannot-format
+    + incorrectly-sorted lines."""
+    for i, ln in enumerate(lines, 1):
+        m = _BLACK_RE.match(ln)
+        if m:
+            if m["file1"]:
+                yield _event(
+                    "black", "format", "warning", "would reformat", i, file=m["file1"]
+                )
+            else:
+                yield _event(
+                    "black", "format", "error", m["msg"], i, file=m["file2"]
+                )
+            continue
+        m = _ISORT_RE.match(ln)
+        if m:
+            yield _event(
+                "isort",
+                "format",
+                "warning",
+                "imports are incorrectly sorted" + (m["rest"] or ""),
+                i,
+                file=m["file"],
+            )
+
+
+_CARGO_TEST_FAIL_RE = re.compile(r"^test (?P<test>[\w:]+) \.\.\. FAILED$")
+_CARGO_PANIC_RE = re.compile(
+    r"^thread '(?P<test>[^']+)' panicked at (?P<file>[^:]+):(?P<line>\d+):(?P<col>\d+):?$"
+)
+
+
+def parse_cargo_test(lines: list[str]) -> Iterator[dict]:
+    """cargo test: `test mod::name ... FAILED` + the panic location line
+    `thread 'mod::name' panicked at src/lib.rs:10:5:` (message follows)."""
+    for i, ln in enumerate(lines, 1):
+        m = _CARGO_TEST_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "cargo-test",
+                "test",
+                "error",
+                f"FAILED: {m['test']}",
+                i,
+                test_name=m["test"],
+                event_type="test_result",
+            )
+            continue
+        m = _CARGO_PANIC_RE.match(ln)
+        if m:
+            msg = lines[i].strip() if i < len(lines) else "panicked"
+            yield _event(
+                "cargo-test",
+                "test",
+                "error",
+                msg or "panicked",
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                test_name=m["test"],
+                end_line_no=i + 1 if msg else i,
+            )
+
+
+_PHPUNIT_HEAD_RE = re.compile(r"^\d+\) (?P<cls>[\w\\]+)::(?P<test>\w+)$")
+_PHPUNIT_LOC_RE = re.compile(r"^(?P<file>/[^:]+\.php):(?P<line>\d+)$")
+
+
+def parse_phpunit(lines: list[str]) -> Iterator[dict]:
+    """phpunit: `1) Cls::testX` + assertion message + `/path/Test.php:25`."""
+    pending: tuple[dict, int] | None = None
+    msg_parts: list[str] = []
+    for i, ln in enumerate(lines, 1):
+        m = _PHPUNIT_HEAD_RE.match(ln)
+        if m:
+            if pending:
+                yield pending[0]
+            ev = _event(
+                "phpunit",
+                "test",
+                "error",
+                "",
+                i,
+                test_name=f"{m['cls']}::{m['test']}",
+                event_type="test_result",
+            )
+            pending, msg_parts = (ev, i), []
+            continue
+        if pending:
+            lm = _PHPUNIT_LOC_RE.match(ln.strip())
+            if lm:
+                ev = pending[0]
+                ev.update(ref_file=lm["file"], ref_line=int(lm["line"]), log_line_end=i)
+                ev["message"] = " ".join(msg_parts) or ev["test_name"]
+                ev["fingerprint"] = fingerprint_of("phpunit", None, ev["message"])
+                yield ev
+                pending = None
+            elif ln.strip():
+                msg_parts.append(ln.strip())
+    if pending:
+        ev = pending[0]
+        ev["message"] = " ".join(msg_parts) or ev["test_name"]
+        yield ev
+
+
+_RSPEC_FAIL_RE = re.compile(r"^rspec (?P<file>[^\s:]+):(?P<line>\d+) # (?P<desc>.*)$")
+_MINITEST_HEAD_RE = re.compile(r"^\s*\d+\) (?:Failure|Error):$")
+_MINITEST_LOC_RE = re.compile(
+    r"^(?P<test>[\w#:]+) \[(?P<file>[^\]:]+):(?P<line>\d+)\]:?$"
+)
+
+
+def parse_ruby_test(lines: list[str]) -> Iterator[dict]:
+    """rspec failure summary lines (`rspec ./spec/x_spec.rb:10 # desc`) and
+    minitest blocks (`1) Failure:` + `Test#method [file.rb:10]:`)."""
+    expect_minitest = False
+    for i, ln in enumerate(lines, 1):
+        m = _RSPEC_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "rspec",
+                "test",
+                "error",
+                m["desc"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                test_name=m["desc"],
+                event_type="test_result",
+            )
+            continue
+        if _MINITEST_HEAD_RE.match(ln):
+            expect_minitest = True
+            continue
+        if expect_minitest:
+            lm = _MINITEST_LOC_RE.match(ln.strip())
+            if lm:
+                msg = lines[i].strip() if i < len(lines) else ""
+                yield _event(
+                    "minitest",
+                    "test",
+                    "error",
+                    msg or lm["test"],
+                    i,
+                    file=lm["file"],
+                    line=int(lm["line"]),
+                    test_name=lm["test"],
+                    event_type="test_result",
+                )
+            expect_minitest = False
+
+
+_JUNIT_CASE_RE = re.compile(r"<testcase\b[^>]*>")
+_JUNIT_NAME_RE = re.compile(r"\bname=\"(?P<v>[^\"]+)\"")
+_JUNIT_CLS_RE = re.compile(r"\bclassname=\"(?P<v>[^\"]+)\"")
+_JUNIT_FAIL_RE = re.compile(r"<(?P<kind>failure|error)\b[^>]*/?>")
+_JUNIT_MSG_RE = re.compile(r"\bmessage=\"(?P<v>[^\"]*)\"")
+
+
+def parse_junit_xml(lines: list[str]) -> Iterator[dict]:
+    """JUnit-style XML report text: `<testcase name=..>` followed by a
+    `<failure message=..>` / `<error ..>` child. Line-oriented scan — a
+    full XML parser is unnecessary for the report subset tools emit."""
+    current: tuple[str, str | None, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        cm = _JUNIT_CASE_RE.search(ln)
+        if cm:
+            tag = cm.group(0)
+            nm = _JUNIT_NAME_RE.search(tag)
+            cl = _JUNIT_CLS_RE.search(tag)
+            if nm:
+                current = (nm["v"], cl["v"] if cl else None, i)
+        fm = _JUNIT_FAIL_RE.search(ln)
+        if fm and current:
+            test, cls, start = current
+            name = f"{cls}.{test}" if cls else test
+            mm = _JUNIT_MSG_RE.search(fm.group(0))
+            yield _event(
+                "junit",
+                "test",
+                "error",
+                (mm["v"] if mm else "") or f"{fm['kind']} in {name}",
+                start,
+                test_name=name,
+                event_type="test_result",
+                end_line_no=i,
+            )
+            current = None
+
+
+_SWIFTC_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.swift):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<sev>error|warning|note):\s*(?P<msg>.*)$"
+)
+
+
+def parse_swiftc(lines: list[str]) -> Iterator[dict]:
+    """swiftc: gcc shape keyed on the .swift extension."""
+    for i, ln in enumerate(lines, 1):
+        m = _SWIFTC_RE.match(ln)
+        if m:
+            yield _event(
+                "swiftc",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+            )
+
+
+_NVCC_RE = re.compile(
+    r"^(?P<file>[^\s(]+\.(?:cu|cuh|cpp|h))\((?P<line>\d+)\):\s*"
+    r"(?P<sev>error|warning):\s*(?P<msg>.*)$"
+)
+
+
+def parse_nvcc(lines: list[str]) -> Iterator[dict]:
+    """nvcc: `kernel.cu(15): error: identifier \"x\" is undefined`."""
+    for i, ln in enumerate(lines, 1):
+        m = _NVCC_RE.match(ln)
+        if m:
+            yield _event(
+                "nvcc",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+            )
+
+
+_MAKE_ERR_RE = re.compile(
+    r"^make(?:\[\d+\])?: \*\*\* \[(?P<target>[^\]]+)\] (?P<msg>Error \d+.*)$"
+)
+_LD_UNDEF_RE = re.compile(
+    r"^(?:(?P<obj>[^\s:]+):\s*)?(?:/[^\s:]*/)?ld: (?P<msg>.*)$|"
+    r"^(?P<obj2>[^\s:]+):(?:[^:]+:)?\s*undefined reference to [`'](?P<sym>[^'`]+)'$"
+)
+_COLLECT2_RE = re.compile(r"^collect2: error: (?P<msg>.*)$")
+
+
+def parse_make_ld(lines: list[str]) -> Iterator[dict]:
+    """make/ld: `make: *** [Makefile:10: tgt] Error 2`, undefined-reference
+    and collect2 link failures."""
+    for i, ln in enumerate(lines, 1):
+        m = _MAKE_ERR_RE.match(ln)
+        if m:
+            tgt = m["target"]
+            file = line = None
+            tm = re.match(r"^(?P<f>[^\s:]+):(?P<l>\d+): ", tgt + " ")
+            if tm and ":" in tgt:
+                file, line = tm["f"], int(tm["l"])
+            yield _event(
+                "make", "build", "error", m["msg"], i,
+                file=file, line=line, test_name=tgt.split(":")[-1].strip() or None,
+            )
+            continue
+        m = _LD_UNDEF_RE.match(ln)
+        if m:
+            msg = m["msg"] or f"undefined reference to '{m['sym']}'"
+            yield _event("ld", "link", "error", msg, i, file=m["obj"] or m["obj2"])
+            continue
+        m = _COLLECT2_RE.match(ln)
+        if m:
+            yield _event("ld", "link", "error", m["msg"], i)
+
+
+_YAMLLINT_FILE_RE = re.compile(r"^(?P<file>[^\s].*\.ya?ml)$")
+_YAMLLINT_ISSUE_RE = re.compile(
+    r"^\s+(?P<line>\d+):(?P<col>\d+)\s+(?P<sev>error|warning)\s+"
+    r"(?P<msg>.*?)\s+\((?P<rule>[\w-]+)\)$"
+)
+
+
+def parse_yamllint(lines: list[str]) -> Iterator[dict]:
+    """yamllint: file header + `  3:4  error  msg  (rule)` rows (the
+    eslint two-level layout)."""
+    current: str | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _YAMLLINT_FILE_RE.match(ln)
+        if fm:
+            current = fm["file"]
+            continue
+        m = _YAMLLINT_ISSUE_RE.match(ln)
+        if m and current:
+            yield _event(
+                "yamllint",
+                "lint",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=current,
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_MDLINT_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.(?:md|markdown)):(?P<line>\d+)(?::(?P<col>\d+))?\s+"
+    r"(?P<code>MD\d+)(?:/(?P<rule>[\w-]+))?\s+(?P<msg>.*)$"
+)
+
+
+def parse_markdownlint(lines: list[str]) -> Iterator[dict]:
+    """markdownlint: `README.md:12:81 MD013/line-length Line length ...`."""
+    for i, ln in enumerate(lines, 1):
+        m = _MDLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "markdownlint",
+                "lint",
+                "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                code=m["code"],
+                rule=m["rule"],
+            )
+
+
+_SBT_RE = re.compile(
+    r"^\[(?P<sev>error|warn)\]\s+(?P<file>[^\s:]+\.scala):(?P<line>\d+):(?:(?P<col>\d+):)?\s*(?P<msg>.*)$"
+)
+
+
+def parse_sbt(lines: list[str]) -> Iterator[dict]:
+    """sbt/scalac: `[error] /path/Foo.scala:10:5: not found: value x`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SBT_RE.match(ln)
+        if m:
+            yield _event(
+                "scalac",
+                "compile",
+                "error" if m["sev"] == "error" else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_DOTNET_FAIL_RE = re.compile(r"^\s*Failed (?P<test>[\w.()]+) \[(?P<ms>[\d.]+) m?s\]$")
+_DOTNET_MSG_RE = re.compile(r"^\s*Error Message:\s*$")
+_DOTNET_AT_RE = re.compile(r"^\s*at .+ in (?P<file>[^:]+):line (?P<line>\d+)$")
+
+
+def parse_dotnet_test(lines: list[str]) -> Iterator[dict]:
+    """dotnet test: `Failed TestName [5 ms]` + `Error Message:` body +
+    stack-trace `... in /path/File.cs:line 42` location."""
+    pending: dict | None = None
+    expect_msg = False
+    for i, ln in enumerate(lines, 1):
+        m = _DOTNET_FAIL_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event(
+                "dotnet-test",
+                "test",
+                "error",
+                f"Failed {m['test']}",
+                i,
+                test_name=m["test"],
+                event_type="test_result",
+            )
+            expect_msg = False
+            continue
+        if pending is None:
+            continue
+        if _DOTNET_MSG_RE.match(ln):
+            expect_msg = True
+            continue
+        if expect_msg and ln.strip():
+            pending["message"] = ln.strip()
+            pending["fingerprint"] = fingerprint_of("dotnet-test", None, ln.strip())
+            expect_msg = False
+            continue
+        am = _DOTNET_AT_RE.match(ln)
+        if am:
+            pending.update(
+                ref_file=am["file"], ref_line=int(am["line"]), log_line_end=i
+            )
+            yield pending
+            pending = None
+    if pending:
+        yield pending
+
+
+_PIP_ERR_RE = re.compile(
+    r"^ERROR: (?P<msg>Cannot install .*|ResolutionImpossible.*|No matching distribution found for (?P<pkg>.+)|"
+    r"pip's dependency resolver does not currently.*)$"
+)
+_UV_ERR_RE = re.compile(r"^\s*(?:error|×)[:\s]\s*(?P<msg>(?:No solution found|Failed to resolve|Because ).*)$")
+_PIP_CONFLICT_RE = re.compile(r"^\s+(?P<pkg>[\w.-]+) (?P<ver>[\d.]+) depends on (?P<dep>.+)$")
+
+
+def parse_pip_resolver(lines: list[str]) -> Iterator[dict]:
+    """pip/uv dependency-resolution failures: ERROR: Cannot install /
+    ResolutionImpossible / `× No solution found when resolving deps` and
+    per-package conflict detail lines."""
+    for i, ln in enumerate(lines, 1):
+        m = _PIP_ERR_RE.match(ln)
+        if m:
+            yield _event("pip", "deps", "error", m["msg"], i, code=m["pkg"])
+            continue
+        m = _UV_ERR_RE.match(ln)
+        if m:
+            yield _event("uv", "deps", "error", m["msg"], i)
+            continue
+        m = _PIP_CONFLICT_RE.match(ln)
+        if m:
+            yield _event(
+                "pip",
+                "deps",
+                "warning",
+                f"{m['pkg']} {m['ver']} depends on {m['dep']}",
+                i,
+                code=m["pkg"],
+            )
+
+
+_VALGRIND_HEAD_RE = re.compile(
+    r"^==\d+==\s+(?P<msg>Invalid (?:read|write) of size \d+|"
+    r"Conditional jump or move depends on uninitialised value.*|"
+    r"\d+ bytes in \d+ blocks are definitely lost.*|"
+    r"Use of uninitialised value of size \d+|Invalid free.*|Mismatched free.*)$"
+)
+_VALGRIND_AT_RE = re.compile(
+    r"^==\d+==\s+(?:at|by) 0x[0-9A-Fa-f]+: (?P<fn>[^\s(]+) \((?P<file>[^:)]+):(?P<line>\d+)\)$"
+)
+
+
+def parse_valgrind(lines: list[str]) -> Iterator[dict]:
+    """valgrind memcheck: error head (`==pid== Invalid read of size 4`) +
+    first source-located frame in the following backtrace."""
+    pending: tuple[dict, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _VALGRIND_HEAD_RE.match(ln)
+        if m:
+            if pending:
+                yield pending[0]
+            pending = (
+                _event("valgrind", "memcheck", "error", m["msg"], i),
+                i,
+            )
+            continue
+        if pending:
+            am = _VALGRIND_AT_RE.match(ln)
+            if am:
+                ev, _ = pending
+                ev.update(
+                    ref_file=am["file"], ref_line=int(am["line"]), log_line_end=i
+                )
+                yield ev
+                pending = None
+            elif not ln.startswith("==") or not ln.strip():
+                yield pending[0]
+                pending = None
+    if pending:
+        yield pending[0]
+
+
 FORMATS: dict[str, callable] = {
     "gcc": parse_gcc,
     "pytest": parse_pytest,
@@ -696,16 +1311,38 @@ FORMATS: dict[str, callable] = {
     "jest": parse_jest,
     "shellcheck": parse_shellcheck,
     "ruff": parse_ruff,
+    "clang_tidy": parse_clang_tidy,
+    "javac": parse_javac,
+    "kotlinc": parse_kotlinc,
+    "pylint": parse_pylint,
+    "flake8": parse_flake8,
+    "black_isort": parse_black_isort,
+    "cargo_test": parse_cargo_test,
+    "phpunit": parse_phpunit,
+    "ruby_test": parse_ruby_test,
+    "junit_xml": parse_junit_xml,
+    "swiftc": parse_swiftc,
+    "nvcc": parse_nvcc,
+    "make_ld": parse_make_ld,
+    "yamllint": parse_yamllint,
+    "markdownlint": parse_markdownlint,
+    "sbt": parse_sbt,
+    "dotnet_test": parse_dotnet_test,
+    "pip_resolver": parse_pip_resolver,
+    "valgrind": parse_valgrind,
     "generic": parse_generic,
 }
 
 # command-string -> format hints (reference
 # duck_hunt_match_command_patterns, core.py:1031-1078)
 _COMMAND_PATTERNS = [
-    (re.compile(r"\b(gcc|g\+\+|clang|cc|make|javac)\b"), "gcc"),
+    # clang-tidy/javac get their own formats below; make output is
+    # dominated by the compiler's gcc-shaped diagnostics
+    (re.compile(r"\b(gcc|g\+\+|clang(?!-tidy)|cc|make)\b"), "gcc"),
     (re.compile(r"\bpytest\b|\bpy\.test\b"), "pytest"),
     (re.compile(r"\bmypy\b"), "mypy"),
     (re.compile(r"\beslint\b"), "eslint"),
+    (re.compile(r"\bcargo (test|nextest)\b"), "cargo_test"),
     (re.compile(r"\bcargo\b|\brustc\b"), "rustc"),
     (re.compile(r"\bgo test\b"), "go_test"),
     (re.compile(r"\bmvn\b|\bmaven\b"), "maven"),
@@ -722,6 +1359,23 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bjest\b"), "jest"),
     (re.compile(r"\bshellcheck\b"), "shellcheck"),
     (re.compile(r"\bruff\b"), "ruff"),
+    (re.compile(r"\bclang-tidy\b"), "clang_tidy"),
+    (re.compile(r"\bjavac\b"), "javac"),
+    (re.compile(r"\bkotlinc\b"), "kotlinc"),
+    (re.compile(r"\bpylint\b"), "pylint"),
+    (re.compile(r"\bflake8\b|\bpycodestyle\b"), "flake8"),
+    (re.compile(r"\bblack\b|\bisort\b"), "black_isort"),
+    (re.compile(r"\bcargo (test|nextest)\b"), "cargo_test"),
+    (re.compile(r"\bphpunit\b"), "phpunit"),
+    (re.compile(r"\brspec\b|\bminitest\b|\brails test\b"), "ruby_test"),
+    (re.compile(r"\bswiftc?\b"), "swiftc"),
+    (re.compile(r"\bnvcc\b"), "nvcc"),
+    (re.compile(r"\byamllint\b"), "yamllint"),
+    (re.compile(r"\bmarkdownlint\b|\bmdl\b"), "markdownlint"),
+    (re.compile(r"\bsbt\b|\bscalac\b"), "sbt"),
+    (re.compile(r"\bdotnet test\b"), "dotnet_test"),
+    (re.compile(r"\b(pip3?|uv pip|uv add|uv sync)\b"), "pip_resolver"),
+    (re.compile(r"\bvalgrind\b"), "valgrind"),
     (re.compile(r"\bpython3?\b"), "python_traceback"),
 ]
 

@@ -361,7 +361,7 @@ def test_batch2_command_hints():
     assert lp.match_command_format("docker build -t app .") == "docker_build"
     assert lp.match_command_format("terraform plan") == "terraform"
     assert lp.match_command_format("java -jar app.jar") == "java_stacktrace"
-    assert lp.match_command_format("javac Main.java") == "gcc"  # javac is gcc-shaped
+    assert lp.match_command_format("javac Main.java") == "javac"
 
 
 GOLANGCI_LOG = """main.go:10:2: ineffectual assignment to err (ineffassign)
@@ -389,3 +389,295 @@ def test_parse_ansible_task_attribution():
     assert evs[1]["test_name"] == "restart nginx" and evs[1]["code"] == "web02"
     assert lp.match_command_format("ansible-playbook site.yml") == "ansible"
     assert lp.match_command_format("golangci-lint run") == "golangci_lint"
+
+
+# --- batch 3: duck_hunt-breadth formats --------------------------------------
+
+CLANG_TIDY_LOG = """src/app.cpp:42:7: warning: use auto when initializing with new [modernize-use-auto]
+src/app.cpp:50:3: error: no member named 'size' in 'Foo' [clang-diagnostic-error]
+"""
+
+JAVAC_LOG = """Main.java:10: error: ';' expected
+        int x = 1
+                 ^
+  symbol:   variable x
+  location: class Main
+Util.java:3: warning: [deprecation] old() in Legacy has been deprecated
+2 errors
+"""
+
+KOTLINC_LOG = """e: /app/src/Main.kt: (12, 8): unresolved reference: foo
+w: /app/src/Util.kt: (3, 1): parameter 'x' is never used
+"""
+
+PYLINT_LOG = """app/models.py:15:0: C0301: Line too long (105/100) (line-too-long)
+app/views.py:8:4: E1101: Instance of 'Foo' has no 'bar' member (no-member)
+"""
+
+FLAKE8_LOG = """src/a.py:10:80: E501 line too long (88 > 79)
+src/b.py:1:1: F401 'os' imported but unused
+"""
+
+BLACK_ISORT_LOG = """would reformat src/app.py
+error: cannot format src/bad.py: Cannot parse: 10:5: def f(:
+ERROR: /app/src/views.py Imports are incorrectly sorted and/or formatted.
+"""
+
+CARGO_TEST_LOG = """test tests::it_works ... FAILED
+test tests::other ... ok
+thread 'tests::it_works' panicked at src/lib.rs:10:5:
+assertion `left == right` failed
+"""
+
+PHPUNIT_LOG = """1) AppTest::testSum
+Failed asserting that 3 matches expected 4.
+
+/app/tests/AppTest.php:25
+
+FAILURES!
+"""
+
+RUBY_TEST_LOG = """Failures:
+rspec ./spec/models/user_spec.rb:14 # User validates email
+  1) Failure:
+CartTest#test_total [test/cart_test.rb:22]:
+Expected 10 to equal 12.
+"""
+
+JUNIT_XML_LOG = """<testsuite tests="2" failures="1">
+  <testcase name="testAdd" classname="CalcTest">
+    <failure message="expected 4 but was 3">stack</failure>
+  </testcase>
+  <testcase name="testSub" classname="CalcTest"/>
+</testsuite>
+"""
+
+SWIFTC_LOG = """Sources/App/main.swift:7:9: error: use of unresolved identifier 'foo'
+Sources/App/util.swift:2:5: warning: variable 'x' was never used
+"""
+
+NVCC_LOG = """kernel.cu(15): error: identifier "threadIdz" is undefined
+kernel.cu(20): warning: variable "tmp" was declared but never referenced
+"""
+
+MAKE_LD_LOG = """main.o: in function `main': undefined reference to `helper'
+/usr/bin/ld: cannot find -lfoo
+collect2: error: ld returned 1 exit status
+make: *** [Makefile:12: app] Error 1
+"""
+
+YAMLLINT_LOG = """deploy.yaml
+  3:4       error    wrong indentation: expected 2 but found 3  (indentation)
+  10:81     warning  line too long (85 > 80 characters)  (line-length)
+"""
+
+MDLINT_LOG = """README.md:12:81 MD013/line-length Line length [Expected: 80; Actual: 95]
+docs/guide.md:1 MD041/first-line-heading First line in a file should be a top-level heading
+"""
+
+SBT_LOG = """[error] /app/src/main/scala/Foo.scala:10:5: not found: value bar
+[warn] /app/src/main/scala/Util.scala:3: Unused import
+"""
+
+DOTNET_TEST_LOG = """  Failed CalcTests.TestAdd [5 ms]
+  Error Message:
+   Assert.Equal() Failure: expected 4, actual 3
+  Stack Trace:
+     at CalcTests.TestAdd() in /app/CalcTests.cs:line 42
+"""
+
+PIP_LOG = """ERROR: Cannot install pkg-a and pkg-b because these package versions have conflicting dependencies.
+    pkg-a 1.0.0 depends on requests>=2.30
+    pkg-b 2.0.0 depends on requests<2.0
+ERROR: ResolutionImpossible: for help visit the docs
+"""
+
+UV_LOG = """  × No solution found when resolving dependencies:
+  ╰─▶ Because pkg-a depends on requests>=2.30 and pkg-b depends on requests<2.0, no version works.
+"""
+
+VALGRIND_LOG = """==1234== Invalid read of size 4
+==1234==    at 0x4005E4: main (main.c:10)
+==1234==    by 0x4A2B3C: __libc_start_main (libc.c:300)
+==1234== 16 bytes in 1 blocks are definitely lost in loss record 1 of 1
+==1234==    at 0x483B7F3: malloc (vg_replace_malloc.c:309)
+==1234==    by 0x4005F1: make_buf (util.c:22)
+==1234== ERROR SUMMARY: 2 errors from 2 contexts
+"""
+
+
+def test_parse_clang_tidy():
+    evs = lp.parse_content(CLANG_TIDY_LOG, "clang_tidy")
+    assert len(evs) == 2
+    assert evs[0]["rule"] == "modernize-use-auto" and evs[0]["severity"] == "warning"
+    assert evs[1]["severity"] == "error" and evs[1]["ref_line"] == 50
+
+
+def test_parse_javac():
+    evs = lp.parse_content(JAVAC_LOG, "javac")
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "Main.java" and evs[0]["ref_line"] == 10
+    assert evs[0]["log_line_end"] >= 4  # symbol/location lines extend span
+    assert evs[1]["severity"] == "warning"
+
+
+def test_parse_kotlinc():
+    evs = lp.parse_content(KOTLINC_LOG, "kotlinc")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error" and evs[0]["ref_column"] == 8
+    assert evs[1]["severity"] == "warning"
+
+
+def test_parse_pylint():
+    evs = lp.parse_content(PYLINT_LOG, "pylint")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "C0301" and evs[0]["rule"] == "line-too-long"
+    assert evs[0]["severity"] == "warning" and evs[1]["severity"] == "error"
+
+
+def test_parse_flake8():
+    evs = lp.parse_content(FLAKE8_LOG, "flake8")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "E501" and evs[0]["severity"] == "warning"
+    assert evs[1]["code"] == "F401" and evs[1]["severity"] == "error"
+
+
+def test_parse_black_isort():
+    evs = lp.parse_content(BLACK_ISORT_LOG, "black_isort")
+    assert len(evs) == 3
+    assert evs[0]["tool_name"] == "black" and evs[0]["ref_file"] == "src/app.py"
+    assert evs[1]["severity"] == "error" and "Cannot parse" in evs[1]["message"]
+    assert evs[2]["tool_name"] == "isort" and evs[2]["ref_file"] == "/app/src/views.py"
+
+
+def test_parse_cargo_test():
+    evs = lp.parse_content(CARGO_TEST_LOG, "cargo_test")
+    assert len(evs) == 2
+    assert evs[0]["test_name"] == "tests::it_works"
+    assert evs[1]["ref_file"] == "src/lib.rs" and evs[1]["ref_line"] == 10
+    assert "assertion" in evs[1]["message"]
+
+
+def test_parse_phpunit():
+    evs = lp.parse_content(PHPUNIT_LOG, "phpunit")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["test_name"] == "AppTest::testSum"
+    assert ev["ref_file"] == "/app/tests/AppTest.php" and ev["ref_line"] == 25
+    assert "Failed asserting" in ev["message"]
+
+
+def test_parse_ruby_test():
+    evs = lp.parse_content(RUBY_TEST_LOG, "ruby_test")
+    assert len(evs) == 2
+    assert evs[0]["tool_name"] == "rspec" and evs[0]["ref_line"] == 14
+    assert evs[1]["tool_name"] == "minitest"
+    assert evs[1]["ref_file"] == "test/cart_test.rb" and "Expected 10" in evs[1]["message"]
+
+
+def test_parse_junit_xml():
+    evs = lp.parse_content(JUNIT_XML_LOG, "junit_xml")
+    assert len(evs) == 1
+    assert evs[0]["test_name"] == "CalcTest.testAdd"
+    assert "expected 4" in evs[0]["message"]
+
+
+def test_parse_swiftc_and_nvcc():
+    evs = lp.parse_content(SWIFTC_LOG, "swiftc")
+    assert len(evs) == 2 and evs[0]["tool_name"] == "swiftc"
+    evs = lp.parse_content(NVCC_LOG, "nvcc")
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "kernel.cu" and evs[0]["ref_line"] == 15
+
+
+def test_parse_make_ld():
+    evs = lp.parse_content(MAKE_LD_LOG, "make_ld")
+    msgs = " | ".join(e["message"] for e in evs)
+    assert "undefined reference to 'helper'" in msgs
+    assert "cannot find -lfoo" in msgs
+    assert "ld returned 1 exit status" in msgs
+    make_evs = [e for e in evs if e["tool_name"] == "make"]
+    assert make_evs and make_evs[0]["ref_file"] == "Makefile"
+    assert make_evs[0]["ref_line"] == 12
+
+
+def test_parse_yamllint():
+    evs = lp.parse_content(YAMLLINT_LOG, "yamllint")
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "deploy.yaml" and evs[0]["rule"] == "indentation"
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_column"] == 81
+
+
+def test_parse_markdownlint():
+    evs = lp.parse_content(MDLINT_LOG, "markdownlint")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "MD013" and evs[0]["rule"] == "line-length"
+    assert evs[1]["ref_column"] is None and evs[1]["code"] == "MD041"
+
+
+def test_parse_sbt():
+    evs = lp.parse_content(SBT_LOG, "sbt")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error" and evs[0]["ref_column"] == 5
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_column"] is None
+
+
+def test_parse_dotnet_test():
+    evs = lp.parse_content(DOTNET_TEST_LOG, "dotnet_test")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["test_name"] == "CalcTests.TestAdd"
+    assert "Assert.Equal" in ev["message"]
+    assert ev["ref_file"] == "/app/CalcTests.cs" and ev["ref_line"] == 42
+
+
+def test_parse_pip_and_uv_resolver():
+    evs = lp.parse_content(PIP_LOG, "pip_resolver")
+    assert len(evs) == 4
+    assert evs[0]["severity"] == "error" and "Cannot install" in evs[0]["message"]
+    assert evs[1]["code"] == "pkg-a" and evs[1]["severity"] == "warning"
+    evs = lp.parse_content(UV_LOG, "pip_resolver")
+    assert len(evs) == 1 and evs[0]["tool_name"] == "uv"
+
+
+def test_parse_valgrind():
+    evs = lp.parse_content(VALGRIND_LOG, "valgrind")
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "main.c" and evs[0]["ref_line"] == 10
+    assert "definitely lost" in evs[1]["message"]
+    assert evs[1]["ref_file"] == "vg_replace_malloc.c"
+
+
+def test_batch3_command_hints():
+    cases = {
+        "clang-tidy src/app.cpp --": "clang_tidy",
+        "kotlinc src -include-runtime": "kotlinc",
+        "pylint app/": "pylint",
+        "flake8 src": "flake8",
+        "black --check .": "black_isort",
+        "cargo test --workspace": "cargo_test",
+        "phpunit --testdox": "phpunit",
+        "bundle exec rspec": "ruby_test",
+        "swiftc main.swift": "swiftc",
+        "nvcc -o kern kernel.cu": "nvcc",
+        "yamllint .": "yamllint",
+        "markdownlint docs/": "markdownlint",
+        "sbt compile": "sbt",
+        "dotnet test MySln.sln": "dotnet_test",
+        "pip install -r requirements.txt": "pip_resolver",
+        "uv sync --frozen": "pip_resolver",
+        "valgrind ./app": "valgrind",
+        "clang -O2 main.c": "gcc",
+    }
+    for cmd, fmt in cases.items():
+        assert lp.match_command_format(cmd) == fmt, cmd
+
+
+def test_batch3_autodetect():
+    # distinctive shapes must win auto-detection over generic
+    assert lp.detect_format(CLANG_TIDY_LOG) == "clang_tidy"
+    assert lp.detect_format(KOTLINC_LOG) == "kotlinc"
+    assert lp.detect_format(PYLINT_LOG) == "pylint"
+    assert lp.detect_format(VALGRIND_LOG) == "valgrind"
+    assert lp.detect_format(DOTNET_TEST_LOG) == "dotnet_test"
+    assert lp.parse_content(MDLINT_LOG, "auto")[0]["format_used"] == "markdownlint"

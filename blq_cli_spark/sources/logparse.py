@@ -1289,6 +1289,37 @@ def parse_valgrind(lines: list[str]) -> Iterator[dict]:
         yield pending[0]
 
 
+_VITEST_FILE_RE = re.compile(
+    r"^\s*[❯✓×x]?\s*(?P<file>[^\s]+\.(?:test|spec)\.[jt]sx?)\s+\(\d+ tests?(?: \| (?P<failed>\d+) failed)?\)"
+)
+_VITEST_ITEM_RE = re.compile(r"^\s*[×x]\s+(?P<test>.+?)(?:\s+\d+m?s)?\s*$")
+_VITEST_FAIL_RE = re.compile(r"^\s*FAIL\s+(?P<file>[^\s>]+)\s*>\s*(?P<test>.+)$")
+
+
+def parse_vitest(lines: list[str]) -> Iterator[dict]:
+    """vitest: `❯ src/a.test.ts (3 tests | 1 failed)` headers with `× name`
+    items, and `FAIL file > test` summary lines."""
+    current: str | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _VITEST_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "vitest", "test", "error", m["test"], i,
+                file=m["file"], test_name=m["test"], event_type="test_result",
+            )
+            continue
+        fm = _VITEST_FILE_RE.match(ln)
+        if fm:
+            current = fm["file"] if fm["failed"] else None
+            continue
+        im = _VITEST_ITEM_RE.match(ln)
+        if im and current:
+            yield _event(
+                "vitest", "test", "error", im["test"], i,
+                file=current, test_name=im["test"], event_type="test_result",
+            )
+
+
 FORMATS: dict[str, callable] = {
     "gcc": parse_gcc,
     "pytest": parse_pytest,
@@ -1330,6 +1361,7 @@ FORMATS: dict[str, callable] = {
     "dotnet_test": parse_dotnet_test,
     "pip_resolver": parse_pip_resolver,
     "valgrind": parse_valgrind,
+    "vitest": parse_vitest,
     "generic": parse_generic,
 }
 
@@ -1356,6 +1388,7 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bansible(-playbook)?\b"), "ansible"),
     (re.compile(r"^\s*java\s"), "java_stacktrace"),
     (re.compile(r"\bgradlew?\b"), "gradle"),
+    (re.compile(r"\bvitest\b"), "vitest"),
     (re.compile(r"\bjest\b"), "jest"),
     (re.compile(r"\bshellcheck\b"), "shellcheck"),
     (re.compile(r"\bruff\b"), "ruff"),

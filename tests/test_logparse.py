@@ -681,3 +681,19 @@ def test_batch3_autodetect():
     assert lp.detect_format(VALGRIND_LOG) == "valgrind"
     assert lp.detect_format(DOTNET_TEST_LOG) == "dotnet_test"
     assert lp.parse_content(MDLINT_LOG, "auto")[0]["format_used"] == "markdownlint"
+
+
+VITEST_LOG = """ ❯ src/math.test.ts (3 tests | 1 failed)
+   × adds numbers
+ ✓ src/ok.test.ts (2 tests)
+ FAIL  src/other.test.ts > multiplies numbers
+AssertionError: expected 3 to be 4
+"""
+
+
+def test_parse_vitest():
+    evs = lp.parse_content(VITEST_LOG, "vitest")
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "src/math.test.ts" and evs[0]["test_name"] == "adds numbers"
+    assert evs[1]["test_name"] == "multiplies numbers"
+    assert lp.match_command_format("vitest run") == "vitest"

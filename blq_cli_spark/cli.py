@@ -20,6 +20,7 @@ import sys
 
 import pyspark.sql.functions as F
 
+from blq_cli_spark import output, services
 from blq_cli_spark.output import format_output
 from blq_cli_spark.plans.query import LogQuery
 from blq_cli_spark.operators import views
@@ -87,7 +88,25 @@ def cmd_running(args) -> int:
 
 
 def cmd_report(args) -> int:
-    _emit(views.summary(_store(args).events_flat(), latest_only=args.latest), args)
+    """Composed build report (reference report_cmd.py:361): markdown (or
+    JSON with --json) over run metadata + by-file/top-error aggregations
+    + optional baseline new/fixed comparison. `--summary` keeps the old
+    per-tool summary table."""
+    st = _store(args)
+    if getattr(args, "summary", False):
+        _emit(views.summary(st.events_flat(), latest_only=args.latest), args)
+        return 0
+    data = services.report_data(
+        st,
+        run_serial=getattr(args, "run", None),
+        baseline_serial=getattr(args, "baseline", None),
+    )
+    if getattr(args, "json", False):
+        import json as _json
+
+        print(_json.dumps(output.scrub_nulls(data), default=str, indent=2))
+    else:
+        print(output.render_report_markdown(data, include_warnings=args.warnings))
     return 0
 
 
@@ -276,6 +295,19 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Agent tool surface over stdio (reference MCP server, serve.py):
+    line-delimited JSON requests {"tool": ..., "args": {...}}."""
+    from blq_cli_spark import serve
+
+    if args.list_tools:
+        import json as _json
+
+        print(_json.dumps(serve.list_tools(), indent=2))
+        return 0
+    return serve.serve_stdio(_store(args), once=args.once)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="blq-spark")
     p.add_argument("--store", default=os.environ.get("BLQ_SPARK_STORE", ".bird-spark"))
@@ -297,6 +329,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("report")
     sp.add_argument("--latest", action="store_true")
+    sp.add_argument("--summary", action="store_true", help="per-tool summary table")
+    sp.add_argument("--run", type=int, default=None)
+    sp.add_argument("--baseline", type=int, default=None)
+    sp.add_argument("--warnings", action="store_true")
+    sp.add_argument("--json", action="store_true")
     sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("query")
@@ -372,6 +409,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("clean")
     sp.add_argument("--blobs", action="store_true")
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--once", action="store_true", help="answer one request, then exit")
+    sp.add_argument("--list-tools", action="store_true", dest="list_tools")
+    sp.set_defaults(fn=cmd_serve)
 
     return p
 

@@ -112,3 +112,79 @@ def format_output(data: DataFrame | Sequence[Row], fmt: str = "table", **kwargs)
     if fmt not in FORMATTERS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {sorted(FORMATTERS)}")
     return FORMATTERS[fmt](data, **kwargs)
+
+
+def render_report_markdown(data: dict, include_warnings: bool = False) -> str:
+    """Markdown build report (reference report_cmd.py:160-320): summary
+    with status badge + metadata table, by-file breakdowns, top
+    diagnostics, and new/fixed sections when a baseline was compared."""
+    if data.get("run_serial") is None:
+        return "# Build Report\n\nNo runs recorded.\n"
+    lines: list[str] = []
+    title = data.get("source_name") or ""
+    lines.append(f"# Build Report{': ' + title if title else ''}")
+    lines.append("")
+    lines.append("## Summary")
+    lines.append("")
+    n_err = data["total_errors"]
+    status = "**PASSED**" if n_err == 0 else f"**FAILED** ({n_err} errors)"
+    lines.append(f"**Status:** {status}")
+    lines.append("")
+    lines.append("| Field | Value |")
+    lines.append("|-------|-------|")
+    lines.append(f"| Run | #{data['run_serial']} |")
+    for key, label in (
+        ("timestamp", "Started"),
+        ("exit_code", "Exit code"),
+        ("git_branch", "Branch"),
+        ("git_commit", "Commit"),
+    ):
+        if data.get(key) not in (None, ""):
+            lines.append(f"| {label} | {data[key]} |")
+    lines.append(f"| Errors | {n_err} |")
+    lines.append(f"| Warnings | {data['total_warnings']} |")
+    lines.append("")
+
+    def loc(e: dict) -> str:
+        f = e.get("ref_file")
+        if not f:
+            return "?"
+        return f"{f}:{e['ref_line']}" if e.get("ref_line") else str(f)
+
+    def file_section(title: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        lines.append(f"## {title}")
+        lines.append("")
+        lines.append("| File | Count |")
+        lines.append("|------|-------|")
+        for r in rows:
+            lines.append(f"| {r['ref_file']} | {r['count']} |")
+        lines.append("")
+
+    def detail_section(title: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        lines.append(f"## {title}")
+        lines.append("")
+        for e in rows:
+            code = f" `{e['code']}`" if e.get("code") else ""
+            lines.append(f"- **{loc(e)}**{code} — {e.get('message', '')}")
+        lines.append("")
+
+    file_section("Errors by file", data.get("errors_by_file", []))
+    detail_section("Top errors", data.get("top_errors", []))
+    if include_warnings:
+        file_section("Warnings by file", data.get("warnings_by_file", []))
+        detail_section("Top warnings", data.get("top_warnings", []))
+    if data.get("baseline_serial") is not None:
+        lines.append("## Baseline comparison")
+        lines.append("")
+        lines.append(
+            f"Compared to run #{data['baseline_serial']} "
+            f"({data['baseline_errors']} errors)."
+        )
+        lines.append("")
+        detail_section("New errors", data.get("new_errors", []))
+        detail_section("Fixed errors", data.get("fixed_errors", []))
+    return "\n".join(lines)

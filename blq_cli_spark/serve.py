@@ -1,0 +1,243 @@
+"""Agent-facing tool surface: the reference's MCP server re-expressed as
+an in-process tool registry + stdio JSON dispatch.
+
+The reference exposes ~19 FastMCP tools (src/blq/serve.py:2273-3699 —
+run, query, events, inspect, output, status, history, diff, ci_check,
+report, register/unregister/commands, clean, ...). Those tools are thin
+shims over the services layer; this module mirrors that split: every
+tool is a (name, params) -> JSON-able dict dispatch over
+blq_cli_spark.services / LogStore, so any transport (MCP, HTTP, a CLI
+pipe) can wrap it. `blq-spark serve --once` speaks line-delimited JSON
+on stdio: {"tool": ..., "args": {...}} -> {"ok": ..., "result": ...} —
+the same request/response contract an MCP stdio server fronts.
+
+No network dependencies: the transport here is stdio; the tool registry
+is the real surface (reference serve.py keeps the same separation via
+_events_impl etc., :993-1032).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+
+from blq_cli_spark import output, services
+from blq_cli_spark.operators import views
+from blq_cli_spark.sources.store import LogStore
+from blq_cli_spark.sources import store as store_mod
+
+_TOOLS: dict[str, tuple[Callable, str]] = {}
+
+
+def tool(name: str, description: str):
+    def deco(fn):
+        _TOOLS[name] = (fn, description)
+        return fn
+
+    return deco
+
+
+def list_tools() -> list[dict]:
+    return [{"name": n, "description": d} for n, (_, d) in sorted(_TOOLS.items())]
+
+
+def dispatch(store: LogStore, tool_name: str, args: dict | None = None) -> dict:
+    """Run one tool call; always returns a JSON-able envelope."""
+    if tool_name not in _TOOLS:
+        return {"ok": False, "error": f"unknown tool: {tool_name}",
+                "tools": [t["name"] for t in list_tools()]}
+    fn, _ = _TOOLS[tool_name]
+    try:
+        return {"ok": True, "result": fn(store, **(args or {}))}
+    except TypeError as exc:  # bad/missing params — an agent-facing error
+        return {"ok": False, "error": f"bad arguments: {exc}"}
+    except ValueError as exc:
+        return {"ok": False, "error": str(exc)}
+
+
+def _rows(df, limit: int | None = None) -> list[dict]:
+    if limit is not None:
+        df = df.limit(limit)
+    return [output.scrub_nulls({k: _plain(v) for k, v in r.asDict().items()}) for r in df.collect()]
+
+
+def _plain(v):
+    return str(v) if hasattr(v, "isoformat") else v
+
+
+# --- read tools (reference serve.py:2412-2700) -------------------------------
+
+
+@tool("status", "Latest run status per source")
+def _status(store: LogStore) -> list[dict]:
+    return _rows(store.source_status())
+
+
+@tool("history", "Recent runs with error/warning counts")
+def _history(store: LogStore, n: int = 10) -> list[dict]:
+    return _rows(services.history_with_counts(store, n=n))
+
+
+@tool("events", "Query diagnostic events (severity/run/source/file filters)")
+def _events(
+    store: LogStore,
+    severities: list[str] | None = None,
+    run_serial: int | None = None,
+    source: str | None = None,
+    file_pattern: str | None = None,
+    limit: int = 50,
+) -> dict:
+    sup = store_mod.suppressed_fingerprints(store)
+    total, rows = services.query_events(
+        store,
+        severities=severities,
+        run_serial=run_serial,
+        source=source,
+        file_pattern=file_pattern,
+        suppressed_fingerprints=sup or None,
+        limit=limit,
+    )
+    return {
+        "total_count": total,
+        "events": [output.scrub_nulls({k: _plain(v) for k, v in r.asDict().items()}) for r in rows],
+    }
+
+
+@tool("query", "Raw Spark SQL over the registered views (LIMIT-guarded)")
+def _query(store: LogStore, sql: str, limit: int = 100) -> list[dict]:
+    store.register_views()
+    if "limit" not in sql.lower():
+        sql = f"SELECT * FROM ({sql}) LIMIT {limit}"  # reference serve.py:773-776
+    return _rows(store.spark.sql(sql))
+
+
+@tool("inspect", "Resolve a ref (tag:serial[:event], ~N, serial) to its rows")
+def _inspect(store: LogStore, ref: str) -> list[dict]:
+    return _rows(services.resolve_ref(store, ref))
+
+
+@tool("output", "Stored run output with grep/head/tail/line-spec selection")
+def _output(
+    store: LogStore,
+    run_serial: int,
+    lines: str | None = None,
+    grep: str | None = None,
+    ctx: int = 2,
+    head: int | None = None,
+    tail: int | None = None,
+) -> list[dict]:
+    df = services.get_output(
+        store, run_serial, lines=lines, grep=grep, ctx=ctx, head=head, tail=tail
+    )
+    return _rows(df.orderBy("line_number"))
+
+
+@tool("diff", "Fingerprint regression diff between two runs")
+def _diff(store: LogStore, baseline: int, candidate: int) -> list[dict]:
+    d = views.diff_fingerprints(store.events_flat(), baseline, candidate)
+    return _rows(d.orderBy("change", "fingerprint"))
+
+
+@tool("ci_check", "Fail if candidate run introduces new fingerprints")
+def _ci_check(store: LogStore, baseline: int, candidate: int) -> dict:
+    return services.ci_check(store, baseline, candidate)
+
+
+@tool("report", "Composed build report (markdown or raw data)")
+def _report(
+    store: LogStore,
+    run_serial: int | None = None,
+    baseline_serial: int | None = None,
+    markdown: bool = False,
+) -> dict | str:
+    data = services.report_data(store, run_serial=run_serial, baseline_serial=baseline_serial)
+    if markdown:
+        return output.render_report_markdown(data, include_warnings=True)
+    return output.scrub_nulls(data)
+
+
+# --- write/config tools (reference serve.py run/register/clean) --------------
+
+
+@tool("run", "Execute a command, capture + parse + store the run")
+def _run(store: LogStore, cmd: list[str], source: str | None = None, fmt: str = "auto") -> dict:
+    from blq_cli_spark.sources.execution import run_command
+
+    run = run_command(store, cmd, source_name=source, fmt=fmt)
+    return {"run_serial": run["run_serial"], "exit_code": run["exit_code"], "id": run["id"]}
+
+
+@tool("register", "Register a named command for `run`")
+def _register(store: LogStore, name: str, argv: list[str], fmt: str | None = None,
+              tag: str | None = None) -> dict:
+    store_mod.register_command(store, name, argv, fmt=fmt, tag=tag)
+    return {"registered": name}
+
+
+@tool("unregister", "Remove a registered command")
+def _unregister(store: LogStore, name: str) -> dict:
+    return {"removed": store_mod.unregister_command(store, name)}
+
+
+@tool("commands", "List registered commands")
+def _commands(store: LogStore) -> dict:
+    return store_mod.registered_commands(store)
+
+
+@tool("suppress", "Suppress a fingerprint (optionally per command)")
+def _suppress(store: LogStore, fingerprint: str, command: str = "*") -> dict:
+    store_mod.suppress_fingerprint(store, fingerprint, command=command)
+    return {"suppressed": fingerprint, "command": command}
+
+
+@tool("clean", "Retention prune: age/count/size rules")
+def _clean(
+    store: LogStore,
+    max_age_days: int | None = None,
+    max_runs_per_source: int | None = None,
+    max_total_bytes: int | None = None,
+) -> dict:
+    removed = 0
+    if max_age_days is not None or max_runs_per_source is not None:
+        removed += store.prune_runs(
+            max_age_days=max_age_days, max_runs_per_source=max_runs_per_source
+        )
+    if max_total_bytes is not None:
+        removed += store.prune_by_size(max_total_bytes)
+    removed_blobs = store.cleanup_orphaned_blobs()
+    return {"removed_runs": removed, "removed_blobs": removed_blobs}
+
+
+@tool("sandbox_summary", "Grouped sandbox/extension-data summary")
+def _sandbox_summary(store: LogStore) -> list[dict]:
+    return _rows(views.sandbox_summary(store.runs()))
+
+
+def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) -> int:
+    """Line-delimited JSON loop: one request object per line. This is the
+    transport the reference's MCP stdio server provides; swap in a real
+    MCP framing layer without touching the tools."""
+    import sys
+
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as exc:
+            resp = {"ok": False, "error": f"bad request json: {exc}"}
+        else:
+            if req.get("tool") == "__list__":
+                resp = {"ok": True, "result": list_tools()}
+            else:
+                resp = dispatch(store, req.get("tool", ""), req.get("args"))
+        stdout.write(json.dumps(resp, default=str) + "\n")
+        stdout.flush()
+        if once:
+            break
+    return 0

@@ -197,3 +197,86 @@ def get_output(
     if head is not None or tail is not None:
         line_df = context.head_tail(line_df, head=head, tail=tail)
     return line_df
+
+
+def report_data(
+    store: LogStore,
+    run_serial: int | None = None,
+    baseline_serial: int | None = None,
+    error_limit: int = 20,
+    file_limit: int = 10,
+) -> dict:
+    """Collect the `blq report` payload (reference report_cmd.py:41-142):
+    run metadata, error/warning totals, by-file breakdowns, top diagnostics,
+    and — with a baseline — new/fixed fingerprint sets.
+
+    Aggregations are distributed (groupBy + TakeOrderedAndProject limits);
+    only the already-limited result rows reach the driver. The baseline
+    comparison is two anti-joins on fingerprint, not a driver set diff."""
+    runs = store.runs_loaded()
+    if run_serial is None:
+        row = runs.agg(F.max("run_serial").alias("m")).collect()[0]
+        if row["m"] is None:
+            return {"run_serial": None}
+        run_serial = int(row["m"])
+    run_rows = runs.filter(F.col("run_serial") == run_serial).collect()
+    if not run_rows:
+        return {"run_serial": None}
+    run = run_rows[0].asDict()
+
+    flat = store.events_flat()
+    current = flat.filter(F.col("run_serial") == run_serial)
+
+    def by_file(df: DataFrame) -> list[dict]:
+        return [
+            r.asDict()
+            for r in df.filter(F.col("ref_file").isNotNull())
+            .groupBy("ref_file")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), "ref_file")
+            .limit(file_limit)
+            .collect()
+        ]
+
+    def top(df: DataFrame) -> list[dict]:
+        return [
+            r.asDict()
+            for r in df.select(
+                "ref_file", "ref_line", "message", "code", "fingerprint"
+            )
+            .orderBy("event_index")
+            .limit(error_limit)
+            .collect()
+        ]
+
+    errors = current.filter(F.col("severity") == "error")
+    warnings = current.filter(F.col("severity") == "warning")
+    data = {
+        "run_serial": run_serial,
+        "source_name": run.get("source_name"),
+        "timestamp": str(run.get("timestamp") or ""),
+        "exit_code": run.get("exit_code"),
+        "git_branch": run.get("git_branch"),
+        "git_commit": run.get("git_commit"),
+        "total_errors": errors.count(),
+        "total_warnings": warnings.count(),
+        "errors_by_file": by_file(errors),
+        "warnings_by_file": by_file(warnings),
+        "top_errors": top(errors),
+        "top_warnings": top(warnings),
+    }
+
+    if baseline_serial is not None:
+        base_err = flat.filter(
+            (F.col("run_serial") == baseline_serial) & (F.col("severity") == "error")
+        )
+        fp = lambda df: df.filter(F.col("fingerprint").isNotNull()).select("fingerprint").distinct()  # noqa: E731
+        new = errors.join(fp(base_err), "fingerprint", "left_anti")
+        fixed = base_err.join(fp(errors), "fingerprint", "left_anti")
+        data.update(
+            baseline_serial=baseline_serial,
+            baseline_errors=base_err.count(),
+            new_errors=top(new),
+            fixed_errors=top(fixed),
+        )
+    return data

@@ -120,3 +120,20 @@ def test_cli_inspect_and_ci(cli_store, capsys):
     assert main(["--store", cli_store, "ci", "--baseline", "1", "--candidate", "1"]) == 0
     res = capsys.readouterr()
     assert '"passed": true' in res.out
+
+
+def test_cli_report_markdown_and_json(cli_store, capsys):
+    assert main(["--store", cli_store, "report"]) == 0
+    md = capsys.readouterr().out
+    assert md.startswith("# Build Report")
+    assert "**Status:**" in md and "| Run | #" in md  # latest run, whatever prior tests added
+    assert "Errors by file" in md or "| Errors | 0 |" in md
+
+    assert main(["--store", cli_store, "report", "--run", "1", "--baseline", "2", "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["run_serial"] == 1 and data["baseline_serial"] == 2
+    assert "new_errors" in data and "total_errors" in data
+
+    # old per-tool summary table still available
+    assert main(["--store", cli_store, "report", "--summary", "--latest"]) == 0
+    assert capsys.readouterr().out.strip()

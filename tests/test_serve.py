@@ -1,0 +1,105 @@
+"""Agent tool surface (serve.py): dispatch contract + stdio transport.
+
+Mirrors the reference's MCP tool tests (tests/test_mcp_server.py there):
+every tool returns a JSON-able envelope, bad input is an error envelope,
+and the stdio loop speaks line-delimited JSON.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+
+import pytest
+
+from blq_cli_spark import serve
+from blq_cli_spark.sources.store import LogStore
+from tests.fixtures_blq import make_runs_and_events
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    st = LogStore(spark, str(tmp_path_factory.mktemp("servestore") / "bird"))
+    runs, events = make_runs_and_events()
+    by_run: dict[str, list] = {}
+    for ev in events:
+        by_run.setdefault(ev["invocation_id"], []).append(ev)
+    for run in runs:
+        st.append_run(run, by_run.get(run["id"], []), output=f"line one\nline two {run['id']}\n")
+    return st
+
+
+def test_list_tools_covers_reference_surface(store):
+    names = {t["name"] for t in serve.list_tools()}
+    # the reference's core agent tools (serve.py:2273-3699)
+    assert {
+        "status", "history", "events", "query", "inspect", "output",
+        "diff", "ci_check", "report", "run", "register", "unregister",
+        "commands", "clean", "suppress",
+    } <= names
+    assert all(t["description"] for t in serve.list_tools())
+
+
+def test_events_tool_counts_and_rows(store):
+    resp = serve.dispatch(store, "events", {"severities": ["error"], "run_serial": 3, "limit": 5})
+    assert resp["ok"]
+    res = resp["result"]
+    assert res["total_count"] >= len(res["events"]) > 0
+    assert all(e["severity"] == "error" for e in res["events"])
+    json.dumps(resp)  # JSON-able end to end
+
+
+def test_query_tool_injects_limit(store):
+    resp = serve.dispatch(store, "query", {"sql": "SELECT severity FROM events_flat", "limit": 3})
+    assert resp["ok"] and len(resp["result"]) == 3
+
+
+def test_status_history_diff_report(store):
+    assert serve.dispatch(store, "status", {})["ok"]
+    hist = serve.dispatch(store, "history", {"n": 3})
+    assert hist["ok"] and len(hist["result"]) == 3
+    d = serve.dispatch(store, "diff", {"baseline": 2, "candidate": 3})
+    assert d["ok"] and {r["change"] for r in d["result"]} <= {"new", "fixed", "unchanged"}
+    ci = serve.dispatch(store, "ci_check", {"baseline": 3, "candidate": 3})
+    assert ci["ok"] and ci["result"]["passed"] is True
+    rep = serve.dispatch(store, "report", {"markdown": True})
+    assert rep["ok"] and rep["result"].startswith("# Build Report")
+
+
+def test_output_tool_grep(store):
+    resp = serve.dispatch(store, "output", {"run_serial": 2, "grep": "two", "ctx": 0})
+    assert resp["ok"] and len(resp["result"]) == 1
+    assert "two" in resp["result"][0]["line"]
+
+
+def test_error_envelopes(store):
+    assert not serve.dispatch(store, "no_such_tool", {})["ok"]
+    bad = serve.dispatch(store, "output", {"run_serial": 999})
+    assert not bad["ok"] and "999" in bad["error"]
+    missing = serve.dispatch(store, "inspect", {})
+    assert not missing["ok"] and "argument" in missing["error"]
+
+
+def test_register_commands_roundtrip(store):
+    assert serve.dispatch(store, "register", {
+        "name": "lint", "argv": [sys.executable, "-c", "print('hi')"],
+    })["ok"]
+    cmds = serve.dispatch(store, "commands", {})
+    assert cmds["ok"] and "lint" in cmds["result"]
+    assert serve.dispatch(store, "unregister", {"name": "lint"})["result"]["removed"]
+
+
+def test_stdio_transport_roundtrip(store):
+    reqs = "\n".join([
+        json.dumps({"tool": "__list__"}),
+        json.dumps({"tool": "history", "args": {"n": 2}}),
+        "not json at all",
+    ])
+    out = io.StringIO()
+    serve.serve_stdio(store, stdin=io.StringIO(reqs), stdout=out)
+    lines = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert len(lines) == 3
+    assert lines[0]["ok"] and any(t["name"] == "events" for t in lines[0]["result"])
+    assert lines[1]["ok"] and len(lines[1]["result"]) == 2
+    assert not lines[2]["ok"]

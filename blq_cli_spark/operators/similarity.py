@@ -308,11 +308,25 @@ def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def _with_bucket(
-    df: DataFrame, planes: list[list[float]], id_col: str, vec_col: str, out_id: str
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    probes: int = 1,
 ) -> DataFrame:
-    """Assign hyperplane-sign buckets with one numpy matmul per batch."""
+    """Assign hyperplane-sign buckets with one numpy matmul per batch.
+
+    probes > 1 enables multi-probe (query side): besides its own bucket,
+    each vector also probes the buckets reached by flipping the sign
+    bits with the smallest |dot| margin — the planes it was closest to —
+    in margin order. This is the standard multi-probe LSH recall knob
+    (IVF's nprobe analogue): probe cost grows linearly, no extra index.
+    Probed buckets are distinct, and corpus vectors live in exactly one
+    bucket, so the downstream join needs no pair dedup."""
     P = np.asarray(planes, dtype=np.float64)
     weights = (2 ** np.arange(len(planes))).astype(np.int64)
+    probes = max(1, min(probes, len(planes) + 1))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _prime_gemm()
@@ -320,12 +334,18 @@ def _with_bucket(
             if not len(pdf):
                 continue
             M = _to_matrix(pdf[vec_col])
-            signs = (M @ P.T) > 0
+            dots = M @ P.T  # |batch| x planes
+            base = (dots > 0) @ weights
+            buckets = [base]
+            if probes > 1:
+                closest = np.argsort(np.abs(dots), axis=1, kind="stable")
+                for p in range(probes - 1):
+                    buckets.append(base ^ weights[closest[:, p]])
             yield pd.DataFrame(
                 {
-                    out_id: pdf[id_col].to_numpy(),
-                    "vec": list(pdf[vec_col]),
-                    "bucket": signs @ weights,
+                    out_id: np.tile(pdf[id_col].to_numpy(), probes),
+                    "vec": [v for _ in range(probes) for v in pdf[vec_col]],
+                    "bucket": np.concatenate(buckets),
                 }
             )
 
@@ -339,14 +359,18 @@ def lsh_bucket_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: equi-join on hyperplane-sign bucket, then exact cosine
-    top-k inside the bucket. Recall < 1 by construction; multi-probe (flip
-    one bit) is the standard extension. The bucket join shuffles on a
-    16-way (2^planes) key — partitionable, unlike a cross join."""
-    q = _with_bucket(queries, planes, id_col, vec_col, "qid").withColumnRenamed(
-        "vec", "qv"
-    )
+    top-k inside the bucket. Recall < 1 by construction; `probes` > 1
+    multi-probes the smallest-margin bit flips (see _with_bucket) — the
+    recall knob mirroring IVF's nprobe. The bucket join shuffles on a
+    2^planes key — partitionable, unlike a cross join; at real scale
+    planes grows with the corpus so buckets stay bounded and join
+    parallelism stays high."""
+    q = _with_bucket(
+        queries, planes, id_col, vec_col, "qid", probes=probes
+    ).withColumnRenamed("vec", "qv")
     c = _with_bucket(corpus, planes, id_col, vec_col, "nid").withColumnRenamed(
         "vec", "nv"
     )

@@ -126,3 +126,20 @@ def test_ann_recall_floors(spark):
     assert ivf_recall >= 0.3  # measured 0.45 @ sf0.001, 0.425 @ sf0.01
     assert lsh_recall >= 0.1  # measured 0.225 @ sf0.001
     assert ivf_recall > lsh_recall
+
+    # multi-probe LSH (bit-flip, probes=2) must dominate single-probe:
+    # superset of probed buckets -> recall can only grow
+    from blq_cli_spark.gates.llmdata import _PLANES
+    from blq_cli_spark.operators import similarity
+    from blq_cli_spark.sources.tables import table
+    import pyspark.sql.functions as F
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 8)
+    mp = {
+        (r["qid"], r["nid"])
+        for r in similarity.lsh_bucket_topk(emb, qdf, _PLANES, k=5, probes=2).collect()
+    }
+    mp_recall = len(mp & truth) / len(truth)
+    assert mp_recall >= lsh_recall
+    assert mp_recall >= 0.2  # measured 0.35 @ sf0.001 with probes=2

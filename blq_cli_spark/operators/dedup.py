@@ -135,11 +135,13 @@ def minhash_lsh_candidates(
     dedup grouping. Cold buckets are unaffected, so results are
     identical wherever the cap doesn't trigger. Use
     lsh_bucket_profile() to see which buckets were capped."""
+    from pyspark.sql import Window
+
     banded = _banded(df, text_col, id_col, n, num_hashes, bands)
-    sized = banded.join(
-        banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz")),
-        ["band_idx", "band_key"],
-    )
+    # bucket sizes via a window count: ONE shuffle on the band key (which
+    # the self-join below reuses), vs groupBy+join's two
+    w = Window.partitionBy("band_idx", "band_key")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
     cold = sized.filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
     a, b = cold.alias("a"), cold.alias("b")
     cold_pairs = a.join(

@@ -1289,6 +1289,384 @@ def parse_valgrind(lines: list[str]) -> Iterator[dict]:
         yield pending[0]
 
 
+# --- batch 4 formats ---------------------------------------------------------
+
+_CPPCHECK_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*):(?P<line>\d+)(?::(?P<col>\d+))?:\s*"
+    r"(?P<sev>error|warning|style|performance|portability|information):\s*"
+    r"(?P<msg>.*?)\s*\[(?P<code>[\w]+)\]$"
+)
+
+
+def parse_cppcheck(lines: list[str]) -> Iterator[dict]:
+    """cppcheck: `file.c:10:5: error: msg [errorId]` (modern template)."""
+    for i, ln in enumerate(lines, 1):
+        m = _CPPCHECK_RE.match(ln)
+        if m:
+            sev = m["sev"]
+            yield _event(
+                "cppcheck",
+                "lint",
+                _norm_severity("warning" if sev not in ("error", "warning") else sev),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                code=m["code"],
+            )
+
+
+_RUBOCOP_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.rb):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<sev>[CWEF]):\s*(?:\[Correctable\]\s*)?(?P<rule>[\w/]+):\s*(?P<msg>.*)$"
+)
+
+
+def parse_rubocop(lines: list[str]) -> Iterator[dict]:
+    """rubocop: `app.rb:10:5: C: Style/FrozenStringLiteral: msg`."""
+    for i, ln in enumerate(lines, 1):
+        m = _RUBOCOP_RE.match(ln)
+        if m:
+            yield _event(
+                "rubocop",
+                "lint",
+                "error" if m["sev"] in "EF" else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_CHECKSTYLE_RE = re.compile(
+    r"^\[(?P<sev>ERROR|WARN|INFO)\]\s+(?P<file>[^\s:]+):(?P<line>\d+)(?::(?P<col>\d+))?:\s*"
+    r"(?P<msg>.*?)\s*\[(?P<rule>\w+)\]$"
+)
+
+
+def parse_checkstyle(lines: list[str]) -> Iterator[dict]:
+    """checkstyle: `[ERROR] /path/Foo.java:10:5: msg [RuleName]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _CHECKSTYLE_RE.match(ln)
+        if m:
+            yield _event(
+                "checkstyle",
+                "lint",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                rule=m["rule"],
+            )
+
+
+_KTLINT_RE = re.compile(
+    r"^(?P<file>[^\s:][^:]*\.kts?):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<msg>.*?)\s*\((?P<rule>[\w:-]+)\)$"
+)
+
+
+def parse_ktlint(lines: list[str]) -> Iterator[dict]:
+    """ktlint: `src/App.kt:10:5: msg (standard:rule-name)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _KTLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "ktlint",
+                "lint",
+                "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_HADOLINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+):(?P<line>\d+)\s+(?P<code>DL\d+|SC\d+)\s+"
+    r"(?P<sev>error|warning|info|style):\s*(?P<msg>.*)$"
+)
+
+
+def parse_hadolint(lines: list[str]) -> Iterator[dict]:
+    """hadolint: `Dockerfile:3 DL3008 warning: Pin versions in apt get`."""
+    for i, ln in enumerate(lines, 1):
+        m = _HADOLINT_RE.match(ln)
+        if m:
+            sev = m["sev"]
+            yield _event(
+                "hadolint",
+                "lint",
+                _norm_severity("warning" if sev in ("info", "style") else sev),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                code=m["code"],
+            )
+
+
+_SQLFLUFF_FILE_RE = re.compile(r"^==\s*\[(?P<file>[^\]]+)\]\s*(?:FAIL|PASS)")
+_SQLFLUFF_ISSUE_RE = re.compile(
+    r"^L:\s*(?P<line>\d+)\s*\|\s*P:\s*(?P<col>\d+)\s*\|\s*(?P<code>\w+)\s*\|\s*(?P<msg>.*)$"
+)
+
+
+def parse_sqlfluff(lines: list[str]) -> Iterator[dict]:
+    """sqlfluff: `== [models/a.sql] FAIL` + `L: 10 | P: 5 | L010 | msg`."""
+    current: str | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _SQLFLUFF_FILE_RE.match(ln)
+        if fm:
+            current = fm["file"]
+            continue
+        m = _SQLFLUFF_ISSUE_RE.match(ln)
+        if m:
+            yield _event(
+                "sqlfluff",
+                "lint",
+                "warning",
+                m["msg"],
+                i,
+                file=current,
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["code"],
+            )
+
+
+_BAZEL_RE = re.compile(
+    r"^(?P<sev>ERROR|WARNING): (?P<file>/[^\s:]+/BUILD(?:\.bazel)?):(?P<line>\d+):(?P<col>\d+):\s*(?P<msg>.*)$"
+)
+
+
+def parse_bazel(lines: list[str]) -> Iterator[dict]:
+    """bazel: `ERROR: /path/BUILD:10:1: msg` build-file diagnostics."""
+    for i, ln in enumerate(lines, 1):
+        m = _BAZEL_RE.match(ln)
+        if m:
+            yield _event(
+                "bazel",
+                "build",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+            )
+
+
+_LUACHECK_RE = re.compile(
+    r"^\s*(?P<file>[^\s:]+\.lua):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"\((?P<sev>[WE])(?P<num>\d+)\)\s*(?P<msg>.*)$"
+)
+
+
+def parse_luacheck(lines: list[str]) -> Iterator[dict]:
+    """luacheck: `src/a.lua:10:5: (W211) unused variable 'x'`."""
+    for i, ln in enumerate(lines, 1):
+        m = _LUACHECK_RE.match(ln)
+        if m:
+            yield _event(
+                "luacheck",
+                "lint",
+                "error" if m["sev"] == "E" else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                code=m["sev"] + m["num"],
+            )
+
+
+_ACTIONLINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.ya?ml):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<msg>.*?)\s*\[(?P<rule>[\w-]+)\]$"
+)
+
+
+def parse_actionlint(lines: list[str]) -> Iterator[dict]:
+    """actionlint: `.github/workflows/ci.yml:10:5: msg [rule]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _ACTIONLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "actionlint",
+                "lint",
+                "error",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_PROTOC_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.proto):(?P<line>\d+):(?P<col>\d+):\s*(?P<msg>.*)$"
+)
+
+
+def parse_protoc(lines: list[str]) -> Iterator[dict]:
+    """protoc: `api/v1/user.proto:10:5: "Foo" is not defined.`"""
+    for i, ln in enumerate(lines, 1):
+        m = _PROTOC_RE.match(ln)
+        if m:
+            yield _event(
+                "protoc",
+                "compile",
+                "error",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+            )
+
+
+_ZIG_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.zig):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<sev>error|note):\s*(?P<msg>.*)$"
+)
+
+
+def parse_zig(lines: list[str]) -> Iterator[dict]:
+    """zig: `src/main.zig:10:5: error: use of undeclared identifier 'foo'`."""
+    for i, ln in enumerate(lines, 1):
+        m = _ZIG_RE.match(ln)
+        if m:
+            yield _event(
+                "zig",
+                "compile",
+                _norm_severity(m["sev"]),
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                col=int(m["col"]),
+            )
+
+
+_PHP_LINT_RE = re.compile(
+    r"^PHP (?P<sev>Parse error|Fatal error|Warning|Deprecated):\s*(?P<msg>.*?) in (?P<file>[^\s]+) on line (?P<line>\d+)$"
+)
+
+
+def parse_php_lint(lines: list[str]) -> Iterator[dict]:
+    """php -l / runtime log: `PHP Parse error: msg in file.php on line 10`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PHP_LINT_RE.match(ln)
+        if m:
+            yield _event(
+                "php",
+                "compile",
+                "error" if "error" in m["sev"].lower() else "warning",
+                m["msg"],
+                i,
+                file=m["file"],
+                line=int(m["line"]),
+                code=m["sev"],
+            )
+
+
+_STYLELINT_FILE_RE = re.compile(r"^(?P<file>[^\s].*\.(?:css|scss|less|sass))$")
+_STYLELINT_ISSUE_RE = re.compile(
+    r"^\s+(?P<line>\d+):(?P<col>\d+)\s+(?:✖|x)\s+(?P<msg>.*?)\s{2,}(?P<rule>[\w-]+)$"
+)
+
+
+def parse_stylelint(lines: list[str]) -> Iterator[dict]:
+    """stylelint: eslint-style two-level layout over stylesheet files."""
+    current: str | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _STYLELINT_FILE_RE.match(ln)
+        if fm:
+            current = fm["file"]
+            continue
+        m = _STYLELINT_ISSUE_RE.match(ln)
+        if m and current:
+            yield _event(
+                "stylelint",
+                "lint",
+                "error",
+                m["msg"],
+                i,
+                file=current,
+                line=int(m["line"]),
+                col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_ELIXIR_ERR_RE = re.compile(
+    r"^\*\* \((?P<code>\w+(?:Error)?)\) (?P<file>[^\s:]+\.exs?):(?P<line>\d+):?\s*(?P<msg>.*)$"
+)
+_ELIXIR_WARN_RE = re.compile(r"^warning: (?P<msg>.*)$")
+_ELIXIR_LOC_RE = re.compile(r"^\s+(?P<file>[^\s:]+\.exs?):(?P<line>\d+)(?::\s*(?P<ctx>.*))?$")
+
+
+def parse_elixir(lines: list[str]) -> Iterator[dict]:
+    """elixir/mix: `** (CompileError) lib/app.ex:10: msg` plus
+    `warning: msg` + indented `lib/app.ex:12: Mod.fun/1` location."""
+    pending_warn: tuple[str, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _ELIXIR_ERR_RE.match(ln)
+        if m:
+            yield _event(
+                "elixir", "compile", "error", m["msg"] or m["code"], i,
+                file=m["file"], line=int(m["line"]), code=m["code"],
+            )
+            continue
+        m = _ELIXIR_WARN_RE.match(ln)
+        if m:
+            pending_warn = (m["msg"], i)
+            continue
+        if pending_warn:
+            lm = _ELIXIR_LOC_RE.match(ln)
+            if lm:
+                msg, start = pending_warn
+                yield _event(
+                    "elixir", "compile", "warning", msg, start,
+                    file=lm["file"], line=int(lm["line"]), end_line_no=i,
+                )
+            pending_warn = None
+
+
+_XCODE_FAIL_RE = re.compile(r"^\*\* (?P<what>BUILD|TEST) FAILED \*\*$")
+_XCODE_TEST_RE = re.compile(
+    r"^(?:Test Case )?'(?P<test>[-\[\]\w ]+)' (?P<sev>failed|passed)(?: \([\d.]+ seconds\))?\.?$"
+)
+
+
+def parse_xcodebuild(lines: list[str]) -> Iterator[dict]:
+    """xcodebuild: swiftc-shaped diagnostics are covered by the swiftc
+    format; this one owns `** BUILD FAILED **` and test-case results."""
+    for i, ln in enumerate(lines, 1):
+        m = _XCODE_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "xcodebuild", "build", "error", f"{m['what']} FAILED", i,
+                event_type="task_result",
+            )
+            continue
+        m = _XCODE_TEST_RE.match(ln)
+        if m and m["sev"] == "failed":
+            yield _event(
+                "xcodebuild", "test", "error", f"test failed: {m['test']}", i,
+                test_name=m["test"].strip("-[] "), event_type="test_result",
+            )
+
+
 _VITEST_FILE_RE = re.compile(
     r"^\s*[❯✓×x]?\s*(?P<file>[^\s]+\.(?:test|spec)\.[jt]sx?)\s+\(\d+ tests?(?: \| (?P<failed>\d+) failed)?\)"
 )
@@ -1362,6 +1740,21 @@ FORMATS: dict[str, callable] = {
     "pip_resolver": parse_pip_resolver,
     "valgrind": parse_valgrind,
     "vitest": parse_vitest,
+    "cppcheck": parse_cppcheck,
+    "rubocop": parse_rubocop,
+    "checkstyle": parse_checkstyle,
+    "ktlint": parse_ktlint,
+    "hadolint": parse_hadolint,
+    "sqlfluff": parse_sqlfluff,
+    "bazel": parse_bazel,
+    "luacheck": parse_luacheck,
+    "actionlint": parse_actionlint,
+    "protoc": parse_protoc,
+    "zig": parse_zig,
+    "php_lint": parse_php_lint,
+    "stylelint": parse_stylelint,
+    "elixir": parse_elixir,
+    "xcodebuild": parse_xcodebuild,
     "generic": parse_generic,
 }
 
@@ -1409,6 +1802,21 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bdotnet test\b"), "dotnet_test"),
     (re.compile(r"\b(pip3?|uv pip|uv add|uv sync)\b"), "pip_resolver"),
     (re.compile(r"\bvalgrind\b"), "valgrind"),
+    (re.compile(r"\bcppcheck\b"), "cppcheck"),
+    (re.compile(r"\brubocop\b"), "rubocop"),
+    (re.compile(r"\bcheckstyle\b"), "checkstyle"),
+    (re.compile(r"\bktlint\b"), "ktlint"),
+    (re.compile(r"\bhadolint\b"), "hadolint"),
+    (re.compile(r"\bsqlfluff\b"), "sqlfluff"),
+    (re.compile(r"\bbazel\b"), "bazel"),
+    (re.compile(r"\bluacheck\b"), "luacheck"),
+    (re.compile(r"\bactionlint\b"), "actionlint"),
+    (re.compile(r"\bprotoc\b|\bbuf (build|lint)\b"), "protoc"),
+    (re.compile(r"\bzig (build|test|cc)\b"), "zig"),
+    (re.compile(r"\bphp\b"), "php_lint"),
+    (re.compile(r"\bstylelint\b"), "stylelint"),
+    (re.compile(r"\bmix (compile|test)\b|\belixir\b"), "elixir"),
+    (re.compile(r"\bxcodebuild\b"), "xcodebuild"),
     (re.compile(r"\bpython3?\b"), "python_traceback"),
 ]
 

@@ -697,3 +697,138 @@ def test_parse_vitest():
     assert evs[0]["ref_file"] == "src/math.test.ts" and evs[0]["test_name"] == "adds numbers"
     assert evs[1]["test_name"] == "multiplies numbers"
     assert lp.match_command_format("vitest run") == "vitest"
+
+
+# --- batch 4 ------------------------------------------------------------------
+
+BATCH4_LOGS = {
+    "cppcheck": (
+        "src/a.c:10:5: error: Null pointer dereference: ptr [nullPointer]\n"
+        "src/b.c:3: style: Unused variable: x [unusedVariable]\n",
+        2,
+        {"ref_file": "src/a.c", "ref_line": 10, "code": "nullPointer", "severity": "error"},
+    ),
+    "rubocop": (
+        "app/models/user.rb:10:5: C: Style/FrozenStringLiteral: Missing magic comment.\n"
+        "app/api.rb:2:1: E: Lint/Syntax: unexpected token\n",
+        2,
+        {"rule": "Style/FrozenStringLiteral", "severity": "warning"},
+    ),
+    "checkstyle": (
+        "[ERROR] /src/Main.java:10:5: Missing a Javadoc comment. [JavadocMethod]\n"
+        "[WARN] /src/Util.java:3: Line is longer than 100 characters. [LineLength]\n",
+        2,
+        {"ref_file": "/src/Main.java", "rule": "JavadocMethod", "severity": "error"},
+    ),
+    "ktlint": (
+        "src/main/App.kt:10:5: Missing newline before \")\" (standard:wrapping)\n",
+        1,
+        {"rule": "standard:wrapping", "ref_column": 5},
+    ),
+    "hadolint": (
+        "Dockerfile:3 DL3008 warning: Pin versions in apt get install\n"
+        "Dockerfile:7 DL3025 error: Use arguments JSON notation\n",
+        2,
+        {"code": "DL3008", "severity": "warning"},
+    ),
+    "sqlfluff": (
+        "== [models/orders.sql] FAIL\n"
+        "L:  10 | P:   5 | L010 | Keywords must be consistently upper case.\n"
+        "L:  12 | P:   1 | L003 | Indentation not consistent with previous lines.\n",
+        2,
+        {"ref_file": "models/orders.sql", "code": "L010", "ref_line": 10},
+    ),
+    "bazel": (
+        "ERROR: /work/app/BUILD:10:1: no such target '//lib:util'\n",
+        1,
+        {"ref_file": "/work/app/BUILD", "severity": "error"},
+    ),
+    "luacheck": (
+        "    src/init.lua:10:5: (W211) unused variable 'x'\n"
+        "    src/run.lua:2:1: (E011) expected expression near '='\n",
+        2,
+        {"code": "W211", "severity": "warning"},
+    ),
+    "actionlint": (
+        ".github/workflows/ci.yml:10:9: property \"need\" is not defined [expression]\n",
+        1,
+        {"rule": "expression", "severity": "error"},
+    ),
+    "protoc": (
+        "api/v1/user.proto:10:3: \"Address\" is not defined.\n",
+        1,
+        {"ref_file": "api/v1/user.proto", "severity": "error"},
+    ),
+    "zig": (
+        "src/main.zig:10:5: error: use of undeclared identifier 'foo'\n"
+        "src/main.zig:10:5: note: did you mean 'for'?\n",
+        2,
+        {"severity": "error", "ref_column": 5},
+    ),
+    "php_lint": (
+        "PHP Parse error: syntax error, unexpected '}' in /app/index.php on line 10\n"
+        "PHP Warning: Undefined variable $x in /app/util.php on line 3\n",
+        2,
+        {"ref_file": "/app/index.php", "severity": "error"},
+    ),
+    "stylelint": (
+        "src/styles/app.css\n"
+        "  10:5  ✖  Unexpected unknown property \"colr\"  property-no-unknown\n",
+        1,
+        {"ref_file": "src/styles/app.css", "rule": "property-no-unknown"},
+    ),
+    "xcodebuild": (
+        "Test Case '-[AppTests testLogin]' failed (0.005 seconds).\n"
+        "** BUILD FAILED **\n",
+        2,
+        {"event_type": "test_result"},
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(BATCH4_LOGS))
+def test_batch4_formats(fmt):
+    log, n, expect = BATCH4_LOGS[fmt]
+    evs = lp.parse_content(log, fmt)
+    assert len(evs) == n, evs
+    for k, v in expect.items():
+        assert evs[0][k] == v, (k, evs[0])
+
+
+ELIXIR_LOG = """** (CompileError) lib/app.ex:10: undefined function foo/0
+warning: variable "x" is unused
+  lib/util.ex:3: MyApp.Util.run/1
+"""
+
+
+def test_parse_elixir():
+    evs = lp.parse_content(ELIXIR_LOG, "elixir")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error" and evs[0]["code"] == "CompileError"
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_file"] == "lib/util.ex"
+
+
+def test_batch4_command_hints():
+    cases = {
+        "cppcheck --enable=all src/": "cppcheck",
+        "bundle exec rubocop": "rubocop",
+        "ktlint src/**/*.kt": "ktlint",
+        "hadolint Dockerfile": "hadolint",
+        "sqlfluff lint models/": "sqlfluff",
+        "bazel build //...": "bazel",
+        "actionlint": "actionlint",
+        "protoc --go_out=. api.proto": "protoc",
+        "zig build test": "zig",
+        "php -l index.php": "php_lint",
+        "stylelint 'src/**/*.css'": "stylelint",
+        "mix test": "elixir",
+        "xcodebuild test -scheme App": "xcodebuild",
+    }
+    for cmd, fmt in cases.items():
+        assert lp.match_command_format(cmd) == fmt, cmd
+
+
+def test_batch4_autodetect_distinctive():
+    for fmt in ("cppcheck", "rubocop", "checkstyle", "hadolint", "sqlfluff", "luacheck"):
+        log = BATCH4_LOGS[fmt][0]
+        assert lp.detect_format(log) == fmt, fmt

@@ -234,10 +234,51 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_shell(args) -> int:
+    """Interactive Spark SQL shell over the registered store views
+    (reference `blq shell` spawns the duckdb CLI, query_cmd.py:309-329;
+    here the session itself is the shell). Reads `;`-terminated or
+    single-line SQL from stdin; `.tables` lists views, `.quit` exits."""
+    st = _store(args)
+    st.register_views()
+    interactive = sys.stdin.isatty()
+    if interactive:
+        print("blq-spark shell — Spark SQL over events_flat/runs_loaded/"
+              "events/runs/attempts/outcomes/outputs. .quit to exit.")
+    while True:
+        if interactive:
+            print("blq> ", end="", flush=True)
+        line = sys.stdin.readline()
+        if not line:
+            break
+        sql = line.strip().rstrip(";")
+        if not sql:
+            continue
+        if sql in (".quit", ".exit", "quit", "exit"):
+            break
+        if sql == ".tables":
+            print("events_flat runs_loaded events runs attempts outcomes outputs sessions")
+            continue
+        try:
+            df = st.spark.sql(sql)
+            if not df.columns:  # DDL-ish statement
+                continue
+            print(format_output(df.limit(100), args.format))
+        except Exception as exc:  # noqa: BLE001 — REPL must not die
+            msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+            print(f"error: {msg}", file=sys.stderr)
+    return 0
+
+
 def cmd_ci(args) -> int:
     from blq_cli_spark import services
 
     st = _store(args)
+    action = getattr(args, "action", None)
+    if action == "generate":
+        return _ci_generate(st, args)
+    if action == "comment":
+        return _ci_comment(st, args)
     baseline = services.resolve_baseline(
         st, run_serial=args.baseline, branch=args.branch, commit=args.commit
     )
@@ -253,6 +294,65 @@ def cmd_ci(args) -> int:
 
     print(_json.dumps(res))
     return 0 if res["passed"] else 1
+
+
+def _ci_generate(st, args) -> int:
+    """`ci generate`: standalone CI runner scripts + workflow/hook
+    templates from registered commands (reference ci_cmd.py:703-780)."""
+    from blq_cli_spark import hooks
+    from blq_cli_spark.sources import store as store_mod
+
+    cmds = store_mod.registered_commands(st)
+    names = args.names or sorted(cmds)
+    missing = [n for n in names if n not in cmds]
+    if missing:
+        print(f"blq-spark ci generate: unknown commands: {', '.join(missing)}", file=sys.stderr)
+        return 2
+    if not names:
+        print("blq-spark ci generate: no registered commands", file=sys.stderr)
+        return 2
+    outdir = args.output
+    if args.dry_run:
+        for n in names:
+            print(f"# --- {n}.sh ---")
+            print(hooks.generate_ci_script(n, cmds[n]))
+        print("# --- workflow.yml ---")
+        print(hooks.generate_github_workflow({n: cmds[n] for n in names}))
+        return 0
+    os.makedirs(outdir, exist_ok=True)
+    for n in names:
+        path = os.path.join(outdir, f"{n}.sh")
+        with open(path, "w") as fh:
+            fh.write(hooks.generate_ci_script(n, cmds[n]))
+        os.chmod(path, 0o755)
+    wf = os.path.join(outdir, "workflow.yml")
+    with open(wf, "w") as fh:
+        fh.write(hooks.generate_github_workflow({n: cmds[n] for n in names}))
+    hook = os.path.join(outdir, "pre-commit")
+    with open(hook, "w") as fh:
+        fh.write(hooks.generate_git_hook(names))
+    os.chmod(hook, 0o755)
+    print(f"generated {len(names)} script(s) + workflow.yml + pre-commit in {outdir}/")
+    return 0
+
+
+def _ci_comment(st, args) -> int:
+    """`ci comment`: PR-comment markdown from the fingerprint diff
+    (reference ci_cmd.py:394+)."""
+    from blq_cli_spark import hooks, services
+
+    baseline = services.resolve_baseline(
+        st, run_serial=args.baseline, branch=args.branch, commit=args.commit
+    )
+    if baseline is None:
+        print("blq-spark ci comment: no baseline run found", file=sys.stderr)
+        return 2
+    candidate = args.candidate
+    if candidate is None:
+        row = st.runs().agg(F.max("run_serial").alias("m")).collect()[0]
+        candidate = int(row["m"])
+    print(hooks.format_pr_comment(st, baseline, candidate))
+    return 0
 
 
 def cmd_run(args) -> int:
@@ -386,11 +486,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_inspect)
 
     sp = sub.add_parser("ci")
+    sp.add_argument("action", nargs="?", choices=["check", "generate", "comment"],
+                    default="check")
+    sp.add_argument("names", nargs="*", help="registered commands (generate)")
     sp.add_argument("--baseline", type=int)
     sp.add_argument("--branch")
     sp.add_argument("--commit")
     sp.add_argument("--candidate", type=int)
+    sp.add_argument("--output", default="ci")
+    sp.add_argument("--dry-run", action="store_true", dest="dry_run")
     sp.set_defaults(fn=cmd_ci)
+
+    sp = sub.add_parser("shell")
+    sp.set_defaults(fn=cmd_shell)
 
     sp = sub.add_parser("run")
     sp.add_argument("cmd", nargs=argparse.REMAINDER)

@@ -137,3 +137,46 @@ def test_cli_report_markdown_and_json(cli_store, capsys):
     # old per-tool summary table still available
     assert main(["--store", cli_store, "report", "--summary", "--latest"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_shell_pipe(cli_store, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            "SELECT count(*) AS n_events FROM events_flat;\n"
+            ".tables\n"
+            "SELECT bogus FROM nowhere;\n"
+            ".quit\n"
+        ),
+    )
+    assert main(["--store", cli_store, "shell"]) == 0
+    got = capsys.readouterr()
+    assert "n_events" in got.out  # result table printed
+    assert "events_flat" in got.out  # .tables listing
+    assert "error:" in got.err  # bad SQL reports, shell survives
+
+
+def test_cli_ci_generate_and_comment(cli_store, capsys, tmp_path):
+    import sys as _sys
+
+    assert main(["--store", cli_store, "register", "build",
+                 "--", _sys.executable, "-c", "print('ok')"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "ci")
+    assert main(["--store", cli_store, "ci", "generate", "--output", out]) == 0
+    capsys.readouterr()
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(out, "build.sh"))
+    assert _os.path.exists(_os.path.join(out, "workflow.yml"))
+    assert _os.path.exists(_os.path.join(out, "pre-commit"))
+    script = open(_os.path.join(out, "build.sh")).read()
+    assert "tee" in script and "PIPESTATUS" in script
+
+    assert main(["--store", cli_store, "ci", "comment",
+                 "--baseline", "1", "--candidate", "2"]) == 0
+    md = capsys.readouterr().out
+    assert md.startswith("## Build Log Analysis")
+    assert "| Baseline run | #1 |" in md and "**Status:**" in md

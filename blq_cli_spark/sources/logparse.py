@@ -1873,6 +1873,492 @@ def parse_content(content: str, fmt: str = "auto") -> list[dict]:
     return events
 
 
+# --- batch 5 formats ---------------------------------------------------------
+
+_MOCHA_HEAD_RE = re.compile(r"^\s*\d+\) (?P<test>.+?):?$")
+_MOCHA_AT_RE = re.compile(
+    r"^\s+at .*?\((?P<file>[^:)]+):(?P<line>\d+):(?P<col>\d+)\)"
+)
+_MOCHA_ERR_RE = re.compile(r"^\s+(?P<code>\w*(?:Error|AssertionError)):\s*(?P<msg>.*)$")
+
+
+def parse_mocha(lines: list[str]) -> Iterator[dict]:
+    """mocha: `1) suite test:` + error message + first `at (file:l:c)`."""
+    pending: dict | None = None
+    start = 0
+    for i, ln in enumerate(lines, 1):
+        m = _MOCHA_HEAD_RE.match(ln)
+        if m and not ln.strip().startswith(("at ", "#")):
+            if pending:
+                yield pending
+            pending = _event(
+                "mocha", "test", "error", m["test"], i,
+                test_name=m["test"], event_type="test_result",
+            )
+            start = i
+            continue
+        if pending is None:
+            continue
+        em = _MOCHA_ERR_RE.match(ln)
+        if em:
+            pending["message"] = (em["msg"] or em["code"]).strip()
+            pending["code"] = em["code"]
+            pending["fingerprint"] = fingerprint_of("mocha", em["code"], pending["message"])
+            continue
+        am = _MOCHA_AT_RE.match(ln)
+        if am and pending["ref_file"] is None:
+            pending.update(
+                ref_file=am["file"], ref_line=int(am["line"]),
+                ref_column=int(am["col"]), log_line_end=i,
+            )
+            yield pending
+            pending = None
+    if pending:
+        yield pending
+
+
+_PHPSTAN_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.php):(?P<line>\d+):(?P<msg>.+?)\.?$"
+)
+
+
+def parse_phpstan(lines: list[str]) -> Iterator[dict]:
+    """phpstan --error-format=raw: `/src/Foo.php:10:Call to undefined ...`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PHPSTAN_RE.match(ln)
+        if m:
+            yield _event(
+                "phpstan", "typecheck", "error", m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+            )
+
+
+_PSALM_RE = re.compile(
+    r"^(?P<sev>ERROR|INFO): (?P<rule>\w+) - (?P<file>[^\s:]+):(?P<line>\d+):(?P<col>\d+) - (?P<msg>.*)$"
+)
+
+
+def parse_psalm(lines: list[str]) -> Iterator[dict]:
+    """psalm: `ERROR: UndefinedVariable - src/a.php:10:5 - Cannot find $x`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PSALM_RE.match(ln)
+        if m:
+            yield _event(
+                "psalm", "typecheck",
+                "error" if m["sev"] == "ERROR" else "info",
+                m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_DART_RE = re.compile(
+    r"^\s*(?P<sev>error|warning|info) (?:•|-) (?P<msg>.+?) (?:•|-) "
+    r"(?P<file>[^\s:]+\.dart):(?P<line>\d+):(?P<col>\d+) (?:•|-) (?P<rule>[\w_]+)\s*$"
+)
+
+
+def parse_dart_analyze(lines: list[str]) -> Iterator[dict]:
+    """dart analyze: `error • msg • lib/main.dart:10:5 • rule_name`."""
+    for i, ln in enumerate(lines, 1):
+        m = _DART_RE.match(ln)
+        if m:
+            yield _event(
+                "dart", "lint", _norm_severity(m["sev"]), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_OCAML_FILE_RE = re.compile(
+    r'^File "(?P<file>[^"]+)", line (?P<line>\d+), characters (?P<col>\d+)-\d+:'
+)
+_OCAML_ERR_RE = re.compile(r"^(?P<sev>Error|Warning)(?: \d+)?: (?P<msg>.*)$")
+
+
+def parse_ocaml(lines: list[str]) -> Iterator[dict]:
+    """ocaml: `File "src/main.ml", line 10, characters 5-8:` + `Error: msg`."""
+    loc: tuple[str, int, int, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _OCAML_FILE_RE.match(ln)
+        if fm:
+            loc = (fm["file"], int(fm["line"]), int(fm["col"]), i)
+            continue
+        em = _OCAML_ERR_RE.match(ln)
+        if em and loc:
+            yield _event(
+                "ocaml", "compile", _norm_severity(em["sev"].lower()), em["msg"],
+                loc[3], file=loc[0], line=loc[1], col=loc[2], end_line_no=i,
+            )
+            loc = None
+
+
+_GHC_HEAD_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.l?hs):(?P<line>\d+):(?P<col>\d+):\s*(?P<sev>error|warning):?"
+    r"(?:\s*\[(?P<code>[-\w]+)\])?:?\s*(?P<msg>.*)$"
+)
+
+
+def parse_ghc(lines: list[str]) -> Iterator[dict]:
+    """ghc: `src/Main.hs:10:5: error: [GHC-88464]` header, message may be
+    on the header line or the following indented lines."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _GHC_HEAD_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event(
+                "ghc", "compile", _norm_severity(m["sev"]), m["msg"] or "", i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                code=m["code"],
+            )
+            continue
+        if pending and ln.startswith((" ", "\t")) and ln.strip():
+            if not pending["message"]:
+                pending["message"] = ln.strip()
+                pending["fingerprint"] = fingerprint_of("ghc", pending["code"], ln.strip())
+            pending["log_line_end"] = i
+            continue
+        if pending:
+            yield pending
+            pending = None
+    if pending:
+        yield pending
+
+
+_VERILATOR_RE = re.compile(
+    r"^%(?P<sev>Error|Warning)(?:-(?P<code>[A-Z]+))?: (?P<file>[^\s:]+):(?P<line>\d+):(?:(?P<col>\d+):)?\s*(?P<msg>.*)$"
+)
+
+
+def parse_verilator(lines: list[str]) -> Iterator[dict]:
+    """verilator: `%Error: top.v:10:5: msg` / `%Warning-WIDTH: ...`."""
+    for i, ln in enumerate(lines, 1):
+        m = _VERILATOR_RE.match(ln)
+        if m:
+            yield _event(
+                "verilator", "compile", _norm_severity(m["sev"].lower()), m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None, code=m["code"],
+            )
+
+
+_BANDIT_ISSUE_RE = re.compile(
+    r"^>> Issue: \[(?P<code>B\d+):(?P<rule>\w+)\] (?P<msg>.*)$"
+)
+_BANDIT_SEV_RE = re.compile(r"^\s+Severity: (?P<sev>\w+)\s+Confidence:")
+_BANDIT_LOC_RE = re.compile(r"^\s+Location: (?P<file>[^\s:]+):(?P<line>\d+)(?::(?P<col>\d+))?")
+
+
+def parse_bandit(lines: list[str]) -> Iterator[dict]:
+    """bandit: `>> Issue: [B101:assert_used] msg` + Severity + Location."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _BANDIT_ISSUE_RE.match(ln)
+        if m:
+            pending = _event(
+                "bandit", "security", "warning", m["msg"], i,
+                code=m["code"], rule=m["rule"],
+            )
+            continue
+        if pending is None:
+            continue
+        sm = _BANDIT_SEV_RE.match(ln)
+        if sm:
+            pending["severity"] = "error" if sm["sev"].lower() == "high" else "warning"
+            continue
+        lm = _BANDIT_LOC_RE.match(ln)
+        if lm:
+            pending.update(
+                ref_file=lm["file"], ref_line=int(lm["line"]),
+                ref_column=int(lm["col"]) if lm["col"] else None, log_line_end=i,
+            )
+            yield pending
+            pending = None
+
+
+_GITLEAKS_KV_RE = re.compile(r"^(?P<key>Finding|Secret|RuleID|File|Line|Commit):\s*(?P<val>.*)$")
+
+
+def parse_gitleaks(lines: list[str]) -> Iterator[dict]:
+    """gitleaks: key-value finding blocks (Finding/File/Line/RuleID)."""
+    cur: dict = {}
+    start = 0
+    for i, ln in enumerate(lines, 1):
+        m = _GITLEAKS_KV_RE.match(ln)
+        if not m:
+            continue
+        if m["key"] == "Finding":
+            if "RuleID" in cur:
+                yield _gitleaks_event(cur, start)
+            cur, start = {"Finding": m["val"]}, i
+        else:
+            cur[m["key"]] = m["val"]
+            if m["key"] == "RuleID" and "Finding" in cur:
+                yield _gitleaks_event(cur, start, end=i)
+                cur = {}
+    if "RuleID" in cur and "Finding" in cur:
+        yield _gitleaks_event(cur, start)
+
+
+def _gitleaks_event(cur: dict, start: int, end: int | None = None) -> dict:
+    line = cur.get("Line")
+    return _event(
+        "gitleaks", "security", "error",
+        f"secret detected: {cur.get('RuleID', 'unknown rule')}", start,
+        file=cur.get("File"), line=int(line) if line and line.isdigit() else None,
+        rule=cur.get("RuleID"), end_line_no=end or start,
+    )
+
+
+_TFLINT_HEAD_RE = re.compile(
+    r"^(?P<sev>Error|Warning|Notice): (?P<msg>.*?)\s*\((?P<rule>[\w-]+)\)$"
+)
+
+
+def parse_tflint(lines: list[str]) -> Iterator[dict]:
+    """tflint: `Warning: msg (rule_name)` + `  on main.tf line 10:`."""
+    for i, ln in enumerate(lines, 1):
+        m = _TFLINT_HEAD_RE.match(ln)
+        if not m:
+            continue
+        file = line_no = None
+        end = i
+        for j in range(i, min(i + 4, len(lines))):
+            lm = _TF_ON_RE.match(lines[j])
+            if lm:
+                file, line_no, end = lm["file"], int(lm["line"]), j + 1
+                break
+        yield _event(
+            "tflint", "lint",
+            "error" if m["sev"] == "Error" else "warning",
+            m["msg"], i, file=file, line=line_no, rule=m["rule"], end_line_no=end,
+        )
+
+
+_SOLHINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.sol):(?P<line>\d+):(?P<col>\d+):\s*"
+    r"(?P<sev>Error|Warning):\s*(?P<msg>.*?)\s*\[(?P<rule>[\w-]+)\]$"
+)
+
+
+def parse_solhint(lines: list[str]) -> Iterator[dict]:
+    """solhint: `contracts/Token.sol:10:5: Error: msg [rule]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SOLHINT_RE.match(ln)
+        if m:
+            yield _event(
+                "solhint", "lint", _norm_severity(m["sev"].lower()), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_DENO_HEAD_RE = re.compile(
+    r"^error: (?P<code>TS\d+) \[ERROR\]: (?P<msg>.*)$"
+)
+_DENO_AT_RE = re.compile(r"^\s+at (?:file://)?(?P<file>[^\s:]+):(?P<line>\d+):(?P<col>\d+)$")
+
+
+def parse_deno(lines: list[str]) -> Iterator[dict]:
+    """deno check: `error: TS2304 [ERROR]: msg` + `    at file:///p:10:5`."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _DENO_HEAD_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event(
+                "deno", "typecheck", "error", m["msg"], i, code=m["code"]
+            )
+            continue
+        if pending:
+            am = _DENO_AT_RE.match(ln)
+            if am:
+                pending.update(
+                    ref_file=am["file"], ref_line=int(am["line"]),
+                    ref_column=int(am["col"]), log_line_end=i,
+                )
+                yield pending
+                pending = None
+    if pending:
+        yield pending
+
+
+_CHECKOV_CHECK_RE = re.compile(r"^Check: (?P<code>CKV\w*_[\w]+_\d+): \"(?P<msg>[^\"]*)\"$")
+_CHECKOV_RESULT_RE = re.compile(r"^\s+(?P<res>FAILED|PASSED) for resource: (?P<resource>.*)$")
+_CHECKOV_FILE_RE = re.compile(r"^\s+File: (?P<file>[^\s:]+):(?P<line>\d+)(?:-(?P<end>\d+))?")
+
+
+def parse_checkov(lines: list[str]) -> Iterator[dict]:
+    """checkov: Check/FAILED-for-resource/File blocks."""
+    code = msg = None
+    failed = False
+    resource = None
+    start = 0
+    for i, ln in enumerate(lines, 1):
+        cm = _CHECKOV_CHECK_RE.match(ln)
+        if cm:
+            code, msg, failed, start = cm["code"], cm["msg"], False, i
+            continue
+        rm = _CHECKOV_RESULT_RE.match(ln)
+        if rm and code:
+            failed = rm["res"] == "FAILED"
+            resource = rm["resource"]
+            continue
+        fm = _CHECKOV_FILE_RE.match(ln)
+        if fm and code and failed:
+            yield _event(
+                "checkov", "security", "error",
+                f"{msg} ({resource})", start,
+                file=fm["file"].lstrip("/") or fm["file"], line=int(fm["line"]),
+                code=code, end_line_no=i,
+            )
+            code = None
+
+
+_CTEST_RE = re.compile(
+    r"^\s*\d+/\d+ Test\s+#\d+: (?P<test>[^\s.]+)\s*\.+\*+\s*(?P<res>Failed|Timeout|Exception).*$"
+)
+
+
+def parse_ctest(lines: list[str]) -> Iterator[dict]:
+    """ctest: `1/3 Test #1: test_math ...***Failed  0.05 sec`."""
+    for i, ln in enumerate(lines, 1):
+        m = _CTEST_RE.match(ln)
+        if m:
+            yield _event(
+                "ctest", "test", "error", f"{m['res']}: {m['test']}", i,
+                test_name=m["test"], event_type="test_result",
+            )
+
+
+_SPHINX_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.(?:rst|md|txt|py)):(?P<line>\d+): (?P<sev>WARNING|ERROR|SEVERE): (?P<msg>.*)$"
+)
+
+
+def parse_sphinx(lines: list[str]) -> Iterator[dict]:
+    """sphinx-build: `/docs/index.rst:10: WARNING: undefined label: foo`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SPHINX_RE.match(ln)
+        if m:
+            yield _event(
+                "sphinx", "docs",
+                "warning" if m["sev"] == "WARNING" else "error",
+                m["msg"], i, file=m["file"], line=int(m["line"]),
+            )
+
+
+_LATEX_ERR_RE = re.compile(r"^! (?P<msg>.*)$")
+_LATEX_LINE_RE = re.compile(r"^l\.(?P<line>\d+)")
+_LATEX_FILE_RE = re.compile(r"\(([^\s()]+\.tex)\b")
+
+
+def parse_latex(lines: list[str]) -> Iterator[dict]:
+    """latex: `! Undefined control sequence.` + `l.10 \\foo`; the current
+    file is tracked from the most recent `(path.tex` open-paren."""
+    current_file: str | None = None
+    pending: tuple[str, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _LATEX_FILE_RE.search(ln)
+        if fm:
+            current_file = fm.group(1)
+        em = _LATEX_ERR_RE.match(ln)
+        if em:
+            pending = (em["msg"], i)
+            continue
+        if pending:
+            lm = _LATEX_LINE_RE.match(ln)
+            if lm:
+                msg, start = pending
+                yield _event(
+                    "latex", "compile", "error", msg, start,
+                    file=current_file, line=int(lm["line"]), end_line_no=i,
+                )
+                pending = None
+
+
+_SPOTBUGS_RE = re.compile(
+    r"^[MH]\s+[A-Z]\s+(?P<rule>\w+): (?P<msg>.*?)\s+At (?P<file>[\w./$]+\.java):\[line (?P<line>\d+)\]$"
+)
+
+
+def parse_spotbugs(lines: list[str]) -> Iterator[dict]:
+    """spotbugs text: `M D NP: msg  At Foo.java:[line 10]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SPOTBUGS_RE.match(ln)
+        if m:
+            yield _event(
+                "spotbugs", "lint", "warning", m["msg"], i,
+                file=m["file"], line=int(m["line"]), rule=m["rule"],
+            )
+
+
+_PMD_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.java):(?P<line>\d+):\s*(?P<rule>\w+):\s*(?P<msg>.*)$"
+)
+
+
+def parse_pmd(lines: list[str]) -> Iterator[dict]:
+    """pmd text: `/src/Foo.java:10: UnusedLocalVariable: msg`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PMD_RE.match(ln)
+        if m:
+            yield _event(
+                "pmd", "lint", "warning", m["msg"], i,
+                file=m["file"], line=int(m["line"]), rule=m["rule"],
+            )
+
+
+FORMATS.update(
+    {
+        "mocha": parse_mocha,
+        "phpstan": parse_phpstan,
+        "psalm": parse_psalm,
+        "dart_analyze": parse_dart_analyze,
+        "ocaml": parse_ocaml,
+        "ghc": parse_ghc,
+        "verilator": parse_verilator,
+        "bandit": parse_bandit,
+        "gitleaks": parse_gitleaks,
+        "tflint": parse_tflint,
+        "solhint": parse_solhint,
+        "deno": parse_deno,
+        "checkov": parse_checkov,
+        "ctest": parse_ctest,
+        "sphinx": parse_sphinx,
+        "latex": parse_latex,
+        "spotbugs": parse_spotbugs,
+        "pmd": parse_pmd,
+    }
+)
+
+_COMMAND_PATTERNS.extend(
+    [
+        (re.compile(r"\bmocha\b"), "mocha"),
+        (re.compile(r"\bphpstan\b"), "phpstan"),
+        (re.compile(r"\bpsalm\b"), "psalm"),
+        (re.compile(r"\bdart analyze\b|\bflutter analyze\b"), "dart_analyze"),
+        (re.compile(r"\bocaml(?:find|c|opt)?\b|\bdune (build|test)\b"), "ocaml"),
+        (re.compile(r"\bghc\b|\bstack (build|test)\b|\bcabal (build|test)\b"), "ghc"),
+        (re.compile(r"\bverilator\b"), "verilator"),
+        (re.compile(r"\bbandit\b"), "bandit"),
+        (re.compile(r"\bgitleaks\b"), "gitleaks"),
+        (re.compile(r"\btflint\b"), "tflint"),
+        (re.compile(r"\bsolhint\b"), "solhint"),
+        (re.compile(r"\bdeno (check|lint|test)\b"), "deno"),
+        (re.compile(r"\bcheckov\b"), "checkov"),
+        (re.compile(r"\bctest\b"), "ctest"),
+        (re.compile(r"\bsphinx-build\b"), "sphinx"),
+        (re.compile(r"\b(pdf|lua|xe)?latex\b"), "latex"),
+        (re.compile(r"\bspotbugs\b"), "spotbugs"),
+        (re.compile(r"\bpmd\b"), "pmd"),
+    ]
+)
+
+
 # --- distributed parse (S3): mapInPandas over (source_id, content) rows ------
 
 PARSED_EVENT_DDL = (

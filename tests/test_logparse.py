@@ -832,3 +832,203 @@ def test_batch4_autodetect_distinctive():
     for fmt in ("cppcheck", "rubocop", "checkstyle", "hadolint", "sqlfluff", "luacheck"):
         log = BATCH4_LOGS[fmt][0]
         assert lp.detect_format(log) == fmt, fmt
+
+
+# --- batch 5 ------------------------------------------------------------------
+
+MOCHA_LOG = """  1) Math suite adds numbers:
+
+     AssertionError: expected 3 to equal 4
+      at Context.<anonymous> (test/math.js:10:15)
+      at processImmediate (node:internal/timers:476:21)
+"""
+
+OCAML_LOG = """File "src/main.ml", line 10, characters 5-8:
+Error: Unbound value foo
+File "src/util.ml", line 3, characters 0-4:
+Warning 26: unused variable x.
+"""
+
+GHC_LOG = """src/Main.hs:10:5: error: [GHC-88464]
+    Variable not in scope: foo
+  |
+src/Util.hs:3:1: warning: [-Wunused-imports]
+    The import of 'Data.List' is redundant
+"""
+
+BANDIT_LOG = """>> Issue: [B101:assert_used] Use of assert detected.
+   Severity: Low   Confidence: High
+   Location: src/app.py:10:0
+--------------------------------------------------
+>> Issue: [B602:subprocess_popen_with_shell_equals_true] shell=True identified.
+   Severity: High   Confidence: High
+   Location: src/run.py:22:4
+"""
+
+GITLEAKS_LOG = """Finding: aws_secret="AKIA..."
+Secret: AKIA1234
+File: config/settings.py
+Line: 12
+RuleID: aws-access-key
+"""
+
+TFLINT_LOG = """Warning: instance_type is not a valid value (aws_instance_invalid_type)
+  on main.tf line 10:
+"""
+
+DENO_LOG = """error: TS2304 [ERROR]: Cannot find name 'foo'.
+    at file:///src/app.ts:10:5
+"""
+
+CHECKOV_LOG = """Check: CKV_AWS_20: "S3 Bucket has an ACL defined"
+\tFAILED for resource: aws_s3_bucket.data
+\tFile: /main.tf:10-15
+Check: CKV_AWS_21: "Versioning enabled"
+\tPASSED for resource: aws_s3_bucket.data
+\tFile: /main.tf:10-15
+"""
+
+LATEX_LOG = """(./paper.tex
+! Undefined control sequence.
+l.10 \\foo
+"""
+
+BATCH5_SIMPLE = {
+    "phpstan": (
+        "src/Foo.php:10:Call to an undefined method Foo::bar()\n",
+        1,
+        {"ref_file": "src/Foo.php", "ref_line": 10, "severity": "error"},
+    ),
+    "psalm": (
+        "ERROR: UndefinedVariable - src/a.php:10:5 - Cannot find referenced variable $x\n",
+        1,
+        {"rule": "UndefinedVariable", "ref_column": 5},
+    ),
+    "dart_analyze": (
+        "  error • Undefined name 'foo' • lib/main.dart:10:5 • undefined_identifier\n",
+        1,
+        {"rule": "undefined_identifier", "severity": "error"},
+    ),
+    "verilator": (
+        "%Error: top.v:10:5: Cannot find file\n%Warning-WIDTH: alu.v:22: Operator ASSIGN expects 8 bits\n",
+        2,
+        {"ref_file": "top.v", "severity": "error"},
+    ),
+    "solhint": (
+        "contracts/Token.sol:10:5: Error: Avoid using tx.origin [avoid-tx-origin]\n",
+        1,
+        {"rule": "avoid-tx-origin", "severity": "error"},
+    ),
+    "ctest": (
+        "    1/3 Test #1: test_math ........................***Failed    0.05 sec\n"
+        "    2/3 Test #2: test_io ..........................   Passed    0.01 sec\n",
+        1,
+        {"test_name": "test_math", "event_type": "test_result"},
+    ),
+    "sphinx": (
+        "/docs/index.rst:10: WARNING: undefined label: intro\n",
+        1,
+        {"ref_file": "/docs/index.rst", "severity": "warning"},
+    ),
+    "spotbugs": (
+        "M D NP: Possible null pointer dereference of x in Foo.bar()  At Foo.java:[line 10]\n",
+        1,
+        {"rule": "NP", "ref_line": 10},
+    ),
+    "pmd": (
+        "/src/Foo.java:10: UnusedLocalVariable: Avoid unused local variables such as 'x'.\n",
+        1,
+        {"rule": "UnusedLocalVariable"},
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(BATCH5_SIMPLE))
+def test_batch5_simple_formats(fmt):
+    log, n, expect = BATCH5_SIMPLE[fmt]
+    evs = lp.parse_content(log, fmt)
+    assert len(evs) == n, evs
+    for k, v in expect.items():
+        assert evs[0][k] == v, (k, evs[0])
+
+
+def test_parse_mocha():
+    evs = lp.parse_content(MOCHA_LOG, "mocha")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["test_name"].startswith("Math suite")
+    assert ev["code"] == "AssertionError" and "expected 3" in ev["message"]
+    assert (ev["ref_file"], ev["ref_line"], ev["ref_column"]) == ("test/math.js", 10, 15)
+
+
+def test_parse_ocaml():
+    evs = lp.parse_content(OCAML_LOG, "ocaml")
+    assert len(evs) == 2
+    assert evs[0]["severity"] == "error" and evs[0]["ref_file"] == "src/main.ml"
+    assert evs[1]["severity"] == "warning" and evs[1]["ref_line"] == 3
+
+
+def test_parse_ghc():
+    evs = lp.parse_content(GHC_LOG, "ghc")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "GHC-88464" and "not in scope" in evs[0]["message"]
+    assert evs[1]["severity"] == "warning" and evs[1]["code"] == "-Wunused-imports"
+
+
+def test_parse_bandit():
+    evs = lp.parse_content(BANDIT_LOG, "bandit")
+    assert len(evs) == 2
+    assert evs[0]["code"] == "B101" and evs[0]["severity"] == "warning"
+    assert evs[1]["severity"] == "error"  # High severity
+    assert evs[1]["ref_file"] == "src/run.py" and evs[1]["ref_line"] == 22
+
+
+def test_parse_gitleaks():
+    evs = lp.parse_content(GITLEAKS_LOG, "gitleaks")
+    assert len(evs) == 1
+    assert evs[0]["rule"] == "aws-access-key"
+    assert evs[0]["ref_file"] == "config/settings.py" and evs[0]["ref_line"] == 12
+
+
+def test_parse_tflint_deno_checkov_latex():
+    evs = lp.parse_content(TFLINT_LOG, "tflint")
+    assert len(evs) == 1 and evs[0]["ref_file"] == "main.tf" and evs[0]["rule"] == "aws_instance_invalid_type"
+    evs = lp.parse_content(DENO_LOG, "deno")
+    assert len(evs) == 1 and evs[0]["code"] == "TS2304" and evs[0]["ref_line"] == 10
+    evs = lp.parse_content(CHECKOV_LOG, "checkov")
+    assert len(evs) == 1  # only the FAILED check
+    assert evs[0]["code"] == "CKV_AWS_20" and "aws_s3_bucket.data" in evs[0]["message"]
+    evs = lp.parse_content(LATEX_LOG, "latex")
+    assert len(evs) == 1 and evs[0]["ref_file"] == "./paper.tex" and evs[0]["ref_line"] == 10
+
+
+def test_batch5_command_hints():
+    cases = {
+        "yarn mocha test/": "mocha",
+        "vendor/bin/phpstan analyse": "phpstan",
+        "dart analyze": "dart_analyze",
+        "dune build @all": "ocaml",
+        "stack test": "ghc",
+        "verilator --lint-only top.v": "verilator",
+        "bandit -r src/": "bandit",
+        "gitleaks detect": "gitleaks",
+        "tflint --recursive": "tflint",
+        "deno check main.ts": "deno",
+        "checkov -d .": "checkov",
+        "ctest --output-on-failure": "ctest",
+        "sphinx-build docs out": "sphinx",
+        "pdflatex paper.tex": "latex",
+        "spotbugs -textui app.jar": "spotbugs",
+        "pmd check -d src": "pmd",
+    }
+    for cmd, fmt in cases.items():
+        assert lp.match_command_format(cmd) == fmt, cmd
+
+
+def test_batch5_autodetect_distinctive():
+    assert lp.detect_format(BANDIT_LOG) == "bandit"
+    assert lp.detect_format(OCAML_LOG) == "ocaml"
+    assert lp.detect_format(MOCHA_LOG) == "mocha"
+    assert lp.detect_format(BATCH5_SIMPLE["psalm"][0]) == "psalm"
+    assert lp.detect_format(BATCH5_SIMPLE["dart_analyze"][0]) == "dart_analyze"
+    assert lp.detect_format(CHECKOV_LOG) == "checkov"

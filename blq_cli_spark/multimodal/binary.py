@@ -186,34 +186,156 @@ def decode_image(
     return df.mapInPandas(_batches, schema="id string, width int, height int, pixels array<int>")
 
 
+def gif_frames(data: bytes) -> list[dict]:
+    """Pure-Python animated-GIF frame index: walk the block structure and
+    return one entry per frame with its byte span and timing — REAL frame
+    extraction without any codec library (pixel decode of a frame's LZW
+    stream is the only part that still needs one).
+
+    Returns [{frame_index, offset, length, delay_ms, ts_ms}]."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return []
+    pos = 13
+    flags = data[10]
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 ** ((flags & 0x07) + 1))
+    frames: list[dict] = []
+    ts = 0
+    delay_ms = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            p = pos + 2
+            if label == 0xF9 and p + 4 < len(data):  # graphic control
+                delay_ms = struct.unpack("<H", data[p + 2 : p + 4])[0] * 10
+            while p < len(data) and data[p] != 0:
+                p += 1 + data[p]
+            pos = p + 1
+        elif b == 0x2C:  # image descriptor
+            start = pos
+            p = pos + 9
+            if p < len(data):
+                lflags = data[p]
+                p += 1
+                if lflags & 0x80:  # local color table
+                    p += 3 * (2 ** ((lflags & 0x07) + 1))
+            p += 1  # LZW minimum code size
+            while p < len(data) and data[p] != 0:
+                p += 1 + data[p]
+            p += 1
+            frames.append(
+                {
+                    "frame_index": len(frames),
+                    "offset": start,
+                    "length": p - start,
+                    "delay_ms": delay_ms,
+                    "ts_ms": ts,
+                }
+            )
+            ts += delay_ms or 100  # GIF default ~10fps when delay is 0
+            delay_ms = 0
+            pos = p
+        else:  # corrupt/unknown block: stop scanning
+            break
+    return frames
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, id_col: str = "id", bin_col: str = "content",
     fake: bool = False,
 ) -> DataFrame:
-    """Frame sampling. STUB: real implementation needs an av/ffmpeg
-    binding; fake=True emits deterministic frame markers with the correct
-    output schema (one row per sampled frame — the explode shape)."""
-    import pandas as pd
+    """Frame sampling to (id, frame_index, ts_ms, frame_hash).
 
-    if not fake:
-        raise NotImplementedError(
-            "video frame sampling requires an ffmpeg/av binding (not in this "
-            "container); pass fake=True for schema-correct surrogate frames"
-        )
+    REAL for animated GIF: gif_frames() walks the container, frames are
+    sampled at >= every_ms spacing by their own timestamps, and
+    frame_hash covers the frame's actual byte span (the slice a decoder
+    would consume). Other containers (mp4/webm) need an ffmpeg/av
+    binding: NotImplementedError unless fake=True, which emits
+    deterministic schema-correct surrogate frames."""
+    import pandas as pd
 
     def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(blob) if blob is not None else b""
-                n_frames = max(1, min(5, len(data) // 16))
-                for k in range(n_frames):
-                    rows.append(
-                        {"id": rid, "frame_index": k, "ts_ms": k * every_ms,
-                         "frame_hash": hashlib.md5(data + bytes([k])).hexdigest()}
+                frames = gif_frames(data)
+                if frames:
+                    next_ts = 0
+                    for fr in frames:
+                        if fr["ts_ms"] >= next_ts:
+                            span = data[fr["offset"] : fr["offset"] + fr["length"]]
+                            rows.append(
+                                {
+                                    "id": rid,
+                                    "frame_index": fr["frame_index"],
+                                    "ts_ms": fr["ts_ms"],
+                                    "frame_hash": hashlib.md5(span).hexdigest(),
+                                }
+                            )
+                            next_ts = fr["ts_ms"] + every_ms
+                elif fake:
+                    n_frames = max(1, min(5, len(data) // 16))
+                    for k in range(n_frames):
+                        rows.append(
+                            {"id": rid, "frame_index": k, "ts_ms": k * every_ms,
+                             "frame_hash": hashlib.md5(data + bytes([k])).hexdigest()}
+                        )
+                else:
+                    raise NotImplementedError(
+                        "frame sampling beyond GIF requires an ffmpeg/av binding "
+                        "(not in this container); pass fake=True for "
+                        "schema-correct surrogate frames"
                     )
             yield pd.DataFrame(rows, columns=["id", "frame_index", "ts_ms", "frame_hash"])
 
     return df.mapInPandas(
         _batches, schema="id string, frame_index int, ts_ms long, frame_hash string"
+    )
+
+
+def audio_windows(
+    df: DataFrame, window_ms: int = 1000, id_col: str = "id", bin_col: str = "content"
+) -> DataFrame:
+    """REAL audio segmentation for WAV/PCM: slice the data chunk into
+    fixed-time windows using the header's byte rate — the canonical
+    prepare-for-feature-extraction shape (one row per window; a model
+    UDF consumes window spans downstream). Non-WAV rows yield nothing."""
+    import pandas as pd
+
+    def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(blob) if blob is not None else b""
+                if sniff_format(data) != "wav" or len(data) < 44:
+                    continue
+                byte_rate = struct.unpack("<I", data[28:32])[0]
+                data_size = struct.unpack("<I", data[40:44])[0]
+                if not byte_rate:
+                    continue
+                body = data[44 : 44 + data_size]
+                step = max(1, int(byte_rate * window_ms / 1000))
+                for k, s in enumerate(range(0, len(body), step)):
+                    span = body[s : s + step]
+                    rows.append(
+                        {
+                            "id": rid,
+                            "window_index": k,
+                            "start_ms": int(s * 1000 / byte_rate),
+                            "n_bytes": len(span),
+                            "window_hash": hashlib.md5(span).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "window_index", "start_ms", "n_bytes", "window_hash"],
+            )
+
+    return df.mapInPandas(
+        _batches,
+        schema="id string, window_index int, start_ms long, n_bytes long, window_hash string",
     )

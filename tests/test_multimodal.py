@@ -90,10 +90,66 @@ def test_decode_image_stub_paths(spark, bin_df):
 
 
 def test_sample_video_frames_stub(spark, bin_df):
-    with pytest.raises(NotImplementedError):
-        mm.sample_video_frames(bin_df)
+    # non-GIF containers still require an av binding: the error now
+    # surfaces at execution (per-row), wrapped in Spark's PythonException
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        mm.sample_video_frames(bin_df).collect()
     frames = mm.sample_video_frames(bin_df, every_ms=500, fake=True).collect()
     per_id = {}
     for r in frames:
         per_id.setdefault(r["id"], []).append(r)
     assert [f["ts_ms"] for f in sorted(per_id["img1"], key=lambda r: r["frame_index"])][:2] == [0, 500]
+
+
+def animated_gif_bytes(n_frames: int, delay_cs: int = 50, w: int = 2, h: int = 2) -> bytes:
+    """Hand-assembled animated GIF: no global color table, one graphic
+    control extension (delay in centiseconds) per frame."""
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes([0, 0, 0]))
+    for k in range(n_frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay_cs) + bytes([0x00, 0x00])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x00])
+        out += bytes([0x02, 0x02, 0x44 + k, 0x01, 0x00])  # lzw min + 1 sub-block + term
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_frames_walker_real():
+    data = animated_gif_bytes(4, delay_cs=50)  # 500 ms per frame
+    frames = mm.gif_frames(data)
+    assert [f["frame_index"] for f in frames] == [0, 1, 2, 3]
+    assert [f["ts_ms"] for f in frames] == [0, 500, 1000, 1500]
+    assert all(f["delay_ms"] == 500 for f in frames)
+    # byte spans tile the image blocks: each starts with the 0x2C descriptor
+    for f in frames:
+        assert data[f["offset"]] == 0x2C
+    assert mm.gif_frames(b"not a gif") == []
+
+
+def test_sample_video_frames_real_gif(spark):
+    data = animated_gif_bytes(6, delay_cs=50)  # frames at 0,500,...,2500 ms
+    df = spark.createDataFrame([("vid1", bytearray(data))], "id string, content binary")
+    got = mm.sample_video_frames(df, every_ms=1000).collect()
+    assert [r["ts_ms"] for r in sorted(got, key=lambda r: r["frame_index"])] == [0, 1000, 2000]
+    # hashes cover distinct frame byte spans
+    assert len({r["frame_hash"] for r in got}) == 3
+
+
+def full_wav_bytes(seconds: int, byte_rate: int = 16000) -> bytes:
+    """WAV whose data chunk actually carries its declared bytes."""
+    data_size = byte_rate * seconds
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+    hdr += struct.pack("<HHIIHH", 1, 1, 16000, byte_rate, 2, 16)
+    hdr += b"data" + struct.pack("<I", data_size)
+    body = bytes(k % 251 for k in range(data_size))
+    return hdr + body
+
+
+def test_audio_windows_real_wav(spark):
+    df = spark.createDataFrame(
+        [("aud1", bytearray(full_wav_bytes(3, byte_rate=16000))), ("img", bytearray(png_bytes(2, 2)))],
+        "id string, content binary",
+    )
+    got = sorted(mm.audio_windows(df, window_ms=1000).collect(), key=lambda r: r["window_index"])
+    assert [r["id"] for r in got] == ["aud1"] * 3  # non-WAV rows yield nothing
+    assert [r["start_ms"] for r in got] == [0, 1000, 2000]
+    assert all(r["n_bytes"] == 16000 for r in got[:-1])

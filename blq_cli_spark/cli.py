@@ -395,6 +395,20 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_annotate(args) -> int:
+    """Run the ext annotator pipeline; `--list` shows registered names."""
+    from blq_cli_spark import ext
+
+    ext.discover()
+    if args.list:
+        for n in ext.annotators():
+            print(n)
+        return 0
+    n = ext.run_annotators(_store(args), args.names or None)
+    print(f"wrote {n} annotations")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Agent tool surface over stdio (reference MCP server, serve.py):
     line-delimited JSON requests {"tool": ..., "args": {...}}."""
@@ -517,6 +531,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("clean")
     sp.add_argument("--blobs", action="store_true")
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("annotate")
+    sp.add_argument("names", nargs="*")
+    sp.add_argument("--list", action="store_true")
+    sp.set_defaults(fn=cmd_annotate)
 
     sp = sub.add_parser("serve")
     sp.add_argument("--once", action="store_true", help="answer one request, then exit")

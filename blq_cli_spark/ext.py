@@ -1,0 +1,236 @@
+"""Annotator/extension pipeline: pluggable event enrichment.
+
+Reference surface: src/blq/ext/annotator.py (Annotation dataclass :25-52,
+Annotator protocol + dispatch, RunContext lazy run accessor :55-160) and
+pipeline.py's prepare/execute/collect ordering. The reference mutates
+each event's metadata JSON in place; the Spark-first re-expression keeps
+the events fact table immutable and writes annotations to an
+APPEND-ONLY side table (store table `annotations`), merged into the
+flat view at read time — the only shape that scales and stays
+conflict-free under concurrent annotators.
+
+Two kinds of annotators register here:
+- DataFrame annotators (the scale path): fn(events_df) -> DataFrame of
+  (event_id, ann_type, display, data) — pure distributed plans; the two
+  builtins annotate fingerprint history (occurrence counts, first-seen
+  serial) with one aggregation each.
+- Row annotators (reference-style convenience): fn(event_dict) ->
+  Annotation | None, run via mapInPandas over Arrow batches.
+
+Discovery mirrors the reference's entry-point scan (annotator.py uses
+importlib.metadata.entry_points): `discover()` loads the
+`blq_spark.annotators` group when present, and in-process registration
+is always available.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+VALID_DISPLAYS = ("inline", "detail", "hidden")
+
+
+@dataclass
+class Annotation:
+    """Typed annotation attached to an event (reference annotator.py:25-52)."""
+
+    annotator: str
+    type: str
+    display: str
+    data: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.display not in VALID_DISPLAYS:
+            raise ValueError(
+                f"display must be one of {VALID_DISPLAYS}, got {self.display!r}"
+            )
+
+    def to_dict(self) -> dict:
+        return {
+            "annotator": self.annotator,
+            "type": self.type,
+            "display": self.display,
+            "data": self.data,
+        }
+
+
+_DF_ANNOTATORS: dict[str, Callable[[DataFrame], DataFrame]] = {}
+_ROW_ANNOTATORS: dict[str, Callable[[dict], Annotation | None]] = {}
+
+
+def register_annotator(name: str, fn: Callable[[DataFrame], DataFrame]) -> None:
+    """Register a DataFrame annotator: events_df -> (event_id, ann_type,
+    display, data) rows."""
+    _DF_ANNOTATORS[name] = fn
+
+
+def register_row_annotator(name: str, fn: Callable[[dict], Annotation | None]) -> None:
+    """Register a per-event annotator (reference protocol); executed
+    distributed via mapInPandas."""
+    _ROW_ANNOTATORS[name] = fn
+
+
+def annotators() -> list[str]:
+    return sorted(set(_DF_ANNOTATORS) | set(_ROW_ANNOTATORS))
+
+
+def discover() -> list[str]:
+    """Entry-point discovery (reference annotator.py's entry_points scan,
+    group `blq_spark.annotators`). Returns names loaded; silently empty
+    when no distribution declares the group."""
+    loaded = []
+    try:
+        from importlib.metadata import entry_points
+
+        for ep in entry_points(group="blq_spark.annotators"):
+            fn = ep.load()
+            register_annotator(ep.name, fn)
+            loaded.append(ep.name)
+    except Exception:  # noqa: BLE001 — discovery is best-effort by contract
+        pass
+    return loaded
+
+
+# --- builtin DataFrame annotators (the scale path) ---------------------------
+
+
+def _fingerprint_count(events: DataFrame) -> DataFrame:
+    """How often each event's fingerprint occurs across the whole store —
+    one groupBy on fingerprint broadcast back; flags chronic diagnostics."""
+    counts = (
+        events.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        events.join(F.broadcast(counts), "fingerprint")
+        .filter(F.col("n") > 1)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("recurrence").alias("ann_type"),
+            F.lit("inline").alias("display"),
+            F.to_json(F.struct(F.col("n").alias("n_occurrences"))).alias("data"),
+        )
+    )
+
+
+def _first_seen(events_flat: DataFrame) -> DataFrame:
+    """First run_serial each fingerprint appeared in (min over the store);
+    new-this-run events are the interesting ones for review."""
+    first = (
+        events_flat.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min("run_serial").alias("first_serial"))
+    )
+    return (
+        events_flat.join(F.broadcast(first), "fingerprint")
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("first_seen").alias("ann_type"),
+            F.lit("detail").alias("display"),
+            F.to_json(
+                F.struct(
+                    F.col("first_serial"),
+                    (F.col("run_serial") == F.col("first_serial")).alias("is_new"),
+                )
+            ).alias("data"),
+        )
+    )
+
+
+register_annotator("fingerprint_count", _fingerprint_count)
+register_annotator("first_seen", _first_seen)
+
+
+# --- pipeline ----------------------------------------------------------------
+
+
+def _row_annotator_df(events: DataFrame, name: str) -> DataFrame:
+    import pandas as pd
+
+    fn = _ROW_ANNOTATORS[name]
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                ann = fn(rec)
+                if ann is not None:
+                    rows.append(
+                        {
+                            "event_id": rec["id"],
+                            "ann_type": ann.type,
+                            "display": ann.display,
+                            "data": json.dumps(ann.data, sort_keys=True),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["event_id", "ann_type", "display", "data"]
+            )
+
+    return events.mapInPandas(
+        _batches, schema="event_id string, ann_type string, display string, data string"
+    )
+
+
+def run_annotators(store, names: list[str] | None = None) -> int:
+    """Run annotators over the store's flat events and append results to
+    the `annotations` side table. Forward registration order, like the
+    reference pipeline's prepare phase (pipeline.py:24-27); each
+    annotator is one distributed job, failures skip that annotator
+    (collect-phase tolerance, pipeline.py:33-36). Returns rows written."""
+    flat = store.events_flat()
+    written = 0
+    today = _dt.date.today()
+    for name in names or annotators():
+        try:
+            if name in _DF_ANNOTATORS:
+                out = _DF_ANNOTATORS[name](flat)
+            else:
+                out = _row_annotator_df(flat, name)
+            out = (
+                out.withColumn("annotator", F.lit(name))
+                .withColumn("date", F.lit(today))
+                .join(
+                    flat.select(F.col("id").alias("event_id"), "invocation_id"),
+                    "event_id",
+                )
+                .select(
+                    "event_id", "invocation_id", "annotator", "ann_type",
+                    "display", "data", "date",
+                )
+            )
+            n = out.count()
+            if n:
+                out.write.mode("append").partitionBy("date").parquet(
+                    store._path("annotations")
+                )
+            written += n
+        except Exception:  # noqa: BLE001 — one bad annotator must not kill the run
+            continue
+    return written
+
+
+def events_annotated(store) -> DataFrame:
+    """Flat events with an `annotations` JSON-array column merged from
+    the side table at read time — the reference's metadata-JSON merge
+    (annotator.py add_annotation), expressed as a read-side aggregation
+    instead of a fact-table update."""
+    anns = (
+        store.table("annotations")
+        .groupBy(F.col("event_id").alias("id"))
+        .agg(
+            F.to_json(
+                F.collect_list(
+                    F.struct("annotator", "ann_type", "display", "data")
+                )
+            ).alias("annotations")
+        )
+    )
+    return store.events_flat().join(anns, "id", "left")

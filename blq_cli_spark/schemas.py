@@ -150,3 +150,20 @@ SESSIONS_SCHEMA = StructType(
         _f("date", DT, False),
     ]
 )
+
+# annotations: typed enrichment attached to events by ext annotators
+# (reference Annotation dataclass, src/blq/ext/annotator.py:25-52 — the
+# reference UPDATEs each event's metadata JSON in place; at scale an
+# APPEND-ONLY side table keyed by event_id is the correct shape, merged
+# into the flat view at read time)
+ANNOTATIONS_SCHEMA = StructType(
+    [
+        _f("event_id", STR, False),
+        _f("invocation_id", STR),
+        _f("annotator", STR, False),
+        _f("ann_type", STR),
+        _f("display", STR),  # inline | detail | hidden
+        _f("data", STR),  # JSON payload
+        _f("date", DT, False),
+    ]
+)

@@ -45,6 +45,7 @@ _TABLES = {
     "outcomes": schemas.OUTCOMES_SCHEMA,
     "outputs": schemas.OUTPUTS_SCHEMA,
     "sessions": schemas.SESSIONS_SCHEMA,
+    "annotations": schemas.ANNOTATIONS_SCHEMA,
 }
 
 

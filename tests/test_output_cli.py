@@ -180,3 +180,10 @@ def test_cli_ci_generate_and_comment(cli_store, capsys, tmp_path):
     md = capsys.readouterr().out
     assert md.startswith("## Build Log Analysis")
     assert "| Baseline run | #1 |" in md and "**Status:**" in md
+
+
+def test_cli_annotate(cli_store, capsys):
+    assert main(["--store", cli_store, "annotate", "--list"]) == 0
+    assert "fingerprint_count" in capsys.readouterr().out
+    assert main(["--store", cli_store, "annotate", "first_seen"]) == 0
+    assert "wrote" in capsys.readouterr().out

@@ -2359,6 +2359,291 @@ _COMMAND_PATTERNS.extend(
 )
 
 
+# --- batch 6 formats ---------------------------------------------------------
+
+_GO_BUILD_RE = re.compile(
+    r"^(?P<file>\.?/?[\w./-]+\.go):(?P<line>\d+):(?:(?P<col>\d+):)?\s*(?P<msg>(?!.*\b(?:error|warning)\b:).+)$"
+)
+
+
+def parse_go_build(lines: list[str]) -> Iterator[dict]:
+    """go build / go vet: `./main.go:10:5: undefined: foo` — file:line:col
+    with NO severity keyword (which is why the gcc grammar misses it)."""
+    for i, ln in enumerate(lines, 1):
+        m = _GO_BUILD_RE.match(ln)
+        if m:
+            yield _event(
+                "go", "compile", "error", m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_NODE_ERR_RE = re.compile(
+    r"^(?P<code>[A-Z][\w]*Error|AssertionError)(?:\s*\[[\w_]+\])?:\s*(?P<msg>.*)$"
+)
+_NODE_AT_RE = re.compile(
+    r"^\s+at .*?\(?(?P<file>[^\s():]+\.[cm]?js):(?P<line>\d+):(?P<col>\d+)\)?$"
+)
+
+
+def parse_node_traceback(lines: list[str]) -> Iterator[dict]:
+    """node runtime: `TypeError: msg` + first userland `at file.js:10:5`
+    frame (node:internal frames are skipped by the file pattern)."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _NODE_ERR_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event(
+                "node", "runtime", "error", m["msg"] or m["code"], i, code=m["code"]
+            )
+            continue
+        if pending:
+            am = _NODE_AT_RE.match(ln)
+            if am and "node:internal" not in am["file"]:
+                pending.update(
+                    ref_file=am["file"], ref_line=int(am["line"]),
+                    ref_column=int(am["col"]), log_line_end=i,
+                )
+                yield pending
+                pending = None
+    if pending:
+        yield pending
+
+
+_RUBY_TB_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.rb):(?P<line>\d+):in [`'](?P<fn>[^']+)'?:?\s*(?P<msg>.*?)\s*(?:\((?P<code>\w+)\))?$"
+)
+
+
+def parse_ruby_traceback(lines: list[str]) -> Iterator[dict]:
+    """ruby runtime: `script.rb:10:in \\`foo': msg (RuntimeError)` — only
+    the frame carrying a message+class yields an event."""
+    for i, ln in enumerate(lines, 1):
+        m = _RUBY_TB_RE.match(ln)
+        if m and m["msg"] and m["code"]:
+            yield _event(
+                "ruby", "runtime", "error", m["msg"], i,
+                file=m["file"], line=int(m["line"]), code=m["code"],
+            )
+
+
+_PERL_RE = re.compile(
+    r"^(?P<msg>.+?) at (?P<file>[^\s]+\.p[lm]) line (?P<line>\d+)(?:, near \"(?P<near>[^\"]*)\")?\.?$"
+)
+
+
+def parse_perl(lines: list[str]) -> Iterator[dict]:
+    """perl: `syntax error at script.pl line 10, near "..."`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PERL_RE.match(ln)
+        if m:
+            sev = "warning" if m["msg"].lower().startswith(("use of uninitialized", "name ")) else "error"
+            yield _event(
+                "perl", "runtime", sev, m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+            )
+
+
+_JULIA_ERR_RE = re.compile(r"^ERROR:(?: LoadError:)* (?P<code>\w+Error|\w+Exception)?:?\s*(?P<msg>.*)$")
+_JULIA_AT_RE = re.compile(r"^\s*@ \S+ (?P<file>[~\w./-]+\.jl):(?P<line>\d+)$")
+
+
+def parse_julia(lines: list[str]) -> Iterator[dict]:
+    """julia: `ERROR: LoadError: UndefVarError: foo` + `@ Main src/main.jl:10`.
+    A bare `ERROR: msg` with neither an error class nor a stacktrace
+    location is left for the generic format (too ambiguous to claim)."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _JULIA_ERR_RE.match(ln)
+        if m:
+            if pending and pending["code"]:
+                yield pending
+            pending = _event(
+                "julia", "runtime", "error",
+                m["msg"] or (m["code"] or "error"), i, code=m["code"],
+            )
+            continue
+        if pending:
+            am = _JULIA_AT_RE.match(ln)
+            if am:
+                pending.update(
+                    ref_file=am["file"], ref_line=int(am["line"]), log_line_end=i
+                )
+                yield pending
+                pending = None
+    if pending and pending["code"]:
+        yield pending
+
+
+_CLOJURE_RE = re.compile(
+    r"^(?P<kind>Syntax error|Execution error)(?: \((?P<code>[\w.]+)\))? "
+    r"(?:compiling(?: [\w./]+)? )?at \((?P<file>[^\s:]+):(?P<line>\d+)(?::(?P<col>\d+))?\)\.?$"
+)
+
+
+def parse_clojure(lines: list[str]) -> Iterator[dict]:
+    """clojure: `Syntax error compiling at (src/core.clj:10:5).` — the
+    message is on the following line."""
+    for i, ln in enumerate(lines, 1):
+        m = _CLOJURE_RE.match(ln)
+        if m:
+            msg = lines[i].strip() if i < len(lines) else m["kind"]
+            yield _event(
+                "clojure", "compile", "error", msg or m["kind"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+                code=m["code"], end_line_no=i + 1 if msg else i,
+            )
+
+
+_PRETTIER_RE = re.compile(
+    r"^\[(?P<sev>error|warn)\] (?P<file>[^\s:]+): (?P<code>\w+): (?P<msg>.*?) \((?P<line>\d+):(?P<col>\d+)\)$"
+)
+
+
+def parse_prettier(lines: list[str]) -> Iterator[dict]:
+    """prettier: `[error] src/a.js: SyntaxError: msg (10:5)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PRETTIER_RE.match(ln)
+        if m:
+            yield _event(
+                "prettier", "format", _norm_severity(m["sev"]), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                code=m["code"],
+            )
+
+
+_DMD_RE = re.compile(
+    r"^(?P<file>[^\s(]+\.di?)\((?P<line>\d+)(?:,(?P<col>\d+))?\):\s*"
+    r"(?P<sev>Error|Warning|Deprecation):\s*(?P<msg>.*)$"
+)
+
+
+def parse_dmd(lines: list[str]) -> Iterator[dict]:
+    """D (dmd/ldc): `src/app.d(10): Error: undefined identifier foo`."""
+    for i, ln in enumerate(lines, 1):
+        m = _DMD_RE.match(ln)
+        if m:
+            yield _event(
+                "dmd", "compile",
+                "error" if m["sev"] == "Error" else "warning",
+                m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_NIM_RE = re.compile(
+    r"^(?P<file>[^\s(]+\.nim)\((?P<line>\d+), (?P<col>\d+)\)\s+"
+    r"(?P<sev>Error|Warning|Hint):\s*(?P<msg>.*)$"
+)
+
+
+def parse_nim(lines: list[str]) -> Iterator[dict]:
+    """nim: `src/main.nim(10, 5) Error: undeclared identifier: 'foo'`."""
+    for i, ln in enumerate(lines, 1):
+        m = _NIM_RE.match(ln)
+        if m:
+            sev = {"Error": "error", "Warning": "warning", "Hint": "info"}[m["sev"]]
+            yield _event(
+                "nim", "compile", sev, m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+            )
+
+
+_PASCAL_RE = re.compile(
+    r"^(?P<file>[^\s(]+\.(?:pas|pp|dpr))\((?P<line>\d+),(?P<col>\d+)\)\s+"
+    r"(?P<sev>Error|Warning|Note|Fatal):\s*(?P<msg>.*)$"
+)
+
+
+def parse_pascal(lines: list[str]) -> Iterator[dict]:
+    """fpc: `main.pas(10,5) Error: Identifier not found "foo"`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PASCAL_RE.match(ln)
+        if m:
+            yield _event(
+                "fpc", "compile", _norm_severity(m["sev"].lower()), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+            )
+
+
+_ERLANG_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.erl):(?P<line>\d+)(?::(?P<col>\d+))?:\s*(?:(?P<sev>Warning):\s*)?(?P<msg>.*)$"
+)
+
+
+def parse_erlang(lines: list[str]) -> Iterator[dict]:
+    """erlc: `src/mod.erl:10: function foo/0 undefined` (errors carry no
+    severity keyword; warnings say `Warning:`)."""
+    for i, ln in enumerate(lines, 1):
+        m = _ERLANG_RE.match(ln)
+        if m and m["msg"]:
+            yield _event(
+                "erlang", "compile",
+                "warning" if m["sev"] else "error",
+                m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_PLAYWRIGHT_RE = re.compile(
+    r"^\s*\d+\) \[(?P<project>[\w-]+)\] › (?P<file>[^\s:]+):(?P<line>\d+):(?P<col>\d+) › (?P<test>.+?)\s*$"
+)
+
+
+def parse_playwright(lines: list[str]) -> Iterator[dict]:
+    """playwright: `1) [chromium] › a.spec.ts:10:5 › suite › test name`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PLAYWRIGHT_RE.match(ln)
+        if m:
+            yield _event(
+                "playwright", "test", "error", f"failed: {m['test']}", i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                test_name=m["test"], code=m["project"],
+                event_type="test_result",
+            )
+
+
+FORMATS.update(
+    {
+        "go_build": parse_go_build,
+        "node_traceback": parse_node_traceback,
+        "ruby_traceback": parse_ruby_traceback,
+        "perl": parse_perl,
+        "julia": parse_julia,
+        "clojure": parse_clojure,
+        "prettier": parse_prettier,
+        "dmd": parse_dmd,
+        "nim": parse_nim,
+        "pascal": parse_pascal,
+        "erlang": parse_erlang,
+        "playwright": parse_playwright,
+    }
+)
+
+_COMMAND_PATTERNS.extend(
+    [
+        (re.compile(r"\bgo (build|vet|install)\b"), "go_build"),
+        (re.compile(r"\bnode\b|\bts-node\b"), "node_traceback"),
+        (re.compile(r"\bruby\b|\brake\b"), "ruby_traceback"),
+        (re.compile(r"\bperl\b"), "perl"),
+        (re.compile(r"\bjulia\b"), "julia"),
+        (re.compile(r"\blein\b|\bclj\b|\bclojure\b"), "clojure"),
+        (re.compile(r"\bprettier\b"), "prettier"),
+        (re.compile(r"\b(dmd|ldc2?)\b"), "dmd"),
+        (re.compile(r"\bnim\b"), "nim"),
+        (re.compile(r"\bfpc\b"), "pascal"),
+        (re.compile(r"\berlc\b|\brebar3\b"), "erlang"),
+        (re.compile(r"\bplaywright\b"), "playwright"),
+    ]
+)
+
+
 # --- distributed parse (S3): mapInPandas over (source_id, content) rows ------
 
 PARSED_EVENT_DDL = (

@@ -1032,3 +1032,130 @@ def test_batch5_autodetect_distinctive():
     assert lp.detect_format(BATCH5_SIMPLE["psalm"][0]) == "psalm"
     assert lp.detect_format(BATCH5_SIMPLE["dart_analyze"][0]) == "dart_analyze"
     assert lp.detect_format(CHECKOV_LOG) == "checkov"
+
+
+# --- batch 6 ------------------------------------------------------------------
+
+NODE_LOG = """/app/index.js:10
+  throw new Error("kaboom");
+TypeError: Cannot read properties of undefined (reading 'x')
+    at handle (/app/src/handler.js:10:15)
+    at process.processTicksAndRejections (node:internal/process/task_queues:95:5)
+"""
+
+JULIA_LOG = """ERROR: LoadError: UndefVarError: `foo` not defined
+Stacktrace:
+ [1] top-level scope
+   @ Main src/main.jl:10
+"""
+
+CLOJURE_LOG = """Syntax error compiling at (src/core.clj:10:5).
+Unable to resolve symbol: foo in this context
+"""
+
+BATCH6_SIMPLE = {
+    "go_build": (
+        "./main.go:10:5: undefined: foo\npkg/util.go:3:1: imported and not used: \"fmt\"\n",
+        2,
+        {"ref_file": "./main.go", "ref_line": 10, "severity": "error"},
+    ),
+    "ruby_traceback": (
+        "script.rb:10:in `divide': divided by 0 (ZeroDivisionError)\n"
+        "\tfrom script.rb:14:in `<main>'\n",
+        1,
+        {"code": "ZeroDivisionError", "ref_line": 10},
+    ),
+    "perl": (
+        "syntax error at script.pl line 10, near \"my $x\"\n"
+        "Global symbol \"$y\" requires explicit package name at script.pl line 5.\n",
+        2,
+        {"ref_file": "script.pl", "ref_line": 10, "severity": "error"},
+    ),
+    "prettier": (
+        "[error] src/a.js: SyntaxError: Unexpected token (10:5)\n",
+        1,
+        {"code": "SyntaxError", "ref_line": 10, "ref_column": 5},
+    ),
+    "dmd": (
+        "src/app.d(10): Error: undefined identifier `foo`\n"
+        "src/util.d(3,7): Warning: statement is not reachable\n",
+        2,
+        {"ref_file": "src/app.d", "severity": "error"},
+    ),
+    "nim": (
+        "src/main.nim(10, 5) Error: undeclared identifier: 'foo'\n"
+        "src/main.nim(3, 1) Hint: 'x' is declared but not used [XDeclaredButNotUsed]\n",
+        2,
+        {"ref_column": 5, "severity": "error"},
+    ),
+    "pascal": (
+        "main.pas(10,5) Error: Identifier not found \"foo\"\n",
+        1,
+        {"ref_file": "main.pas", "severity": "error"},
+    ),
+    "erlang": (
+        "src/mod.erl:10: function foo/0 undefined\n"
+        "src/mod.erl:3: Warning: variable 'X' is unused\n",
+        2,
+        {"severity": "error", "ref_line": 10},
+    ),
+    "playwright": (
+        "  1) [chromium] › tests/auth.spec.ts:10:5 › login › rejects bad password\n",
+        1,
+        {"test_name": "login › rejects bad password", "code": "chromium"},
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(BATCH6_SIMPLE))
+def test_batch6_simple_formats(fmt):
+    log, n, expect = BATCH6_SIMPLE[fmt]
+    evs = lp.parse_content(log, fmt)
+    assert len(evs) == n, evs
+    for k, v in expect.items():
+        assert evs[0][k] == v, (k, evs[0])
+
+
+def test_parse_node_traceback():
+    evs = lp.parse_content(NODE_LOG, "node_traceback")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["code"] == "TypeError"
+    # node:internal frames skipped; first userland frame wins
+    assert ev["ref_file"] == "/app/src/handler.js" and ev["ref_line"] == 10
+
+
+def test_parse_julia_and_clojure():
+    evs = lp.parse_content(JULIA_LOG, "julia")
+    assert len(evs) == 1
+    assert evs[0]["code"] == "UndefVarError" and evs[0]["ref_file"] == "src/main.jl"
+    evs = lp.parse_content(CLOJURE_LOG, "clojure")
+    assert len(evs) == 1
+    assert "Unable to resolve symbol" in evs[0]["message"] and evs[0]["ref_line"] == 10
+
+
+def test_batch6_command_hints():
+    cases = {
+        "go build ./...": "go_build",
+        "go test ./...": "go_test",  # test output, not build errors
+        "node server.js": "node_traceback",
+        "bundle exec rake": "ruby_traceback",
+        "perl script.pl": "perl",
+        "julia --project src/main.jl": "julia",
+        "lein test": "clojure",
+        "prettier --check .": "prettier",
+        "ldc2 -O2 app.d": "dmd",
+        "nim c src/main.nim": "nim",
+        "fpc main.pas": "pascal",
+        "rebar3 compile": "erlang",
+        "npx playwright test": "playwright",
+    }
+    for cmd, fmt in cases.items():
+        assert lp.match_command_format(cmd) == fmt, cmd
+
+
+def test_batch6_autodetect_distinctive():
+    assert lp.detect_format(BATCH6_SIMPLE["nim"][0]) == "nim"
+    assert lp.detect_format(BATCH6_SIMPLE["playwright"][0]) == "playwright"
+    assert lp.detect_format(JULIA_LOG) == "julia"
+    assert lp.detect_format(BATCH6_SIMPLE["dmd"][0]) == "dmd"

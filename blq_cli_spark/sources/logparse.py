@@ -2644,6 +2644,292 @@ _COMMAND_PATTERNS.extend(
 )
 
 
+# --- batch 7 formats ---------------------------------------------------------
+
+_GFORTRAN_LOC_RE = re.compile(r"^(?P<file>[^\s:]+\.[fF](?:90|95|03|08)?):(?P<line>\d+):(?P<col>\d+):\s*$")
+_GFORTRAN_MSG_RE = re.compile(r"^(?P<sev>Error|Warning): (?P<msg>.*)$")
+
+
+def parse_gfortran(lines: list[str]) -> Iterator[dict]:
+    """gfortran: bare `main.f90:10:5:` location line, code echo, then
+    `Error: Symbol 'x' at (1) has no IMPLICIT type`."""
+    loc: tuple[str, int, int, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        lm = _GFORTRAN_LOC_RE.match(ln)
+        if lm:
+            loc = (lm["file"], int(lm["line"]), int(lm["col"]), i)
+            continue
+        mm = _GFORTRAN_MSG_RE.match(ln)
+        if mm and loc:
+            yield _event(
+                "gfortran", "compile", _norm_severity(mm["sev"].lower()), mm["msg"],
+                loc[3], file=loc[0], line=loc[1], col=loc[2], end_line_no=i,
+            )
+            loc = None
+
+
+_SCALATEST_FAIL_RE = re.compile(r"^[-\s]*(?P<test>.+?) \*\*\* FAILED \*\*\*\s*$")
+_SCALATEST_LOC_RE = re.compile(r"^\s+(?P<msg>.*?)\s*\((?P<file>[^\s:()]+\.scala):(?P<line>\d+)\)\s*$")
+
+
+def parse_scalatest(lines: list[str]) -> Iterator[dict]:
+    """scalatest: `- should add *** FAILED ***` + `  expected... (Spec.scala:10)`."""
+    current: tuple[str, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        fm = _SCALATEST_FAIL_RE.match(ln)
+        if fm:
+            current = (fm["test"].lstrip("- "), i)
+            continue
+        if current:
+            lm = _SCALATEST_LOC_RE.match(ln)
+            if lm:
+                yield _event(
+                    "scalatest", "test", "error", lm["msg"], current[1],
+                    file=lm["file"], line=int(lm["line"]),
+                    test_name=current[0], event_type="test_result", end_line_no=i,
+                )
+                current = None
+
+
+_TAP_RE = re.compile(r"^not ok (?P<num>\d+)(?:\s*-\s*(?P<test>.*?))?(?:\s*#.*)?$")
+
+
+def parse_tap(lines: list[str]) -> Iterator[dict]:
+    """Test Anything Protocol: `not ok 2 - test name`."""
+    for i, ln in enumerate(lines, 1):
+        m = _TAP_RE.match(ln)
+        if m:
+            name = (m["test"] or f"test {m['num']}").strip()
+            yield _event(
+                "tap", "test", "error", f"not ok: {name}", i,
+                test_name=name, event_type="test_result",
+            )
+
+
+_GTEST_FAIL_RE = re.compile(r"^\[\s*FAILED\s*\] (?P<test>[\w./]+)(?: \(\d+ ms\))?$")
+_GTEST_LOC_RE = re.compile(r"^(?P<file>[^\s:]+\.(?:cc|cpp|h|hpp)):(?P<line>\d+): Failure$")
+
+
+def parse_googletest(lines: list[str]) -> Iterator[dict]:
+    """googletest: `file.cc:10: Failure` detail blocks + the summary
+    `[  FAILED  ] Suite.Test` lines (which carry the test name)."""
+    seen_fail_names = set()
+    pending_loc: tuple[str, int, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        lm = _GTEST_LOC_RE.match(ln)
+        if lm:
+            pending_loc = (lm["file"], int(lm["line"]), i)
+            continue
+        if pending_loc and ln.strip() and not ln.startswith("["):
+            file, line, start = pending_loc
+            yield _event(
+                "googletest", "test", "error", ln.strip(), start,
+                file=file, line=line, end_line_no=i,
+            )
+            pending_loc = None
+            continue
+        fm = _GTEST_FAIL_RE.match(ln)
+        if fm and fm["test"] not in seen_fail_names:
+            seen_fail_names.add(fm["test"])
+            yield _event(
+                "googletest", "test", "error", f"FAILED: {fm['test']}", i,
+                test_name=fm["test"], event_type="test_result",
+            )
+
+
+_CATCH2_LOC_RE = re.compile(r"^(?P<file>[^\s:]+\.(?:cpp|cc|hpp|h)):(?P<line>\d+): FAILED:\s*$")
+_CATCH2_EXPR_RE = re.compile(r"^\s+(?:REQUIRE|CHECK)(?:_\w+)?\( (?P<expr>.*) \)\s*$")
+
+
+def parse_catch2(lines: list[str]) -> Iterator[dict]:
+    """catch2: `file.cpp:10: FAILED:` + `  REQUIRE( x == 4 )`."""
+    pending: tuple[str, int, int] | None = None
+    for i, ln in enumerate(lines, 1):
+        lm = _CATCH2_LOC_RE.match(ln)
+        if lm:
+            pending = (lm["file"], int(lm["line"]), i)
+            continue
+        if pending:
+            em = _CATCH2_EXPR_RE.match(ln)
+            file, line, start = pending
+            msg = em["expr"] if em else ln.strip()
+            if msg:
+                yield _event(
+                    "catch2", "test", "error", msg, start,
+                    file=file, line=line, end_line_no=i,
+                )
+                pending = None
+
+
+_PYUNIT_FAIL_RE = re.compile(
+    r"^(?P<sev>FAIL|ERROR): (?P<test>\w+) \((?P<cls>[\w.]+)\)$"
+)
+
+
+def parse_python_unittest(lines: list[str]) -> Iterator[dict]:
+    """python unittest: `FAIL: test_x (tests.test_mod.TestCase)` headers
+    (the traceback detail belongs to python_traceback)."""
+    for i, ln in enumerate(lines, 1):
+        m = _PYUNIT_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "unittest", "test", "error",
+                f"{m['sev']}: {m['cls']}.{m['test']}", i,
+                test_name=f"{m['cls']}.{m['test']}", event_type="test_result",
+            )
+
+
+_SWIFTLINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.swift):(?P<line>\d+):(?P<col>\d+): "
+    r"(?P<sev>error|warning): (?P<msg>.*?) \((?P<rule>[\w_]+)\)$"
+)
+
+
+def parse_swiftlint(lines: list[str]) -> Iterator[dict]:
+    """swiftlint: swiftc shape + trailing `(rule_id)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SWIFTLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "swiftlint", "lint", _norm_severity(m["sev"]), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_DETEKT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.kts?):(?P<line>\d+):(?P<col>\d+): (?P<msg>.*?) \[(?P<rule>[\w.]+)\]$"
+)
+
+
+def parse_detekt(lines: list[str]) -> Iterator[dict]:
+    """detekt: `src/App.kt:10:5: msg [MagicNumber]` (no severity keyword)."""
+    for i, ln in enumerate(lines, 1):
+        m = _DETEKT_RE.match(ln)
+        if m:
+            yield _event(
+                "detekt", "lint", "warning", m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_SCALASTYLE_RE = re.compile(
+    r"^(?P<sev>error|warning) file=(?P<file>[^\s]+) message=(?P<msg>.*?)"
+    r"(?: line=(?P<line>\d+))?(?: column=(?P<col>\d+))?$"
+)
+
+
+def parse_scalastyle(lines: list[str]) -> Iterator[dict]:
+    """scalastyle: `error file=/p/Foo.scala message=msg line=10 column=5`."""
+    for i, ln in enumerate(lines, 1):
+        m = _SCALASTYLE_RE.match(ln)
+        if m:
+            yield _event(
+                "scalastyle", "lint", _norm_severity(m["sev"]), m["msg"], i,
+                file=m["file"],
+                line=int(m["line"]) if m["line"] else None,
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_PUPPET_RE = re.compile(
+    r"^(?P<sev>Error|Warning): (?P<msg>.*?) \(file: (?P<file>[^,]+), line: (?P<line>\d+)(?:, column: (?P<col>\d+))?\)$"
+)
+
+
+def parse_puppet(lines: list[str]) -> Iterator[dict]:
+    """puppet: `Error: msg (file: /p/site.pp, line: 10, column: 5)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PUPPET_RE.match(ln)
+        if m:
+            yield _event(
+                "puppet", "deploy", _norm_severity(m["sev"].lower()), m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None,
+            )
+
+
+_XMLLINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.(?:xml|xsd|xsl|svg|html)):(?P<line>\d+): "
+    r"(?P<kind>parser error|validity error|error|warning)\s*:\s*(?P<msg>.*)$"
+)
+
+
+def parse_xmllint(lines: list[str]) -> Iterator[dict]:
+    """xmllint: `file.xml:10: parser error : Opening and ending tag mismatch`."""
+    for i, ln in enumerate(lines, 1):
+        m = _XMLLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "xmllint", "lint",
+                "warning" if m["kind"] == "warning" else "error",
+                m["msg"], i, file=m["file"], line=int(m["line"]),
+                code=m["kind"].replace(" ", "_"),
+            )
+
+
+_GO_PANIC_RE = re.compile(r"^panic: (?P<msg>.*?)(?:\s*\[recovered\])?$")
+_GO_FRAME_RE = re.compile(r"^\t(?P<file>[^\s:]+\.go):(?P<line>\d+)(?: \+0x[0-9a-f]+)?$")
+
+
+def parse_go_panic(lines: list[str]) -> Iterator[dict]:
+    """go runtime panic: `panic: msg` + goroutine trace; the first
+    non-runtime frame (`\\tmain.go:10 +0x1d`) supplies the location."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _GO_PANIC_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            pending = _event("go", "runtime", "error", m["msg"], i, code="panic")
+            continue
+        if pending:
+            fm = _GO_FRAME_RE.match(ln)
+            if fm and "/runtime/" not in fm["file"]:
+                pending.update(
+                    ref_file=fm["file"], ref_line=int(fm["line"]), log_line_end=i
+                )
+                yield pending
+                pending = None
+    if pending:
+        yield pending
+
+
+FORMATS.update(
+    {
+        "gfortran": parse_gfortran,
+        "scalatest": parse_scalatest,
+        "tap": parse_tap,
+        "googletest": parse_googletest,
+        "catch2": parse_catch2,
+        "python_unittest": parse_python_unittest,
+        "swiftlint": parse_swiftlint,
+        "detekt": parse_detekt,
+        "scalastyle": parse_scalastyle,
+        "puppet": parse_puppet,
+        "xmllint": parse_xmllint,
+        "go_panic": parse_go_panic,
+    }
+)
+
+_COMMAND_PATTERNS.extend(
+    [
+        (re.compile(r"\bgfortran\b|\bflang\b"), "gfortran"),
+        (re.compile(r"\bscalatest\b"), "scalatest"),
+        (re.compile(r"\bprove\b|\btap\b"), "tap"),
+        (re.compile(r"\bgtest\b|\bgoogletest\b"), "googletest"),
+        (re.compile(r"\bcatch2?\b"), "catch2"),
+        (re.compile(r"\bunittest\b"), "python_unittest"),
+        (re.compile(r"\bswiftlint\b"), "swiftlint"),
+        (re.compile(r"\bdetekt\b"), "detekt"),
+        (re.compile(r"\bscalastyle\b"), "scalastyle"),
+        (re.compile(r"\bpuppet\b"), "puppet"),
+        (re.compile(r"\bxmllint\b"), "xmllint"),
+    ]
+)
+
+
 # --- distributed parse (S3): mapInPandas over (source_id, content) rows ------
 
 PARSED_EVENT_DDL = (

@@ -1159,3 +1159,123 @@ def test_batch6_autodetect_distinctive():
     assert lp.detect_format(BATCH6_SIMPLE["playwright"][0]) == "playwright"
     assert lp.detect_format(JULIA_LOG) == "julia"
     assert lp.detect_format(BATCH6_SIMPLE["dmd"][0]) == "dmd"
+
+
+# --- batch 7 ------------------------------------------------------------------
+
+GFORTRAN_LOG = """main.f90:10:5:
+
+   10 |   x = y + 1
+      |     1
+Error: Symbol 'y' at (1) has no IMPLICIT type
+"""
+
+GTEST_LOG = """[ RUN      ] CalcTest.Adds
+calc_test.cc:10: Failure
+Expected equality of these values: 3 and 4
+[  FAILED  ] CalcTest.Adds (0 ms)
+[  FAILED  ] CalcTest.Adds
+"""
+
+CATCH2_LOG = """-------------------------------------------------------------------------------
+adds numbers
+-------------------------------------------------------------------------------
+test/calc.cpp:10: FAILED:
+  REQUIRE( add(1, 2) == 4 )
+with expansion:
+  3 == 4
+"""
+
+GO_PANIC_LOG = """panic: runtime error: index out of range [5] with length 3
+
+goroutine 1 [running]:
+main.main()
+\t/app/main.go:10 +0x1d
+"""
+
+BATCH7_SIMPLE = {
+    "scalatest": (
+        "- should add numbers *** FAILED ***\n  3 did not equal 4 (CalcSpec.scala:10)\n",
+        1,
+        {"test_name": "should add numbers", "ref_file": "CalcSpec.scala", "ref_line": 10},
+    ),
+    "tap": (
+        "ok 1 - setup\nnot ok 2 - parses input\nnot ok 3\n",
+        2,
+        {"test_name": "parses input", "event_type": "test_result"},
+    ),
+    "python_unittest": (
+        "FAIL: test_add (tests.test_calc.CalcTest)\nERROR: test_io (tests.test_io.IOTest)\n",
+        2,
+        {"test_name": "tests.test_calc.CalcTest.test_add", "severity": "error"},
+    ),
+    "swiftlint": (
+        "Sources/App.swift:10:5: warning: Line Length Violation: 130 chars (line_length)\n",
+        1,
+        {"rule": "line_length", "severity": "warning"},
+    ),
+    "detekt": (
+        "src/main/App.kt:10:5: This expression contains a magic number. [MagicNumber]\n",
+        1,
+        {"rule": "MagicNumber", "ref_column": 5},
+    ),
+    "scalastyle": (
+        "error file=/app/src/Foo.scala message=Header does not match expected text line=1\n",
+        1,
+        {"ref_file": "/app/src/Foo.scala", "severity": "error", "ref_line": 1},
+    ),
+    "puppet": (
+        "Error: Could not parse for environment production: Syntax error at '}' (file: /etc/site.pp, line: 10, column: 5)\n",
+        1,
+        {"ref_file": "/etc/site.pp", "ref_line": 10, "ref_column": 5},
+    ),
+    "xmllint": (
+        "config.xml:10: parser error : Opening and ending tag mismatch: a line 8 and b\n",
+        1,
+        {"code": "parser_error", "severity": "error"},
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(BATCH7_SIMPLE))
+def test_batch7_simple_formats(fmt):
+    log, n, expect = BATCH7_SIMPLE[fmt]
+    evs = lp.parse_content(log, fmt)
+    assert len(evs) == n, evs
+    for k, v in expect.items():
+        assert evs[0][k] == v, (k, evs[0])
+
+
+def test_parse_gfortran():
+    evs = lp.parse_content(GFORTRAN_LOG, "gfortran")
+    assert len(evs) == 1
+    ev = evs[0]
+    assert (ev["ref_file"], ev["ref_line"], ev["ref_column"]) == ("main.f90", 10, 5)
+    assert "IMPLICIT type" in ev["message"]
+
+
+def test_parse_googletest():
+    evs = lp.parse_content(GTEST_LOG, "googletest")
+    # one located failure detail + one summary (deduped)
+    assert len(evs) == 2
+    assert evs[0]["ref_file"] == "calc_test.cc" and "Expected equality" in evs[0]["message"]
+    assert evs[1]["test_name"] == "CalcTest.Adds"
+
+
+def test_parse_catch2_and_go_panic():
+    evs = lp.parse_content(CATCH2_LOG, "catch2")
+    assert len(evs) == 1
+    assert evs[0]["message"] == "add(1, 2) == 4" and evs[0]["ref_line"] == 10
+    evs = lp.parse_content(GO_PANIC_LOG, "go_panic")
+    assert len(evs) == 1
+    assert evs[0]["code"] == "panic" and evs[0]["ref_file"] == "/app/main.go"
+    assert evs[0]["ref_line"] == 10
+
+
+def test_batch7_autodetect_distinctive():
+    assert lp.detect_format(GFORTRAN_LOG) == "gfortran"
+    assert lp.detect_format(GTEST_LOG) == "googletest"
+    assert lp.detect_format(GO_PANIC_LOG) == "go_panic"
+    assert lp.detect_format(BATCH7_SIMPLE["scalatest"][0]) == "scalatest"
+    assert lp.detect_format(BATCH7_SIMPLE["puppet"][0]) == "puppet"
+    assert lp.detect_format(BATCH7_SIMPLE["swiftlint"][0]) == "swiftlint"

@@ -2896,8 +2896,27 @@ def parse_go_panic(lines: list[str]) -> Iterator[dict]:
         yield pending
 
 
+_STATICCHECK_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.go):(?P<line>\d+):(?P<col>\d+): (?P<msg>.*?) \((?P<code>(?:S|SA|ST|U|QF)\d+)\)$"
+)
+
+
+def parse_staticcheck(lines: list[str]) -> Iterator[dict]:
+    """staticcheck: `main.go:10:5: msg (SA4006)` — go file:line:col with a
+    trailing check code, distinct from golangci-lint's `(lintername)`."""
+    for i, ln in enumerate(lines, 1):
+        m = _STATICCHECK_RE.match(ln)
+        if m:
+            yield _event(
+                "staticcheck", "lint", "warning", m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                code=m["code"],
+            )
+
+
 FORMATS.update(
     {
+        "staticcheck": parse_staticcheck,
         "gfortran": parse_gfortran,
         "scalatest": parse_scalatest,
         "tap": parse_tap,
@@ -2915,6 +2934,7 @@ FORMATS.update(
 
 _COMMAND_PATTERNS.extend(
     [
+        (re.compile(r"\bstaticcheck\b"), "staticcheck"),
         (re.compile(r"\bgfortran\b|\bflang\b"), "gfortran"),
         (re.compile(r"\bscalatest\b"), "scalatest"),
         (re.compile(r"\bprove\b|\btap\b"), "tap"),

@@ -1279,3 +1279,11 @@ def test_batch7_autodetect_distinctive():
     assert lp.detect_format(BATCH7_SIMPLE["scalatest"][0]) == "scalatest"
     assert lp.detect_format(BATCH7_SIMPLE["puppet"][0]) == "puppet"
     assert lp.detect_format(BATCH7_SIMPLE["swiftlint"][0]) == "swiftlint"
+
+
+def test_parse_staticcheck():
+    log = "main.go:10:5: this value of err is never used (SA4006)\n"
+    evs = lp.parse_content(log, "staticcheck")
+    assert len(evs) == 1 and evs[0]["code"] == "SA4006" and evs[0]["ref_column"] == 5
+    assert lp.match_command_format("staticcheck ./...") == "staticcheck"
+    assert lp.detect_format(log) == "staticcheck"

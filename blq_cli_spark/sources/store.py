@@ -218,23 +218,34 @@ class LogStore:
             return fh.read()
 
     def cleanup_orphaned_blobs(self) -> int:
-        """Blob GC: delete blob files not referenced by any outputs row —
-        anti-join semantics computed on the (small) outputs table
-        (reference bird.py:1515-1561)."""
-        live = {
-            r["content_hash"]
-            for r in self.outputs().select("content_hash").distinct().collect()
-        }
-        removed = 0
+        """Blob GC: delete blob files not referenced by any outputs row
+        (reference bird.py:1515-1561).
+
+        The anti-join runs IN Spark — blob-dir hashes (a listing the
+        driver needs anyway to delete files) against the outputs table —
+        so the driver never materializes the live-hash set; it collects
+        only the orphans, which a healthy store keeps near-empty."""
         content_root = os.path.join(self.root, "blobs", "content")
         if not os.path.isdir(content_root):
             return 0
-        for shard in os.listdir(content_root):
-            sdir = os.path.join(content_root, shard)
-            for fname in os.listdir(sdir):
-                if fname.endswith(".bin") and fname[:-4] not in live:
-                    os.remove(os.path.join(sdir, fname))
-                    removed += 1
+        on_disk = [
+            (fname[:-4], os.path.join(content_root, shard, fname))
+            for shard in os.listdir(content_root)
+            for fname in os.listdir(os.path.join(content_root, shard))
+            if fname.endswith(".bin")
+        ]
+        if not on_disk:
+            return 0
+        disk_df = self.spark.createDataFrame(on_disk, "content_hash string, path string")
+        orphans = disk_df.join(
+            self.outputs().select("content_hash").distinct(),
+            "content_hash",
+            "left_anti",
+        )
+        removed = 0
+        for row in orphans.select("path").collect():
+            os.remove(row["path"])
+            removed += 1
         return removed
 
     # -- attempts lifecycle (ST2) ---------------------------------------------

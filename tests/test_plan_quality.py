@@ -143,3 +143,24 @@ def test_ann_recall_floors(spark):
     mp_recall = len(mp & truth) / len(truth)
     assert mp_recall >= lsh_recall
     assert mp_recall >= 0.2  # measured 0.35 @ sf0.001 with probes=2
+
+
+def test_approx_sketches_match_exact_within_tolerance(spark):
+    """The 100 TB swap-ins (SURVEY A3/A12 notes): approx_count_distinct
+    and approx_percentile must track the exact forms closely enough to
+    be drop-in at scale — one pass, mergeable sketches, no per-group
+    sort. Tolerances: HLL++ default rsd is 5%; KLL percentile error
+    bounded by accuracy parameter."""
+    import pyspark.sql.functions as F
+    from blq_cli_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_d"),
+        F.approx_count_distinct("user_id").alias("approx_d"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_p95"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] <= 0.05
+    spread = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
+    assert abs(row["approx_p95"] - row["exact_p95"]) <= 0.02 * spread

@@ -102,3 +102,36 @@ def test_parser_fingerprints_deterministic(content):
     a = logparse.parse_content(content, "generic")
     b = logparse.parse_content(content, "generic")
     assert [e["fingerprint"] for e in a] == [e["fingerprint"] for e in b]
+
+
+# --- parser fuzz: every format must be total over arbitrary text -------------
+
+_printable_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r"),
+    max_size=120,
+)
+
+
+@given(st.lists(_printable_line, max_size=12), st.sampled_from(sorted(logparse.FORMATS)))
+@settings(max_examples=300, deadline=None)
+def test_every_parser_total_over_arbitrary_text(lines, fmt):
+    """No format parser may throw or emit malformed events on arbitrary
+    input — log files are untrusted bytes at 100 TB, and one bad line
+    must not kill a mapInPandas task."""
+    content = "\n".join(lines)
+    events = logparse.parse_content(content, fmt)
+    n_lines = content.count("\n") + 1
+    for ev in events:
+        assert ev["severity"] in ("error", "warning", "note", "info")
+        assert 1 <= ev["log_line_start"] <= ev["log_line_end"] <= n_lines + 1
+        assert ev["fingerprint"] and ev["tool_name"]
+        assert ev["format_used"] in logparse.FORMATS
+
+
+@given(st.lists(_printable_line, max_size=10))
+@settings(max_examples=150, deadline=None)
+def test_auto_detection_total(lines):
+    """Auto-detect + fallback chain never throws; picked format is real."""
+    content = "\n".join(lines)
+    events = logparse.parse_content(content, "auto")
+    assert all(e["format_used"] in logparse.FORMATS for e in events)

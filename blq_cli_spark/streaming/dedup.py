@@ -1,0 +1,118 @@
+"""Streaming deduplication: the ingest-time dedup shapes a training-data
+pipeline needs when documents arrive as a stream rather than a batch.
+
+Three escalating shapes, all Structured Streaming built-ins (no custom
+state code until the last):
+
+1. `stream_exact_dedup` — `dropDuplicates` on the content fingerprint
+   with an event-time watermark: Spark keeps one state row per distinct
+   fingerprint inside the watermark horizon and drops late duplicates.
+   State is bounded by (distinct docs within watermark), the canonical
+   streaming-dedup contract.
+
+2. `stream_dedup_within_watermark` — `dropDuplicatesWithinWatermark`
+   (Spark 3.5+): same output keys, but state rows expire as soon as the
+   watermark passes their FIRST sighting — the right choice when
+   duplicates cluster in time (retries, crawler re-fetches), because
+   state no longer grows with total distinct keys.
+
+3. `stream_first_seen` — flatMapGroupsWithState-style first-seen marking
+   via `applyInPandasWithState`: emits every document tagged is_first,
+   instead of silently dropping duplicates — pipelines that must COUNT
+   duplicates (dedup-rate telemetry) need the tagged stream, not the
+   filtered one.
+
+At 100 TB/day the fingerprint is computed in the stream (same
+`text.fingerprint` column expression as batch), state is hash-partitioned
+across executors by fingerprint, and the watermark bounds memory — no
+global shuffle-and-sort ever materializes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from blq_cli_spark.operators.text import fingerprint
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the batch-identical content fingerprint column."""
+    return docs.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keep the first arrival of each distinct content fingerprint;
+    duplicates inside the watermark horizon are dropped by built-in
+    keyed state."""
+    return (
+        with_fingerprint(docs, text_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fp"])
+    )
+
+
+def stream_dedup_within_watermark(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: state expires with the watermark —
+    bounded even when total distinct keys grow without bound."""
+    return (
+        with_fingerprint(docs, text_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def stream_first_seen(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tag every document with is_first instead of dropping duplicates:
+    (doc_id, fp, is_first). One state row per fingerprint (a single
+    boolean), partitioned by fingerprint, GroupStateTimeout-free — the
+    watermark on the input stream still bounds replay."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tagged_schema = "doc_id string, fp string, is_first boolean"
+    state_schema = "seen boolean"
+
+    def mark(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else False
+        for pdf in pdfs:
+            flags = []
+            for _ in range(len(pdf)):
+                flags.append(not seen)
+                seen = True
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "fp": key[0],
+                    "is_first": flags,
+                }
+            )
+        state.update((seen,))
+
+    return (
+        with_fingerprint(docs, text_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy("fp")
+        .applyInPandasWithState(
+            mark,
+            outputStructType=tagged_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

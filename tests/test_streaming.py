@@ -104,3 +104,80 @@ def test_stream_to_store_persists_runs(spark, drop_dir, tmp_path):
     assert st.events().count() == 3
     flat = st.events_flat()
     assert flat.count() == 3  # joins up with the synthetic runs
+
+
+# --- streaming dedup ---------------------------------------------------------
+
+import json as _json
+
+
+@pytest.fixture()
+def doc_stream_dir(tmp_path):
+    """JSON-lines drop dir: two files, duplicate texts across them."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows1 = [
+        {"doc_id": "d1", "ts": "2024-01-01T10:00:00", "text": "alpha beta gamma"},
+        {"doc_id": "d2", "ts": "2024-01-01T10:00:10", "text": "unique one"},
+        {"doc_id": "d3", "ts": "2024-01-01T10:00:20", "text": "alpha  beta GAMMA"},
+    ]
+    rows2 = [
+        {"doc_id": "d4", "ts": "2024-01-01T10:01:00", "text": "alpha beta gamma"},
+        {"doc_id": "d5", "ts": "2024-01-01T10:01:10", "text": "unique two"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    (d / "b.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    return str(d)
+
+
+def _read_doc_stream(spark, path):
+    return (
+        spark.readStream.schema("doc_id string, ts timestamp, text string")
+        .json(path)
+    )
+
+
+def _drain(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_exact_dedup(spark, doc_stream_dir):
+    from blq_cli_spark.streaming import dedup as sdedup
+
+    out = sdedup.stream_exact_dedup(_read_doc_stream(spark, doc_stream_dir))
+    assert out.isStreaming
+    _drain(out, "dedup_docs")
+    rows = spark.sql("SELECT * FROM dedup_docs").collect()
+    # d1/d3/d4 share a fingerprint (whitespace+case normalized) -> one survives
+    assert len(rows) == 3
+    fps = [r["fp"] for r in rows]
+    assert len(set(fps)) == 3
+    survivors = {r["doc_id"] for r in rows}
+    assert {"d2", "d5"} <= survivors and len(survivors & {"d1", "d3", "d4"}) == 1
+
+
+def test_stream_first_seen_tags_duplicates(spark, doc_stream_dir):
+    from blq_cli_spark.streaming import dedup as sdedup
+
+    out = sdedup.stream_first_seen(_read_doc_stream(spark, doc_stream_dir))
+    _drain(out, "firstseen_docs")
+    rows = spark.sql("SELECT * FROM firstseen_docs").collect()
+    assert len(rows) == 5  # nothing dropped, everything tagged
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], []).append(r["is_first"])
+    for flags in by_fp.values():
+        assert sum(flags) == 1  # exactly one first per fingerprint
+    dup_fp = [fp for fp, flags in by_fp.items() if len(flags) == 3]
+    assert len(dup_fp) == 1
+
+
+def test_stream_dedup_within_watermark(spark, doc_stream_dir):
+    from blq_cli_spark.streaming import dedup as sdedup
+
+    out = sdedup.stream_dedup_within_watermark(_read_doc_stream(spark, doc_stream_dir))
+    _drain(out, "dedup_wm_docs")
+    rows = spark.sql("SELECT * FROM dedup_wm_docs").collect()
+    assert len({r["fp"] for r in rows}) == 3

@@ -105,3 +105,54 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def text_embeddings(
+    df, dim: int = 64, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Deterministic text embeddings by n-gram feature hashing: each word
+    n-gram md5-hashes to a signed slot (index = digest % dim, sign = one
+    digest bit), vectors are L2-normalized. The classic scalable
+    vectorizer (hashing trick): no vocabulary, no fit pass, identical
+    vectors on any executor — so the output composes directly with the
+    similarity operators (neardup_pairs / cosine_topk / lsh_bucket_topk)
+    and a learned-model swap-in only changes this one mapInPandas kernel.
+
+    Returns (id_col, embedding array<float>). Arrow-batched numpy kernel;
+    one pass over tokens per document."""
+    import hashlib as _hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    def _embed(text: str) -> list[float]:
+        toks = text.split()
+        grams = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else toks
+        )
+        v = _np.zeros(dim, dtype=_np.float64)
+        for g in grams:
+            d = _hashlib.md5(g.lower().encode()).digest()
+            idx = int.from_bytes(d[:4], "big") % dim
+            sign = 1.0 if d[4] & 1 else -1.0
+            v[idx] += sign
+        norm = _np.linalg.norm(v)
+        if norm > 0:
+            v /= norm
+        return [float(x) for x in v]
+
+    def _batches(it: _Iterator["_pd.DataFrame"]) -> _Iterator["_pd.DataFrame"]:
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [_embed(t or "") for t in pdf[text_col]],
+                }
+            )
+
+    return df.mapInPandas(
+        _batches, schema=f"{id_col} string, embedding array<float>"
+    )

@@ -70,3 +70,35 @@ def test_bucketed_neardup_recall_floor(spark, emb):
         for r in similarity.neardup_pairs_bucketed(emb, 0.4, bands=16).collect()
     }
     assert len(approx16) >= len(approx)
+
+
+def test_text_embeddings_end_to_end_neardup(spark):
+    """documents -> hashed-ngram embeddings -> exact near-dup pairs:
+    the full text-dedup composition. Near-identical texts must land
+    above the cosine threshold; unrelated texts must not."""
+    from blq_cli_spark.operators import text as text_ops
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("2", "the quick brown fox jumps over the lazy dog again and again today"),
+        ("3", "completely different subject matter entirely about spark plans"),
+        ("4", "another unrelated document discussing parquet files and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    emb = text_ops.text_embeddings(docs).withColumn(
+        "vec_id", F.col("doc_id").cast("long")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs(emb, threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p in ((1, 2),) for p in pairs), pairs
+    # embeddings are unit-norm and deterministic across invocations
+    a = emb.filter("vec_id = 1").collect()[0]["embedding"]
+    b = text_ops.text_embeddings(docs).filter("doc_id = '1'").collect()[0]["embedding"]
+    assert a == b
+    import numpy as np
+
+    assert abs(np.linalg.norm(np.array(a)) - 1.0) < 1e-5

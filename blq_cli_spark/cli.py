@@ -395,6 +395,16 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """S14: re-ingest a hive-partitioned export into this store
+    (reference blq migrate, src/blq/commands/migrate.py:30-140)."""
+    from blq_cli_spark.sources.execution import migrate_from_export
+
+    n = migrate_from_export(_store(args), args.export_root)
+    print(f"migrated {n} run(s)")
+    return 0
+
+
 def cmd_annotate(args) -> int:
     """Run the ext annotator pipeline; `--list` shows registered names."""
     from blq_cli_spark import ext
@@ -531,6 +541,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("clean")
     sp.add_argument("--blobs", action="store_true")
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("migrate")
+    sp.add_argument("export_root")
+    sp.set_defaults(fn=cmd_migrate)
 
     sp = sub.add_parser("annotate")
     sp.add_argument("names", nargs="*")

@@ -426,6 +426,51 @@ def ivf_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
     return out
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Data-adapted IVF centroids: Lloyd's k-means on a bounded sample.
+
+    The sample (limit `sample_rows`, deterministic order by id) is the
+    ONLY driver materialization — centroid training is a constant-size
+    problem however big the corpus is; assignment stays distributed in
+    ivf_topk. Initialization is k-means++-lite (seeded farthest-point on
+    the sample); output rounds to 3 decimals like ivf_centroids so the
+    literals stay engine-portable. Trained cells track the data's
+    density, which is where fixed random centroids lose recall."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = _to_matrix(pdf[vec_col])
+    rng = np.random.RandomState(seed)
+    # k-means++-lite init: first centroid seeded, then farthest points
+    idx = [int(rng.randint(len(X)))]
+    for _ in range(1, n_cells):
+        d = np.min(
+            [np.einsum("ij,ij->i", X - X[i], X - X[i]) for i in idx], axis=0
+        )
+        idx.append(int(np.argmax(d)))
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        C = C / np.maximum(norms, 1e-12)
+    return [[round(float(x), 3) for x in row] for row in C]
+
+
 def _ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

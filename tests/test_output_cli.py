@@ -187,3 +187,16 @@ def test_cli_annotate(cli_store, capsys):
     assert "fingerprint_count" in capsys.readouterr().out
     assert main(["--store", cli_store, "annotate", "first_seen"]) == 0
     assert "wrote" in capsys.readouterr().out
+
+
+def test_cli_migrate(cli_store, capsys, tmp_path, spark):
+    from blq_cli_spark.sources.store import LogStore
+
+    src = LogStore(spark, cli_store)
+    root = str(tmp_path / "export")
+    src.sync_to(root, hostname="h1", namespace="ns", project="p")
+    dst = str(tmp_path / "dst-store")
+    assert main(["--store", dst, "migrate", root]) == 0
+    out_text = capsys.readouterr().out
+    assert "migrated" in out_text
+    assert LogStore(spark, dst).runs().count() > 0

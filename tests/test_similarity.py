@@ -102,3 +102,29 @@ def test_text_embeddings_end_to_end_neardup(spark):
     import numpy as np
 
     assert abs(np.linalg.norm(np.array(a)) - 1.0) < 1e-5
+
+
+def test_trained_ivf_beats_random_centroids(spark, emb):
+    """k-means-trained cells must not lose to fixed random centroids on
+    recall at equal nprobe (density-adapted cells are the whole point)."""
+    import pyspark.sql.functions as F
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r["qid"], r["nid"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    rand_c = similarity.ivf_centroids(n_cells=8, dim=64, seed=7)
+    trained_c = similarity.ivf_train_centroids(emb, n_cells=8)
+
+    def recall(cents):
+        got = {
+            (r["qid"], r["nid"])
+            for r in similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_rand, r_trained = recall(rand_c), recall(trained_c)
+    assert r_trained >= r_rand, (r_trained, r_rand)
+    # deterministic: same corpus + seed -> same centroids
+    assert trained_c == similarity.ivf_train_centroids(emb, n_cells=8)

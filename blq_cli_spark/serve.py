@@ -210,6 +210,25 @@ def _clean(
     return {"removed_runs": removed, "removed_blobs": removed_blobs}
 
 
+@tool("info", "Store location, table row counts, latest run")
+def _info(store: LogStore) -> dict:
+    counts = {name: store.table(name).count() for name in ("runs", "events", "outputs")}
+    latest = store.runs().agg(F.max("run_serial").alias("m")).collect()[0]["m"]
+    return {
+        "root": store.root,
+        "tables": counts,
+        "latest_run_serial": int(latest) if latest is not None else None,
+    }
+
+
+@tool("config", "Registered commands + suppression lists")
+def _config(store: LogStore) -> dict:
+    return {
+        "commands": store_mod.registered_commands(store),
+        "suppressions": store_mod._load_config(store).get("suppressions", {}),
+    }
+
+
 @tool("sandbox_summary", "Grouped sandbox/extension-data summary")
 def _sandbox_summary(store: LogStore) -> list[dict]:
     return _rows(views.sandbox_summary(store.runs()))

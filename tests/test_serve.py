@@ -103,3 +103,12 @@ def test_stdio_transport_roundtrip(store):
     assert lines[0]["ok"] and any(t["name"] == "events" for t in lines[0]["result"])
     assert lines[1]["ok"] and len(lines[1]["result"]) == 2
     assert not lines[2]["ok"]
+
+
+def test_info_and_config_tools(store):
+    info = serve.dispatch(store, "info", {})
+    assert info["ok"]
+    res = info["result"]
+    assert res["tables"]["runs"] == 8 and res["latest_run_serial"] == 8
+    cfg = serve.dispatch(store, "config", {})
+    assert cfg["ok"] and set(cfg["result"]) == {"commands", "suppressions"}

@@ -1778,7 +1778,7 @@ _COMMAND_PATTERNS = [
     (re.compile(r"\bdocker build\b|\bbuildx\b"), "docker_build"),
     (re.compile(r"\bterraform\b"), "terraform"),
     (re.compile(r"\bgolangci-lint\b"), "golangci_lint"),
-    (re.compile(r"\bansible(-playbook)?\b"), "ansible"),
+    (re.compile(r"\bansible(-playbook)?\b(?!-lint)"), "ansible"),
     (re.compile(r"^\s*java\s"), "java_stacktrace"),
     (re.compile(r"\bgradlew?\b"), "gradle"),
     (re.compile(r"\bvitest\b"), "vitest"),
@@ -2946,6 +2946,242 @@ _COMMAND_PATTERNS.extend(
         (re.compile(r"\bscalastyle\b"), "scalastyle"),
         (re.compile(r"\bpuppet\b"), "puppet"),
         (re.compile(r"\bxmllint\b"), "xmllint"),
+    ]
+)
+
+
+# --- batch 8 formats ---------------------------------------------------------
+
+_MESON_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.build):(?P<line>\d+):(?P<col>\d+): (?P<sev>ERROR|WARNING): (?P<msg>.*)$"
+)
+
+
+def parse_meson(lines: list[str]) -> Iterator[dict]:
+    """meson: `meson.build:10:5: ERROR: msg`."""
+    for i, ln in enumerate(lines, 1):
+        m = _MESON_RE.match(ln)
+        if m:
+            yield _event(
+                "meson", "build", _norm_severity(m["sev"]), m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+            )
+
+
+_NINJA_FAILED_RE = re.compile(r"^FAILED: (?P<target>.+)$")
+_NINJA_ERR_RE = re.compile(r"^ninja: (?P<sev>error|warning): (?P<msg>.*)$")
+
+
+def parse_ninja(lines: list[str]) -> Iterator[dict]:
+    """ninja: `FAILED: target` blocks + `ninja: error: msg` lines (the
+    compiler output inside a FAILED block belongs to gcc/clang formats)."""
+    for i, ln in enumerate(lines, 1):
+        m = _NINJA_FAILED_RE.match(ln)
+        if m:
+            yield _event(
+                "ninja", "build", "error", f"FAILED: {m['target']}", i,
+                test_name=m["target"].split()[0], event_type="task_result",
+            )
+            continue
+        m = _NINJA_ERR_RE.match(ln)
+        if m:
+            yield _event("ninja", "build", _norm_severity(m["sev"]), m["msg"], i)
+
+
+_R_ERR_RE = re.compile(r"^Error(?: in (?P<call>[^:]+))?\s*:\s*(?P<msg>.*)$")
+_R_HALT_RE = re.compile(r"^Execution halted\s*$")
+
+
+def parse_r_script(lines: list[str]) -> Iterator[dict]:
+    """Rscript: `Error in foo(x) : object 'y' not found` (+ optional
+    continuation line) terminated by `Execution halted`."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _R_ERR_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            msg = m["msg"] or ""
+            pending = _event(
+                "r", "runtime", "error", msg, i, code=m["call"],
+            )
+            continue
+        if pending:
+            if _R_HALT_RE.match(ln):
+                pending["log_line_end"] = i
+                yield pending
+                pending = None
+            elif ln.startswith("  ") and ln.strip() and not pending["message"]:
+                pending["message"] = ln.strip()
+                pending["fingerprint"] = fingerprint_of("r", pending["code"], ln.strip())
+    if pending:
+        yield pending
+
+
+_PSSA_RE = re.compile(
+    r"^(?P<rule>PS\w+)\s+(?P<sev>Error|Warning|Information)\s+(?P<file>[^\s]+\.psm?1)\s+(?P<line>\d+)\s+(?P<msg>.*)$"
+)
+
+
+def parse_psscriptanalyzer(lines: list[str]) -> Iterator[dict]:
+    """PSScriptAnalyzer table rows: `PSAvoidUsingCmdletAliases Warning
+    deploy.ps1 10 'gci' is an alias...`."""
+    for i, ln in enumerate(lines, 1):
+        m = _PSSA_RE.match(ln)
+        if m:
+            yield _event(
+                "psscriptanalyzer", "lint",
+                "warning" if m["sev"] != "Error" else "error",
+                m["msg"], i,
+                file=m["file"], line=int(m["line"]), rule=m["rule"],
+            )
+
+
+_ANSIBLE_LINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.ya?ml):(?P<line>\d+):(?:(?P<col>\d+):)?\s*"
+    r"(?P<rule>[\w-]+(?:\[[\w-]+\])?):?\s+(?P<msg>.*)$"
+)
+
+
+def parse_ansible_lint(lines: list[str]) -> Iterator[dict]:
+    """ansible-lint: `playbook.yml:10: name[missing] All tasks should be named`."""
+    for i, ln in enumerate(lines, 1):
+        m = _ANSIBLE_LINT_RE.match(ln)
+        if m:
+            yield _event(
+                "ansible-lint", "lint", "warning", m["msg"], i,
+                file=m["file"], line=int(m["line"]),
+                col=int(m["col"]) if m["col"] else None, rule=m["rule"],
+            )
+
+
+_COMMITLINT_RE = re.compile(r"^\s*[✖x]\s+(?P<msg>.*?)\s+\[(?P<rule>[\w-]+)\]\s*$")
+
+
+def parse_commitlint(lines: list[str]) -> Iterator[dict]:
+    """commitlint: `✖  subject may not be empty [subject-empty]`."""
+    for i, ln in enumerate(lines, 1):
+        m = _COMMITLINT_RE.match(ln)
+        if m:
+            yield _event(
+                "commitlint", "lint", "error", m["msg"], i, rule=m["rule"]
+            )
+
+
+_HLINT_RE = re.compile(
+    r"^(?P<file>[^\s:]+\.l?hs):(?P<line>\d+):(?P<col>\d+)(?:-\d+)?: "
+    r"(?P<sev>Error|Warning|Suggestion): (?P<msg>.*)$"
+)
+
+
+def parse_hlint(lines: list[str]) -> Iterator[dict]:
+    """hlint: `src/Main.hs:10:5: Warning: Eta reduce` (+ Found/Perhaps
+    detail lines extend the span)."""
+    pending: dict | None = None
+    for i, ln in enumerate(lines, 1):
+        m = _HLINT_RE.match(ln)
+        if m:
+            if pending:
+                yield pending
+            sev = "error" if m["sev"] == "Error" else "warning"
+            pending = _event(
+                "hlint", "lint", sev, m["msg"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+            )
+            continue
+        if pending and ln.strip() and (ln.startswith(" ") or ln.split(":")[0] in ("Found", "Perhaps", "Why not")):
+            pending["log_line_end"] = i
+            continue
+        if pending:
+            yield pending
+            pending = None
+    if pending:
+        yield pending
+
+
+_BIOME_RE = re.compile(
+    r"^(?P<file>[^\s:]+):(?P<line>\d+):(?P<col>\d+) (?P<rule>lint/[\w/]+|format|organizeImports)\s+"
+    r"(?:━+\s*)?(?P<msg>.*)$"
+)
+
+
+def parse_biome(lines: list[str]) -> Iterator[dict]:
+    """biome: `src/a.ts:10:5 lint/suspicious/noExplicitAny  msg`."""
+    for i, ln in enumerate(lines, 1):
+        m = _BIOME_RE.match(ln)
+        if m:
+            yield _event(
+                "biome", "lint", "warning", m["msg"].strip() or m["rule"], i,
+                file=m["file"], line=int(m["line"]), col=int(m["col"]),
+                rule=m["rule"],
+            )
+
+
+_CYPRESS_FAIL_RE = re.compile(r"^\s*\d+\) (?P<suite>.+?) > (?P<test>.+?):?\s*$")
+_CYPRESS_SPEC_RE = re.compile(r"^\s*Running:\s+(?P<file>[^\s]+)")
+
+
+def parse_cypress(lines: list[str]) -> Iterator[dict]:
+    """cypress: `Running: spec.cy.ts` headers + `1) suite > test` failures."""
+    current_spec: str | None = None
+    for i, ln in enumerate(lines, 1):
+        sm = _CYPRESS_SPEC_RE.match(ln)
+        if sm:
+            current_spec = sm["file"]
+            continue
+        m = _CYPRESS_FAIL_RE.match(ln)
+        if m:
+            yield _event(
+                "cypress", "test", "error",
+                f"{m['suite']} > {m['test']}", i,
+                file=current_spec, test_name=m["test"],
+                event_type="test_result",
+            )
+
+
+_NUNIT_FAIL_RE = re.compile(r"^\s*\d+\) (?:Failed|Error) : (?P<test>[\w.]+)$")
+
+
+def parse_nunit(lines: list[str]) -> Iterator[dict]:
+    """nunit-console: `1) Failed : Namespace.Class.Test` + message line."""
+    for i, ln in enumerate(lines, 1):
+        m = _NUNIT_FAIL_RE.match(ln)
+        if m:
+            msg = lines[i].strip() if i < len(lines) else ""
+            yield _event(
+                "nunit", "test", "error", msg or f"Failed: {m['test']}", i,
+                test_name=m["test"], event_type="test_result",
+                end_line_no=i + 1 if msg else i,
+            )
+
+
+FORMATS.update(
+    {
+        "meson": parse_meson,
+        "ninja": parse_ninja,
+        "r_script": parse_r_script,
+        "psscriptanalyzer": parse_psscriptanalyzer,
+        "ansible_lint": parse_ansible_lint,
+        "commitlint": parse_commitlint,
+        "hlint": parse_hlint,
+        "biome": parse_biome,
+        "cypress": parse_cypress,
+        "nunit": parse_nunit,
+    }
+)
+
+_COMMAND_PATTERNS.extend(
+    [
+        (re.compile(r"\bmeson\b"), "meson"),
+        (re.compile(r"\bninja\b"), "ninja"),
+        (re.compile(r"\bRscript\b|\bR CMD\b"), "r_script"),
+        (re.compile(r"\bInvoke-ScriptAnalyzer\b|\bpsscriptanalyzer\b"), "psscriptanalyzer"),
+        (re.compile(r"\bansible-lint\b"), "ansible_lint"),
+        (re.compile(r"\bcommitlint\b"), "commitlint"),
+        (re.compile(r"\bhlint\b"), "hlint"),
+        (re.compile(r"\bbiome\b"), "biome"),
+        (re.compile(r"\bcypress\b"), "cypress"),
+        (re.compile(r"\bnunit3?-console\b"), "nunit"),
     ]
 )
 

@@ -1287,3 +1287,96 @@ def test_parse_staticcheck():
     assert len(evs) == 1 and evs[0]["code"] == "SA4006" and evs[0]["ref_column"] == 5
     assert lp.match_command_format("staticcheck ./...") == "staticcheck"
     assert lp.detect_format(log) == "staticcheck"
+
+
+# --- batch 8 ------------------------------------------------------------------
+
+R_LOG = """Error in library(ggplot2) : there is no package called 'ggplot2'
+Execution halted
+"""
+
+HLINT_LOG = """src/Main.hs:10:5: Warning: Eta reduce
+Found:
+  f x = g x
+Perhaps:
+  f = g
+"""
+
+BATCH8_SIMPLE = {
+    "meson": (
+        "meson.build:10:5: ERROR: Unknown variable \"foo\".\n",
+        1,
+        {"ref_file": "meson.build", "severity": "error"},
+    ),
+    "ninja": (
+        "FAILED: obj/main.o \nninja: error: loading 'build.ninja': No such file\n",
+        2,
+        {"test_name": "obj/main.o", "event_type": "task_result"},
+    ),
+    "psscriptanalyzer": (
+        "PSAvoidUsingCmdletAliases Warning deploy.ps1 10 'gci' is an alias of 'Get-ChildItem'.\n",
+        1,
+        {"rule": "PSAvoidUsingCmdletAliases", "ref_line": 10},
+    ),
+    "ansible_lint": (
+        "playbook.yml:10: name[missing] All tasks should be named\n",
+        1,
+        {"rule": "name[missing]", "ref_file": "playbook.yml"},
+    ),
+    "commitlint": (
+        "✖   subject may not be empty [subject-empty]\n✖   type may not be empty [type-empty]\n",
+        2,
+        {"rule": "subject-empty", "severity": "error"},
+    ),
+    "biome": (
+        "src/app.ts:10:5 lint/suspicious/noExplicitAny  Unexpected any. Specify a different type.\n",
+        1,
+        {"rule": "lint/suspicious/noExplicitAny", "ref_column": 5},
+    ),
+    "cypress": (
+        "  Running:  auth.cy.ts\n  1) login flow > rejects bad password:\n",
+        1,
+        {"ref_file": "auth.cy.ts", "test_name": "rejects bad password"},
+    ),
+    "nunit": (
+        "  1) Failed : App.Tests.CalcTest.Adds\n     Expected 4 but was 3\n",
+        1,
+        {"test_name": "App.Tests.CalcTest.Adds"},
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(BATCH8_SIMPLE))
+def test_batch8_simple_formats(fmt):
+    log, n, expect = BATCH8_SIMPLE[fmt]
+    evs = lp.parse_content(log, fmt)
+    assert len(evs) == n, evs
+    for k, v in expect.items():
+        assert evs[0][k] == v, (k, evs[0])
+
+
+def test_parse_r_and_hlint():
+    evs = lp.parse_content(R_LOG, "r_script")
+    assert len(evs) == 1
+    assert evs[0]["code"] == "library(ggplot2) " or "no package" in evs[0]["message"]
+    assert evs[0]["log_line_end"] == 2
+    evs = lp.parse_content(HLINT_LOG, "hlint")
+    assert len(evs) == 1
+    assert evs[0]["message"] == "Eta reduce" and evs[0]["log_line_end"] >= 4
+
+
+def test_batch8_command_hints():
+    cases = {
+        "meson setup build": "meson",
+        "ninja -C build": "ninja",
+        "Rscript analysis.R": "r_script",
+        "ansible-lint site.yml": "ansible_lint",
+        "ansible-playbook site.yml": "ansible",
+        "commitlint --from HEAD~1": "commitlint",
+        "hlint src/": "hlint",
+        "biome check .": "biome",
+        "cypress run": "cypress",
+        "nunit3-console App.Tests.dll": "nunit",
+    }
+    for cmd, fmt in cases.items():
+        assert lp.match_command_format(cmd) == fmt, cmd

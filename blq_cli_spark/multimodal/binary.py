@@ -13,11 +13,14 @@ Design for 100 TB corpora:
 What's real here vs stubbed (container has no image/audio libs):
 - REAL: container-header parsing (PNG/GIF/JPEG/WAV) in pure Python —
   width/height/format/duration from magic bytes;
+- REAL: animated-GIF frame indexing + timestamp-driven frame sampling
+  (gif_frames / sample_video_frames) and WAV/PCM fixed-time window
+  segmentation (audio_windows) — no codec library needed;
 - REAL: hash-based deterministic feature vectors (shape-correct stand-in
   for a CNN/CLIP embedding; same Spark plumbing, same schema);
-- STUB: pixel decode / resize / video frame-sample raise
-  NotImplementedError unless PIL/av are importable (gated try-import),
-  with `fake=True` offering a deterministic byte-derived surrogate so
+- STUB: pixel decode (PIL) and non-GIF video containers (ffmpeg/av)
+  raise NotImplementedError unless the lib is importable, with
+  `fake=True` offering a deterministic byte-derived surrogate so
   pipelines are testable end-to-end.
 """
 
@@ -27,7 +30,6 @@ import hashlib
 import struct
 from collections.abc import Iterable, Iterator
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 META_DDL = (

@@ -1885,7 +1885,6 @@ _MOCHA_ERR_RE = re.compile(r"^\s+(?P<code>\w*(?:Error|AssertionError)):\s*(?P<ms
 def parse_mocha(lines: list[str]) -> Iterator[dict]:
     """mocha: `1) suite test:` + error message + first `at (file:l:c)`."""
     pending: dict | None = None
-    start = 0
     for i, ln in enumerate(lines, 1):
         m = _MOCHA_HEAD_RE.match(ln)
         if m and not ln.strip().startswith(("at ", "#")):
@@ -1895,7 +1894,6 @@ def parse_mocha(lines: list[str]) -> Iterator[dict]:
                 "mocha", "test", "error", m["test"], i,
                 test_name=m["test"], event_type="test_result",
             )
-            start = i
             continue
         if pending is None:
             continue

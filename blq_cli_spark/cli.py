@@ -395,6 +395,35 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """ST3 watch mode: re-run the command when watched files change
+    (reference watch_cmd.py:95-302 debounce + queue-next state machine)."""
+    from blq_cli_spark.sources.execution import run_command
+    from blq_cli_spark.sources.watch import WatchController
+
+    st = _store(args)
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+
+    def runner():
+        run = run_command(st, cmd, source_name=args.source, fmt=args.parse_format or "auto")
+        print(f"run {run['run_serial']} exit={run['exit_code']}")
+
+    ctl = WatchController(
+        args.path,
+        runner,
+        include=args.include or None,
+        exclude=args.exclude or None,
+        debounce_s=args.debounce,
+    )
+    if args.initial:
+        runner()
+    try:
+        ctl.loop(interval_s=args.interval, max_runs=args.max_runs)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """S14: re-ingest a hive-partitioned export into this store
     (reference blq migrate, src/blq/commands/migrate.py:30-140)."""
@@ -541,6 +570,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("clean")
     sp.add_argument("--blobs", action="store_true")
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("watch")
+    sp.add_argument("--path", default=".")
+    sp.add_argument("--source")
+    sp.add_argument("--parse-format")
+    sp.add_argument("--include", nargs="*")
+    sp.add_argument("--exclude", nargs="*")
+    sp.add_argument("--debounce", type=float, default=0.5)
+    sp.add_argument("--interval", type=float, default=0.5)
+    sp.add_argument("--max-runs", type=int, default=None, dest="max_runs")
+    sp.add_argument("--initial", action="store_true")
+    sp.add_argument("cmd", nargs=argparse.REMAINDER)
+    sp.set_defaults(fn=cmd_watch)
 
     sp = sub.add_parser("migrate")
     sp.add_argument("export_root")

@@ -200,3 +200,29 @@ def test_cli_migrate(cli_store, capsys, tmp_path, spark):
     out_text = capsys.readouterr().out
     assert "migrated" in out_text
     assert LogStore(spark, dst).runs().count() > 0
+
+
+def test_cli_watch_runs_until_max(cli_store, capsys, tmp_path, monkeypatch):
+    import sys as _sys
+
+    watched = tmp_path / "src"
+    watched.mkdir()
+    (watched / "a.txt").write_text("v1")
+
+    # poke the watched file from a side thread so each poll sees changes
+    import threading, time as _time
+
+    def poker():
+        for k in range(40):
+            (watched / "a.txt").write_text(f"v{k}")
+            _time.sleep(0.05)
+
+    t = threading.Thread(target=poker, daemon=True)
+    t.start()
+    assert main([
+        "--store", cli_store, "watch", "--path", str(watched),
+        "--debounce", "0.05", "--interval", "0.05", "--max-runs", "2",
+        "--", _sys.executable, "-c", "print('watched build ok')",
+    ]) == 0
+    out_text = capsys.readouterr().out
+    assert out_text.count("exit=0") >= 2

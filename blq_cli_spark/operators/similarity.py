@@ -148,7 +148,11 @@ def _pair_block_kernel(threshold: float, chunk: int = 256):
         _prime_gemm()
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
-        self_block = len(b) == 0
+        # The broadcast map marks self-block groups explicitly: a cross
+        # group whose side-b block happens to be EMPTY must emit nothing,
+        # not fall back to self-scoring side a (that would duplicate the
+        # true self-block group's pairs).
+        self_block = bool(pdf["selfb"].iloc[0])
         if self_block:
             b = a
         if not len(a) or not len(b):
@@ -227,11 +231,11 @@ def neardup_pairs(
     map_rows, gid = [], 0
     for i in range(blocks):
         for j in range(i, blocks):
-            map_rows.append((i, gid, "a"))
+            map_rows.append((i, gid, "a", j == i))
             if j != i:
-                map_rows.append((j, gid, "b"))
+                map_rows.append((j, gid, "b", False))
             gid += 1
-    mdf = spark.createDataFrame(map_rows, "blk int, gid int, side string")
+    mdf = spark.createDataFrame(map_rows, "blk int, gid int, side string, selfb boolean")
     repl = tagged.join(F.broadcast(mdf), "blk")
     return repl.groupBy("gid").applyInPandas(
         _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
@@ -285,9 +289,11 @@ def neardup_pairs_bucketed(
                 }
             )
 
-    assigned = corpus.mapInPandas(
-        assign, "id long, vec array<float>, band int, bucket long"
-    ).withColumn("side", F.lit("a"))
+    assigned = (
+        corpus.mapInPandas(assign, "id long, vec array<float>, band int, bucket long")
+        .withColumn("side", F.lit("a"))
+        .withColumn("selfb", F.lit(True))
+    )
     pairs = assigned.groupBy("band", "bucket").applyInPandas(
         _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
     )

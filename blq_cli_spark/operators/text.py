@@ -153,6 +153,9 @@ def text_embeddings(
                 }
             )
 
+    # carry the id column's real type through (a bigint doc_id must not be
+    # forced to string — Arrow would reject the batch at execution)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        _batches, schema=f"{id_col} string, embedding array<float>"
+        _batches, schema=f"{id_col} {id_type}, embedding array<float>"
     )

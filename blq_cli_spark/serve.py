@@ -108,8 +108,10 @@ def _events(
 @tool("query", "Raw Spark SQL over the registered views (LIMIT-guarded)")
 def _query(store: LogStore, sql: str, limit: int = 100) -> list[dict]:
     store.register_views()
-    if "limit" not in sql.lower():
-        sql = f"SELECT * FROM ({sql}) LIMIT {limit}"  # reference serve.py:773-776
+    # always wrap: subquery wrapping composes with an inner LIMIT, and a
+    # substring test would be fooled by 'limit' in a column name or
+    # string literal  (reference serve.py:773-776)
+    sql = f"SELECT * FROM ({sql}) LIMIT {int(limit)}"
     return _rows(store.spark.sql(sql))
 
 

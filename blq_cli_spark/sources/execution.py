@@ -223,8 +223,16 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
         .withColumn("run_serial", F.row_number().over(w) + F.lit(base))
         .withColumn("id", F.col("invocation_id"))
     )
+    # an export tree may lack a timestamp column entirely — conform()
+    # null-fills missing schema fields, so the date backfill must not
+    # reference timestamp unconditionally
+    def _backfill_date(df: DataFrame) -> DataFrame:
+        if "timestamp" in df.columns:
+            return df.withColumn("date", F.to_date("timestamp"))
+        return df.withColumn("date", F.lit(None).cast("date"))
+
     if "date" not in run_src_cols:
-        new_runs = new_runs.withColumn("date", F.to_date("timestamp"))
+        new_runs = _backfill_date(new_runs)
     n = new_runs.count()
     if not n:
         return 0
@@ -233,7 +241,7 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
     ).parquet(store._path("runs"))
     ev = new_events
     if "date" not in ev.columns:
-        ev = ev.withColumn("date", F.to_date("timestamp"))
+        ev = _backfill_date(ev)
     conform(ev, schemas.EVENTS_SCHEMA).write.mode("append").partitionBy(
         "date"
     ).parquet(store._path("events"))

@@ -72,6 +72,20 @@ def stream_dedup_within_watermark(
     )
 
 
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style interval string ('10 minutes', '30 seconds',
+    '2 hours', '1 day') to milliseconds."""
+    qty, unit = spec.split()
+    per = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(float(qty) * per)
+
+
 def stream_first_seen(
     docs: DataFrame,
     ts_col: str = "ts",
@@ -80,15 +94,23 @@ def stream_first_seen(
 ) -> DataFrame:
     """Tag every document with is_first instead of dropping duplicates:
     (doc_id, fp, is_first). One state row per fingerprint (a single
-    boolean), partitioned by fingerprint, GroupStateTimeout-free — the
-    watermark on the input stream still bounds replay."""
+    boolean), partitioned by fingerprint. State is BOUNDED: each group
+    arms an EventTimeTimeout one watermark-horizon past the current
+    watermark, refreshed on every sighting, so a fingerprint's state row
+    is dropped once no duplicate has arrived within the horizon — a
+    duplicate arriving later than that is re-tagged is_first (same
+    contract as dropDuplicatesWithinWatermark)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     tagged_schema = "doc_id string, fp string, is_first boolean"
     state_schema = "seen boolean"
+    ttl_ms = _duration_ms(watermark)
 
     def mark(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen = state.get[0] if state.exists else False
         for pdf in pdfs:
             flags = []
@@ -103,6 +125,7 @@ def stream_first_seen(
                 }
             )
         state.update((seen,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
 
     return (
         with_fingerprint(docs, text_col)
@@ -113,6 +136,6 @@ def stream_first_seen(
             outputStructType=tagged_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -55,6 +55,24 @@ def test_query_tool_injects_limit(store):
     assert resp["ok"] and len(resp["result"]) == 3
 
 
+def test_query_tool_limit_guard_not_fooled_by_identifier(store):
+    """Regression (ADVICE r2): a column ALIAS containing 'limit' used to
+    skip the wrap via the substring test and return unbounded rows."""
+    resp = serve.dispatch(
+        store,
+        "query",
+        {"sql": "SELECT severity AS limit_col FROM events_flat", "limit": 3},
+    )
+    assert resp["ok"] and len(resp["result"]) == 3
+    # and an inner LIMIT still composes under the wrapper
+    resp = serve.dispatch(
+        store,
+        "query",
+        {"sql": "SELECT severity FROM events_flat LIMIT 2", "limit": 5},
+    )
+    assert resp["ok"] and len(resp["result"]) == 2
+
+
 def test_status_history_diff_report(store):
     assert serve.dispatch(store, "status", {})["ok"]
     hist = serve.dispatch(store, "history", {"n": 3})

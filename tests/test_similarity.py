@@ -36,6 +36,19 @@ def test_neardup_pairs_blocked_matches_numpy_exact(spark, emb):
     assert len(rows) == len(got)
 
 
+def test_neardup_no_duplicate_pairs_with_empty_blocks(spark):
+    """Regression (ADVICE r2 high): with 2 vectors landing in the same
+    block and blocks=8, most cross-block groups get an EMPTY side-b
+    block; the kernel must emit nothing for those — not re-run the
+    self-block all-pairs — so the single true pair appears exactly once."""
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.01, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.neardup_pairs(emb2, 0.9, blocks=8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
 def test_neardup_never_materializes_corpus_on_driver(spark, emb, monkeypatch):
     """Round-1 neardup_pairs collected the whole corpus via toPandas.
     Guard the fix: neither the exact blocked form nor the bucketed form
@@ -102,6 +115,20 @@ def test_text_embeddings_end_to_end_neardup(spark):
     import numpy as np
 
     assert abs(np.linalg.norm(np.array(a)) - 1.0) < 1e-5
+
+
+def test_text_embeddings_preserves_id_type(spark):
+    """Regression (ADVICE r2): a bigint doc_id must come through as
+    bigint, not be forced to string by a hardcoded output schema."""
+    from blq_cli_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(101, "alpha beta gamma"), (102, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = text_ops.text_embeddings(docs)
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert {r["doc_id"] for r in out.collect()} == {101, 102}
 
 
 def test_trained_ivf_beats_random_centroids(spark, emb):

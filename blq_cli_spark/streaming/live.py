@@ -109,44 +109,71 @@ def run_stream_to_memory(
 
 def stream_to_store(stream_events: DataFrame, store, query_name: str = "ingest"):
     """Persist a stream of parsed events into a LogStore: each micro-batch
-    groups events by source_id and appends one synthetic run per new
-    source plus its events — the streaming version of the import path
-    (S8) with exactly-once-per-file semantics from the file source.
+    appends one synthetic run per source plus its events — the streaming
+    version of the import path (S8) with exactly-once-per-file semantics
+    from the file source.
 
-    foreachBatch keeps the store's ingest logic (serial assignment,
-    partitioned append) unchanged; at scale the batch write is the same
-    append-only parquet commit the batch path uses. Returns the started
-    StreamingQuery (availableNow trigger: drain existing files, stop)."""
+    Fully distributed sink: the only thing ever collected is the
+    per-source run summary (one row per log FILE in the batch — the runs
+    DIMENSION, needed on the driver for serial assignment), derived with
+    a map-side-combinable groupBy. The events themselves never touch the
+    driver: they join a broadcast (source_id -> invocation_id) map and
+    append through the same date-partitioned parquet layout as
+    LogStore._append (store.py:129). Returns the started StreamingQuery
+    (availableNow trigger: drain existing files, stop)."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    from blq_cli_spark import schemas
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.collect()
-        by_source: dict[str, list] = {}
-        for r in rows:
-            by_source.setdefault(r["source_id"], []).append(r)
-        for source_id, evs in sorted(by_source.items()):
-            evs = sorted(evs, key=lambda r: r["event_index"] or 0)
-            has_err = any(e["severity"] == "error" for e in evs)
-            store.append_run(
-                {
-                    "cmd": f"stream {source_id}",
-                    "source_name": source_id.rsplit("/", 1)[-1],
-                    "source_type": "import",
-                    "exit_code": 1 if has_err else 0,
-                    "format_hint": evs[0]["format_used"] if evs else None,
-                },
-                [
-                    {
-                        k: e[k]
-                        for k in (
-                            "event_type", "severity", "ref_file", "ref_line",
-                            "ref_column", "message", "code", "rule", "tool_name",
-                            "category", "test_name", "fingerprint",
-                            "log_line_start", "log_line_end", "format_used",
-                        )
-                    }
-                    for e in evs
-                ],
+        summaries = (
+            batch_df.groupBy("source_id")
+            .agg(
+                F.max((F.col("severity") == "error").cast("int")).alias("has_err"),
+                F.min_by("format_used", "event_index").alias("format_hint"),
             )
+            .collect()
+        )
+        if not summaries:
+            return
+        now = _dt.datetime.now()
+        run_rows, mapping = [], []
+        for s in sorted(summaries, key=lambda r: r["source_id"]):
+            inv_id = str(_uuid.uuid4())
+            run_rows.append(
+                {
+                    "id": inv_id,
+                    "cmd": f"stream {s['source_id']}",
+                    "source_name": s["source_id"].rsplit("/", 1)[-1],
+                    "source_type": "import",
+                    "exit_code": 1 if s["has_err"] else 0,
+                    "format_hint": s["format_hint"],
+                    "run_serial": store.next_serial(),
+                    "timestamp": now,
+                    "date": now.date(),
+                }
+            )
+            mapping.append((s["source_id"], inv_id))
+        store._append("runs", run_rows)
+
+        mdf = batch_df.sparkSession.createDataFrame(
+            mapping, "source_id string, invocation_id string"
+        )
+        ev = (
+            batch_df.join(F.broadcast(mdf), "source_id")
+            .withColumn("id", F.expr("uuid()"))
+            .withColumn("date", F.lit(now.date()))
+        )
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in ev.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schemas.EVENTS_SCHEMA.fields
+        ]
+        ev.select(cols).write.mode("append").partitionBy("date").parquet(
+            store._path("events")
+        )
 
     return (
         stream_events.writeStream.foreachBatch(_sink)

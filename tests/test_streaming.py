@@ -106,6 +106,33 @@ def test_stream_to_store_persists_runs(spark, drop_dir, tmp_path):
     assert flat.count() == 3  # joins up with the synthetic runs
 
 
+def test_stream_to_store_never_collects_events(spark, drop_dir, tmp_path, monkeypatch):
+    """Regression (VERDICT r2): the sink used to collect() every
+    micro-batch. Only the per-source run summaries (dimension-sized,
+    no event columns) may ever be driver-materialized; the event rows
+    append as a distributed partitioned write."""
+    from pyspark.sql import DataFrame
+
+    from blq_cli_spark.sources.store import LogStore
+
+    collected_cols: list[set] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        collected_cols.append(set(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    st = LogStore(spark, str(tmp_path / "bird"))
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    q = live.stream_to_store(stream, st)
+    q.awaitTermination(60)
+    event_level = [c for c in collected_cols if {"message", "event_index"} & c]
+    assert event_level == []
+    assert st.events().count() == 3
+    assert st.events_flat().count() == 3
+
+
 # --- streaming dedup ---------------------------------------------------------
 
 import json as _json

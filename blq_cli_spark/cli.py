@@ -234,6 +234,136 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_output(args) -> int:
+    """`blq output REF`: raw stored output with head/tail/line-spec/grep
+    selection (reference commands/management.py:557-650; selection
+    operators serve.py:1305-1444). REF is a run ref (`build:5`, `5`,
+    `~1`) or a bare source name (most recent run of that source);
+    defaults to the most recent run."""
+    st = _store(args)
+    try:
+        serial = services.resolve_run_serial(st, args.ref or "~1")
+        df = services.get_output(
+            st,
+            serial,
+            stream=args.stream,
+            grep=args.grep,
+            ctx=args.context,
+            head=args.head,
+            tail=args.tail,
+            lines=args.lines,
+            ignore_case=not args.no_ignore_case,
+        )
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
+        return 1
+    rows = df.orderBy("line_number").collect()
+    numbered = bool(args.grep or args.lines)
+    for r in rows:
+        if args.grep:
+            sep = ":" if r["is_match"] else "-"
+            print(f"{r['line_number']}{sep}{r['line']}")
+        elif numbered:
+            print(f"{r['line_number']}: {r['line']}")
+        else:
+            print(r["line"])
+    return 0
+
+
+def _print_event_detail(e, ref: str) -> None:
+    """Pretty single-event display (reference commands/events.py:124-154)."""
+    print(f"Event: {ref}")
+    print(f"  Source: {e['source_name'] or '?'}")
+    print(f"  Severity: {e['severity'] or '?'}")
+    if e["loc"]:
+        print(f"  File: {e['loc']}")
+    if e["tool_name"]:
+        tool = e["tool_name"] + (f" ({e['category']})" if e["category"] else "")
+        print(f"  Tool: {tool}")
+    code = e["code"] or e["rule"]
+    if code:
+        print(f"  Code: {code}")
+    print(f"  Message: {e['message'] or '?'}")
+    if e["fingerprint"]:
+        print(f"  Fingerprint: {e['short_fp']}")
+    if e["log_line_start"] is not None:
+        print(f"  Log lines: {e['log_line_start']}-{e['log_line_end'] or e['log_line_start']}")
+
+
+def cmd_event(args) -> int:
+    """`blq event REF`: event detail by reference — run ref shows the
+    run's events, event ref shows one event (reference
+    commands/events.py:78-157)."""
+    st = _store(args)
+    try:
+        parsed = services.parse_ref(args.ref)
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
+        return 2
+    if parsed.relative is not None:
+        print("blq-spark: relative refs not supported here; use an absolute ref",
+              file=sys.stderr)
+        return 2
+    if not parsed.is_event():
+        flat = st.events_flat().filter(F.col("run_serial") == parsed.serial)
+        if parsed.tag is not None:
+            flat = flat.filter(F.col("tag") == parsed.tag)
+        if flat.limit(1).count() == 0:
+            print(f"blq-spark: no events for run {args.ref}", file=sys.stderr)
+            return 1
+        _emit_events(flat.orderBy("event_index"), args)
+        return 0
+    rows = services.resolve_ref(st, args.ref).collect()
+    if not rows:
+        print(f"blq-spark: event {args.ref} not found", file=sys.stderr)
+        return 1
+    if args.json:
+        import json as _json
+
+        print(_json.dumps(output.scrub_nulls(rows[0].asDict()), default=str, indent=2))
+    else:
+        _print_event_detail(rows[0], args.ref)
+    return 0
+
+
+def cmd_context(args) -> int:
+    """`blq context REF [-n N]`: N raw-output lines around an event's
+    log lines, event lines marked with `>` (reference
+    commands/events.py:160-218)."""
+    st = _store(args)
+    try:
+        parsed = services.parse_ref(args.ref)
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
+        return 2
+    if not parsed.is_event():
+        print("blq-spark: context requires an event ref (e.g., 5:3)", file=sys.stderr)
+        return 2
+    rows = services.resolve_ref(st, args.ref).collect()
+    if not rows:
+        print(f"blq-spark: event {args.ref} not found", file=sys.stderr)
+        return 1
+    e = rows[0]
+    start = e["log_line_start"]
+    if start is None:
+        print(f"Event {args.ref} (structured format, no log line context)")
+        print(f"  Source: {e['source_name']}")
+        print(f"  Message: {e['message']}")
+        return 0
+    end = e["log_line_end"] or start
+    lo = max(1, start - args.lines)
+    try:
+        df = services.get_output(st, parsed.serial, lines=f"{lo}-{end + args.lines}")
+    except ValueError as exc:
+        print(f"blq-spark: {exc}", file=sys.stderr)
+        return 1
+    print(f"Context for {args.ref} (lines {start}-{end}):")
+    for r in df.orderBy("line_number").collect():
+        marker = ">" if start <= r["line_number"] <= end else " "
+        print(f"{marker} {r['line_number']:>4} | {r['line']}")
+    return 0
+
+
 def cmd_shell(args) -> int:
     """Interactive Spark SQL shell over the registered store views
     (reference `blq shell` spawns the duckdb CLI, query_cmd.py:309-329;
@@ -549,6 +679,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output", default="ci")
     sp.add_argument("--dry-run", action="store_true", dest="dry_run")
     sp.set_defaults(fn=cmd_ci)
+
+    sp = sub.add_parser("output", aliases=["o"])
+    sp.add_argument("ref", nargs="?", default=None,
+                    help="run ref (build:5, 5, ~1) or source name; default latest")
+    sp.add_argument("-t", "--tail", type=int, default=None)
+    sp.add_argument("-H", "--head", type=int, default=None)
+    sp.add_argument("-l", "--lines", help="line spec, e.g. '100-200' or '42 +/-5'")
+    sp.add_argument("-g", "--grep", help="regex over output lines")
+    sp.add_argument("-C", "--context", type=int, default=0,
+                    help="context lines around grep matches")
+    sp.add_argument("--no-ignore-case", action="store_true", dest="no_ignore_case")
+    sp.add_argument("--stream", default="combined")
+    sp.set_defaults(fn=cmd_output)
+
+    sp = sub.add_parser("event")
+    sp.add_argument("ref", help="run or event ref (5, build:5, 5:3)")
+    sp.add_argument("-j", "--json", action="store_true")
+    sp.set_defaults(fn=cmd_event)
+
+    sp = sub.add_parser("context", aliases=["c"])
+    sp.add_argument("ref", help="event ref (e.g., 5:3)")
+    sp.add_argument("-n", "--lines", type=int, default=3,
+                    help="context lines before/after (default 3)")
+    sp.set_defaults(fn=cmd_context)
 
     sp = sub.add_parser("shell")
     sp.set_defaults(fn=cmd_shell)

@@ -157,6 +157,33 @@ def resolve_ref(store: LogStore, ref: str) -> DataFrame:
     return runs if parsed.tag is None else runs.filter(F.col("tag") == parsed.tag)
 
 
+def resolve_run_serial(store: LogStore, ref: str) -> int:
+    """Resolve a ref (`tag:serial`, `serial`, `~N`) OR a bare source
+    name (-> that source's most recent run) to a run_serial (reference
+    cmd_output ref fallback, commands/management.py:595-600)."""
+    try:
+        parsed = parse_ref(ref)
+    except ValueError:
+        parsed = None
+    if parsed is None:
+        row = (
+            store.runs()
+            .filter(F.col("source_name") == ref)
+            .agg(F.max("run_serial").alias("m"))
+            .collect()[0]
+        )
+        if row["m"] is None:
+            raise ValueError(f"no runs for source {ref!r}")
+        return int(row["m"])
+    if parsed.relative is not None:
+        rows = resolve_ref(store, ref).select("run_serial").collect()
+        if not rows:
+            raise ValueError(f"no run {ref} back")
+        return int(rows[0]["run_serial"])
+    assert parsed.serial is not None
+    return parsed.serial
+
+
 def get_output(
     store: LogStore,
     run_serial: int,
@@ -166,6 +193,7 @@ def get_output(
     head: int | None = None,
     tail: int | None = None,
     lines: str | None = None,
+    ignore_case: bool = True,
 ) -> DataFrame:
     """The MCP `output` tool read path (reference serve.py:1305-1444):
     fetch a stored run's raw output and apply grep-with-context / head /
@@ -193,7 +221,9 @@ def get_output(
     if lines:
         line_df = context.select_lines(line_df, lines)
     if grep:
-        line_df = context.grep_with_context(line_df, grep, ctx=ctx)
+        line_df = context.grep_with_context(
+            line_df, grep, ctx=ctx, ignore_case=ignore_case
+        )
     if head is not None or tail is not None:
         line_df = context.head_tail(line_df, head=head, tail=tail)
     return line_df

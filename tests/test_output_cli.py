@@ -98,6 +98,76 @@ def test_cli_diff_fingerprints(cli_store, capsys):
     assert changes == ["fixed", "unchanged"]  # error fixed, warning persists
 
 
+def test_cli_output_modes(cli_store, capsys):
+    # full output
+    assert main(["--store", cli_store, "output", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got and "unused variable" in got
+    # head / tail
+    assert main(["--store", cli_store, "output", "-H", "1", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined" in got and "unused" not in got
+    assert main(["--store", cli_store, "output", "-t", "1", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "unused" in got and "undefined" not in got
+    # grep (case-insensitive default, grep -n style markers)
+    assert main(["--store", cli_store, "output", "-g", "ERROR", "1"]) == 0
+    got = capsys.readouterr().out
+    assert got.startswith("1:") and "undefined" in got and "unused" not in got
+    # grep with context pulls in the neighbor line, marked '-'
+    assert main(["--store", cli_store, "output", "-g", "ERROR", "-C", "1", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "1:" in got and "2-" in got
+    # case-sensitive grep misses
+    assert main(["--store", cli_store, "output", "-g", "ERROR", "--no-ignore-case", "1"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    # line-spec selection
+    assert main(["--store", cli_store, "output", "-l", "2", "1"]) == 0
+    got = capsys.readouterr().out
+    assert got.startswith("2: ") and "unused" in got
+    # default ref = most recent run (run 2 has only the warning)
+    assert main(["--store", cli_store, "output"]) == 0
+    got = capsys.readouterr().out
+    assert "unused" in got and "undefined" not in got
+    # bare source name resolves to that source's latest run
+    assert main(["--store", cli_store, "output", "build.log"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined" in got
+    # unknown source -> clean error
+    assert main(["--store", cli_store, "output", "nope.log"]) == 1
+
+
+def test_cli_event_detail_and_run_listing(cli_store, capsys):
+    # event ref -> pretty detail
+    assert main(["--store", cli_store, "event", "1:1"]) == 0
+    got = capsys.readouterr().out
+    assert "Event: 1:1" in got and "Severity: error" in got
+    assert "File: src/a.c:10:5" in got and "undefined reference" in got
+    # run ref -> event listing
+    assert main(["--store", cli_store, "event", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got and "unused variable" in got
+    # --json round-trips
+    assert main(["--store", cli_store, "event", "1:2", "-j"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["severity"] == "warning"
+    # missing event / relative ref -> errors
+    assert main(["--store", cli_store, "event", "1:99"]) == 1
+    assert main(["--store", cli_store, "event", "~1"]) == 2
+
+
+def test_cli_context_window(cli_store, capsys):
+    assert main(["--store", cli_store, "context", "1:2", "-n", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "Context for 1:2" in got
+    lines = got.splitlines()[1:]
+    marked = [ln for ln in lines if ln.startswith(">")]
+    assert len(marked) == 1 and "unused variable" in marked[0]
+    assert any(ln.startswith(" ") and "undefined" in ln for ln in lines)
+    # run ref is rejected
+    assert main(["--store", cli_store, "context", "1"]) == 2
+
+
 def test_cli_capture_stdin(cli_store, capsys, monkeypatch):
     import io
 

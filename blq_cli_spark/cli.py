@@ -554,6 +554,50 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """S13 sync: export this store's events under the global
+    hostname=/namespace=/project= tree (reference sync_cmd.py:37-167;
+    written as real partition dirs so `read_global` prunes all three
+    levels). `--status` summarizes what's already synced at the
+    destination; `--dry-run` prints the plan."""
+    import socket
+
+    st = _store(args)
+    hostname = args.hostname or socket.gethostname()
+    if args.status:
+        try:
+            g = LogStore.read_global(st.spark, args.destination)
+        except Exception:
+            print(f"nothing synced at {args.destination}")
+            return 0
+        summary = (
+            g.groupBy("hostname", "namespace", "project")
+            .agg(
+                F.countDistinct("run_serial").alias("n_runs"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .orderBy("hostname", "namespace", "project")
+        )
+        _emit(summary, args)
+        return 0
+    if args.dry_run:
+        print("Dry run - would sync:")
+        print(f"  Source: {st.root}")
+        print(
+            f"  Target: {args.destination}/hostname={hostname}/"
+            f"namespace={args.namespace}/project={args.project}"
+        )
+        return 0
+    dest = st.sync_to(
+        args.destination,
+        hostname=hostname,
+        namespace=args.namespace,
+        project=args.project,
+    )
+    print(f"synced to {dest}")
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """S14: re-ingest a hive-partitioned export into this store
     (reference blq migrate, src/blq/commands/migrate.py:30-140)."""
@@ -737,6 +781,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--initial", action="store_true")
     sp.add_argument("cmd", nargs=argparse.REMAINDER)
     sp.set_defaults(fn=cmd_watch)
+
+    sp = sub.add_parser("sync")
+    sp.add_argument("destination", help="global tree root to sync into")
+    sp.add_argument("--hostname", default=None, help="default: this machine's hostname")
+    sp.add_argument("--namespace", default="default")
+    sp.add_argument("--project", default=os.path.basename(os.getcwd()) or "project")
+    sp.add_argument("--status", action="store_true", help="summarize synced tree")
+    sp.add_argument("--dry-run", action="store_true", dest="dry_run")
+    sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser("migrate")
     sp.add_argument("export_root")

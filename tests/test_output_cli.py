@@ -272,6 +272,45 @@ def test_cli_migrate(cli_store, capsys, tmp_path, spark):
     assert LogStore(spark, dst).runs().count() > 0
 
 
+def test_cli_sync_round_trip(cli_store, capsys, tmp_path, spark):
+    """Sync two stores into one global tree, then query the union via
+    read_global and the --status summary."""
+    from blq_cli_spark.sources.store import LogStore
+
+    tree = str(tmp_path / "global")
+    assert main(["--store", cli_store, "sync", tree, "--hostname", "h1",
+                 "--namespace", "ns", "--project", "p1"]) == 0
+    assert "synced to" in capsys.readouterr().out
+
+    other_root = tmp_path / "other"
+    log = other_root / "x.log"
+    other_root.mkdir()
+    log.write_text("src/b.c:7:1: error: second store\n")
+    other = str(other_root / ".bird-spark")
+    assert main(["--store", other, "import", str(log)]) == 0
+    capsys.readouterr()
+    assert main(["--store", other, "sync", tree, "--hostname", "h2",
+                 "--namespace", "ns", "--project", "p2"]) == 0
+    capsys.readouterr()
+
+    g = LogStore.read_global(spark, tree)
+    assert {r["hostname"] for r in g.select("hostname").distinct().collect()} == {"h1", "h2"}
+    assert g.filter("project = 'p2'").count() == 1
+
+    assert main(["--store", cli_store, "--format", "json", "sync", tree, "--status"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert {(r["hostname"], r["project"]) for r in rows} == {("h1", "p1"), ("h2", "p2")}
+
+    # dry run prints the target, writes nothing
+    assert main(["--store", cli_store, "sync", str(tmp_path / "nope"),
+                 "--dry-run", "--hostname", "hX"]) == 0
+    out_text = capsys.readouterr().out
+    assert "hostname=hX" in out_text
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "nope"))
+
+
 def test_cli_watch_runs_until_max(cli_store, capsys, tmp_path, monkeypatch):
     import sys as _sys
 

@@ -627,10 +627,13 @@ def cmd_serve(args) -> int:
     line-delimited JSON requests {"tool": ..., "args": {...}}."""
     from blq_cli_spark import serve
 
-    if args.list_tools:
-        import json as _json
+    import json as _json
 
+    if args.list_tools:
         print(_json.dumps(serve.list_tools(), indent=2))
+        return 0
+    if args.list_prompts:
+        print(_json.dumps(serve.list_prompts(), indent=2))
         return 0
     return serve.serve_stdio(_store(args), once=args.once)
 
@@ -803,6 +806,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("serve")
     sp.add_argument("--once", action="store_true", help="answer one request, then exit")
     sp.add_argument("--list-tools", action="store_true", dest="list_tools")
+    sp.add_argument("--list-prompts", action="store_true", dest="list_prompts")
     sp.set_defaults(fn=cmd_serve)
 
     return p

@@ -236,6 +236,278 @@ def _sandbox_summary(store: LogStore) -> list[dict]:
     return _rows(views.sandbox_summary(store.runs()))
 
 
+# --- per-run detail tools (reference serve.py:2412+, cli.py:445-471) ---------
+
+
+def _latest_serial(store: LogStore) -> int | None:
+    m = store.runs().agg(F.max("run_serial").alias("m")).collect()[0]["m"]
+    return int(m) if m is not None else None
+
+
+@tool("run_info", "One run's metadata + event counts (default: latest)")
+def _run_info(store: LogStore, run_serial: int | None = None) -> dict:
+    if run_serial is None:
+        run_serial = _latest_serial(store)
+        if run_serial is None:
+            raise ValueError("store has no runs")
+    rows = _rows(
+        store.runs_loaded().filter(F.col("run_serial") == run_serial)
+    )
+    if not rows:
+        raise ValueError(f"no run with serial {run_serial}")
+    return rows[0]
+
+
+@tool("last", "Most recent run summary + its first N events")
+def _last(
+    store: LogStore, n_events: int = 20, severity: str | None = None
+) -> dict:
+    serial = _latest_serial(store)
+    if serial is None:
+        raise ValueError("store has no runs")
+    info = _run_info(store, serial)
+    ev = store.events_flat().filter(F.col("run_serial") == serial)
+    if severity:
+        ev = ev.filter(F.col("severity") == severity)
+    return {
+        "run": info,
+        "events": _rows(ev.orderBy("event_index").limit(n_events)),
+    }
+
+
+@tool("event", "Event detail by ref (run ref lists the run's events)")
+def _event(store: LogStore, ref: str) -> dict | list[dict]:
+    parsed = services.parse_ref(ref)
+    if parsed.relative is not None:
+        raise ValueError("relative refs not supported here; use an absolute ref")
+    rows = _rows(services.resolve_ref(store, ref))
+    if not rows:
+        raise ValueError(f"no match for ref {ref!r}")
+    if parsed.is_event():
+        return rows[0]
+    flat = store.events_flat().filter(F.col("run_serial") == parsed.serial)
+    if parsed.tag is not None:
+        flat = flat.filter(F.col("tag") == parsed.tag)
+    return _rows(flat.orderBy("event_index"))
+
+
+@tool("context", "Raw-output lines around an event's log lines")
+def _context(store: LogStore, ref: str, lines: int = 3) -> dict:
+    parsed = services.parse_ref(ref)
+    if not parsed.is_event():
+        raise ValueError("context requires an event ref (e.g., 5:3)")
+    rows = services.resolve_ref(store, ref).collect()
+    if not rows:
+        raise ValueError(f"no match for ref {ref!r}")
+    e = rows[0]
+    start = e["log_line_start"]
+    if start is None:
+        return {"ref": ref, "message": e["message"], "lines": []}
+    end = e["log_line_end"] or start
+    df = services.get_output(
+        store, parsed.serial, lines=f"{max(1, start - lines)}-{end + lines}"
+    )
+    out = [
+        {
+            "line_number": r["line_number"],
+            "line": r["line"],
+            "is_event": start <= r["line_number"] <= end,
+        }
+        for r in df.orderBy("line_number").collect()
+    ]
+    return {"ref": ref, "log_line_start": start, "log_line_end": end, "lines": out}
+
+
+# --- prompts (reference serve.py:3825-4016, 4 MCP prompts) -------------------
+
+_PROMPTS: dict[str, tuple[Callable, str]] = {}
+
+
+def prompt(name: str, description: str):
+    def deco(fn):
+        _PROMPTS[name] = (fn, description)
+        return fn
+
+    return deco
+
+
+def list_prompts() -> list[dict]:
+    return [{"name": n, "description": d} for n, (_, d) in sorted(_PROMPTS.items())]
+
+
+def get_prompt(store: LogStore, name: str, args: dict | None = None) -> dict:
+    """Render one prompt; same envelope contract as dispatch()."""
+    if name not in _PROMPTS:
+        return {"ok": False, "error": f"unknown prompt: {name}",
+                "prompts": [p["name"] for p in list_prompts()]}
+    fn, _ = _PROMPTS[name]
+    try:
+        return {"ok": True, "result": fn(store, **(args or {}))}
+    except TypeError as exc:
+        return {"ok": False, "error": f"bad arguments: {exc}"}
+    except ValueError as exc:
+        return {"ok": False, "error": str(exc)}
+
+
+def _status_table(store: LogStore) -> str:
+    lines = ["| Source | Status | Errors | Warnings |",
+             "|--------|--------|--------|----------|"]
+    for s in _rows(store.source_status()):
+        lines.append(
+            f"| {s.get('source_name', '?')} | {s.get('badge', '?')} "
+            f"| {s.get('n_errors', 0)} | {s.get('n_warnings', 0)} |"
+        )
+    return "\n".join(lines)
+
+
+def _history_table(store: LogStore, n: int) -> str:
+    lines = ["| Run | Status | Errors |", "|-----|--------|--------|"]
+    for r in _rows(services.history_with_counts(store, n=n)):
+        lines.append(
+            f"| {r.get('ref', r.get('run_serial'))} | {r.get('badge', '?')} "
+            f"| {r.get('n_errors', 0)} |"
+        )
+    return "\n".join(lines)
+
+
+@prompt("fix-errors", "Guide through fixing build errors systematically")
+def _p_fix_errors(
+    store: LogStore, run_serial: int | None = None, file_pattern: str | None = None
+) -> str:
+    res = _events(
+        store, severities=["error"], run_serial=run_serial,
+        file_pattern=file_pattern, limit=20,
+    )
+    error_lines = []
+    for i, err in enumerate(res["events"], 1):
+        error_lines.append(
+            f"{i}. **ref: {err.get('ref')}** `{err.get('loc', '?')}`\n"
+            f"   ```\n   {err.get('message', '')}\n   ```"
+        )
+    error_list = "\n\n".join(error_lines) or "No errors found."
+    return f"""You are helping fix build errors in a software project.
+
+## Current Status
+
+{_status_table(store)}
+
+## Errors to Fix
+
+{error_list}
+
+## Instructions
+
+1. Read each error and understand the root cause
+2. Use `event(ref="...")` for full context if the message is unclear
+3. Use `context(ref="...")` to see surrounding log lines
+4. Fix errors in dependency order: missing includes/declarations first,
+   then type errors, then syntax errors
+5. After fixing, run `run(cmd=[...])` to verify
+6. Repeat until build passes
+
+Focus on fixing the root cause, not just suppressing warnings."""
+
+
+@prompt("analyze-regression", "Identify why a build started failing between two runs")
+def _p_analyze_regression(
+    store: LogStore, good_run: int | None = None, bad_run: int | None = None
+) -> str:
+    hist = _rows(services.history_with_counts(store, n=10))
+    if not hist:
+        return 'No runs found. Run a build first with `run(cmd=[...])`.'
+    if bad_run is None:
+        bad_run = hist[0]["run_serial"]
+    if good_run is None:
+        good_run = next(
+            (r["run_serial"] for r in hist[1:] if not r.get("n_errors")),
+            max(bad_run - 1, 1),
+        )
+    data = services.report_data(store, run_serial=bad_run, baseline_serial=good_run)
+    new = data.get("new_errors", [])
+    new_lines = "\n".join(
+        f"- `{e.get('ref_file', '?')}:{e.get('ref_line', '?')}`  {e.get('message', '')}"
+        for e in new
+    ) or "None"
+    return f"""You are analyzing why a build started failing.
+
+## Run Comparison
+
+| Metric | Run {good_run} (good) | Run {bad_run} (bad) | Delta |
+|--------|--------------|-------------|-------|
+| Errors | {data.get("baseline_errors", 0)} | {data.get("total_errors", 0)} | +{len(new)} |
+
+## New Errors (not in Run {good_run})
+
+{new_lines}
+
+## Instructions
+
+1. Review the new errors that appeared
+2. Look for patterns (same file, same error type)
+3. Use `event(ref="...")` for full error context
+4. Identify the root cause
+5. Suggest the minimal fix to restore the build"""
+
+
+@prompt("summarize-run", "Generate a concise summary of a build/test run")
+def _p_summarize_run(store: LogStore, run_serial: int | None = None) -> str:
+    try:
+        info = _run_info(store, run_serial)
+    except ValueError:
+        return 'No runs found. Run a build first with `run(cmd=[...])`.'
+    res = _events(
+        store, severities=["error"], run_serial=info["run_serial"], limit=10
+    )
+    error_lines = "\n".join(
+        f"- `{e.get('loc', '?')}` - {(e.get('message') or '')[:80]}"
+        for e in res["events"]
+    ) or "No errors"
+    return f"""Summarize this build/test run.
+
+## Run Details
+
+- **Run:** {info.get("ref", info["run_serial"])}
+- **Status:** {info.get("badge", "?")}
+- **Errors:** {info.get("n_errors", 0)}
+- **Warnings:** {info.get("n_warnings", 0)}
+
+## Error Details
+
+{error_lines}
+
+## Instructions
+
+Generate a summary suitable for a GitHub PR comment:
+- Lead with pass/fail status
+- List the key errors (not all warnings)
+- Suggest what might have caused the failure
+- Keep it concise"""
+
+
+@prompt("investigate-flaky", "Investigate intermittently failing tests")
+def _p_investigate_flaky(
+    store: LogStore, test_pattern: str | None = None, lookback: int = 10
+) -> str:
+    hist = _rows(services.history_with_counts(store, n=lookback))
+    if not hist:
+        return 'No runs found. Run tests first with `run(cmd=[...])`.'
+    return f"""You are investigating flaky (intermittently failing) tests.
+
+## Test History (last {lookback} runs)
+
+{_history_table(store, lookback)}
+
+## Instructions
+
+1. Look for patterns in failures
+2. Use `events(run_serial=N)` to see errors for specific runs
+3. Use `event(ref="...")` for detailed failure output
+4. Look for race conditions (concurrent, parallel, thread), timing
+   issues (timeout, sleep, wait), resource contention (connection,
+   file, lock)
+5. Suggest fixes to make tests more deterministic"""
+
+
 def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) -> int:
     """Line-delimited JSON loop: one request object per line. This is the
     transport the reference's MCP stdio server provides; swap in a real
@@ -255,6 +527,10 @@ def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) ->
         else:
             if req.get("tool") == "__list__":
                 resp = {"ok": True, "result": list_tools()}
+            elif req.get("tool") == "__prompts__":
+                resp = {"ok": True, "result": list_prompts()}
+            elif "prompt" in req:
+                resp = get_prompt(store, req.get("prompt", ""), req.get("args"))
             else:
                 resp = dispatch(store, req.get("tool", ""), req.get("args"))
         stdout.write(json.dumps(resp, default=str) + "\n")

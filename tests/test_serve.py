@@ -123,6 +123,60 @@ def test_stdio_transport_roundtrip(store):
     assert not lines[2]["ok"]
 
 
+def test_per_run_tools(store):
+    info = serve.dispatch(store, "run_info", {})
+    assert info["ok"] and info["result"]["run_serial"] == 8  # default: latest
+    info3 = serve.dispatch(store, "run_info", {"run_serial": 3})
+    assert info3["ok"] and info3["result"]["run_serial"] == 3
+    assert not serve.dispatch(store, "run_info", {"run_serial": 999})["ok"]
+    last = serve.dispatch(store, "last", {"n_events": 5, "severity": "error"})
+    assert last["ok"]
+    assert last["result"]["run"]["run_serial"] == 8
+    assert 0 < len(last["result"]["events"]) <= 5
+    assert all(e["severity"] == "error" for e in last["result"]["events"])
+
+
+def test_event_and_context_tools(store):
+    ev = serve.dispatch(store, "event", {"ref": "3:1"})
+    assert ev["ok"] and ev["result"]["event_index"] == 1
+    evs = serve.dispatch(store, "event", {"ref": "3"})
+    assert evs["ok"] and len(evs["result"]) > 1
+    assert not serve.dispatch(store, "event", {"ref": "3:999"})["ok"]
+    assert not serve.dispatch(store, "event", {"ref": "~1"})["ok"]
+    ctx = serve.dispatch(store, "context", {"ref": "3:1", "lines": 2})
+    assert ctx["ok"]
+    res = ctx["result"]
+    assert res["log_line_start"] == 3 and res["lines"]
+    assert all({"line_number", "line", "is_event"} <= set(ln) for ln in res["lines"])
+    assert not serve.dispatch(store, "context", {"ref": "3"})["ok"]  # run ref rejected
+
+
+def test_prompts_inventory_and_render(store):
+    names = {p["name"] for p in serve.list_prompts()}
+    assert names == {
+        "fix-errors", "analyze-regression", "summarize-run", "investigate-flaky",
+    }
+    for name in names:
+        resp = serve.get_prompt(store, name, {})
+        assert resp["ok"], resp
+        assert isinstance(resp["result"], str) and "## Instructions" in resp["result"]
+    fx = serve.get_prompt(store, "fix-errors", {"run_serial": 3})["result"]
+    assert "## Errors to Fix" in fx and "ref:" in fx
+    reg = serve.get_prompt(store, "analyze-regression", {"good_run": 3, "bad_run": 4})
+    assert reg["ok"] and "Run 3 (good)" in reg["result"]
+    assert not serve.get_prompt(store, "nope", {})["ok"]
+    # stdio transport: prompt listing + render
+    out = io.StringIO()
+    reqs = (
+        json.dumps({"tool": "__prompts__"}) + "\n"
+        + json.dumps({"prompt": "summarize-run"}) + "\n"
+    )
+    serve.serve_stdio(store, stdin=io.StringIO(reqs), stdout=out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert lines[0]["ok"] and len(lines[0]["result"]) == 4
+    assert lines[1]["ok"] and "Run Details" in lines[1]["result"]
+
+
 def test_info_and_config_tools(store):
     info = serve.dispatch(store, "info", {})
     assert info["ok"]

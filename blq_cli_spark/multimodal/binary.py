@@ -16,11 +16,15 @@ What's real here vs stubbed (container has no image/audio libs):
 - REAL: animated-GIF frame indexing + timestamp-driven frame sampling
   (gif_frames / sample_video_frames) and WAV/PCM fixed-time window
   segmentation (audio_windows) — no codec library needed;
+- REAL: PNG pixel decode in pure Python (png_decode — zlib inflate +
+  scanline unfilter, all five 8-bit color types), so decode_image
+  produces real pixels in this container; PIL is the fast path when
+  importable;
 - REAL: hash-based deterministic feature vectors (shape-correct stand-in
   for a CNN/CLIP embedding; same Spark plumbing, same schema);
-- STUB: pixel decode (PIL) and non-GIF video containers (ffmpeg/av)
-  raise NotImplementedError unless the lib is importable, with
-  `fake=True` offering a deterministic byte-derived surrogate so
+- STUB: non-PNG pixel decode without PIL and non-GIF video containers
+  (ffmpeg/av) raise NotImplementedError unless the lib is importable,
+  with `fake=True` offering a deterministic byte-derived surrogate so
   pipelines are testable end-to-end.
 """
 
@@ -150,39 +154,144 @@ def _require_pil():
         return None
 
 
+def _luma(r: int, g: int, b: int) -> int:
+    """ITU-R 601-2 luma — the formula PIL's convert("L") uses."""
+    return (r * 299 + g * 587 + b * 114) // 1000
+
+
+def png_decode(data: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-Python PNG pixel decode, zero native deps: zlib inflate
+    (stdlib) + per-scanline unfilter (none/sub/up/average/paeth), for
+    non-interlaced 8-bit-depth images in all five color types
+    (gray/RGB/palette/gray+alpha/RGBA). Returns (width, height,
+    row-major grayscale bytes). PIL remains the fast path when
+    importable; this is the library-free floor that makes pixel decode
+    first-class in this container."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr: bytes | None = None
+    plte = b""
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    bpp = channels
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        rp += 1
+        line = bytearray(raw[rp : rp + stride])
+        rp += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if color == 0:
+        gray = bytes(out)
+    elif color == 4:  # gray + alpha: take the gray channel
+        gray = bytes(out[0::2])
+    elif color == 3:  # palette lookup -> luma
+        gray = bytes(
+            _luma(plte[3 * i], plte[3 * i + 1], plte[3 * i + 2]) for i in out
+        )
+    else:  # RGB / RGBA
+        gray = bytes(
+            _luma(out[i], out[i + 1], out[i + 2])
+            for i in range(0, len(out), channels)
+        )
+    return w, h, gray
+
+
 def decode_image(
     df: DataFrame, id_col: str = "id", bin_col: str = "content", fake: bool = False
 ) -> DataFrame:
-    """Decode to (id, width, height, pixels array<int>). STUB: requires
-    PIL; with fake=True returns a deterministic 4x4 byte-derived surrogate
-    (CLEARLY NOT real pixels) so downstream plumbing is testable."""
+    """Decode to (id, width, height, pixels array<int>) grayscale.
+
+    Decode ladder per item: PIL when importable (fast path, any format)
+    -> pure-Python png_decode for PNGs (REAL pixels, no deps) ->
+    fake=True deterministic 4x4 byte-derived surrogate (CLEARLY NOT real
+    pixels) -> NotImplementedError for non-PNG formats without PIL.
+    Pixels are capped at the first 4096 values (metadata filters should
+    prune before decode at scale)."""
     import pandas as pd
 
     Image = _require_pil()
-    if Image is None and not fake:
+
+    def _decode_one(data: bytes):
+        if Image is not None and not fake:
+            import io
+
+            img = Image.open(io.BytesIO(data))
+            return img.width, img.height, img.convert("L").tobytes()
+        if sniff_format(data) == "png" and not fake:
+            return png_decode(data)
+        if fake:
+            digest = hashlib.md5(data).digest()
+            return 4, 4, digest
         raise NotImplementedError(
-            "pixel decode requires PIL (not in this container); pass fake=True "
-            "for a deterministic surrogate, or run where PIL/torchvision exist"
+            f"pixel decode for format {sniff_format(data)!r} requires PIL "
+            "(not in this container); PNG decodes natively, or pass "
+            "fake=True for a deterministic surrogate"
         )
 
     def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-
         for pdf in it:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(blob) if blob is not None else b""
-                if Image is not None and not fake:
-                    img = Image.open(io.BytesIO(data))
-                    rows.append(
-                        {"id": rid, "width": img.width, "height": img.height,
-                         "pixels": [int(p) for p in img.convert("L").tobytes()[:4096]]}
-                    )
-                else:
-                    digest = hashlib.md5(data).digest()
-                    rows.append(
-                        {"id": rid, "width": 4, "height": 4, "pixels": [int(b) for b in digest]}
-                    )
+                w, h, px = _decode_one(data)
+                rows.append(
+                    {"id": rid, "width": w, "height": h,
+                     "pixels": [int(p) for p in px[:4096]]}
+                )
             yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
 
     return df.mapInPandas(_batches, schema="id string, width int, height int, pixels array<int>")

@@ -622,6 +622,36 @@ def cmd_annotate(args) -> int:
     return 0
 
 
+def cmd_hooks(args) -> int:
+    """`blq hooks install|uninstall|status`: manage the git pre-commit
+    hook built from registered commands (reference hooks_cmd.py)."""
+    from blq_cli_spark import hooks
+
+    st = _store(args)
+    try:
+        if args.action == "install":
+            path = hooks.install_git_hook(
+                st, args.repo, args.names, hook_name=args.hook, force=args.force
+            )
+            print(f"installed {args.hook} hook at {path}")
+            return 0
+        if args.action == "uninstall":
+            if hooks.uninstall_git_hook(args.repo, hook_name=args.hook):
+                print(f"removed {args.hook} hook")
+            else:
+                print(f"no {args.hook} hook installed")
+            return 0
+        status = hooks.hooks_status(st, args.repo)
+        for name, state in status["hooks"].items():
+            print(f"{name}: {state}")
+        cmds = ", ".join(status["registered_commands"]) or "(none)"
+        print(f"registered commands: {cmds}")
+        return 0
+    except ValueError as e:
+        print(f"blq-spark hooks: {e}", file=sys.stderr)
+        return 2
+
+
 def cmd_serve(args) -> int:
     """Agent tool surface over stdio (reference MCP server, serve.py):
     line-delimited JSON requests {"tool": ..., "args": {...}}."""
@@ -802,6 +832,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("names", nargs="*")
     sp.add_argument("--list", action="store_true")
     sp.set_defaults(fn=cmd_annotate)
+
+    sp = sub.add_parser("hooks")
+    sp.add_argument("action", choices=["install", "uninstall", "status"])
+    sp.add_argument("names", nargs="*", help="registered commands (install)")
+    sp.add_argument("--repo", default=".", help="git repository root")
+    sp.add_argument("--hook", default="pre-commit")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_hooks)
 
     sp = sub.add_parser("serve")
     sp.add_argument("--once", action="store_true", help="answer one request, then exit")

@@ -252,6 +252,59 @@ def test_cli_ci_generate_and_comment(cli_store, capsys, tmp_path):
     assert "| Baseline run | #1 |" in md and "**Status:**" in md
 
 
+def test_cli_hooks_install_uninstall_status(cli_store, capsys, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    repo = tmp_path / "proj"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q", str(repo)], check=True)
+    # needs a registered command first
+    assert main(["--store", cli_store, "register", "lint",
+                 "--", _sys.executable, "-c", "print('lint ok')"]) == 0
+    capsys.readouterr()
+
+    # unknown command refused
+    assert main(["--store", cli_store, "hooks", "install", "nope",
+                 "--repo", str(repo)]) == 2
+    capsys.readouterr()
+
+    assert main(["--store", cli_store, "hooks", "install", "lint",
+                 "--repo", str(repo)]) == 0
+    assert "installed pre-commit hook" in capsys.readouterr().out
+    hook = repo / ".git" / "hooks" / "pre-commit"
+    content = hook.read_text()
+    assert "blq-spark-managed-hook" in content and "lint" in content
+    import os as _os
+
+    assert _os.access(str(hook), _os.X_OK)
+
+    # double install without force refused; with force ok
+    assert main(["--store", cli_store, "hooks", "install", "lint",
+                 "--repo", str(repo)]) == 2
+    capsys.readouterr()
+    assert main(["--store", cli_store, "hooks", "install", "lint",
+                 "--repo", str(repo), "--force"]) == 0
+    capsys.readouterr()
+
+    assert main(["--store", cli_store, "hooks", "status", "--repo", str(repo)]) == 0
+    got = capsys.readouterr().out
+    assert "pre-commit: installed" in got and "lint" in got
+
+    assert main(["--store", cli_store, "hooks", "uninstall", "--repo", str(repo)]) == 0
+    assert "removed pre-commit hook" in capsys.readouterr().out
+    assert not hook.exists()
+
+    # a foreign hook is never touched
+    hook.write_text("#!/bin/sh\necho custom\n")
+    assert main(["--store", cli_store, "hooks", "uninstall", "--repo", str(repo)]) == 2
+    assert "not created by blq-spark" in capsys.readouterr().err
+    assert hook.exists()
+    # outside a git repo -> clean error
+    assert main(["--store", cli_store, "hooks", "install", "lint",
+                 "--repo", str(tmp_path / "norepo")]) == 2
+
+
 def test_cli_annotate(cli_store, capsys):
     assert main(["--store", cli_store, "annotate", "--list"]) == 0
     assert "fingerprint_count" in capsys.readouterr().out

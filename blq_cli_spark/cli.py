@@ -519,10 +519,127 @@ def cmd_diff(args) -> int:
 
 
 def cmd_clean(args) -> int:
-    if args.blobs:
+    """`blq clean data|prune|orphans|blobs|compact|full`: retention and
+    maintenance over the library primitives (reference clean_cmd.py via
+    cli.py:872-922 semantics). Destructive modes require --confirm;
+    `prune --dry-run` reports what would go without touching anything."""
+    import shutil
+
+    from blq_cli_spark.sources import store as store_mod
+
+    mode = getattr(args, "clean_command", None)
+    if mode in (None, "blobs"):
+        # back-compat: bare `clean` (old `--blobs` flag) cleans blobs
         n = _store(args).cleanup_orphaned_blobs()
         print(f"removed {n} orphaned blobs")
-    return 0
+        return 0
+    st = _store(args)
+    if mode == "data":
+        if not args.confirm:
+            print("clean data is destructive; pass --confirm", file=sys.stderr)
+            return 2
+        n = st.runs().count()
+        for name in ("runs", "events", "outputs", "attempts", "outcomes", "blobs"):
+            shutil.rmtree(os.path.join(st.root, name), ignore_errors=True)
+        print(f"cleared {n} run(s); config and commands kept")
+        return 0
+    if mode == "prune":
+        days = args.days
+        if days is None and args.max_runs is None and args.max_size is None:
+            days = store_mod.config_get(st, "clean.max_age_days")
+        if days is None and args.max_runs is None and args.max_size is None:
+            print("nothing to do: pass --days/--max-runs/--max-size "
+                  "(or config set clean.max_age_days)", file=sys.stderr)
+            return 2
+        if args.dry_run:
+            n = _prune_dry_run(st, days, args.max_runs, args.max_size)
+            print(f"dry run: would remove {n} run(s)")
+            return 0
+        if not args.confirm:
+            print("clean prune is destructive; pass --confirm (or --dry-run)",
+                  file=sys.stderr)
+            return 2
+        n = 0
+        if days is not None or args.max_runs is not None:
+            n += st.prune_runs(max_age_days=days, max_runs_per_source=args.max_runs)
+        if args.max_size is not None:
+            n += st.prune_by_size(args.max_size * 1024 * 1024)
+        st.cleanup_orphaned_blobs()
+        print(f"removed {n} run(s)")
+        return 0
+    if mode == "orphans":
+        if args.dry_run:
+            stale = views.running(st.attempts(), st.outcomes()).collect()
+            import datetime as _dt
+
+            now = _dt.datetime.now()
+            n = sum(
+                1 for r in stale
+                if (now - r["started_at"]).total_seconds() > args.min_age
+            )
+            print(f"dry run: would orphan {n} stale attempt(s)")
+            return 0
+        n = st.sweep_orphans(max_age_seconds=args.min_age)
+        print(f"orphaned {n} stale attempt(s)")
+        return 0
+    if mode == "compact":
+        n = st.compact(args.table)
+        print(f"compacted {args.table}: removed {n} file(s)")
+        return 0
+    if mode == "full":
+        if not args.confirm:
+            print("clean full is destructive; pass --confirm", file=sys.stderr)
+            return 2
+        shutil.rmtree(st.root, ignore_errors=True)
+        os.makedirs(st.root, exist_ok=True)
+        print(f"reset {st.root}")
+        return 0
+    print(f"unknown clean mode {mode!r}", file=sys.stderr)
+    return 2
+
+
+def _prune_dry_run(st, days, max_runs, max_size_mb) -> int:
+    """Count runs the prune policies would remove, without removing."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+
+    doomed = None
+    runs = st.runs()
+    if days is not None:
+        cutoff = (_dt.datetime.now() - _dt.timedelta(days=days)).date()
+        d = runs.filter(F.col("date") < F.lit(cutoff.isoformat())).select("id")
+        doomed = d if doomed is None else doomed.union(d)
+    if max_runs is not None:
+        w = Window.partitionBy(
+            F.coalesce("source_name", F.lit("__none__"))
+        ).orderBy(F.desc("timestamp"))
+        d = (
+            runs.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") > max_runs)
+            .select("id")
+        )
+        doomed = d if doomed is None else doomed.union(d)
+    if max_size_mb is not None:
+        w = Window.orderBy(F.desc("timestamp")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        sized = (
+            runs.join(
+                st.outputs().groupBy("invocation_id").agg(
+                    F.sum("byte_length").alias("bytes")
+                ),
+                F.col("id") == F.col("invocation_id"),
+                "left",
+            )
+            .select("id", "timestamp", F.coalesce("bytes", F.lit(0)).alias("bytes"))
+            .withColumn("cum_bytes", F.sum("bytes").over(w))
+        )
+        d = sized.filter(
+            F.col("cum_bytes") > max_size_mb * 1024 * 1024
+        ).select("id")
+        doomed = d if doomed is None else doomed.union(d)
+    return doomed.distinct().count() if doomed is not None else 0
 
 
 def cmd_watch(args) -> int:
@@ -652,6 +769,430 @@ def cmd_hooks(args) -> int:
         return 2
 
 
+# Build files -> (command name, argv, format) used by `init --detect`
+# (reference init_cmd.py detect_commands: simple build-file scan mode).
+_DETECT_RULES = (
+    ("pyproject.toml", "test", ["python", "-m", "pytest"], "pytest"),
+    ("setup.py", "test", ["python", "-m", "pytest"], "pytest"),
+    ("Makefile", "build", ["make"], "auto"),
+    ("package.json", "test", ["npm", "test"], "auto"),
+    ("Cargo.toml", "test", ["cargo", "test"], "cargo_test"),
+    ("go.mod", "test", ["go", "test", "./..."], "go_test"),
+    ("CMakeLists.txt", "build", ["cmake", "--build", "build"], "cmake"),
+)
+
+
+def cmd_init(args) -> int:
+    """`blq init`: create the store directory + config scaffold so every
+    later command works without flags (reference init_cmd, cli.py:229-267).
+    `--detect` registers build/test commands found from build files in the
+    project root; `--force` re-inits over an existing store."""
+    from blq_cli_spark.sources import store as store_mod
+
+    root = args.store
+    existed = os.path.isfile(os.path.join(root, "config.json"))
+    if existed and not args.force:
+        print(f"{root} already initialized (use --force to re-init)")
+        return 0
+    os.makedirs(root, exist_ok=True)
+    st = _store(args)
+    cfg = store_mod._load_config(st)
+    cfg.setdefault("commands", {})
+    cfg.setdefault("suppressions", {})
+    cfg.setdefault("user", {})
+    cfg["project"] = args.project or os.path.basename(os.getcwd()) or "project"
+    cfg["namespace"] = args.namespace or "default"
+    store_mod._save_config(st, cfg)
+    detected = []
+    if args.detect:
+        for fname, cmd_name, argv, fmt in _DETECT_RULES:
+            if os.path.isfile(os.path.join(os.getcwd(), fname)):
+                if cmd_name in store_mod.registered_commands(st):
+                    continue
+                store_mod.register_command(st, cmd_name, argv, fmt=fmt)
+                detected.append((cmd_name, argv))
+    print(f"initialized {root} (project={cfg['project']}, namespace={cfg['namespace']})")
+    for name, argv in detected:
+        print(f"  registered {name}: {' '.join(argv)}")
+    if not detected and args.detect:
+        print("  no build files detected")
+    return 0
+
+
+def cmd_formats(args) -> int:
+    """`blq formats`: list every parse format grouped by category
+    (reference cmd_formats, commands/management.py:1033-1113 — there a
+    duck_hunt TVF; here the native FORMATS registry)."""
+    catalog = logparse.format_catalog()
+    print(f"Available log formats ({len(catalog)} total):\n")
+    current = None
+    for name, cat, desc in catalog:
+        if cat != current:
+            current = cat
+            print(f"  {cat}:")
+        print(f"    {name:24} {desc}")
+    return 0
+
+
+def _run_info_dict(st, serial: int):
+    rows = st.runs_loaded().filter(F.col("run_serial") == serial).collect()
+    return rows[0].asDict() if rows else None
+
+
+def _print_run_info(info: dict) -> None:
+    """Run detail display matching the reference's info fields
+    (commands/management.py cmd_info, cli.py:445-455)."""
+    print(f"Run: {info.get('ref') or info['run_serial']}")
+    print(f"  Source: {info.get('source_name') or '?'}")
+    print(f"  Command: {info.get('cmd') or '?'}")
+    print(f"  Status: {info.get('badge') or '?'}  exit={info.get('exit_code')}")
+    print(f"  Started: {info.get('timestamp')}")
+    if info.get("duration_ms") is not None:
+        print(f"  Duration: {info['duration_ms']}ms")
+    print(
+        f"  Events: {info.get('n_events', 0)} "
+        f"({info.get('n_errors', 0)} errors, {info.get('n_warnings', 0)} warnings)"
+    )
+    for key in ("cwd", "hostname", "git_branch", "git_commit", "tag"):
+        if info.get(key):
+            print(f"  {key.replace('_', ' ').title()}: {info[key]}")
+
+
+def cmd_info(args) -> int:
+    """`blq info [REF]`: one run's metadata + counts; optional head/tail
+    of its stored output (reference cmd_info, cli.py:445-455)."""
+    st = _store(args)
+    try:
+        serial = services.resolve_run_serial(st, args.ref or "~1")
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
+        return 1
+    info = _run_info_dict(st, serial)
+    if info is None:
+        print(f"blq-spark: no run with serial {serial}", file=sys.stderr)
+        return 1
+    if args.json:
+        import json as _json
+
+        print(_json.dumps(output.scrub_nulls(info), default=str, indent=2))
+    else:
+        _print_run_info(info)
+    if args.head or args.tail:
+        df = services.get_output(st, serial, head=args.head, tail=args.tail)
+        print()
+        for r in df.orderBy("line_number").collect():
+            print(r["line"])
+    return 0
+
+
+def cmd_last(args) -> int:
+    """`blq last`: most recent run summary + its first N events
+    (reference cmd_last, cli.py:457-471)."""
+    st = _store(args)
+    try:
+        serial = services.resolve_run_serial(st, "~1")
+    except ValueError:
+        print("store has no runs", file=sys.stderr)
+        return 1
+    info = _run_info_dict(st, serial)
+    ev = st.events_flat().filter(F.col("run_serial") == serial)
+    if args.errors:
+        ev = ev.filter(F.col("severity") == "error")
+    elif args.warnings:
+        ev = ev.filter(F.col("severity") == "warning")
+    elif args.severity:
+        ev = ev.filter(F.col("severity") == args.severity)
+    ev = ev.orderBy("event_index").limit(args.limit)
+    if args.json:
+        import json as _json
+
+        print(_json.dumps(
+            output.scrub_nulls({
+                "run": info,
+                "events": [r.asDict() for r in ev.collect()],
+            }),
+            default=str, indent=2,
+        ))
+        return 0
+    if not args.quiet and info:
+        _print_run_info(info)
+        print()
+    _emit_events(ev, args)
+    return 0
+
+
+def cmd_config(args) -> int:
+    """`blq config [get|set|unset]`: user configuration persisted in the
+    store config JSON (reference config_cmd.py:255-330; dotted keys)."""
+    from blq_cli_spark.sources import store as store_mod
+
+    st = _store_shim(args)
+    sub = getattr(args, "config_subcommand", None)
+    if getattr(args, "path", False):
+        print(store_mod._config_path(st))
+        return 0
+    if sub == "get":
+        val = store_mod.config_get(st, args.key)
+        import json as _json
+
+        print(_json.dumps(val) if args.json else val)
+        return 0
+    if sub == "set":
+        if args.key not in store_mod.USER_CONFIG_SCHEMA:
+            known = ", ".join(sorted(store_mod.USER_CONFIG_SCHEMA))
+            print(f"unknown config key {args.key!r} (known: {known})", file=sys.stderr)
+            return 2
+        store_mod.config_set(st, args.key, args.value)
+        print(f"{args.key} = {store_mod.config_get(st, args.key)}")
+        return 0
+    if sub == "unset":
+        if store_mod.config_unset(st, args.key):
+            print(f"unset {args.key}")
+        else:
+            print(f"{args.key} was not set")
+        return 0
+    # default: show current values (explicit + defaults with --all)
+    explicit = store_mod.user_config(st)
+    if args.json:
+        import json as _json
+
+        shown = dict(store_mod.USER_CONFIG_SCHEMA) if args.all else {}
+        shown.update(explicit)
+        print(_json.dumps(shown, indent=2, sort_keys=True))
+        return 0
+    if not explicit and not args.all:
+        print("All settings at defaults (use --all to list them).")
+        return 0
+    keys = sorted(set(store_mod.USER_CONFIG_SCHEMA) | set(explicit)) if args.all \
+        else sorted(explicit)
+    for k in keys:
+        mark = "" if k in explicit else "  (default)"
+        print(f"{k} = {store_mod.config_get(st, k)}{mark}")
+    return 0
+
+
+def cmd_record(args) -> int:
+    """`blq record attempt|outcome`: passive invocation tracking for
+    external orchestrators / editor hooks (reference record-invocation,
+    cli.py:1254-1289, commands/record_cmd.py:74-260). `attempt` prints an
+    attempt_id; `outcome` completes it, optionally parsing stdin (or
+    --output FILE) into stored events."""
+    import datetime as _dt
+    import json as _json
+    import socket
+
+    st = _store(args)
+    if args.record_command == "attempt":
+        attempt = st.start_attempt(
+            {
+                "cmd": args.cmd,
+                "cwd": args.cwd or os.getcwd(),
+                "source_name": args.source or (args.cmd.split() or ["unknown"])[0],
+                "source_type": "record",
+                "hostname": socket.gethostname(),
+                "pid": args.pid,
+            }
+        )
+        if args.json:
+            print(_json.dumps({"attempt_id": attempt["id"]}))
+        else:
+            print(attempt["id"])
+        return 0
+    if args.record_command == "outcome":
+        started = None
+        if args.attempt:
+            rows = st.attempts().filter(F.col("id") == args.attempt).collect()
+            if not rows:
+                print(f"no attempt {args.attempt}", file=sys.stderr)
+                return 1
+            started = rows[0]["started_at"]
+            attempt_id = args.attempt
+            cmd_str = rows[0]["cmd"]
+            source = rows[0]["source_name"]
+        else:
+            if not args.cmd:
+                print("outcome needs --attempt or --command", file=sys.stderr)
+                return 2
+            attempt = st.start_attempt(
+                {
+                    "cmd": args.cmd,
+                    "cwd": os.getcwd(),
+                    "source_name": args.source or (args.cmd.split() or ["?"])[0],
+                    "source_type": "record",
+                    "hostname": socket.gethostname(),
+                }
+            )
+            attempt_id = attempt["id"]
+            started = attempt["started_at"]
+            cmd_str = args.cmd
+            source = attempt["source_name"]
+        completed = _dt.datetime.now()
+        duration = args.duration
+        if duration is None and started is not None:
+            duration = int((completed - started).total_seconds() * 1000)
+        st.complete_attempt(
+            attempt_id,
+            {
+                "completed_at": completed,
+                "duration_ms": duration,
+                "exit_code": args.exit,
+                "timeout": False,
+            },
+        )
+        run_serial = None
+        if args.parse:
+            if args.output_file:
+                with open(args.output_file) as fh:
+                    content = fh.read()
+            else:
+                content = sys.stdin.read()
+            events = logparse.parse_content(content, args.parse_format or "auto")
+            run = st.append_run(
+                {
+                    "id": attempt_id,
+                    "timestamp": started or completed,
+                    "duration_ms": duration,
+                    "cwd": os.getcwd(),
+                    "cmd": cmd_str,
+                    "executable": (cmd_str.split() or ["?"])[0],
+                    "exit_code": args.exit,
+                    "hostname": socket.gethostname(),
+                    "source_name": source,
+                    "source_type": "record",
+                    "tag": args.tag,
+                },
+                events=events,
+                output=content,
+            )
+            run_serial = run["run_serial"]
+        if args.json:
+            out = {"attempt_id": attempt_id, "exit_code": args.exit}
+            if run_serial is not None:
+                out["run_serial"] = run_serial
+            print(_json.dumps(out))
+        elif run_serial is not None:
+            print(f"run {run_serial}")
+        return 0
+    print("usage: record attempt|outcome", file=sys.stderr)
+    return 2
+
+
+def _normalize_cmd(cmd: str) -> str:
+    return " ".join(cmd.split())
+
+
+def cmd_commands(args) -> int:
+    """`blq commands [suggest [CMD]]`: list registered commands; `suggest
+    CMD` matches a raw command string against the registry (reference
+    registry.py:299-334, used by editor hooks — silent exit 0 on no
+    match); bare `suggest` scans run history for frequent raw commands
+    not yet registered (candidates for `blq register`)."""
+    from blq_cli_spark.sources import store as store_mod
+
+    st = _store(args)
+    action = getattr(args, "commands_action", None)
+    if action != "suggest":
+        for name, spec in sorted(store_mod.registered_commands(st).items()):
+            print(f"{name}: {' '.join(spec['argv'])}" + (f"  [{spec['fmt']}]" if spec.get("fmt") else ""))
+        return 0
+    registry = store_mod.registered_commands(st)
+    if args.match:
+        wanted = _normalize_cmd(args.match)
+        for name, spec in registry.items():
+            if _normalize_cmd(" ".join(spec["argv"])) == wanted:
+                if args.json:
+                    import json as _json
+
+                    print(_json.dumps({"name": name, "match": "exact"}))
+                else:
+                    print(f"{name}  (blq-spark run {name})")
+                return 0
+        return 0  # no match -> silent success, like the reference
+    registered_cmds = {
+        _normalize_cmd(" ".join(s["argv"])) for s in registry.values()
+    }
+    freq = (
+        st.runs()
+        .filter(F.col("cmd").isNotNull())
+        .groupBy("cmd")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(20)
+        .collect()
+    )
+    shown = 0
+    for r in freq:
+        if _normalize_cmd(r["cmd"]) in registered_cmds or r["n"] < args.min_count:
+            continue
+        name = (r["cmd"].split() or ["cmd"])[0].rsplit("/", 1)[-1]
+        print(f"{r['n']:4d}x  {r['cmd']}   -> blq-spark register {name} -- {r['cmd']}")
+        shown += 1
+    if not shown:
+        print("(no unregistered frequent commands)")
+    return 0
+
+
+_COMPLETION_BASH = """\
+# bash completion for blq-spark
+_blq_spark() {
+    local cur="${COMP_WORDS[COMP_CWORD]}"
+    local cmds="%(cmds)s"
+    if [ "$COMP_CWORD" -eq 1 ]; then
+        COMPREPLY=( $(compgen -W "$cmds" -- "$cur") )
+    fi
+}
+complete -F _blq_spark blq-spark
+"""
+
+_COMPLETION_ZSH = """\
+#compdef blq-spark
+_blq_spark() {
+    local -a cmds
+    cmds=(%(cmds)s)
+    _arguments '1:command:(${cmds[@]})'
+}
+_blq_spark "$@"
+"""
+
+_COMPLETION_FISH = """\
+# fish completion for blq-spark
+complete -c blq-spark -f
+for cmd in %(cmds)s
+    complete -c blq-spark -n "__fish_use_subcommand" -a $cmd
+end
+"""
+
+
+def cmd_completions(args) -> int:
+    """`blq completions bash|zsh|fish` (reference cmd_completions,
+    commands/management.py:1117-1131): emit a completion script listing
+    the live subcommand set (introspected, never stale)."""
+    cmds = " ".join(sorted(_subcommand_names()))
+    tpl = {
+        "bash": _COMPLETION_BASH,
+        "zsh": _COMPLETION_ZSH,
+        "fish": _COMPLETION_FISH,
+    }[args.shell]
+    print(tpl % {"cmds": cmds})
+    return 0
+
+
+def _subcommand_names() -> list[str]:
+    p = build_parser()
+    for action in p._actions:
+        if isinstance(action, argparse._SubParsersAction):
+            return list(action.choices)
+    return []
+
+
+def _store_shim(args):
+    """A root-only stand-in for config commands: the JSON config helpers
+    touch only `.root`, so no SparkSession spin-up is needed."""
+    import types
+
+    return types.SimpleNamespace(root=args.store)
+
+
 def cmd_serve(args) -> int:
     """Agent tool surface over stdio (reference MCP server, serve.py):
     line-delimited JSON requests {"tool": ..., "args": {...}}."""
@@ -671,19 +1212,88 @@ def cmd_serve(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="blq-spark")
     p.add_argument("--store", default=os.environ.get("BLQ_SPARK_STORE", ".bird-spark"))
-    p.add_argument("--format", default="table", choices=["table", "json", "csv", "markdown"])
+    p.add_argument("--format", default=None, choices=["table", "json", "csv", "markdown"])
     sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("--project", "-p", default=None)
+    sp.add_argument("--namespace", default=None)
+    sp.add_argument("--detect", "-d", action="store_true",
+                    help="register build/test commands from build files")
+    sp.add_argument("--force", "-f", action="store_true")
+    sp.set_defaults(fn=cmd_init)
 
     sub.add_parser("status").set_defaults(fn=cmd_status)
 
     sp = sub.add_parser("history")
-    sp.add_argument("-n", type=int, default=10)
+    sp.add_argument("-n", type=int, default=None)
     sp.set_defaults(fn=cmd_history)
 
     for name, fn in (("errors", cmd_errors), ("warnings", cmd_warnings)):
         sp = sub.add_parser(name)
-        sp.add_argument("-n", type=int, default=10)
+        sp.add_argument("-n", type=int, default=None)
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("info", aliases=["I"])
+    sp.add_argument("ref", nargs="?", default=None,
+                    help="run ref (build:5, 5, ~1); default latest")
+    sp.add_argument("--head", type=int, default=None)
+    sp.add_argument("--tail", type=int, default=None)
+    sp.add_argument("-j", "--json", action="store_true")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("last")
+    sp.add_argument("-n", "--limit", type=int, default=20)
+    sp.add_argument("-e", "--errors", action="store_true")
+    sp.add_argument("-w", "--warnings", action="store_true")
+    sp.add_argument("-S", "--severity", default=None)
+    sp.add_argument("-q", "--quiet", action="store_true")
+    sp.add_argument("-j", "--json", action="store_true")
+    sp.set_defaults(fn=cmd_last)
+
+    sp = sub.add_parser("formats")
+    sp.set_defaults(fn=cmd_formats)
+
+    sp = sub.add_parser("completions")
+    sp.add_argument("shell", choices=["bash", "zsh", "fish"])
+    sp.set_defaults(fn=cmd_completions)
+
+    sp = sub.add_parser("config")
+    sp.add_argument("--path", action="store_true")
+    sp.add_argument("--all", action="store_true")
+    sp.add_argument("-j", "--json", action="store_true")
+    csub = sp.add_subparsers(dest="config_subcommand")
+    cg = csub.add_parser("get")
+    cg.add_argument("key")
+    cg.add_argument("-j", "--json", action="store_true")
+    cs = csub.add_parser("set")
+    cs.add_argument("key")
+    cs.add_argument("value")
+    cu = csub.add_parser("unset")
+    cu.add_argument("key")
+    sp.set_defaults(fn=cmd_config)
+
+    sp = sub.add_parser("record", aliases=["record-invocation"])
+    rsub = sp.add_subparsers(dest="record_command")
+    ra = rsub.add_parser("attempt")
+    ra.add_argument("--command", "-c", dest="cmd", required=True)
+    ra.add_argument("--source", default=None)
+    ra.add_argument("--cwd", default=None)
+    ra.add_argument("--pid", type=int, default=None)
+    ra.add_argument("-j", "--json", action="store_true")
+    ro = rsub.add_parser("outcome")
+    ro.add_argument("--attempt", "-a", default=None)
+    ro.add_argument("--command", "-c", dest="cmd", default=None)
+    ro.add_argument("--source", default=None)
+    ro.add_argument("--exit", "-e", type=int, default=0)
+    ro.add_argument("--duration", "-d", type=int, default=None)
+    ro.add_argument("--parse", "-P", action="store_true")
+    ro.add_argument("--parse-format", "-F", default=None)
+    ro.add_argument("--tag", "-t", default=None)
+    ro.add_argument("--output", "-o", dest="output_file", default=None,
+                    help="read output from file instead of stdin")
+    ro.add_argument("-j", "--json", action="store_true")
+    sp.set_defaults(fn=cmd_record)
 
     sub.add_parser("running").set_defaults(fn=cmd_running)
 
@@ -705,7 +1315,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--order", nargs="+")
     sp.add_argument("--desc", action="store_true")
     sp.add_argument("--limit", type=int, default=50)
-    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--parse-format", default=None)
     sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("sql")
@@ -715,13 +1325,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("import")
     sp.add_argument("file")
-    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--parse-format", default=None)
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_import)
 
     sp = sub.add_parser("capture")
-    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--parse-format", default=None)
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_capture)
@@ -734,6 +1344,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_register)
 
     sp = sub.add_parser("commands")
+    msub = sp.add_subparsers(dest="commands_action")
+    ms = msub.add_parser("suggest")
+    ms.add_argument("match", nargs="?", default=None,
+                    help="command string to match; omit to scan history")
+    ms.add_argument("--min-count", type=int, default=2, dest="min_count")
+    ms.add_argument("-j", "--json", action="store_true")
     sp.set_defaults(fn=cmd_commands)
 
     sp = sub.add_parser("suppress")
@@ -786,7 +1402,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("run")
     sp.add_argument("cmd", nargs=argparse.REMAINDER)
-    sp.add_argument("--parse-format", default="auto")
+    sp.add_argument("--parse-format", default=None)
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.add_argument("--timeout", type=float)
@@ -799,7 +1415,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("clean")
-    sp.add_argument("--blobs", action="store_true")
+    sp.add_argument("--blobs", action="store_true")  # back-compat alias of `clean blobs`
+    ksub = sp.add_subparsers(dest="clean_command")
+    kd = ksub.add_parser("data", help="clear run data, keep config/commands")
+    kd.add_argument("--confirm", "-y", action="store_true")
+    kp = ksub.add_parser("prune", help="age/count/size retention")
+    kp.add_argument("--days", "-d", type=int, default=None)
+    kp.add_argument("--max-runs", type=int, default=None, dest="max_runs")
+    kp.add_argument("--max-size", type=int, default=None, dest="max_size",
+                    help="keep total stored output under N MB")
+    kp.add_argument("--confirm", "-y", action="store_true")
+    kp.add_argument("--dry-run", "-n", action="store_true", dest="dry_run")
+    ko = ksub.add_parser("orphans", help="complete stale pending attempts")
+    ko.add_argument("--min-age", type=int, default=60, dest="min_age")
+    ko.add_argument("--dry-run", "-n", action="store_true", dest="dry_run")
+    ksub.add_parser("blobs", help="remove unreferenced content-addressed blobs")
+    kc = ksub.add_parser("compact", help="rewrite small files into right-sized ones")
+    kc.add_argument("--table", default="events")
+    kf = ksub.add_parser("full", help="delete and recreate the store")
+    kf.add_argument("--confirm", "-y", action="store_true")
     sp.set_defaults(fn=cmd_clean)
 
     sp = sub.add_parser("watch")
@@ -852,8 +1486,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     from blq_cli_spark.plans.dsl import FilterExpressionError
+    from blq_cli_spark.sources import store as store_mod
 
     args = build_parser().parse_args(argv)
+    # Resolve config-backed defaults (reference UserConfig defaults,
+    # config.py): flags the user didn't pass fall back to the store's
+    # persisted user config, then to the schema default.
+    shim = _store_shim(args)
+    if args.format is None:
+        args.format = store_mod.config_get(shim, "output.format") or "table"
+    if getattr(args, "n", "absent") is None:
+        args.n = int(store_mod.config_get(shim, "output.default_limit") or 10)
+    if getattr(args, "parse_format", "absent") is None and args.command in (
+        "run", "import", "capture", "record", "record-invocation", "watch"
+    ):
+        args.parse_format = store_mod.config_get(shim, "run.default_format") or "auto"
     try:
         return args.fn(args)
     except FilterExpressionError as exc:

@@ -206,7 +206,8 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    blocks: int = 8,
+    blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
     cosine >= threshold — EXACT, fully distributed via triangle
@@ -221,8 +222,21 @@ def neardup_pairs(
     per-task memory is bounded by the chunked kernel. The O(n^2)
     *compute* is inherent to the exact form — at 100 TB use
     neardup_pairs_bucketed (hyperplane bucket-first, per-bucket exact
-    GEMM) and keep this form as the oracle/verifier on samples."""
+    GEMM) and keep this form as the oracle/verifier on samples.
+
+    `blocks=None` (default) sizes the grid adaptively: B = ceil(rows /
+    target_block_rows), clamped to [1, 32]. Small corpora collapse to a
+    single GEMM group (no replication, no tiny-task overhead — this was
+    a measured 3x bench regression when B was fixed at 8 for ~600-row
+    inputs); large corpora grow B so per-block GEMMs stay ~target-sized.
+    The sizing count is one cheap metadata-light job and is O(scan),
+    negligible next to the O(n^2) compute this operator implies. Pass
+    `blocks` explicitly to skip the count (e.g. when the caller already
+    knows the corpus size)."""
     spark = corpus.sparkSession
+    if blocks is None:
+        n = corpus.count()
+        blocks = max(1, min(32, -(-n // max(1, target_block_rows))))
     tagged = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

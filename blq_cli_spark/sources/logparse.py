@@ -1828,6 +1828,31 @@ def match_command_format(cmd: str) -> str | None:
     return None
 
 
+def format_catalog() -> list[tuple[str, str, str]]:
+    """(name, category, description) for every registered format, the
+    `blq formats` listing (reference duck_hunt_formats() TVF surface,
+    commands/management.py:1033-1113). Category is recovered from each
+    parser's own `_event(tool, category, ...)` calls so the catalog can
+    never drift from parser behavior; description is the parser's
+    docstring first line (empty when undocumented)."""
+    import inspect
+    from collections import Counter
+
+    out = []
+    for name, fn in FORMATS.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+        cats = re.findall(r'_event\(\s*"[^"]+",\s*"([^"]+)"', src) or re.findall(
+            r'_event\(\s*\w+,\s*"([^"]+)"', src
+        )
+        cat = Counter(cats).most_common(1)[0][0] if cats else "other"
+        doc = (fn.__doc__ or "").strip().splitlines()
+        out.append((name, cat, doc[0] if doc else ""))
+    return sorted(out, key=lambda t: (t[1], t[0]))
+
+
 def diagnose(content: str) -> list[tuple[str, int, float]]:
     """Score every format on the content: (format, n_events, confidence)
     sorted best-first (reference duck_hunt_diagnose_parse,

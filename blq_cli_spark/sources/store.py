@@ -566,3 +566,59 @@ def suppressed_fingerprints(store: "LogStore", command: str | None = None) -> li
     if command:
         out += [fp for fp in sup.get(command, []) if fp not in out]
     return out
+
+
+# -- user config (reference UserConfig, src/blq/config.py + cli.py:1021-1067) --
+# Dotted keys under the store config's "user" section, e.g.
+# `output.default_limit`. Values are JSON scalars; `config_set` parses
+# bool/int/float/JSON literals so `blq-spark config set output.default_limit
+# 25` stores the integer 25.
+
+# Known keys and their defaults — the schema the `config` command shows.
+# Keys here actively change CLI behavior (resolved in cli.main / commands).
+USER_CONFIG_SCHEMA: dict[str, object] = {
+    "output.format": "table",  # default --format for every command
+    "output.default_limit": 10,  # default -n for errors/warnings/history
+    "run.default_format": "auto",  # default parse format for run/import
+    "clean.max_age_days": None,  # default retention window for clean prune
+}
+
+
+def _parse_config_value(raw: str):
+    lowered = raw.strip().lower()
+    if lowered in ("true", "false"):
+        return lowered == "true"
+    if lowered in ("null", "none"):
+        return None
+    try:
+        return json.loads(raw)
+    except (ValueError, TypeError):
+        return raw
+
+
+def user_config(store: "LogStore") -> dict:
+    """Flat {dotted_key: value} of explicitly-set user config entries."""
+    return dict(_load_config(store).get("user", {}))
+
+
+def config_get(store: "LogStore", key: str):
+    """Explicit value if set, else the schema default (None for unknown
+    keys — mirroring reference config get's default fallback)."""
+    user = _load_config(store).get("user", {})
+    if key in user:
+        return user[key]
+    return USER_CONFIG_SCHEMA.get(key)
+
+
+def config_set(store: "LogStore", key: str, value: str) -> None:
+    cfg = _load_config(store)
+    cfg.setdefault("user", {})[key] = _parse_config_value(value)
+    _save_config(store, cfg)
+
+
+def config_unset(store: "LogStore", key: str) -> bool:
+    cfg = _load_config(store)
+    existed = key in cfg.get("user", {})
+    cfg.get("user", {}).pop(key, None)
+    _save_config(store, cfg)
+    return existed

@@ -1,0 +1,285 @@
+"""Lifecycle / maintenance CLI verbs added for reference parity:
+init, formats, completions, info, last, config, commands suggest,
+record attempt/outcome, clean data/prune/orphans/compact/full
+(reference cli.py:229-267 init, :620-637 prune/formats/completions,
+:445-471 info/last, :872-922 clean, :1021-1067 config, :1254-1289
+record-invocation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from blq_cli_spark.cli import main
+from blq_cli_spark.sources import store as store_mod
+from blq_cli_spark.sources.store import LogStore
+from tests.fixtures_blq import make_runs_and_events
+
+
+# ---- init ---------------------------------------------------------------
+
+
+def test_init_then_run_e2e(tmp_path, capsys, monkeypatch):
+    """Fresh dir -> init --detect -> import -> status, no manual store
+    plumbing. Detect registers a pytest command off pyproject.toml."""
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "pyproject.toml").write_text("[project]\nname='x'\n")
+    monkeypatch.chdir(proj)
+    store = str(proj / ".bird-spark")
+    assert main(["--store", store, "init", "--detect"]) == 0
+    got = capsys.readouterr().out
+    assert "initialized" in got and "registered test:" in got
+    assert os.path.isfile(os.path.join(store, "config.json"))
+    # idempotent without --force
+    assert main(["--store", store, "init"]) == 0
+    assert "already initialized" in capsys.readouterr().out
+    # the detected command is in the registry
+    assert main(["--store", store, "commands"]) == 0
+    assert "python -m pytest" in capsys.readouterr().out
+    # and the store works end-to-end from here
+    log = proj / "b.log"
+    log.write_text("a.c:1:1: error: boom\n")
+    assert main(["--store", store, "import", str(log)]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "status"]) == 0
+    assert "b.log" in capsys.readouterr().out
+
+
+# ---- formats / completions ---------------------------------------------
+
+
+def test_formats_lists_all(capsys, tmp_path):
+    assert main(["--store", str(tmp_path / "s"), "formats"]) == 0
+    got = capsys.readouterr().out
+    assert "Available log formats (110 total)" in got
+    for fmt in ("gcc", "pytest", "eslint", "cargo_test", "generic"):
+        assert f"\n    {fmt} " in got or f"    {fmt}" in got
+    # grouped by category
+    assert "  test:" in got and "  lint:" in got and "  compile:" in got
+
+
+@pytest.mark.parametrize("shell", ["bash", "zsh", "fish"])
+def test_completions(shell, capsys, tmp_path):
+    assert main(["--store", str(tmp_path / "s"), "completions", shell]) == 0
+    got = capsys.readouterr().out
+    assert "blq-spark" in got
+    # every live subcommand is present in the script
+    for cmd in ("status", "errors", "init", "formats", "clean", "config"):
+        assert cmd in got
+
+
+# ---- shared populated store --------------------------------------------
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    root = str(tmp_path / "store")
+    st = LogStore(spark, root)
+    runs, events = make_runs_and_events()
+    by_run: dict[str, list] = {}
+    for ev in events:
+        by_run.setdefault(ev["invocation_id"], []).append(ev)
+    for run in runs:
+        st.append_run(run, by_run.get(run["id"], []), output=f"out {run['id']}\n" * 5)
+    return st
+
+
+# ---- info / last --------------------------------------------------------
+
+
+def test_info_latest_and_json(seeded, capsys):
+    root = seeded.root
+    assert main(["--store", root, "info"]) == 0
+    got = capsys.readouterr().out
+    assert "Run:" in got and "Events:" in got and "make target8" in got
+    assert main(["--store", root, "info", "~2", "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["run_serial"] == 7
+    # unknown ref -> clean error
+    assert main(["--store", root, "info", "nosuch:99"]) == 1
+
+
+def test_info_with_output_tail(seeded, capsys):
+    assert main(["--store", seeded.root, "info", "--tail", "2"]) == 0
+    got = capsys.readouterr().out
+    assert got.rstrip().endswith("out run-0008")
+
+
+def test_last_events_and_filters(seeded, capsys):
+    root = seeded.root
+    assert main(["--store", root, "last"]) == 0
+    got = capsys.readouterr().out
+    assert "Run:" in got and "severity" in got
+    assert main(["--store", root, "last", "-e", "-q"]) == 0
+    got = capsys.readouterr().out
+    assert "Run:" not in got
+    assert "warning" not in got.replace("n_warnings", "")
+    assert main(["--store", root, "last", "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["run"]["run_serial"] == 8 and isinstance(data["events"], list)
+
+
+# ---- config -------------------------------------------------------------
+
+
+def test_config_round_trip(tmp_path, capsys):
+    store = str(tmp_path / "s")
+    assert main(["--store", store, "config"]) == 0
+    assert "defaults" in capsys.readouterr().out
+    assert main(["--store", store, "config", "set", "output.default_limit", "3"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "config", "get", "output.default_limit"]) == 0
+    assert capsys.readouterr().out.strip() == "3"
+    # typed parse: bool
+    assert main(["--store", store, "config", "set", "clean.max_age_days", "14"]) == 0
+    capsys.readouterr()
+    cfg = json.load(open(os.path.join(store, "config.json")))
+    assert cfg["user"] == {"output.default_limit": 3, "clean.max_age_days": 14}
+    assert main(["--store", store, "config", "unset", "output.default_limit"]) == 0
+    capsys.readouterr()
+    assert main(["--store", store, "config", "get", "output.default_limit"]) == 0
+    assert capsys.readouterr().out.strip() == "10"  # back to schema default
+    # unknown key rejected on set
+    assert main(["--store", store, "config", "set", "no.such.key", "1"]) == 2
+
+
+def test_config_changes_cli_behavior(seeded, capsys):
+    """output.default_limit actually drives the errors default -n."""
+    root = seeded.root
+    assert main(["--store", root, "config", "set", "output.default_limit", "1"]) == 0
+    capsys.readouterr()
+    assert main(["--store", root, "errors"]) == 0
+    got = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(got) == 3  # header + separator + exactly ONE event row
+    # explicit -n still wins
+    assert main(["--store", root, "errors", "-n", "3"]) == 0
+    got = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(got) == 5
+
+
+# ---- commands suggest ---------------------------------------------------
+
+
+def test_commands_suggest_match_and_history(seeded, capsys):
+    root = seeded.root
+    store_mod.register_command(seeded, "build", ["make", "target1"], fmt="gcc")
+    assert main(["--store", root, "commands", "suggest", "make  target1"]) == 0
+    assert "build" in capsys.readouterr().out
+    # no match -> silent success (hook contract, reference registry.py:299)
+    assert main(["--store", root, "commands", "suggest", "cargo nope"]) == 0
+    assert capsys.readouterr().out == ""
+    # history scan: fixture cmds are all distinct (1x each) so nothing
+    # clears the default min-count; with --min-count 1 they surface
+    assert main(["--store", root, "commands", "suggest", "--min-count", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "blq-spark register" in got and "make target2" in got
+    assert "make target1" not in got  # registered ones are excluded
+
+
+# ---- record attempt/outcome --------------------------------------------
+
+
+def test_record_attempt_outcome_parse(seeded, capsys, tmp_path):
+    root = seeded.root
+    assert main([
+        "--store", root, "record", "attempt", "-c", "make all", "--json",
+    ]) == 0
+    attempt_id = json.loads(capsys.readouterr().out)["attempt_id"]
+    out_file = tmp_path / "o.log"
+    out_file.write_text("x.c:3:1: error: kaboom\n")
+    assert main([
+        "--store", root, "record", "outcome", "-a", attempt_id,
+        "-e", "2", "--parse", "-o", str(out_file), "--json",
+    ]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["exit_code"] == 2 and "run_serial" in data
+    # the parsed run is queryable and carries the attempt's command
+    assert main(["--store", root, "info", "--json"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["cmd"] == "make all" and info["n_errors"] == 1
+    # attempt is completed, not pending
+    assert main(["--store", root, "running"]) == 0
+    assert attempt_id not in capsys.readouterr().out
+
+
+def test_record_outcome_without_attempt(seeded, capsys):
+    assert main([
+        "--store", seeded.root, "record", "outcome", "-c", "lint src", "-e", "0",
+        "--json",
+    ]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["exit_code"] == 0 and data["attempt_id"]
+
+
+# ---- clean --------------------------------------------------------------
+
+
+def test_clean_prune_age(seeded, capsys):
+    """Fixture runs are at 2026-03-01 (+hours); --days 30 from today
+    drops all 8 as whole date-partition removals."""
+    root = seeded.root
+    assert main(["--store", root, "clean", "prune", "--days", "30", "--dry-run"]) == 0
+    assert "would remove 8" in capsys.readouterr().out
+    # destructive without confirm -> refused
+    assert main(["--store", root, "clean", "prune", "--days", "30"]) == 2
+    capsys.readouterr()
+    assert main(["--store", root, "clean", "prune", "--days", "30", "-y"]) == 0
+    assert "removed 8" in capsys.readouterr().out
+    assert seeded.runs().count() == 0
+
+
+def test_clean_prune_max_runs(seeded, capsys):
+    root = seeded.root
+    assert main(["--store", root, "clean", "prune", "--max-runs", "1", "-y"]) == 0
+    capsys.readouterr()
+    # 4 sources in the fixture -> one newest run kept per source
+    assert seeded.runs().count() == 4
+    kept = {r["source_name"] for r in seeded.runs().collect()}
+    assert kept == {"build", "test", "lint", "typecheck"}
+    # events/outputs pruned consistently with runs
+    run_ids = {r["id"] for r in seeded.runs().collect()}
+    assert {
+        r["invocation_id"] for r in seeded.events().select("invocation_id").distinct().collect()
+    } <= run_ids
+
+
+def test_clean_prune_max_size(seeded, capsys):
+    root = seeded.root
+    total = sum(
+        r["byte_length"] for r in seeded.outputs().select("byte_length").collect()
+    )
+    assert total > 0
+    # 0 MB budget -> everything goes
+    assert main(["--store", root, "clean", "prune", "--max-size", "0", "-y"]) == 0
+    assert seeded.runs().count() == 0
+
+
+def test_clean_orphans_and_data_and_full(spark, tmp_path, capsys):
+    root = str(tmp_path / "s2")
+    st = LogStore(spark, root)
+    st.start_attempt({"cmd": "sleep", "started_at": dt.datetime.now() - dt.timedelta(hours=1)})
+    st.append_run({"cmd": "x", "source_name": "s"}, events=[], output="hello")
+    assert main(["--store", root, "clean", "orphans", "--dry-run"]) == 0
+    assert "would orphan 1" in capsys.readouterr().out
+    assert main(["--store", root, "clean", "orphans"]) == 0
+    assert "orphaned 1" in capsys.readouterr().out
+    assert st.outcomes().count() == 1
+    # data: clears tables, keeps config
+    store_mod.config_set(st, "output.format", "json")
+    assert main(["--store", root, "clean", "data"]) == 2  # refused w/o confirm
+    assert main(["--store", root, "clean", "data", "-y"]) == 0
+    capsys.readouterr()
+    assert st.runs().count() == 0
+    assert store_mod.config_get(st, "output.format") == "json"
+    # full: wipes everything including config
+    assert main(["--store", root, "clean", "full", "-y"]) == 0
+    assert not os.path.isfile(os.path.join(root, "config.json"))
+
+
+def test_clean_bare_still_cleans_blobs(seeded, capsys):
+    assert main(["--store", seeded.root, "clean"]) == 0
+    assert "orphaned blobs" in capsys.readouterr().out

@@ -1185,6 +1185,150 @@ def _subcommand_names() -> list[str]:
     return []
 
 
+def cmd_sandbox(args) -> int:
+    """`blq sandbox list|inspect|set|unset|suggest|tighten`: per-command
+    sandbox spec management (reference sandbox_cmd.py:13-330). list /
+    inspect / set / unset are config CRUD; suggest / tighten aggregate
+    observed run metrics with Spark (see blq_cli_spark/sandbox.py)."""
+    import json as _json
+
+    from blq_cli_spark import sandbox as sbx
+    from blq_cli_spark.sources import store as store_mod
+
+    action = getattr(args, "sandbox_command", None) or "list"
+    if action == "list":
+        st = _store_shim(args)
+        rows = []
+        for name, cmd in sorted(store_mod.registered_commands(st).items()):
+            raw = cmd.get("sandbox")
+            if raw is None:
+                rows.append({"command": name, "sandbox": "none", "grade": "-",
+                             "network": "-", "filesystem": "-"})
+                continue
+            spec = sbx.resolve(raw)
+            rows.append({
+                "command": name,
+                "sandbox": spec.matching_preset() or "custom",
+                "grade": spec.grade,
+                "network": spec.network,
+                "filesystem": spec.filesystem,
+            })
+        if args.json:
+            print(_json.dumps(rows, indent=2))
+        else:
+            print(f"{'Command':<20} {'Sandbox':<14} {'Grade':<9} {'Network':<13} Filesystem")
+            print("-" * 68)
+            for r in rows:
+                print(f"{r['command']:<20} {r['sandbox']:<14} {r['grade']:<9} "
+                      f"{r['network']:<13} {r['filesystem']}")
+        return 0
+    if action in ("inspect", "set", "unset"):
+        st = _store_shim(args)
+        try:
+            if action == "inspect":
+                raw = sbx.get_spec(st, args.name)
+                if raw is None:
+                    print(f"command {args.name!r} has no sandbox spec")
+                    return 0
+                spec = sbx.resolve(raw)
+                if args.json:
+                    print(_json.dumps({
+                        "command": args.name,
+                        "spec": spec.to_dict(),
+                        "grade": spec.grade,
+                        "preset": spec.matching_preset(),
+                    }, indent=2))
+                else:
+                    print(f"Command: {args.name}")
+                    print(f"Sandbox: {spec.matching_preset() or 'custom'}")
+                    print(f"Grade: {spec.grade}")
+                    for k, v in spec.to_dict().items():
+                        print(f"  {k}: {v}")
+                return 0
+            if action == "set":
+                if args.preset:
+                    value = args.preset
+                else:
+                    value = {}
+                    for kv in args.dims:
+                        k, _, v = kv.partition("=")
+                        value[k] = int(v) if v.isdigit() else v
+                sbx.set_spec(st, args.name, value)
+                print(f"sandbox for {args.name}: {value}")
+                return 0
+            if sbx.unset_spec(st, args.name):
+                print(f"removed sandbox spec from {args.name}")
+            else:
+                print(f"{args.name} had no sandbox spec")
+            return 0
+        except KeyError:
+            print(f"unknown command {args.name!r} (register it first)", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"blq-spark sandbox: {e}", file=sys.stderr)
+            return 2
+    # suggest / tighten need the runs table -> real store
+    st = _store(args)
+    if args.name not in store_mod.registered_commands(st):
+        print(f"unknown command {args.name!r} (register it first)", file=sys.stderr)
+        return 2
+    if action == "suggest":
+        got = sbx.suggest_spec(st.runs(), args.name)
+        if got is None:
+            print(f"no runs found for {args.name!r}; run it a few times first")
+            return 1
+        observed, suggested = got
+        print(f"Based on {observed['run_count']} run(s) of {args.name!r}:")
+        if observed["max_memory_bytes"] is not None:
+            print(f"  peak memory {sbx.fmt_size(observed['max_memory_bytes'])}"
+                  f" -> suggest {sbx.fmt_size(suggested['memory'])} (2x headroom)")
+        if observed["max_duration_ms"] is not None:
+            print(f"  max wall {observed['max_duration_ms']}ms"
+                  f" -> suggest timeout {suggested['timeout']}s (3x headroom)")
+        print(_json.dumps(suggested, indent=2))
+        return 0
+    if action == "tighten":
+        if args.dry_run:
+            got = sbx.suggest_spec(st.runs(), args.name)
+            if got is None:
+                print(f"no runs found for {args.name!r}")
+                return 1
+            print(f"dry run - would set: {_json.dumps(got[1])}")
+            return 0
+        written = sbx.tighten_spec(st, st.runs(), args.name)
+        if written is None:
+            print(f"no runs found for {args.name!r}")
+            return 1
+        print(f"tightened {args.name}: {_json.dumps(written)}")
+        return 0
+    print(f"unknown sandbox action {action!r}", file=sys.stderr)
+    return 2
+
+
+def cmd_mcp(args) -> int:
+    """`blq mcp install|serve` (reference mcp_cmd.py:132-190): install
+    merges a blq-spark server entry into ./.mcp.json; serve is an alias
+    for the stdio tool server."""
+    from blq_cli_spark import sandbox as sbx
+
+    if args.mcp_command == "install":
+        path = os.path.join(os.getcwd(), ".mcp.json")
+        try:
+            changed = sbx.ensure_mcp_config(path, args.store, force=args.force)
+        except ValueError as e:
+            print(f"blq-spark mcp: {e}", file=sys.stderr)
+            return 2
+        print(f"{'configured' if changed else 'already configured'} "
+              f"{sbx.MCP_SERVER_KEY} MCP server in .mcp.json")
+        return 0
+    if args.mcp_command == "serve":
+        from blq_cli_spark import serve
+
+        return serve.serve_stdio(_store(args), once=args.once)
+    print("usage: mcp install|serve", file=sys.stderr)
+    return 2
+
+
 def _store_shim(args):
     """A root-only stand-in for config commands: the JSON config helpers
     touch only `.root`, so no SparkSession spin-up is needed."""
@@ -1480,6 +1624,37 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--list-tools", action="store_true", dest="list_tools")
     sp.add_argument("--list-prompts", action="store_true", dest="list_prompts")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("sandbox")
+    ssub = sp.add_subparsers(dest="sandbox_command")
+    sl = ssub.add_parser("list")
+    sl.add_argument("-j", "--json", action="store_true")
+    si = ssub.add_parser("inspect")
+    si.add_argument("name")
+    si.add_argument("-j", "--json", action="store_true")
+    ss = ssub.add_parser("set")
+    ss.add_argument("name")
+    from blq_cli_spark.sandbox import PRESETS as _presets
+
+    ss.add_argument("--preset", choices=sorted(_presets))
+    ss.add_argument("dims", nargs="*", metavar="key=value",
+                    help="spec dimensions, e.g. network=none memory=268435456")
+    su = ssub.add_parser("unset")
+    su.add_argument("name")
+    sg = ssub.add_parser("suggest")
+    sg.add_argument("name")
+    stt = ssub.add_parser("tighten")
+    stt.add_argument("name")
+    stt.add_argument("--dry-run", action="store_true", dest="dry_run")
+    sp.set_defaults(fn=cmd_sandbox, json=False)
+
+    sp = sub.add_parser("mcp")
+    msb = sp.add_subparsers(dest="mcp_command")
+    mi = msb.add_parser("install")
+    mi.add_argument("--force", "-f", action="store_true")
+    msv = msb.add_parser("serve")
+    msv.add_argument("--once", action="store_true")
+    sp.set_defaults(fn=cmd_mcp)
 
     return p
 

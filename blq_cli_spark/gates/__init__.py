@@ -2,6 +2,7 @@
 
 from blq_cli_spark.gates import (  # noqa: F401
     aggs,
+    analytics_ext,
     context_ops,
     events_ts,
     llmdata,

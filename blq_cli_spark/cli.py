@@ -543,6 +543,16 @@ def cmd_clean(args) -> int:
             shutil.rmtree(os.path.join(st.root, name), ignore_errors=True)
         print(f"cleared {n} run(s); config and commands kept")
         return 0
+    if mode == "schema":
+        # recreate table layout only: tables go, blobs + config stay
+        # (reference clean schema, cli.py:915-919)
+        if not args.confirm:
+            print("clean schema is destructive; pass --confirm", file=sys.stderr)
+            return 2
+        for name in ("runs", "events", "outputs", "attempts", "outcomes"):
+            shutil.rmtree(os.path.join(st.root, name), ignore_errors=True)
+        print("recreated empty table layout (blobs and config kept)")
+        return 0
     if mode == "prune":
         days = args.days
         if days is None and args.max_runs is None and args.max_size is None:
@@ -1574,6 +1584,8 @@ def build_parser() -> argparse.ArgumentParser:
     ko.add_argument("--min-age", type=int, default=60, dest="min_age")
     ko.add_argument("--dry-run", "-n", action="store_true", dest="dry_run")
     ksub.add_parser("blobs", help="remove unreferenced content-addressed blobs")
+    ks = ksub.add_parser("schema", help="recreate empty table layout, keep blobs/config")
+    ks.add_argument("--confirm", "-y", action="store_true")
     kc = ksub.add_parser("compact", help="rewrite small files into right-sized ones")
     kc.add_argument("--table", default="events")
     kf = ksub.add_parser("full", help="delete and recreate the store")

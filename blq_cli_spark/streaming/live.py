@@ -81,15 +81,66 @@ def windowed_severity_counts(
     window_duration: str = "1 minute",
     watermark_delay: str = "2 minutes",
     ts_col: str = "ingest_ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window severity counts with a watermark (late data beyond
-    the delay is dropped; state is bounded — the 100 TB requirement)."""
+    """Windowed severity counts with a watermark (late data beyond the
+    delay is dropped; state is bounded — the 100 TB requirement).
+    `slide` < window gives overlapping sliding windows (each event lands
+    in window/slide windows); None = tumbling. Batch twin with an oracle:
+    gates ts_tumbling_window / ts_sliding_window."""
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(ts_col, window_duration).alias("w"), "severity")
+        .groupBy(win.alias("w"), "severity")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "severity", "n")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "20 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair left rows with right
+    rows sharing `key` whose event time lies in
+    [left_ts - max_delay, left_ts] — the attribute-events-to-attempts /
+    clicks-to-impressions shape (ST2's streaming generalization).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire state on BOTH sides (unbounded
+    stream-stream joins otherwise keep every row forever — the thing
+    that kills a 100 TB stream). Columns from the right side are
+    prefixed `r_` to keep the joined schema collision-free.
+
+    For outer flavors Spark emits the unmatched row only after the
+    watermark passes — with availableNow test triggers that means inner
+    is the shape to assert on; outer is supported for completeness."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            *[F.col(c).alias(c if c in (key, right_ts) else f"r_{c}") for c in right.columns]
+        )
+        .withColumnRenamed(key, f"r_{key}")
+        .withColumnRenamed(right_ts, f"r_{right_ts}")
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.r_{key}"))
+        & (F.col(f"r.r_{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}"))
+        & (F.col(f"r.r_{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return lw.join(rw, cond, how)
 
 
 def run_stream_to_memory(

@@ -283,3 +283,16 @@ def test_clean_orphans_and_data_and_full(spark, tmp_path, capsys):
 def test_clean_bare_still_cleans_blobs(seeded, capsys):
     assert main(["--store", seeded.root, "clean"]) == 0
     assert "orphaned blobs" in capsys.readouterr().out
+
+
+def test_clean_schema_keeps_blobs_and_config(spark, tmp_path, capsys):
+    root = str(tmp_path / "s3")
+    st = LogStore(spark, root)
+    store_mod.config_set(st, "output.format", "json")
+    st.append_run({"cmd": "x", "source_name": "s"}, events=[], output="B" * 100_000)
+    assert os.path.isdir(os.path.join(root, "blobs"))
+    assert main(["--store", root, "clean", "schema"]) == 2  # refused w/o confirm
+    assert main(["--store", root, "clean", "schema", "-y"]) == 0
+    assert st.runs().count() == 0
+    assert os.path.isdir(os.path.join(root, "blobs"))  # blobs kept
+    assert store_mod.config_get(st, "output.format") == "json"  # config kept

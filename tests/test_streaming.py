@@ -208,3 +208,79 @@ def test_stream_dedup_within_watermark(spark, doc_stream_dir):
     _drain(out, "dedup_wm_docs")
     rows = spark.sql("SELECT * FROM dedup_wm_docs").collect()
     assert len({r["fp"] for r in rows}) == 3
+
+
+# ---- sliding windows + stream-stream interval join ----------------------
+
+
+def test_streaming_sliding_window_counts(spark, drop_dir):
+    """slide < window -> each event contributes to window/slide windows."""
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    counts = live.windowed_severity_counts(
+        stream, "2 minutes", "4 minutes", slide="1 minute"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sev_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sev_sliding").collect()
+    # 3 events ingested in the same instant -> 2 overlapping windows each
+    per_sev = {}
+    for r in rows:
+        per_sev[r["severity"]] = per_sev.get(r["severity"], 0) + r["n"]
+    assert per_sev == {"error": 4, "warning": 2}  # doubled vs tumbling
+    starts = {r["window_start"] for r in rows}
+    assert len(starts) == 2  # two distinct phase-shifted window starts
+
+
+@pytest.fixture()
+def join_stream_dirs(tmp_path):
+    """Left: error events; right: attempt-starts. Timestamps arranged so
+    e1 matches a1 (2 min earlier), e2 matches a2 (exact), e3 matches
+    nothing (attempt too old), e4 matches nothing (attempt in future)."""
+    import json as _json
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    events = [
+        {"event_id": "e1", "source": "build", "ts": "2024-01-01T10:10:00"},
+        {"event_id": "e2", "source": "test", "ts": "2024-01-01T10:20:00"},
+        {"event_id": "e3", "source": "build", "ts": "2024-01-01T11:00:00"},
+        {"event_id": "e4", "source": "lint", "ts": "2024-01-01T10:00:00"},
+    ]
+    attempts = [
+        {"attempt_id": "a1", "source": "build", "started_at": "2024-01-01T10:08:00"},
+        {"attempt_id": "a2", "source": "test", "started_at": "2024-01-01T10:20:00"},
+        {"attempt_id": "a3", "source": "lint", "started_at": "2024-01-01T10:30:00"},
+    ]
+    (ldir / "ev.jsonl").write_text("\n".join(_json.dumps(r) for r in events))
+    (rdir / "at.jsonl").write_text("\n".join(_json.dumps(r) for r in attempts))
+    return str(ldir), str(rdir)
+
+
+def test_stream_interval_join_attributes_events(spark, join_stream_dirs):
+    ldir, rdir = join_stream_dirs
+    left = spark.readStream.schema("event_id string, source string, ts timestamp").json(ldir)
+    right = spark.readStream.schema(
+        "attempt_id string, source string, started_at timestamp"
+    ).json(rdir)
+    joined = live.stream_interval_join(
+        left, right, key="source", left_ts="ts", right_ts="started_at",
+        max_delay="10 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ev_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT event_id, r_attempt_id FROM ev_attr").collect()
+    got = {(r["event_id"], r["r_attempt_id"]) for r in rows}
+    assert got == {("e1", "a1"), ("e2", "a2")}

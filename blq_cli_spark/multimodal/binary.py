@@ -22,6 +22,10 @@ What's real here vs stubbed (container has no image/audio libs):
   importable;
 - REAL: hash-based deterministic feature vectors (shape-correct stand-in
   for a CNN/CLIP embedding; same Spark plumbing, same schema);
+- REAL: nearest-neighbor resize to a fixed model-input shape
+  (resize_image — numpy index-grid gather over decoded pixels) and
+  per-window audio features for PCM-16 (audio_features — RMS /
+  zero-crossing rate / peak, vectorized numpy);
 - STUB: non-PNG pixel decode without PIL and non-GIF video containers
   (ffmpeg/av) raise NotImplementedError unless the lib is importable,
   with `fake=True` offering a deterministic byte-derived surrogate so
@@ -295,6 +299,133 @@ def decode_image(
             yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
 
     return df.mapInPandas(_batches, schema="id string, width int, height int, pixels array<int>")
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "id",
+    bin_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """REAL nearest-neighbor resize to (id, width, height, pixels) — the
+    standardize-for-model-input step. Decode ladder is decode_image's
+    (PIL -> native png_decode -> fake surrogate); the resample itself is
+    a vectorized numpy index-grid gather, no image library involved.
+    Nearest-neighbor is chosen over bilinear deliberately: it is exactly
+    reproducible across hardware (pure integer indexing, no float
+    accumulation), which a training-data pipeline needs for cache hits.
+
+    Emits the FULL out_w*out_h pixel grid (the whole point is a fixed
+    model-input shape) — size out_* so rows stay sane (224x224 = 50k
+    ints ≈ 400 KB; fine for Arrow batches)."""
+    import numpy as np
+    import pandas as pd
+
+    Image = _require_pil()
+
+    def _decode_gray(data: bytes):
+        if Image is not None and not fake:
+            import io
+
+            img = Image.open(io.BytesIO(data))
+            return img.width, img.height, img.convert("L").tobytes()
+        if sniff_format(data) == "png" and not fake:
+            return png_decode(data)
+        if fake:
+            digest = hashlib.md5(data).digest()
+            return 4, 4, digest
+        raise NotImplementedError(
+            f"resize of format {sniff_format(data)!r} requires PIL (not in "
+            "this container); PNG decodes natively, or pass fake=True"
+        )
+
+    def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # index grids are input-shape-dependent; memoize per (w, h)
+        grids: dict[tuple[int, int], tuple] = {}
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(blob) if blob is not None else b""
+                w, h, px = _decode_gray(data)
+                if (w, h) not in grids:
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    grids[(w, h)] = (ys, xs)
+                ys, xs = grids[(w, h)]
+                grid = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                out = grid[ys][:, xs]
+                rows.append(
+                    {"id": rid, "width": out_w, "height": out_h,
+                     "pixels": out.reshape(-1).astype(np.int32).tolist()}
+                )
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
+
+    return df.mapInPandas(
+        _batches, schema="id string, width int, height int, pixels array<int>"
+    )
+
+
+def audio_features(
+    df: DataFrame, window_ms: int = 1000, id_col: str = "id", bin_col: str = "content"
+) -> DataFrame:
+    """REAL per-window audio features for WAV/PCM-16: RMS level,
+    zero-crossing rate, and peak amplitude — the classic cheap
+    speech/music/silence discriminators, computed with vectorized numpy
+    over each fixed-time window (audio_windows' segmentation, fused here
+    so the samples are touched once). Non-WAV / non-16-bit rows yield
+    nothing (metadata filters should route those elsewhere)."""
+    import numpy as np
+    import pandas as pd
+
+    def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(blob) if blob is not None else b""
+                if sniff_format(data) != "wav" or len(data) < 44:
+                    continue
+                channels, rate = struct.unpack("<HI", data[22:28])
+                byte_rate = struct.unpack("<I", data[28:32])[0]
+                bits = struct.unpack("<H", data[34:36])[0]
+                data_size = struct.unpack("<I", data[40:44])[0]
+                if bits != 16 or not byte_rate or not channels:
+                    continue
+                body = data[44 : 44 + data_size]
+                samples = np.frombuffer(
+                    body[: len(body) - (len(body) % 2)], dtype="<i2"
+                ).astype(np.float64)
+                if channels > 1:  # mixdown: mean over interleaved channels
+                    n = len(samples) - (len(samples) % channels)
+                    samples = samples[:n].reshape(-1, channels).mean(axis=1)
+                step = max(1, int(rate * window_ms / 1000))
+                for k, s in enumerate(range(0, len(samples), step)):
+                    win = samples[s : s + step]
+                    rms = float(np.sqrt(np.mean(win**2)))
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(win))))) if len(win) > 1 else 0.0
+                    rows.append(
+                        {
+                            "id": rid,
+                            "window_index": k,
+                            "start_ms": int(s * 1000 / rate),
+                            "rms": round(rms, 6),
+                            "zero_cross_rate": round(zc, 6),
+                            "peak": float(np.max(np.abs(win))),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "window_index", "start_ms", "rms", "zero_cross_rate", "peak"],
+            )
+
+    return df.mapInPandas(
+        _batches,
+        schema=(
+            "id string, window_index int, start_ms long,"
+            " rms double, zero_cross_rate double, peak double"
+        ),
+    )
 
 
 def gif_frames(data: bytes) -> list[dict]:

@@ -174,9 +174,13 @@ def test_decode_image_stub_paths(spark, bin_df):
     except ImportError:
         has_pil = False
     if not has_pil:
-        # jpeg without PIL still errors — at execution, per-row
+        # jpeg without PIL still errors — at execution, per-row. Check
+        # the jpeg row ALONE: with multiple rows the first failing task
+        # wins the race, and img1's truncated PNG raises zlib.error.
         with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
-            mm.decode_image(bin_df).collect()
+            mm.decode_image(bin_df.filter("id = 'img2'")).collect()
+        with pytest.raises(Exception, match="zlib"):
+            mm.decode_image(bin_df.filter("id = 'img1'")).collect()
     out = {r["id"]: r for r in mm.decode_image(bin_df, fake=True).collect()}
     assert out["img1"]["width"] == 4 and len(out["img1"]["pixels"]) == 16
 
@@ -245,3 +249,59 @@ def test_audio_windows_real_wav(spark):
     assert [r["id"] for r in got] == ["aud1"] * 3  # non-WAV rows yield nothing
     assert [r["start_ms"] for r in got] == [0, 1000, 2000]
     assert all(r["n_bytes"] == 16000 for r in got[:-1])
+
+
+def test_resize_image_nearest_neighbor_exact(spark):
+    """8x8 gradient PNG -> 4x4 resize must equal the numpy index-grid
+    reference on REAL decoded pixels (no PIL in this container)."""
+    import numpy as np
+
+    w = h = 8
+    raw = bytes(range(w * h))  # grayscale gradient 0..63
+    data = _png_encode(w, h, raw, color=0, filters=[0] * h)
+    df = spark.createDataFrame([("g", bytearray(data))], "id string, content binary")
+    out = mm.resize_image(df, 4, 4).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    grid = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+    ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+    assert out["pixels"] == grid[ys][:, xs].reshape(-1).tolist()
+    # upscale repeats pixels, never interpolates (reproducibility contract)
+    up = mm.resize_image(df, 16, 16).collect()[0]
+    assert len(up["pixels"]) == 256
+    assert set(up["pixels"]) <= set(range(64))
+
+
+def test_resize_image_fake_and_unsupported(spark, bin_df):
+    rows = {r["id"]: r for r in mm.resize_image(bin_df, 2, 2, fake=True).collect()}
+    assert all(len(r["pixels"]) == 4 for r in rows.values())
+    import pytest as _pytest
+
+    jpeg_only = bin_df.filter("id = 'img2'")
+    with _pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+        mm.resize_image(jpeg_only, 2, 2).collect()
+
+
+def test_audio_features_sine_wave(spark):
+    """1s 440 Hz int16 sine: RMS ~= A/sqrt(2), zc-rate ~= 2f/rate,
+    peak == A — real DSP numbers from real PCM, no audio lib."""
+    import math
+    import numpy as np
+
+    rate, amp, f = 8000, 10000, 440
+    t = np.arange(rate) / rate
+    pcm = (amp * np.sin(2 * math.pi * f * t)).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+    hdr += struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    df = spark.createDataFrame(
+        [("sine", bytearray(hdr + pcm))], "id string, content binary"
+    )
+    rows = mm.audio_features(df, window_ms=500).collect()
+    assert [r["window_index"] for r in sorted(rows, key=lambda r: r["window_index"])] == [0, 1]
+    for r in rows:
+        assert abs(r["rms"] - amp / math.sqrt(2)) / amp < 0.01
+        assert abs(r["zero_cross_rate"] - 2 * f / rate) < 0.01
+        assert amp - 1 <= r["peak"] <= amp
+    # non-wav rows yield nothing
+    png = spark.createDataFrame([("p", bytearray(png_bytes(4, 4)))], "id string, content binary")
+    assert mm.audio_features(png).count() == 0

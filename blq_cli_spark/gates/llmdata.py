@@ -354,3 +354,15 @@ def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.cosine_topk(emb, queries, k=5)
     return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
+
+
+@gate("x_dedup_clusters")  # no oracle: iterative (large-star/small-star) —
+# rows-only driver check; tests/test_dedup.py verifies against union-find
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: LSH candidate pairs -> connected components ->
+    (id, cluster_id) with cluster_id = min id of the component. The
+    collapse-duplicate-groups step after candidate generation; the only
+    non-SQL-expressible gate (O(log n) alternating-star iterations)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    return dedup.dedup_clusters(pairs).orderBy("id")

@@ -252,3 +252,82 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     """Expression-form SimHash over word unigrams. Prefer simhash_df for
     bulk use — this inline form re-tokenizes per bit position."""
     return simhash_from_digests(F.transform(F.array_distinct(tokens(text_col)), F.md5), bits)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs: assign every
+    id to its cluster's minimum id, so near-duplicate GROUPS (not just
+    pairs) can be collapsed to one representative — the step after LSH /
+    near-dup pair generation in a real dedup pipeline.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two shuffle-on-key aggregations over the edge list, and the
+    edge list only ever shrinks toward star shape; converges in
+    O(log n) rounds on real graphs. Each round:
+
+      large-star: for every node u, connect every STRICTLY LARGER
+        neighbor v > u to m = min(neighborhood(u) + u);
+      small-star: for every node u, connect every neighbor v <= u
+        (and u itself) to m = min(...).
+
+    This is the distributed-iterative shape: no driver-side union-find,
+    no collect; per-round state is the edge list itself (checkpointed
+    via localCheckpoint to cut lineage). Convergence is detected with a
+    changed-edge count — at fixpoint every edge is (min-of-cluster,
+    member), which IS the answer. Not SQL-expressible in one query
+    (iterative), so its gate has no DuckDB oracle: tests verify against
+    a plain union-find reference."""
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    for _ in range(max_iterations):
+        new_edges = edges
+        for large in (True, False):
+            nbrs = new_edges.unionByName(
+                new_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            joined = nbrs.join(m, "u")
+            if large:
+                emitted = joined.filter(F.col("v") > F.col("u")).select(
+                    F.col("m").alias("u"), F.col("v")
+                )
+            else:
+                emitted = joined.filter(F.col("v") <= F.col("u")).select(
+                    F.col("m").alias("u"), F.col("v")
+                ).unionByName(m.select(F.col("m").alias("u"), F.col("u").alias("v")))
+            new_edges = (
+                emitted.filter(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+                .distinct()
+            )
+        new_edges = new_edges.localCheckpoint(eager=True)
+        # fixpoint: edge sets equal <=> same count AND no edge changed
+        # (both sides canonical-ordered + distinct, so count+anti works)
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # at fixpoint each component is a star rooted at its min id
+    return edges.select(
+        F.col("v").alias("id"), F.col("u").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("u").alias("id"), F.col("u").alias("cluster_id")).distinct()
+    ).distinct()

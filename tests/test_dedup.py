@@ -45,3 +45,82 @@ def test_lsh_bucket_profile_flags_hot(spark):
     hot = prof.filter(F.col("capped")).collect()
     assert hot and all(r["bucket_size"] == 100 for r in hot)
     assert prof.filter(~F.col("capped")).count() > 0
+
+
+# ---- connected components (dedup_clusters) ------------------------------
+
+
+def _union_find_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> cluster 1
+        (10, 11), (11, 10),              # pair w/ reverse dup -> cluster 10
+        (20, 21), (22, 21), (23, 20),    # star-ish -> cluster 20
+        (30, 30),                        # self loop ignored
+        (40, 41),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    want = _union_find_reference([e for e in edges if e[0] != e[1]])
+    assert got == want
+    # every cluster id is its own representative
+    assert all(got[c] == c for c in set(got.values()))
+
+
+def test_dedup_clusters_long_path_converges(spark):
+    """A 64-node path is the worst case for naive propagation (diameter
+    64); large-star/small-star must still converge in O(log n) rounds —
+    max_iterations=8 would fail if convergence were linear."""
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    rows = dedup.dedup_clusters(df, max_iterations=8).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert {r["id"] for r in rows} == set(range(n + 1))
+
+
+def test_dedup_clusters_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    assert got == _union_find_reference(edges)
+
+
+def test_lsh_to_clusters_end_to_end(spark):
+    """LSH candidate pairs -> clusters: the full near-dup group pipeline
+    over the driver documents table."""
+    from blq_cli_spark.sources.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    clusters = dedup.dedup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["id"])
+    # clusters are disjoint and each holds >= 2 docs (they came from pairs)
+    all_ids = [i for s in by_cluster.values() for i in s]
+    assert len(all_ids) == len(set(all_ids))
+    assert all(len(s) >= 2 for s in by_cluster.values())
+    # representative is the min id of its cluster
+    assert all(rep == min(s) for rep, s in by_cluster.items())

@@ -366,3 +366,61 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(docs)
     return dedup.dedup_clusters(pairs).orderBy("id")
+
+
+_FUNNEL_PROF = f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+    prof AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             round((
+               (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / greatest(length(text), 1))
+               + len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1)
+             ) / 3.0, 6) AS quality,
+             CASE WHEN len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1) >= 0.03
+                  THEN 'en' ELSE 'unknown' END AS lang_pred,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM tok),
+    flags AS (
+      SELECT *,
+             (n_tokens >= 5) AS len_ok,
+             (n_tokens >= 5 AND quality >= 0.5) AS q_ok,
+             (n_tokens >= 5 AND quality >= 0.5 AND lang_pred IN ('en')) AS lang_ok
+      FROM prof),
+    per_fp AS (
+      SELECT fp,
+             count(*) AS n_raw,
+             count(*) FILTER (len_ok) AS n_len,
+             count(*) FILTER (q_ok) AS n_q,
+             count(*) FILTER (lang_ok) AS n_lang,
+             min(doc_id) FILTER (lang_ok) AS rep_id
+      FROM flags GROUP BY fp),
+    g AS (
+      SELECT sum(n_raw) AS raw, sum(n_len) AS min_tokens, sum(n_q) AS quality,
+             sum(n_lang) AS language, count(rep_id) AS exact_dedup,
+             count(*) FILTER (rep_id IS NOT NULL
+               AND substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) IN ('0', '1')) AS sample
+      FROM per_fp)
+"""
+
+
+@gate(
+    "x_corpus_funnel",
+    oracle=_FUNNEL_PROF
+    + """
+    SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage, CAST(raw AS BIGINT) AS n_docs FROM g
+    UNION ALL SELECT 1, 'min_tokens', CAST(min_tokens AS BIGINT) FROM g
+    UNION ALL SELECT 2, 'quality', CAST(quality AS BIGINT) FROM g
+    UNION ALL SELECT 3, 'language', CAST(language AS BIGINT) FROM g
+    UNION ALL SELECT 4, 'exact_dedup', CAST(exact_dedup AS BIGINT) FROM g
+    UNION ALL SELECT 5, 'sample', CAST(sample AS BIGINT) FROM g
+    """,
+)
+def x_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep funnel survivor counts: raw -> min-token
+    -> quality -> language -> exact-dedup -> deterministic sample.
+    Two shuffles total for all six stages (operators/corpus.py)."""
+    from blq_cli_spark.operators import corpus
+
+    return corpus.funnel_stats(table(spark, sf_dir, "documents"))

@@ -1,0 +1,106 @@
+"""Corpus preparation funnel: the end-to-end training-data filter chain
+(length -> quality -> language -> exact dedup -> deterministic sample)
+with per-stage survivor accounting — the recipe a 100 TB text pipeline
+runs before tokenization, and the numbers its operators report.
+
+Scale design: the whole funnel is TWO shuffles regardless of stage
+count — one groupBy on the content fingerprint (well-distributed md5)
+carrying per-stage conditional counts, then a singleton global
+aggregation. No stage re-scans the input (a naive per-stage count would
+re-read the corpus once per stage), and the survivors DataFrame shares
+the same single-pass profile projection.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from blq_cli_spark.operators import text as text_ops
+
+STAGES = (
+    "raw",
+    "min_tokens",
+    "quality",
+    "language",
+    "exact_dedup",
+    "sample",
+)
+
+
+def _flags(min_tokens: int, quality_floor: float, langs: tuple[str, ...]):
+    len_ok = F.col("n_tokens") >= min_tokens
+    q_ok = len_ok & (F.col("quality") >= quality_floor)
+    lang_ok = q_ok & F.col("lang_pred").isin(*langs)
+    return len_ok, q_ok, lang_ok
+
+
+def _sample_member(col):
+    """Deterministic ~1/8 membership: first md5 hex nibble in {0,1}
+    (same partitioning-independent rule as the x_stratified_sample
+    gate — splits are reproducible and joinable anywhere)."""
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin("0", "1")
+
+
+def funnel_stats(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    quality_floor: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(stage_idx, stage, n_docs) survivor counts down the funnel.
+
+    Stages are CUMULATIVE filters; exact_dedup counts distinct content
+    fingerprints among survivors (group -> one representative), and
+    sample applies the deterministic membership rule to each group's
+    representative id (min doc id among surviving members), so the
+    sampled set is exactly what materialize() returns."""
+    p = text_ops.profile(docs, text_col=text_col, id_col=id_col)
+    len_ok, q_ok, lang_ok = _flags(min_tokens, quality_floor, langs)
+    per_fp = p.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(len_ok).alias("n_len"),
+        F.count_if(q_ok).alias("n_q"),
+        F.count_if(lang_ok).alias("n_lang"),
+        F.min(F.when(lang_ok, F.col(id_col))).alias("rep_id"),
+    )
+    g = per_fp.agg(
+        F.sum("n_raw").alias("raw"),
+        F.sum("n_len").alias("min_tokens"),
+        F.sum("n_q").alias("quality"),
+        F.sum("n_lang").alias("language"),
+        F.count(F.col("rep_id")).alias("exact_dedup"),
+        F.count_if(
+            F.col("rep_id").isNotNull() & _sample_member(F.col("rep_id"))
+        ).alias("sample"),
+    )
+    stack = ", ".join(f"{i}, '{s}', cast(`{s}` as bigint)" for i, s in enumerate(STAGES))
+    return g.selectExpr(
+        f"stack({len(STAGES)}, {stack}) as (stage_idx, stage, n_docs)"
+    )
+
+
+def materialize(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    quality_floor: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surviving documents themselves: one representative (min id)
+    per distinct content among rows passing every filter, restricted to
+    the deterministic sample. Join back by id to recover full rows —
+    the id set is what the funnel's `sample` stage counted."""
+    p = text_ops.profile(docs, text_col=text_col, id_col=id_col)
+    _, _, lang_ok = _flags(min_tokens, quality_floor, langs)
+    reps = (
+        p.filter(lang_ok)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .filter(_sample_member(F.col(id_col)))
+        .select(id_col)
+    )
+    return docs.join(reps, id_col, "left_semi")

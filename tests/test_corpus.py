@@ -1,0 +1,42 @@
+"""Corpus-prep funnel: per-stage counts are monotone, the materialized
+survivor set matches the funnel's sample stage, and the whole thing is
+deterministic across invocations."""
+
+from __future__ import annotations
+
+from blq_cli_spark.operators import corpus
+from blq_cli_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_monotone_and_complete(spark):
+    docs = table(spark, SF, "documents")
+    rows = {r["stage"]: r for r in corpus.funnel_stats(docs).collect()}
+    assert list(corpus.STAGES) == sorted(rows, key=lambda s: rows[s]["stage_idx"])
+    counts = [rows[s]["n_docs"] for s in corpus.STAGES]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # cumulative filters
+    assert counts[-1] > 0  # the sample stage keeps something at sf0.001
+
+
+def test_materialize_matches_sample_stage(spark):
+    docs = table(spark, SF, "documents")
+    stats = {r["stage"]: r["n_docs"] for r in corpus.funnel_stats(docs).collect()}
+    out = corpus.materialize(docs)
+    assert out.count() == stats["sample"]
+    # survivors are actual source rows (semi-join preserves schema)
+    assert out.columns == docs.columns
+    # deterministic: same ids every run
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in corpus.materialize(docs).select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_funnel_knobs_change_stages_only_downstream(spark):
+    docs = table(spark, SF, "documents")
+    loose = {r["stage"]: r["n_docs"] for r in corpus.funnel_stats(docs, min_tokens=1).collect()}
+    tight = {r["stage"]: r["n_docs"] for r in corpus.funnel_stats(docs, min_tokens=50).collect()}
+    assert loose["raw"] == tight["raw"]  # raw unaffected by knobs
+    assert loose["min_tokens"] >= tight["min_tokens"]
+    assert loose["sample"] >= tight["sample"]

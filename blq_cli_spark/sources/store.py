@@ -266,6 +266,21 @@ class LogStore:
         self._append("outcomes", [outcome])
         return outcome
 
+    def maintain_rollup(self, today=None) -> int:
+        """Incremental continuous-aggregate maintenance (operators/
+        rollup.py): roll up closed event dates not yet rolled. Run as
+        periodic maintenance beside compact()/sweep_orphans()."""
+        from blq_cli_spark.operators import rollup
+
+        return rollup.maintain(self, today=today)
+
+    def severity_timeseries(self, today=None) -> DataFrame:
+        """Rollup-first severity/tool counts per day (correct at every
+        instant; raw scan limited to unrolled dates)."""
+        from blq_cli_spark.operators import rollup
+
+        return rollup.timeseries(self, today=today)
+
     def sweep_orphans(self, max_age_seconds: float = 60.0, now=None) -> int:
         """Orphan sweep: pending attempts older than the threshold get a
         NULL-exit outcome (reference bird.py:1178-1271 — wall-clock age,

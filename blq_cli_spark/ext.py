@@ -212,7 +212,10 @@ def run_annotators(store, names: list[str] | None = None) -> int:
                     store._path("annotations")
                 )
             written += n
-        except Exception:  # noqa: BLE001 — one bad annotator must not kill the run
+        except Exception as e:  # noqa: BLE001 — one bad annotator must not kill the run
+            import sys as _sys
+
+            print(f"ext: annotator {name!r} failed: {e}", file=_sys.stderr)
             continue
     return written
 

@@ -28,6 +28,20 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Ship this package's location to Python workers explicitly. Without
+    # it, workers resolve `blq_cli_spark` only when their inherited cwd
+    # happens to be the repo root — so the first get_spark() call from
+    # any other directory (CLI run from a project dir, test that chdir'd)
+    # poisons every later Arrow-UDF task with ModuleNotFoundError. Must
+    # run BEFORE the JVM starts: the worker daemon inherits the driver's
+    # env via the JVM. A pip-installed deployment hits the same path via
+    # site-packages; this makes the source checkout equally relocatable.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + parts if parts else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

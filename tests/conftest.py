@@ -15,6 +15,17 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="blq-tests", master="local[*]", shuffle_partitions=8)
+    # Pin cwd to the repo root while the JVM starts: Python workers
+    # resolve `blq_cli_spark` via the daemon's inherited cwd, and the
+    # session is created lazily by whichever test runs first — if that
+    # test has monkeypatch.chdir'd into a tmp dir, every Python-worker
+    # task for the rest of the session dies with ModuleNotFoundError.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        s = get_spark(app_name="blq-tests", master="local[*]", shuffle_partitions=8)
+    finally:
+        os.chdir(old)
     yield s
     s.stop()

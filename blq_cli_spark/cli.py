@@ -110,16 +110,26 @@ def cmd_report(args) -> int:
     return 0
 
 
+def _parsed_events_df(spark, events: list[dict]):
+    """Parsed-event dicts -> DataFrame with the explicit parser schema
+    (inference would fail whenever a column — code/rule/test_name — is
+    all-None in this particular log)."""
+    field_names = [c.split()[0].strip() for c in logparse.PARSED_EVENT_DDL.split(",")]
+    rows = [tuple(ev.get(k) for k in field_names) for ev in events]
+    return spark.createDataFrame(rows, logparse.PARSED_EVENT_DDL)
+
+
 def cmd_query(args) -> int:
     st = _store(args)
     if args.file:
         with open(args.file) as fh:
-            events = logparse.parse_content(fh.read(), args.parse_format)
-        spark = st.spark
+            events = logparse.parse_content(fh.read(), args.parse_format or "auto")
         if not events:
             print("(no results)")
             return 0
-        base = spark.createDataFrame(events)
+        for ev in events:
+            ev["source_id"] = args.file
+        base = _parsed_events_df(st.spark, events)
     else:
         base = st.events_flat()
     q = LogQuery(base)
@@ -129,6 +139,39 @@ def cmd_query(args) -> int:
         q = q.order_by(*args.order, desc=args.desc)
     if args.select:
         q = q.select(*args.select)
+    q = q.limit(args.limit)
+    _emit(q.fetchall(), args)
+    return 0
+
+
+def cmd_filter(args) -> int:
+    """`blq filter [EXPR|FILE]... [-v] [-i] [-c]`: grep-like filtering
+    with the mini-DSL (reference cli.py:944-961 — positional args mix
+    filter expressions and log files; existing paths are files, the
+    rest are expressions)."""
+    files = [a for a in args.args if os.path.isfile(a)]
+    exprs = [a for a in args.args if a not in files]
+    st = _store(args)
+    if files:
+        events: list = []
+        for f in files:
+            with open(f) as fh:
+                parsed = logparse.parse_content(fh.read(), args.parse_format or "auto")
+            for ev in parsed:
+                ev["source_id"] = f
+                events.append(ev)
+        if not events:
+            print("(no results)" if not args.count else "0")
+            return 0
+        base = _parsed_events_df(st.spark, events)
+    else:
+        base = st.events_flat()
+    q = LogQuery(base)
+    if exprs:
+        q = q.filter_dsl(exprs, case_insensitive=args.ignore_case, invert=args.invert)
+    if args.count:
+        print(q.count())
+        return 0
     q = q.limit(args.limit)
     _emit(q.fetchall(), args)
     return 0
@@ -1460,7 +1503,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--json", action="store_true")
     sp.set_defaults(fn=cmd_report)
 
-    sp = sub.add_parser("query")
+    sp = sub.add_parser("filter", aliases=["f"])
+    sp.add_argument("args", nargs="*", help="filter expressions and/or log files")
+    sp.add_argument("-v", "--invert", action="store_true")
+    sp.add_argument("-i", "--ignore-case", action="store_true")
+    sp.add_argument("-c", "--count", action="store_true")
+    sp.add_argument("-n", "--limit", type=int, default=50)
+    sp.add_argument("--parse-format", default=None)
+    sp.set_defaults(fn=cmd_filter)
+
+    sp = sub.add_parser("query", aliases=["q"])
     sp.add_argument("file", nargs="?")
     sp.add_argument("-f", "--filter", action="append", default=[])
     sp.add_argument("-i", "--ignore-case", action="store_true")

@@ -388,3 +388,23 @@ def test_cli_watch_runs_until_max(cli_store, capsys, tmp_path, monkeypatch):
     ]) == 0
     out_text = capsys.readouterr().out
     assert out_text.count("exit=0") >= 2
+
+
+def test_cli_filter_grep_like(cli_store, capsys, tmp_path):
+    """`blq filter` positional mix of expressions and files (reference
+    cli.py:944-961): stored-data filtering, count mode, file mode."""
+    assert main(["--store", cli_store, "filter", "severity=error"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got and "unused variable" not in got
+    # count mode
+    assert main(["--store", cli_store, "filter", "severity=error", "-c"]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+    # invert
+    assert main(["--store", cli_store, "f", "severity=error", "-v", "-c"]) == 0
+    assert int(capsys.readouterr().out.strip()) >= 2
+    # file mode: path arg is treated as a file, rest as expressions
+    log = tmp_path / "x.log"
+    log.write_text("a.c:1:1: error: alpha\nb.c:2:2: warning: beta\n")
+    assert main(["--store", cli_store, "filter", str(log), "message~alp"]) == 0
+    got = capsys.readouterr().out
+    assert "alpha" in got and "beta" not in got

@@ -318,6 +318,51 @@ def _context(store: LogStore, ref: str, lines: int = 3) -> dict:
     return {"ref": ref, "log_line_start": start, "log_line_end": end, "lines": out}
 
 
+@tool("severity_timeseries", "Per-day severity/tool counts (rollup-first)")
+def _severity_timeseries(store: LogStore, limit: int = 200) -> list[dict]:
+    df = store.severity_timeseries().orderBy(
+        "date", "source_name", "severity", "tool_name"
+    )
+    return _rows(df.limit(limit))
+
+
+@tool("maintain", "Periodic maintenance: rollup refresh + orphan sweep + blob GC")
+def _maintain(store: LogStore, orphan_min_age: int = 60) -> dict:
+    return {
+        "dates_rolled": store.maintain_rollup(),
+        "orphans_swept": store.sweep_orphans(max_age_seconds=orphan_min_age),
+        "blobs_removed": store.cleanup_orphaned_blobs(),
+    }
+
+
+@tool("sandbox_list", "Per-command sandbox specs with grades")
+def _sandbox_list(store: LogStore) -> list[dict]:
+    from blq_cli_spark import sandbox as sbx
+
+    out = []
+    for name, cmd in sorted(store_mod.registered_commands(store).items()):
+        raw = cmd.get("sandbox")
+        spec = sbx.resolve(raw) if raw is not None else None
+        out.append({
+            "command": name,
+            "sandbox": (spec.matching_preset() or "custom") if spec else "none",
+            "grade": spec.grade if spec else None,
+            "spec": spec.to_dict() if spec else None,
+        })
+    return out
+
+
+@tool("sandbox_suggest", "Suggest a sandbox spec from observed run metrics")
+def _sandbox_suggest(store: LogStore, command: str) -> dict:
+    from blq_cli_spark import sandbox as sbx
+
+    got = sbx.suggest_spec(store.runs(), command)
+    if got is None:
+        raise ValueError(f"no runs found for {command!r}")
+    observed, suggested = got
+    return {"observed": observed, "suggested": suggested}
+
+
 # --- prompts (reference serve.py:3825-4016, 4 MCP prompts) -------------------
 
 _PROMPTS: dict[str, tuple[Callable, str]] = {}

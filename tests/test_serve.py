@@ -184,3 +184,29 @@ def test_info_and_config_tools(store):
     assert res["tables"]["runs"] == 8 and res["latest_run_serial"] == 8
     cfg = serve.dispatch(store, "config", {})
     assert cfg["ok"] and set(cfg["result"]) == {"commands", "suppressions"}
+
+
+def test_tool_maintain_and_timeseries(store):
+    out = serve.dispatch(store, "maintain")
+    assert out["ok"] and set(out["result"]) == {"dates_rolled", "orphans_swept", "blobs_removed"}
+    assert out["result"]["dates_rolled"] >= 1  # fixture dates are closed
+    ts = serve.dispatch(store, "severity_timeseries")
+    assert ts["ok"] and ts["result"]
+    row = ts["result"][0]
+    assert {"date", "source_name", "severity", "n_events"} <= set(row)
+    # idempotent second maintenance pass rolls nothing new
+    again = serve.dispatch(store, "maintain")
+    assert again["result"]["dates_rolled"] == 0
+
+
+def test_tool_sandbox_list_and_suggest(store):
+    from blq_cli_spark.sources import store as store_mod
+
+    store_mod.register_command(store, "build", ["make"], fmt="gcc")
+    out = serve.dispatch(store, "sandbox_list")
+    assert out["ok"]
+    entry = [r for r in out["result"] if r["command"] == "build"][0]
+    assert entry["sandbox"] == "none"
+    # no runs named 'build' in the fixture -> clean agent-facing error
+    sg = serve.dispatch(store, "sandbox_suggest", {"command": "nothere"})
+    assert not sg["ok"] and "no runs" in sg["error"]

@@ -396,9 +396,11 @@ def test_cli_filter_grep_like(cli_store, capsys, tmp_path):
     assert main(["--store", cli_store, "filter", "severity=error"]) == 0
     got = capsys.readouterr().out
     assert "undefined reference" in got and "unused variable" not in got
-    # count mode
+    # count mode agrees with the printed row count (other module tests
+    # may have appended runs to the shared store — don't pin absolutes)
+    n_rows = len([ln for ln in got.splitlines() if ln.strip()]) - 2  # header+sep
     assert main(["--store", cli_store, "filter", "severity=error", "-c"]) == 0
-    assert capsys.readouterr().out.strip() == "1"
+    assert capsys.readouterr().out.strip() == str(n_rows)
     # invert
     assert main(["--store", cli_store, "f", "severity=error", "-v", "-c"]) == 0
     assert int(capsys.readouterr().out.strip()) >= 2

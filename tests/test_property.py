@@ -135,3 +135,79 @@ def test_auto_detection_total(lines):
     content = "\n".join(lines)
     events = logparse.parse_content(content, "auto")
     assert all(e["format_used"] in logparse.FORMATS for e in events)
+
+
+# --- config value parser -----------------------------------------------------
+
+
+@given(st.one_of(st.integers(), st.booleans(), st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=30)))
+@settings(max_examples=200, deadline=None)
+def test_config_value_round_trip(v):
+    """JSON-representable scalars survive str -> parse; plain words come
+    back as strings."""
+    import json
+
+    from blq_cli_spark.sources.store import _parse_config_value
+
+    parsed = _parse_config_value(json.dumps(v))
+    assert parsed == v or (isinstance(v, str) and isinstance(parsed, str))
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_config_value_never_raises(s):
+    from blq_cli_spark.sources.store import _parse_config_value
+
+    _parse_config_value(s)  # any input -> some value, never an exception
+
+
+# --- sandbox spec resolution -------------------------------------------------
+
+
+@given(
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "network": st.sampled_from(["none", "localhost", "unrestricted"]),
+            "filesystem": st.sampled_from(
+                ["readonly", "workspace_only", "scoped_write", "unrestricted"]
+            ),
+            "timeout": st.integers(min_value=1, max_value=10**6),
+            "memory": st.integers(min_value=1, max_value=2**40),
+            "cpu": st.integers(min_value=1, max_value=10**6),
+            "processes": st.sampled_from(["isolated", "visible"]),
+        },
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sandbox_spec_dict_round_trip(d):
+    from blq_cli_spark import sandbox as sbx
+
+    spec = sbx.resolve(d)
+    again = sbx.resolve(spec.to_dict())
+    assert again == spec
+    assert spec.grade in ("sealed", "pinhole", "scoped", "broad", "open")
+
+
+# --- GIF frame walker robustness --------------------------------------------
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_gif_frames_never_crashes(data):
+    """Arbitrary bytes (including truncated/corrupt GIF headers) must
+    yield a well-formed frame list, never an exception."""
+    from blq_cli_spark.multimodal.binary import gif_frames
+
+    frames = gif_frames(b"GIF89a" + data)
+    assert isinstance(frames, list)
+    for fr in frames:
+        assert fr["offset"] >= 0 and fr["length"] >= 0 and fr["ts_ms"] >= 0
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_sniff_format_total(data):
+    from blq_cli_spark.multimodal.binary import sniff_format
+
+    assert sniff_format(data) in (None, "png", "gif", "jpeg", "wav", "riff", "mp4", "webm")

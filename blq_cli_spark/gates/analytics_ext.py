@@ -183,8 +183,12 @@ def w_range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinguishing terms per document by TF-IDF-style weight
     (training-data keyword extraction). Two shuffles at scale: tf
-    groupBy(doc, term) and df groupBy(term); the corpus-size scalar and
-    the per-term df table join back broadcast (df is vocabulary-sized).
+    groupBy(doc, term) and df groupBy(term). The tf⋈df join is left to
+    AQE: both sides are already hash-partitioned on term so the shuffle
+    join co-locates for free, and AQE broadcasts when df is small —
+    forcing broadcast would be wrong at 100 TB, where vocabulary
+    cardinality is unbounded. Only the one-row corpus-size scalar is
+    broadcast unconditionally.
 
     score = tf * (N+1)/(df+1) — a RATIONAL idf surrogate, monotone in
     the classic ln((N+1)/(df+1)) but bit-identical across engines (one
@@ -203,7 +207,7 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1))
     )

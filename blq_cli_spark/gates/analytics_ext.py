@@ -244,3 +244,68 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(member, 1)).alias("n_sampled"),
     )
+
+
+@gate(
+    "w_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (dense_rank / ntile /
+    percent_rank / cume_dist) in one windowed pass — W-family breadth.
+    Every function shares ONE window spec, so Spark evaluates them all
+    in a single sort+window operator (one shuffle); the o_orderkey
+    tie-break makes ranks deterministic across engines."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@gate(
+    "f_fuzzy_levenshtein",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(lower(substr(trim(text), 1, 16)), 'training data') AS dist
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def f_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (F-family breadth; the cheap
+    string-similarity primitive for near-dup triage and typo-tolerant
+    lookup). Pure JVM expression — identical DP algorithm in both
+    engines, so integer distances match exactly."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.levenshtein(
+                F.lower(F.substring(F.trim(F.col("text")), 1, 16)),
+                F.lit("training data"),
+            ).alias("dist"),
+        )
+    )

@@ -164,3 +164,39 @@ def test_approx_sketches_match_exact_within_tolerance(spark):
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] <= 0.05
     spread = ev.agg(F.max("value") - F.min("value")).collect()[0][0]
     assert abs(row["approx_p95"] - row["exact_p95"]) <= 0.02 * spread
+
+
+def _physical(spark, name):
+    """Physical plan tree string (node names, no expression bodies — the
+    formatted explain's expression details would false-match substrings
+    like 'windowspecdefinition')."""
+    df = queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rank_family_single_window_pass(spark):
+    """All four ranking functions share one window spec -> exactly one
+    Window operator (one sort, one shuffle), not four."""
+    plan = _physical(spark, "w_rank_family")
+    assert plan.count("Window [") == 1, plan  # the tree node; spec text says 'windowspecdefinition'
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pivot_is_static_two_phase_agg(spark):
+    """Explicit-value-list pivot: the plan is fully static (no separate
+    distinct-values collection job — pivotfirst carries the pinned O/F/P
+    list) and both aggregations keep map-side partials, so each of the
+    two exchanges moves pre-combined rows only."""
+    plan = _physical(spark, "a_pivot_status_by_priority")
+    assert "pivotfirst" in plan and ", O, F, P," in plan  # values pinned
+    assert plan.count("partial_") == 2, plan  # map-side combine both phases
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """GROUPING SETS = Expand + ONE aggregation exchange (with map-side
+    partial aggregation below it)."""
+    plan = _physical(spark, "a_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan

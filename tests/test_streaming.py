@@ -284,3 +284,39 @@ def test_stream_interval_join_attributes_events(spark, join_stream_dirs):
     rows = spark.sql("SELECT event_id, r_attempt_id FROM ev_attr").collect()
     got = {(r["event_id"], r["r_attempt_id"]) for r in rows}
     assert got == {("e1", "a1"), ("e2", "a2")}
+
+
+def test_stream_interval_join_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: unmatched left rows emit with nulls once the watermark
+    passes them (a far-future sentinel row advances it)."""
+    import json as _json
+
+    ldir, rdir = tmp_path / "lo", tmp_path / "ro"
+    ldir.mkdir(), rdir.mkdir()
+    (ldir / "e.jsonl").write_text("\n".join(_json.dumps(r) for r in [
+        {"event_id": "e1", "source": "build", "ts": "2024-01-01T10:10:00"},
+        {"event_id": "e3", "source": "build", "ts": "2024-01-01T11:00:00"},
+        {"event_id": "e9", "source": "zz", "ts": "2024-01-01T23:00:00"},
+    ]))
+    (rdir / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in [
+        {"attempt_id": "a1", "source": "build", "started_at": "2024-01-01T10:08:00"},
+        {"attempt_id": "a9", "source": "zz", "started_at": "2024-01-01T23:00:00"},
+    ]))
+    left = spark.readStream.schema("event_id string, source string, ts timestamp").json(str(ldir))
+    right = spark.readStream.schema(
+        "attempt_id string, source string, started_at timestamp"
+    ).json(str(rdir))
+    j = live.stream_interval_join(
+        left, right, key="source", left_ts="ts", right_ts="started_at",
+        max_delay="10 minutes", watermark="5 minutes", how="left_outer",
+    )
+    q = (
+        j.writeStream.format("memory").queryName("oj_test").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["event_id"], r["r_attempt_id"])
+        for r in spark.sql("SELECT event_id, r_attempt_id FROM oj_test").collect()
+    )
+    assert got == [("e1", "a1"), ("e3", None), ("e9", "a9")]

@@ -651,6 +651,37 @@ def cmd_clean(args) -> int:
     return 2
 
 
+def cmd_prune(args) -> int:
+    """Top-level `blq prune --older-than N [--dry-run]` (reference
+    cmd_prune, commands/management.py:1008-1031): drop whole `date=`
+    partition directories older than the cutoff — metadata-only, zero
+    rows read. The richer policy engine lives under `clean prune`."""
+    import datetime as _dt
+
+    st = _store_shim(args)
+    cutoff = (_dt.datetime.now() - _dt.timedelta(days=args.older_than)).date()
+    removed = 0
+    for name in ("runs", "events", "outputs", "attempts", "outcomes"):
+        path = os.path.join(st.root, name)
+        if not os.path.isdir(path):
+            continue
+        for part in sorted(os.listdir(path)):
+            if part.startswith("date=") and part[5:] < cutoff.isoformat():
+                if args.dry_run:
+                    print(f"would remove: {name}/{part}")
+                else:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(path, part), ignore_errors=True)
+                    print(f"removed: {name}/{part}")
+                removed += 1
+    if removed == 0:
+        print(f"no data older than {args.older_than} days")
+    elif args.dry_run:
+        print(f"dry run: would remove {removed} date partition(s)")
+    return 0
+
+
 def _prune_dry_run(st, days, max_runs, max_size_mb) -> int:
     """Count runs the prune policies would remove, without removing."""
     import datetime as _dt
@@ -1643,6 +1674,11 @@ def build_parser() -> argparse.ArgumentParser:
     kf = ksub.add_parser("full", help="delete and recreate the store")
     kf.add_argument("--confirm", "-y", action="store_true")
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser("prune")
+    sp.add_argument("--older-than", "-d", type=int, default=30, dest="older_than")
+    sp.add_argument("--dry-run", action="store_true", dest="dry_run")
+    sp.set_defaults(fn=cmd_prune)
 
     sp = sub.add_parser("watch")
     sp.add_argument("--path", default=".")

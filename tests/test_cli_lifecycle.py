@@ -296,3 +296,18 @@ def test_clean_schema_keeps_blobs_and_config(spark, tmp_path, capsys):
     assert st.runs().count() == 0
     assert os.path.isdir(os.path.join(root, "blobs"))  # blobs kept
     assert store_mod.config_get(st, "output.format") == "json"  # config kept
+
+
+def test_prune_top_level_drops_date_dirs(seeded, capsys):
+    """Top-level prune = pure date-partition directory removal
+    (reference management.py:1008-1031); fixture dates (2026-03) are
+    past any 30-day cutoff."""
+    root = seeded.root
+    assert main(["--store", root, "prune", "--dry-run"]) == 0
+    got = capsys.readouterr().out
+    assert "would remove" in got and "runs/date=2026-03-01" in got
+    assert main(["--store", root, "prune"]) == 0
+    capsys.readouterr()
+    assert seeded.runs().count() == 0
+    assert main(["--store", root, "prune"]) == 0
+    assert "no data older than" in capsys.readouterr().out

@@ -111,17 +111,27 @@ def j2_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: dimension LEFT JOIN fact + filtered counts, preserving groups with
     zero matches (reference blq_load_runs, bird_schema.sql:433-465).
 
-    Scale: aggregate-then-join would cut the shuffle; here the dim side is
-    broadcast so the join is shuffle-free and the agg is partial."""
+    Scale form: aggregate the fact FIRST (map-side-combinable groupBy on
+    the join key), then LEFT-join the per-key counts onto the dimension
+    with the counts side broadcast — the counts table is at most
+    |dimension| rows, and broadcasting the RIGHT side of a left join is
+    the only legal build side (a broadcast hint on the preserved side is
+    ignored with a warning and silently degrades to a shuffle join,
+    which is exactly what an earlier revision of this gate did)."""
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(
+        F.count("c_custkey").alias("_n_customers"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("_n_rich"),
+    )
     return (
-        F.broadcast(nation)
-        .join(cust, cust.c_nationkey == nation.n_nationkey, "left")
-        .groupBy("n_name")
-        .agg(
-            F.count("c_custkey").alias("n_customers"),
-            F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("n_rich"),
+        nation.join(
+            F.broadcast(counts), nation.n_nationkey == counts.c_nationkey, "left"
+        )
+        .select(
+            "n_name",
+            F.coalesce("_n_customers", F.lit(0).cast("long")).alias("n_customers"),
+            F.coalesce("_n_rich", F.lit(0).cast("long")).alias("n_rich"),
         )
     )
 

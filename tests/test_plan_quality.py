@@ -200,3 +200,11 @@ def test_grouping_sets_single_shuffle(spark):
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_j2_counts_join_actually_broadcasts(spark):
+    """Regression guard: the j2 left join must plan a BroadcastHashJoin
+    (a broadcast hint on the preserved side is silently ignored and
+    degrades to a shuffle join — exactly what an earlier revision did)."""
+    plan = _physical(spark, "j2_left_join_counts")
+    assert "BroadcastHashJoin" in plan, plan

@@ -56,8 +56,12 @@ def load_runs(runs: DataFrame, events: DataFrame) -> DataFrame:
     error fingerprints).
 
     Shuffle-lean formulation: pre-aggregate events by invocation_id
-    (map-side combinable), then broadcast-join the tiny counts table onto
-    runs — instead of joining the raw fact table against runs first."""
+    (map-side combinable), then join the counts table onto runs —
+    instead of joining the raw fact table against runs first. The join
+    strategy is left to AQE: counts is one row per RUN, which a
+    long-lived store grows without bound, so a forced broadcast would
+    eventually OOM; AQE broadcasts while it fits and shuffle-joins (both
+    sides keyed on the run id) beyond that."""
     counts = events.groupBy("invocation_id").agg(
         F.count(F.lit(1)).alias("event_count"),
         F.sum(F.when(F.col("severity") == "error", 1).otherwise(0)).alias("error_count"),

@@ -371,21 +371,32 @@ def test_cli_watch_runs_until_max(cli_store, capsys, tmp_path, monkeypatch):
     watched.mkdir()
     (watched / "a.txt").write_text("v1")
 
-    # poke the watched file from a side thread so each poll sees changes
+    # poke the watched file from a side thread until the watcher exits:
+    # a FIXED poke budget raced the runner — when one triggered run (a
+    # few Spark jobs) outlived the poker, no change ever arrived again
+    # and the loop polled forever (observed as a 45-min suite hang on a
+    # slow machine)
     import threading, time as _time
 
+    done = threading.Event()
+
     def poker():
-        for k in range(40):
+        k = 0
+        while not done.is_set() and k < 2400:  # hard cap ~2 min
             (watched / "a.txt").write_text(f"v{k}")
+            k += 1
             _time.sleep(0.05)
 
     t = threading.Thread(target=poker, daemon=True)
     t.start()
-    assert main([
-        "--store", cli_store, "watch", "--path", str(watched),
-        "--debounce", "0.05", "--interval", "0.05", "--max-runs", "2",
-        "--", _sys.executable, "-c", "print('watched build ok')",
-    ]) == 0
+    try:
+        assert main([
+            "--store", cli_store, "watch", "--path", str(watched),
+            "--debounce", "0.05", "--interval", "0.05", "--max-runs", "2",
+            "--", _sys.executable, "-c", "print('watched build ok')",
+        ]) == 0
+    finally:
+        done.set()
     out_text = capsys.readouterr().out
     assert out_text.count("exit=0") >= 2
 

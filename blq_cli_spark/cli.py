@@ -1166,15 +1166,45 @@ def _normalize_cmd(cmd: str) -> str:
 
 
 def cmd_commands(args) -> int:
-    """`blq commands [suggest [CMD]]`: list registered commands; `suggest
-    CMD` matches a raw command string against the registry (reference
-    registry.py:299-334, used by editor hooks — silent exit 0 on no
-    match); bare `suggest` scans run history for frequent raw commands
-    not yet registered (candidates for `blq register`)."""
+    """`blq commands [suggest [CMD] | config NAME ...]`: list registered
+    commands; `suggest CMD` matches a raw command string against the
+    registry (reference registry.py:299-334, used by editor hooks —
+    silent exit 0 on no match); bare `suggest` scans run history for
+    frequent raw commands not yet registered; `config NAME` manages the
+    command's per-command suppression list, resolving event refs to
+    their fingerprints (reference cmd_commands_config,
+    management_cmd.py:17-110)."""
     from blq_cli_spark.sources import store as store_mod
 
     st = _store(args)
     action = getattr(args, "commands_action", None)
+    if action == "config":
+        if args.name not in store_mod.registered_commands(st):
+            print(f"command {args.name!r} is not registered", file=sys.stderr)
+            return 2
+        if args.clear_suppress:
+            cfg = store_mod._load_config(st)
+            n = len(cfg.get("suppressions", {}).pop(args.name, []))
+            store_mod._save_config(st, cfg)
+            print(f"cleared {n} suppressed fingerprint(s) from {args.name}")
+            return 0
+        fps = list(args.suppress_fp)
+        for ref in args.suppress_event:
+            rows = services.resolve_ref(st, ref).collect()
+            if not rows or not rows[0]["fingerprint"]:
+                print(f"no fingerprint for event ref {ref!r}", file=sys.stderr)
+                return 1
+            fps.append(rows[0]["fingerprint"])
+        for fp in fps:
+            store_mod.suppress_fingerprint(st, fp, command=args.name)
+            print(f"suppressed {fp} for {args.name}")
+        if not fps:  # no mutation flags -> show the current list
+            current = store_mod.suppressed_fingerprints(st, command=args.name)
+            for fp in current:
+                print(fp)
+            if not current:
+                print("(no suppressions)")
+        return 0
     if action != "suggest":
         for name, spec in sorted(store_mod.registered_commands(st).items()):
             print(f"{name}: {' '.join(spec['argv'])}" + (f"  [{spec['fmt']}]" if spec.get("fmt") else ""))
@@ -1587,6 +1617,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="command string to match; omit to scan history")
     ms.add_argument("--min-count", type=int, default=2, dest="min_count")
     ms.add_argument("-j", "--json", action="store_true")
+    mc = msub.add_parser("config")
+    mc.add_argument("name")
+    mc.add_argument("--suppress-event", "-e", action="append", default=[],
+                    dest="suppress_event", metavar="REF")
+    mc.add_argument("--suppress-fp", "-F", action="append", default=[],
+                    dest="suppress_fp", metavar="FP")
+    mc.add_argument("--clear-suppress", action="store_true", dest="clear_suppress")
     sp.set_defaults(fn=cmd_commands)
 
     sp = sub.add_parser("suppress")

@@ -311,3 +311,32 @@ def test_prune_top_level_drops_date_dirs(seeded, capsys):
     assert seeded.runs().count() == 0
     assert main(["--store", root, "prune"]) == 0
     assert "no data older than" in capsys.readouterr().out
+
+
+def test_commands_config_suppression_lifecycle(seeded, capsys):
+    """commands config NAME: suppress by event ref (resolved to its
+    fingerprint), by raw fp, show, clear (reference
+    management_cmd.py:17-110)."""
+    root = seeded.root
+    store_mod.register_command(seeded, "bld", ["make"], fmt="gcc")
+    # unregistered command -> error
+    assert main(["--store", root, "commands", "config", "zzz"]) == 2
+    # suppress by event ref: run 8's first event
+    assert main(["--store", root, "commands", "config", "bld",
+                 "--suppress-event", "8:1"]) == 0
+    out = capsys.readouterr().out
+    assert "suppressed fp_" in out
+    fp = out.split()[1]
+    # the suppression is per-command
+    assert fp in store_mod.suppressed_fingerprints(seeded, command="bld")
+    assert fp not in store_mod.suppressed_fingerprints(seeded, command="other")
+    # raw fp + show
+    assert main(["--store", root, "commands", "config", "bld", "-F", "fp_raw1"]) == 0
+    capsys.readouterr()
+    assert main(["--store", root, "commands", "config", "bld"]) == 0
+    shown = capsys.readouterr().out
+    assert fp in shown and "fp_raw1" in shown
+    # clear
+    assert main(["--store", root, "commands", "config", "bld", "--clear-suppress"]) == 0
+    assert "cleared 2" in capsys.readouterr().out
+    assert store_mod.suppressed_fingerprints(seeded, command="bld") == []

@@ -69,16 +69,50 @@ def _without_suppressed(st, flat):
     )
 
 
-def cmd_errors(args) -> int:
+def cmd_events(args) -> int:
+    """`blq events [SOURCE|REF]`: the general event listing `errors` /
+    `warnings` specialize (reference cmd_events,
+    src/blq/commands/management.py:843-916). Positional arg is a run ref
+    when it looks like one (`build:5`, `+1`, `~2`, bare serial), else a
+    source name; `--severity` takes a comma list; suppressed fingerprints
+    are hidden unless --include-suppressed."""
     st = _store(args)
-    _emit_events(views.errors(_without_suppressed(st, st.events_flat()), n=args.n), args)
+    flat = st.events_flat()
+    if not args.include_suppressed:
+        flat = _without_suppressed(st, flat)
+    if args.severity:
+        sevs = [s.strip() for s in args.severity.split(",") if s.strip()]
+        flat = flat.filter(F.col("severity").isin(sevs))
+    source = args.source_arg or args.source_flag
+    if source:
+        ref_like = ":" in source or source.startswith(("+", "~")) or source.isdigit()
+        serial = None
+        if ref_like:
+            try:
+                serial = services.resolve_run_serial(st, source)
+            except Exception:
+                serial = None
+        if serial is not None:
+            flat = flat.filter(F.col("run_serial") == serial)
+        else:
+            flat = flat.filter(F.col("source_name") == source)
+    flat = flat.orderBy(F.desc("run_serial"), F.asc("event_index")).limit(args.n)
+    _emit_events(flat, args)
     return 0
+
+
+def cmd_errors(args) -> int:
+    """Alias for `events --severity error` (reference cmd_errors,
+    management.py:919-926)."""
+    args.severity = "error"
+    return cmd_events(args)
 
 
 def cmd_warnings(args) -> int:
-    st = _store(args)
-    _emit_events(views.warnings(_without_suppressed(st, st.events_flat()), n=args.n), args)
-    return 0
+    """Alias for `events --severity warning` (reference cmd_warnings,
+    management.py:929-936)."""
+    args.severity = "warning"
+    return cmd_events(args)
 
 
 def cmd_running(args) -> int:
@@ -540,7 +574,7 @@ def cmd_run(args) -> int:
         st,
         cmd,
         source_name=args.source,
-        fmt=args.parse_format,
+        fmt=args.parse_format or "auto",
         tag=args.tag,
         timeout=args.timeout,
     )
@@ -1487,9 +1521,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-n", type=int, default=None)
     sp.set_defaults(fn=cmd_history)
 
+    def _events_args(sp):
+        sp.add_argument("source_arg", nargs="?", default=None,
+                        help="source name or run ref (build:5, ~1, 5)")
+        sp.add_argument("-S", "--severity", default=None,
+                        help="severity or comma list (error,warning,info)")
+        sp.add_argument("-s", "--source", dest="source_flag", default=None)
+        sp.add_argument("-n", type=int, default=20)
+        sp.add_argument("--include-suppressed", action="store_true")
+
+    sp = sub.add_parser("events", aliases=["e"])
+    _events_args(sp)
+    sp.set_defaults(fn=cmd_events)
+
     for name, fn in (("errors", cmd_errors), ("warnings", cmd_warnings)):
         sp = sub.add_parser(name)
-        sp.add_argument("-n", type=int, default=None)
+        _events_args(sp)
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("info", aliases=["I"])
@@ -1674,12 +1721,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("shell")
     sp.set_defaults(fn=cmd_shell)
 
-    sp = sub.add_parser("run")
+    sp = sub.add_parser("run", aliases=["r"])
     sp.add_argument("cmd", nargs=argparse.REMAINDER)
     sp.add_argument("--parse-format", default=None)
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.add_argument("--timeout", type=float)
+    sp.set_defaults(fn=cmd_run)
+
+    # ad-hoc execution, reference `exec`/`x` (cli.py:373-418) — same
+    # capture path as run, with the reference's flag spellings
+    sp = sub.add_parser("exec", aliases=["x"])
+    sp.add_argument("cmd", nargs=argparse.REMAINDER)
+    sp.add_argument("-f", "--format", dest="parse_format", default=None)
+    sp.add_argument("-n", "--name", dest="source", default=None)
+    sp.add_argument("--tag")
+    sp.add_argument("-t", "--timeout", type=float)
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("diff")

@@ -70,6 +70,35 @@ def test_cli_errors(cli_store, capsys):
     assert "undefined reference" in got and "src/a.c:10:5" in got
 
 
+def test_cli_events(cli_store, capsys):
+    # plain listing: both severities present
+    assert main(["--store", cli_store, "events"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got and "unused variable" in got
+    # severity comma-list filter
+    assert main(["--store", cli_store, "events", "-S", "warning"]) == 0
+    got = capsys.readouterr().out
+    assert "unused variable" in got and "undefined reference" not in got
+    # positional run ref: run 2 holds only the warning
+    assert main(["--store", cli_store, "events", "2"]) == 0
+    got = capsys.readouterr().out
+    assert "unused variable" in got and "undefined reference" not in got
+    # positional source name
+    assert main(["--store", cli_store, "events", "build.log"]) == 0
+    got = capsys.readouterr().out
+    assert "undefined reference" in got
+
+
+def test_cli_exec_adhoc(tmp_path, capsys):
+    # `exec`/`x` is the ad-hoc capture path (reference cli.py:373-418);
+    # fresh store: the run it appends must not pollute cli_store
+    store = str(tmp_path / ".bird-spark")
+    assert main(["--store", store, "exec", "--name", "hello", "--",
+                 "echo", "hi"]) == 0
+    got = capsys.readouterr().out
+    assert "exit=0" in got
+
+
 def test_cli_history_json(cli_store, capsys):
     assert main(["--store", cli_store, "--format", "json", "history"]) == 0
     rows = json.loads(capsys.readouterr().out)

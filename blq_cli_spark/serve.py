@@ -171,6 +171,36 @@ def _run(store: LogStore, cmd: list[str], source: str | None = None, fmt: str = 
     return {"run_serial": run["run_serial"], "exit_code": run["exit_code"], "id": run["id"]}
 
 
+@tool("exec", "Execute an ad-hoc command (reference serve.py exec tool)")
+def _exec(store: LogStore, cmd: list[str], name: str | None = None, fmt: str = "auto") -> dict:
+    from blq_cli_spark.sources.execution import run_command
+
+    run = run_command(store, cmd, source_name=name, fmt=fmt)
+    return {"run_serial": run["run_serial"], "exit_code": run["exit_code"], "id": run["id"]}
+
+
+@tool("ci_generate", "Generate standalone CI runner scripts / workflow text")
+def _ci_generate_tool(store: LogStore, names: list[str] | None = None,
+                      workflow: bool = False) -> dict:
+    """Text-returning twin of `blq-spark ci generate` (reference
+    ci_generate, serve.py:3617-3641): scripts for the named (default all)
+    registered commands, plus optionally the GitHub workflow."""
+    from blq_cli_spark import hooks
+
+    cmds = store_mod.registered_commands(store)
+    picked = names or sorted(cmds)
+    missing = [n for n in picked if n not in cmds]
+    if missing:
+        raise ValueError(f"unknown commands: {', '.join(missing)}")
+    out = {n: hooks.generate_ci_script(n, cmds[n]) for n in picked}
+    result: dict = {"scripts": out}
+    if workflow:
+        result["workflow"] = hooks.generate_github_workflow(
+            {n: cmds[n] for n in picked}
+        )
+    return result
+
+
 @tool("register", "Register a named command for `run`")
 def _register(store: LogStore, name: str, argv: list[str], fmt: str | None = None,
               tag: str | None = None) -> dict:

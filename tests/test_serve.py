@@ -105,7 +105,22 @@ def test_register_commands_roundtrip(store):
     })["ok"]
     cmds = serve.dispatch(store, "commands", {})
     assert cmds["ok"] and "lint" in cmds["result"]
+    # ci_generate: script text for the registered command
+    gen = serve.dispatch(store, "ci_generate", {"names": ["lint"], "workflow": True})
+    assert gen["ok"] and "lint" in gen["result"]["scripts"]
+    assert "#!" in gen["result"]["scripts"]["lint"]
+    assert "workflow" in gen["result"]
+    bad = serve.dispatch(store, "ci_generate", {"names": ["nope"]})
+    assert not bad["ok"] and "nope" in bad["error"]
     assert serve.dispatch(store, "unregister", {"name": "lint"})["result"]["removed"]
+
+
+def test_exec_tool(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "execstore"))
+    resp = serve.dispatch(st, "exec", {
+        "cmd": [sys.executable, "-c", "print('ok')"], "name": "adhoc",
+    })
+    assert resp["ok"] and resp["result"]["exit_code"] == 0
 
 
 def test_stdio_transport_roundtrip(store):

@@ -570,14 +570,22 @@ def cmd_run(args) -> int:
         print("blq-spark run: no command given", file=sys.stderr)
         return 2
     st = _store(args)
-    run = run_command(
-        st,
-        cmd,
-        source_name=args.source,
-        fmt=args.parse_format or "auto",
-        tag=args.tag,
-        timeout=args.timeout,
-    )
+    from blq_cli_spark.sources.locks import LockHeldError
+
+    try:
+        run = run_command(
+            st,
+            cmd,
+            source_name=args.source,
+            fmt=args.parse_format or "auto",
+            tag=args.tag,
+            timeout=args.timeout,
+            lock_name=getattr(args, "lock_name", None),
+            wait_lock=getattr(args, "wait_lock", None),
+        )
+    except LockHeldError as exc:
+        print(f"blq-spark run: {exc}", file=sys.stderr)
+        return 3
     n = st.events().filter(F.col("invocation_id") == run["id"]).count()
     print(
         f"run {run['run_serial']} exit={run['exit_code']} "
@@ -667,7 +675,17 @@ def cmd_clean(args) -> int:
             print(f"dry run: would orphan {n} stale attempt(s)")
             return 0
         n = st.sweep_orphans(max_age_seconds=args.min_age)
-        print(f"orphaned {n} stale attempt(s)")
+        from blq_cli_spark.sources import locks as locks_mod
+
+        freed = locks_mod.cleanup_stale_locks(os.path.join(st.root, "locks"))
+        print(f"orphaned {n} stale attempt(s); reclaimed {len(freed)} stale lock(s)")
+        return 0
+    if mode == "locks":
+        from blq_cli_spark.sources import locks as locks_mod
+
+        freed = locks_mod.cleanup_stale_locks(os.path.join(st.root, "locks"))
+        print(f"reclaimed {len(freed)} stale lock(s)"
+              + (f": {', '.join(freed)}" if freed else ""))
         return 0
     if mode == "compact":
         n = st.compact(args.table)
@@ -1721,12 +1739,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("shell")
     sp.set_defaults(fn=cmd_shell)
 
+    def _lock_args(sp):
+        # reference execution.py:324-350 lock flags
+        sp.add_argument("--lock", dest="lock_name", default=None,
+                        help="serialize concurrent runs holding this lock name")
+        sp.add_argument("--wait-lock", dest="wait_lock", type=float, default=None,
+                        help="wait up to N seconds for --lock instead of failing")
+
     sp = sub.add_parser("run", aliases=["r"])
     sp.add_argument("cmd", nargs=argparse.REMAINDER)
     sp.add_argument("--parse-format", default=None)
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.add_argument("--timeout", type=float)
+    _lock_args(sp)
     sp.set_defaults(fn=cmd_run)
 
     # ad-hoc execution, reference `exec`/`x` (cli.py:373-418) — same
@@ -1737,6 +1763,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-n", "--name", dest="source", default=None)
     sp.add_argument("--tag")
     sp.add_argument("-t", "--timeout", type=float)
+    _lock_args(sp)
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("diff")
@@ -1761,6 +1788,7 @@ def build_parser() -> argparse.ArgumentParser:
     ko.add_argument("--min-age", type=int, default=60, dest="min_age")
     ko.add_argument("--dry-run", "-n", action="store_true", dest="dry_run")
     ksub.add_parser("blobs", help="remove unreferenced content-addressed blobs")
+    ksub.add_parser("locks", help="reclaim locks held by dead processes")
     ks = ksub.add_parser("schema", help="recreate empty table layout, keep blobs/config")
     ks.add_argument("--confirm", "-y", action="store_true")
     kc = ksub.add_parser("compact", help="rewrite small files into right-sized ones")

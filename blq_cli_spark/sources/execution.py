@@ -22,6 +22,7 @@ import platform as _platform
 import shutil
 import socket
 import subprocess
+import uuid
 
 from blq_cli_spark.sources import logparse
 from blq_cli_spark.sources.store import LogStore
@@ -58,6 +59,8 @@ def run_command(
     timeout: float | None = None,
     cwd: str | None = None,
     keep_live: bool = False,
+    lock_name: str | None = None,
+    wait_lock: float | None = None,
 ) -> dict:
     """Execute `cmd`, capture combined output, parse, and store the run.
 
@@ -67,7 +70,12 @@ def run_command(
     completion unless keep_live.
 
     A single-element cmd naming a registered command (reference
-    core.py:1080-1214) resolves to its stored argv/format/tag."""
+    core.py:1080-1214) resolves to its stored argv/format/tag.
+
+    `lock_name` serializes concurrent runs under that name (reference
+    execution.py:324-350): raise LockHeldError if a live holder exists,
+    or poll up to `wait_lock` seconds for it to free."""
+    from blq_cli_spark.sources import locks as locks_mod
     from blq_cli_spark.sources import store as store_mod
 
     if len(cmd) == 1:
@@ -78,9 +86,34 @@ def run_command(
             tag = tag or reg.get("tag")
             cmd = reg["argv"]
     cwd = cwd or os.getcwd()
+
+    # Lock BEFORE persisting the attempt (reference order,
+    # execution.py:300-350): a LockHeldError must leave no pending row.
+    attempt_id = str(uuid.uuid4())
+    locks_dir = os.path.join(store.root, "locks")
+    if lock_name:
+        if wait_lock is not None:
+            locks_mod.acquire_lock_wait(
+                locks_dir, lock_name, attempt_id, " ".join(cmd), wait_lock
+            )
+        else:
+            locks_mod.acquire_lock(locks_dir, lock_name, attempt_id, " ".join(cmd))
+    try:
+        return _execute_and_store(
+            store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live
+        )
+    finally:
+        if lock_name:
+            locks_mod.release_lock(locks_dir, lock_name)
+
+
+def _execute_and_store(
+    store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live
+) -> dict:
     started = dt.datetime.now()
     attempt = store.start_attempt(
         {
+            "id": attempt_id,
             "started_at": started,
             "cmd": " ".join(cmd),
             "cwd": cwd,

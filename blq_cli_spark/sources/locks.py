@@ -1,0 +1,143 @@
+"""Per-command execution locks.
+
+The reference serializes concurrent runs of the same *command* with named
+JSON lock files + PID liveness (src/blq/locks.py:34-180; used by
+commands/execution.py:324-350 with --lock/--no-lock/--wait-lock). The
+STORE itself needs no lock here — parquet appends are naturally
+multi-writer (see sources/store.py) — but "don't run two `deploy`s at
+once" is a workflow contract independent of storage, so it carries over.
+
+Differences from the reference (deliberate):
+- acquisition is ATOMIC (os.O_CREAT|O_EXCL) instead of exists()-then-
+  write, so two simultaneous acquirers cannot both think they won;
+- stale reclaim unlinks the dead holder's file and retries the atomic
+  create, racing safely against other reclaimers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+
+@dataclass
+class CommandLock:
+    lock_name: str
+    pid: int
+    attempt_id: str
+    command: str
+    acquired_at: float
+
+
+class LockHeldError(RuntimeError):
+    def __init__(self, held_by: CommandLock) -> None:
+        self.held_by = held_by
+        age = time.time() - held_by.acquired_at
+        super().__init__(
+            f"lock '{held_by.lock_name}' held by PID {held_by.pid} "
+            f"(command={held_by.command!r}, age={age:.1f}s)"
+        )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _lock_path(locks_dir: str | Path, name: str) -> Path:
+    return Path(locks_dir) / f"{name}.lock"
+
+
+def read_lock(locks_dir: str | Path, name: str) -> CommandLock | None:
+    """Peek at a lock without acquiring. None if absent/corrupt."""
+    try:
+        data = json.loads(_lock_path(locks_dir, name).read_text())
+        return CommandLock(**{k: data[k] for k in CommandLock.__dataclass_fields__})
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def acquire_lock(
+    locks_dir: str | Path,
+    name: str,
+    attempt_id: str,
+    command: str,
+    pid: int | None = None,
+) -> CommandLock:
+    """Atomically acquire `name`; reclaim if the holder PID is dead.
+
+    Raises LockHeldError when a live process holds it."""
+    locks_dir = Path(locks_dir)
+    locks_dir.mkdir(parents=True, exist_ok=True)
+    path = _lock_path(locks_dir, name)
+    lock = CommandLock(name, pid or os.getpid(), attempt_id, command, time.time())
+    payload = json.dumps(asdict(lock))
+    for _ in range(8):  # bounded reclaim retries under contention
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            existing = read_lock(locks_dir, name)
+            if existing is not None and _pid_alive(existing.pid):
+                raise LockHeldError(existing)
+            # stale (dead holder) or corrupt: clear and re-race
+            try:
+                path.unlink()
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return lock
+    raise LockHeldError(read_lock(locks_dir, name) or lock)
+
+
+def acquire_lock_wait(
+    locks_dir: str | Path,
+    name: str,
+    attempt_id: str,
+    command: str,
+    timeout: float,
+    poll: float = 0.2,
+) -> CommandLock:
+    """--wait-lock semantics (reference execution.py:329-347): retry until
+    `timeout` seconds, then propagate LockHeldError."""
+    deadline = time.time() + timeout
+    while True:
+        try:
+            return acquire_lock(locks_dir, name, attempt_id, command)
+        except LockHeldError:
+            if time.time() >= deadline:
+                raise
+            time.sleep(min(poll, max(deadline - time.time(), 0.01)))
+
+
+def release_lock(locks_dir: str | Path, name: str) -> None:
+    try:
+        _lock_path(locks_dir, name).unlink()
+    except FileNotFoundError:
+        pass
+
+
+def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
+    """Drop every lock whose holder PID is gone; returns reclaimed names."""
+    locks_dir = Path(locks_dir)
+    if not locks_dir.is_dir():
+        return []
+    cleaned = []
+    for path in sorted(locks_dir.glob("*.lock")):
+        lock = read_lock(locks_dir, path.stem)
+        if lock is None or not _pid_alive(lock.pid):
+            try:
+                path.unlink()
+                cleaned.append(path.stem)
+            except FileNotFoundError:
+                pass
+    return cleaned

@@ -96,3 +96,78 @@ def test_suppression_lists(spark, tmp_path):
     store_mod.suppress_fingerprint(st, "fp_global")  # idempotent
     assert store_mod.suppressed_fingerprints(st) == ["fp_global"]
     assert set(store_mod.suppressed_fingerprints(st, "build")) == {"fp_global", "fp_build"}
+
+
+# --- command locks (reference locks.py + execution.py:324-350) ---------------
+
+
+def test_lock_module_acquire_release_stale(tmp_path):
+    import pytest
+
+    from blq_cli_spark.sources import locks
+
+    d = tmp_path / "locks"
+    lk = locks.acquire_lock(d, "build", "att1", "make all")
+    assert locks.read_lock(d, "build").pid == lk.pid
+    # live holder blocks a second acquirer
+    with pytest.raises(locks.LockHeldError) as exc:
+        locks.acquire_lock(d, "build", "att2", "make all")
+    assert "build" in str(exc.value)
+    # other names are independent
+    locks.acquire_lock(d, "test", "att3", "pytest")
+    locks.release_lock(d, "build")
+    assert locks.read_lock(d, "build") is None
+    # dead-PID lock is reclaimed transparently
+    (d / "stale.lock").write_text(
+        '{"lock_name": "stale", "pid": 999999999, "attempt_id": "x", '
+        '"command": "c", "acquired_at": 0.0}'
+    )
+    lk2 = locks.acquire_lock(d, "stale", "att4", "cmd")
+    assert lk2.attempt_id == "att4"
+    # corrupt lock file is also reclaimed
+    (d / "bad.lock").write_text("not json")
+    assert locks.acquire_lock(d, "bad", "att5", "cmd").attempt_id == "att5"
+    # cleanup drops only dead/corrupt locks
+    (d / "dead.lock").write_text(
+        '{"lock_name": "dead", "pid": 999999999, "attempt_id": "x", '
+        '"command": "c", "acquired_at": 0.0}'
+    )
+    cleaned = locks.cleanup_stale_locks(d)
+    assert "dead" in cleaned and "test" not in cleaned
+
+
+def test_lock_wait_succeeds_after_release(tmp_path):
+    import threading
+    import time as _time
+
+    from blq_cli_spark.sources import locks
+
+    d = tmp_path / "locks"
+    locks.acquire_lock(d, "deploy", "att1", "deploy")
+    t = threading.Timer(0.5, locks.release_lock, (d, "deploy"))
+    t.start()
+    try:
+        got = locks.acquire_lock_wait(d, "deploy", "att2", "deploy", timeout=5.0)
+        assert got.attempt_id == "att2"
+    finally:
+        t.cancel()
+
+
+def test_run_command_lock_held_leaves_no_pending_attempt(spark, tmp_path):
+    import pytest
+
+    from blq_cli_spark.sources import locks
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    locks.acquire_lock(str(tmp_path / "bird" / "locks"), "build", "other", "make")
+    with pytest.raises(locks.LockHeldError):
+        run_command(
+            st, [sys.executable, "-c", "print('hi')"], lock_name="build"
+        )
+    # the blocked run must not leave a pending attempt row behind
+    assert st.attempts().count() == 0
+    locks.release_lock(str(tmp_path / "bird" / "locks"), "build")
+    run = run_command(st, [sys.executable, "-c", "print('hi')"], lock_name="build")
+    assert run["exit_code"] == 0
+    # lock released after the run completes
+    assert locks.read_lock(str(tmp_path / "bird" / "locks"), "build") is None

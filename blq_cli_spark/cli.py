@@ -532,14 +532,24 @@ def _ci_generate(st, args) -> int:
         with open(path, "w") as fh:
             fh.write(hooks.generate_ci_script(n, cmds[n]))
         os.chmod(path, 0o755)
-    wf = os.path.join(outdir, "workflow.yml")
-    with open(wf, "w") as fh:
-        fh.write(hooks.generate_github_workflow({n: cmds[n] for n in names}))
+    picked = {n: cmds[n] for n in names}
+    # one file per CI system (reference templates/: github/gitlab/drone)
+    generators = {
+        "workflow.yml": hooks.generate_github_workflow,
+        ".gitlab-ci.blq.yml": hooks.generate_gitlab_ci,
+        "drone.yml": hooks.generate_drone_pipeline,
+    }
+    for fname, gen in generators.items():
+        with open(os.path.join(outdir, fname), "w") as fh:
+            fh.write(gen(picked))
     hook = os.path.join(outdir, "pre-commit")
     with open(hook, "w") as fh:
         fh.write(hooks.generate_git_hook(names))
     os.chmod(hook, 0o755)
-    print(f"generated {len(names)} script(s) + workflow.yml + pre-commit in {outdir}/")
+    print(
+        f"generated {len(names)} script(s) + workflow.yml + .gitlab-ci.blq.yml"
+        f" + drone.yml + pre-commit in {outdir}/"
+    )
     return 0
 
 

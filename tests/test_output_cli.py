@@ -273,6 +273,11 @@ def test_cli_ci_generate_and_comment(cli_store, capsys, tmp_path):
     assert _os.path.exists(_os.path.join(out, "pre-commit"))
     script = open(_os.path.join(out, "build.sh")).read()
     assert "tee" in script and "PIPESTATUS" in script
+    # gitlab + drone twins (reference templates/gitlab_ci.yml.j2, drone.yml.j2)
+    gitlab = open(_os.path.join(out, ".gitlab-ci.blq.yml")).read()
+    assert "blq-build:" in gitlab and "./ci/build.sh" in gitlab
+    drone = open(_os.path.join(out, "drone.yml")).read()
+    assert "kind: pipeline" in drone and "- name: build" in drone
 
     assert main(["--store", cli_store, "ci", "comment",
                  "--baseline", "1", "--candidate", "2"]) == 0

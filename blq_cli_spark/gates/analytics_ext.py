@@ -309,3 +309,106 @@ def f_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+@gate(
+    "f_array_suite",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                                    AS n_words,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3,
+           CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER)  AS has_the,
+           len(list_distinct(string_split(text, ' ')))                     AS n_uniq,
+           list_sort(string_split(text, ' '))[1]                           AS w_min
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def f_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (F-family breadth): split, size, slice +
+    join, membership, distinct-count, sort/element_at — the collection
+    algebra behind token pipelines (reference F15 explode is the
+    row-generating half; this is the stay-in-one-row half). All JVM
+    expressions inside whole-stage codegen; no UDF."""
+    words = F.split(F.col("text"), " ")
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+            F.array_contains(words, "the").cast("int").alias("has_the"),
+            F.size(F.array_distinct(words)).alias("n_uniq"),
+            F.element_at(F.array_sort(words), 1).alias("w_min"),
+        )
+    )
+
+
+@gate(
+    "a_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 4)      AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+    """,
+)
+def a_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (A-family breadth): wide per-group metrics to
+    (group, metric, value) long form — the report/export shape. Native
+    DataFrame.unpivot (Spark 3.4+): a per-row Expand, no shuffle beyond
+    the aggregation's own."""
+    wide = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@gate(
+    "a_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 3) + 0.0  AS qty_price_corr,
+           round(stddev_samp(l_quantity), 3) + 0.0            AS qty_sd,
+           round(var_samp(l_discount), 3) + 0.0               AS disc_var,
+           round(covar_samp(l_quantity, l_tax), 3) + 0.0      AS qty_tax_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (A-family breadth): grouped Pearson
+    correlation, sample stddev/variance, sample covariance — data-quality
+    profiling primitives. Single-pass partial aggregation in both
+    engines; rounded to 3 decimals because summation ORDER differs
+    across partitionings (values are O(1)-magnitude, so 1e-3 is far
+    above the accumulated ulp drift). `+ 0.0` canonicalizes IEEE -0.0
+    (round(-1e-4, 3) is -0.0 in one engine, 0.0 in the other; adding
+    +0.0 maps both to +0.0)."""
+    zero = F.lit(0.0)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 3) + zero).alias("qty_price_corr"),
+            (F.round(F.stddev_samp("l_quantity"), 3) + zero).alias("qty_sd"),
+            (F.round(F.var_samp("l_discount"), 3) + zero).alias("disc_var"),
+            (F.round(F.covar_samp("l_quantity", "l_tax"), 3) + zero).alias("qty_tax_cov"),
+        )
+    )

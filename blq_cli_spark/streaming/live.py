@@ -232,3 +232,54 @@ def stream_to_store(stream_events: DataFrame, store, query_name: str = "ingest")
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "source_id",
+    ts_col: str = "ingest_ts",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming sessionization: per-key activity sessions that close
+    after `gap` of silence — the streaming twin of the batch
+    `ts_sessionize` gate (gates/events_ts.py; there via lag()+cumsum,
+    here via native session_window, which merges/extends session state
+    incrementally and expires it once the watermark passes session end +
+    gap). State is bounded per live key, so a 100 TB stream holds only
+    open sessions, never history."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("severity") == "error").cast("int")).alias("n_errors"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_events",
+            "n_errors",
+        )
+    )
+
+
+def stream_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small, slowly-changing)
+    dimension to a live stream. Spark re-plans the static side per
+    micro-batch, so a broadcast hint keeps every batch shuffle-free on
+    the stream side — the canonical pattern for joining live events to
+    registered-command / suppression metadata without stateful join
+    machinery (no watermark needed: the static side is not a stream).
+    Dimension columns are prefixed `dim_` to keep the schema
+    collision-free."""
+    pref = dim.select(
+        *[F.col(c).alias(c if c == key else f"dim_{c}") for c in dim.columns]
+    )
+    return stream.join(F.broadcast(pref), key, how)

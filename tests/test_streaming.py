@@ -3,6 +3,7 @@ parser -> memory sink; plus the faithful poll-and-reparse path."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from blq_cli_spark.streaming import live
@@ -320,3 +321,45 @@ def test_stream_interval_join_outer_emits_unmatched(spark, tmp_path):
         for r in spark.sql("SELECT event_id, r_attempt_id FROM oj_test").collect()
     )
     assert got == [("e1", "a1"), ("e3", None), ("e9", "a9")]
+
+
+def test_streaming_sessionized_counts(spark, drop_dir):
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc")
+    sessions = live.sessionized_counts(stream, gap="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # all events per file ingest within one gap -> one session per source
+    assert len(rows) == 2
+    by_src = {r["source_id"].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_src["run1.log"]["n_events"] == 2
+    assert by_src["run1.log"]["n_errors"] == 1
+    assert by_src["run2.log"]["n_errors"] == 1
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_stream_enrich_static_broadcast(spark, drop_dir):
+    stream = live.stream_run_logs(spark, drop_dir, fmt="gcc").withColumn(
+        "src", F.element_at(F.split("source_id", "/"), -1)
+    )
+    dim = spark.createDataFrame(
+        [("run1.log", "ci"), ("run2.log", "local")], "src string, origin string"
+    )
+    enriched = live.stream_enrich_static(stream, dim, key="src")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == 3
+    assert {r["dim_origin"] for r in rows} == {"ci", "local"}

@@ -145,12 +145,7 @@ def cmd_report(args) -> int:
 
 
 def _parsed_events_df(spark, events: list[dict]):
-    """Parsed-event dicts -> DataFrame with the explicit parser schema
-    (inference would fail whenever a column — code/rule/test_name — is
-    all-None in this particular log)."""
-    field_names = [c.split()[0].strip() for c in logparse.PARSED_EVENT_DDL.split(",")]
-    rows = [tuple(ev.get(k) for k in field_names) for ev in events]
-    return spark.createDataFrame(rows, logparse.PARSED_EVENT_DDL)
+    return logparse.events_df(spark, events)
 
 
 def cmd_query(args) -> int:

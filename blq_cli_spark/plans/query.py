@@ -56,6 +56,41 @@ class LogQuery:
         self._limit_n: int | None = None
         self._offset_n: int | None = None
 
+    # -- constructors (reference query.py:68-233) -----------------------------
+
+    @classmethod
+    def from_sql(cls, spark, sql: str) -> "LogQuery":
+        """Arbitrary SQL as the base relation (reference query.py:77-98)."""
+        return cls(spark.sql(sql))
+
+    @classmethod
+    def from_table(cls, spark, name: str) -> "LogQuery":
+        """Registered table/view by name (reference query.py:100-114)."""
+        return cls(spark.table(name))
+
+    @classmethod
+    def from_parquet(cls, spark, path: str) -> "LogQuery":
+        """Parquet file/dir/glob (reference query.py:116-138). Hive
+        partition discovery, pushdown, and pruning are native."""
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def from_file(cls, spark, path: str, fmt: str = "auto") -> "LogQuery":
+        """Parse one log file into the events schema (reference
+        query.py:140-177). Driver-side parse — this is the interactive
+        single-file path; for corpora use logparse.parse_df
+        (distributed)."""
+        with open(path) as fh:
+            content = fh.read()
+        return cls.from_content(spark, content, fmt)
+
+    @classmethod
+    def from_content(cls, spark, content: str, fmt: str = "auto") -> "LogQuery":
+        """Parse in-memory log text (reference query.py:179-233)."""
+        from blq_cli_spark.sources import logparse
+
+        return cls(logparse.events_df(spark, logparse.parse_content(content, fmt)))
+
     def _clone(self) -> "LogQuery":
         q = LogQuery(self._df)
         q._filters = list(self._filters)
@@ -154,6 +189,33 @@ class LogQuery:
 
     def fetchall(self):
         return self.to_spark().collect()
+
+    def fetchone(self):
+        """First row or None (reference query.py:413-415)."""
+        rows = self.to_spark().limit(1).collect()
+        return rows[0] if rows else None
+
+    def exists(self) -> bool:
+        """Any row matches? LIMIT-1 probe, not a full count (reference
+        query.py:426-433 — and the scale-correct form: Spark stops the
+        scan at the first surviving row)."""
+        return self.fetchone() is not None
+
+    def columns(self) -> list[str]:
+        """Method (not property) to mirror the reference call shape
+        (query.py:435-438)."""
+        return self.to_spark().columns
+
+    def dtypes(self) -> list[tuple[str, str]]:
+        return self.to_spark().dtypes
+
+    def describe(self):
+        """Summary statistics of the built relation (reference
+        query.py:444-446)."""
+        return self.to_spark().describe()
+
+    def show(self, n: int = 10) -> None:
+        self.to_spark().show(n, truncate=40)
 
     def count(self) -> int:
         """Short-circuit: filters only, no order/select/limit

@@ -3242,3 +3242,14 @@ def parse_df(df, fmt: str = "auto", id_col: str = "source_id", content_col: str 
             )
 
     return df.mapInPandas(_parse_batches, schema=PARSED_EVENT_DDL)
+
+
+def events_df(spark, events: list[dict]):
+    """Parsed-event dicts -> DataFrame with the explicit parser schema.
+
+    Explicit DDL, never inference: a column that is all-None in one
+    particular log (code/rule/test_name) would otherwise fail or drift
+    between inputs."""
+    field_names = [c.split()[0].strip() for c in PARSED_EVENT_DDL.split(",")]
+    rows = [tuple(ev.get(k) for k in field_names) for ev in events]
+    return spark.createDataFrame(rows, PARSED_EVENT_DDL)

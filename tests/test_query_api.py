@@ -128,3 +128,56 @@ def test_dsl_case_insensitive_and_invert(df):
 def test_dsl_invalid():
     with pytest.raises(FilterExpressionError):
         parse_filter_expression("no-operator-here")
+
+
+# --- terminals + introspection (reference query.py:405-458) ------------------
+
+
+def test_fetchone_and_exists(df):
+    row = q(df).filter(severity="error").order_by("id").fetchone()
+    assert row["id"] == 1
+    assert q(df).filter(severity="error").exists()
+    assert not q(df).filter(severity="fatal").exists()
+    assert q(df).filter(severity="fatal").fetchone() is None
+
+
+def test_columns_dtypes_describe_show(df, capsys):
+    sub = q(df).select("id", "severity")
+    assert sub.columns() == ["id", "severity"]
+    assert dict(sub.dtypes())["id"] == "int"
+    desc = q(df).describe().collect()
+    assert {r["summary"] for r in desc} >= {"count", "min", "max"}
+    q(df).limit(2).show()
+    assert "severity" in capsys.readouterr().out
+
+
+# --- constructors (reference query.py:68-233) --------------------------------
+
+
+GCC_SNIPPET = (
+    "src/a.c:10:5: error: undefined reference to 'foo'\n"
+    "src/a.c:20:1: warning: unused variable 'x'\n"
+)
+
+
+def test_from_content_and_file(spark, tmp_path):
+    lq = LogQuery.from_content(spark, GCC_SNIPPET, fmt="gcc")
+    assert lq.filter(severity="error").count() == 1
+    assert "fingerprint" in lq.columns()
+    p = tmp_path / "build.log"
+    p.write_text(GCC_SNIPPET)
+    lq2 = LogQuery.from_file(spark, str(p))  # auto-detect
+    assert lq2.count() == 2
+    assert lq2.filter(ref_file="src/a.c").count() == 2
+
+
+def test_from_sql_table_parquet(spark, df, tmp_path):
+    df.createOrReplaceTempView("lq_src")
+    assert LogQuery.from_table(spark, "lq_src").count() == 6
+    assert (
+        LogQuery.from_sql(spark, "SELECT * FROM lq_src WHERE severity = 'error'").count()
+        == 3
+    )
+    path = str(tmp_path / "lq.parquet")
+    df.write.parquet(path)
+    assert LogQuery.from_parquet(spark, path).filter(tool="gcc").count() == 3

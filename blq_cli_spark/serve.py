@@ -76,7 +76,11 @@ def _status(store: LogStore) -> list[dict]:
 
 
 @tool("history", "Recent runs with error/warning counts")
-def _history(store: LogStore, n: int = 10) -> list[dict]:
+def _history(store: LogStore, n: int | None = None) -> list[dict]:
+    if n is None:
+        from blq_cli_spark import runtime
+
+        n = runtime.get_runtime().default_history_limit
     return _rows(services.history_with_counts(store, n=n))
 
 
@@ -130,6 +134,10 @@ def _output(
     head: int | None = None,
     tail: int | None = None,
 ) -> list[dict]:
+    if lines is None and grep is None and head is None and tail is None:
+        from blq_cli_spark import runtime
+
+        lines = runtime.get_runtime().default_lines_window or None
     df = services.get_output(
         store, run_serial, lines=lines, grep=grep, ctx=ctx, head=head, tail=tail
     )
@@ -253,9 +261,23 @@ def _info(store: LogStore) -> dict:
     }
 
 
-@tool("config", "Registered commands + suppression lists")
-def _config(store: LogStore) -> dict:
+@tool("config", "Session runtime knobs + registered commands + suppressions")
+def _config(store: LogStore, set: dict | None = None, reset: bool = False) -> dict:
+    """Read/update the in-memory session config (reference config tool,
+    serve.py:3655-3692 + runtime.py): `set` merges validated keys,
+    `reset` reverts to env-seeded values; both return the new state.
+    Persistent store state (commands, suppressions) rides along
+    read-only — it is managed by its own tools."""
+    from blq_cli_spark import runtime
+
+    if reset:
+        session = runtime.reset_runtime()
+    elif set:
+        session = runtime.update_runtime(set)  # ValueError -> error envelope
+    else:
+        session = runtime.get_runtime()
     return {
+        "session": session.to_dict(),
         "commands": store_mod.registered_commands(store),
         "suppressions": store_mod._load_config(store).get("suppressions", {}),
     }

@@ -198,7 +198,34 @@ def test_info_and_config_tools(store):
     res = info["result"]
     assert res["tables"]["runs"] == 8 and res["latest_run_serial"] == 8
     cfg = serve.dispatch(store, "config", {})
-    assert cfg["ok"] and set(cfg["result"]) == {"commands", "suppressions"}
+    assert cfg["ok"] and set(cfg["result"]) == {"session", "commands", "suppressions"}
+
+
+def test_config_tool_session_set_reset(store):
+    from blq_cli_spark import runtime
+
+    runtime.reset_runtime()
+    try:
+        got = serve.dispatch(store, "config", {"set": {
+            "log_level": "debug", "default_history_limit": 2,
+        }})
+        assert got["ok"]
+        assert got["result"]["session"]["log_level"] == "debug"
+        # the knob drives real behavior: history() without n uses it
+        hist = serve.dispatch(store, "history", {})
+        assert hist["ok"] and len(hist["result"]) == 2
+        # unknown key / bad value -> error envelope, state unchanged
+        bad = serve.dispatch(store, "config", {"set": {"bogus": 1}})
+        assert not bad["ok"] and "bogus" in bad["error"]
+        bad2 = serve.dispatch(store, "config", {"set": {"log_level": "loud"}})
+        assert not bad2["ok"]
+        assert serve.dispatch(store, "config", {})["result"]["session"]["log_level"] == "debug"
+        # reset reverts to env-seeded defaults
+        back = serve.dispatch(store, "config", {"reset": True})
+        assert back["result"]["session"]["log_level"] == "info"
+        assert back["result"]["session"]["default_history_limit"] == 20
+    finally:
+        runtime.reset_runtime()
 
 
 def test_tool_maintain_and_timeseries(store):

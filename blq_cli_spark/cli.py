@@ -290,19 +290,77 @@ def cmd_suppress(args) -> int:
 
 
 def cmd_inspect(args) -> int:
+    """`blq inspect REF`: event detail + enrichments (reference
+    cmd_inspect, commands/events.py:223-373) — log context always,
+    source context with --source, git blame/history with --git,
+    fingerprint history with --fingerprint, everything with --full;
+    -F limits output to named fields. Run refs fall back to the plain
+    row listing."""
     from blq_cli_spark import services
 
     st = _store(args)
     try:
-        df = services.resolve_ref(st, args.ref)
+        parsed = services.parse_ref(args.ref)
     except ValueError as e:
         print(f"blq-spark: {e}", file=sys.stderr)
         return 2
-    rows = df.collect()
-    if not rows:
-        print(f"blq-spark: no match for ref {args.ref!r}", file=sys.stderr)
+    if not parsed.is_event():
+        rows = services.resolve_ref(st, args.ref).collect()
+        if not rows:
+            print(f"blq-spark: no match for ref {args.ref!r}", file=sys.stderr)
+            return 1
+        _emit(rows, args)
+        return 0
+    full = args.full
+    try:
+        result = services.inspect_event(
+            st,
+            args.ref,
+            lines=args.lines,
+            source_root=args.source_root,
+            include_source=full or args.source,
+            include_git=full or args.git,
+            include_fingerprint=full or args.fingerprint,
+        )
+    except ValueError as e:
+        print(f"blq-spark: {e}", file=sys.stderr)
         return 1
-    _emit(rows, args)
+    if args.field:
+        result = {k: result.get(k) for k in args.field}
+    if args.json or args.field:
+        import json as _json
+
+        print(_json.dumps(output.scrub_nulls(result), default=str, indent=2))
+        return 0
+    print(f"Event: {args.ref}")
+    for label, key in (("Severity", "severity"), ("File", "loc"),
+                       ("Tool", "tool_name"), ("Code", "code"),
+                       ("Fingerprint", "short_fp"), ("Message", "message")):
+        if result.get(key):
+            print(f"  {label}: {result[key]}")
+    for title, key in (("Log Context", "log_context"),
+                       ("Source Context", "source_context")):
+        ctx = result.get(key)
+        if ctx:
+            print(f"\n== {title} ==")
+            for r in ctx:
+                marker = ">" if r["is_event"] else " "
+                print(f"{marker} {r['line_number']:>4} | {r['line']}")
+    gc = result.get("git_context")
+    if gc:
+        print("\n== Git Context ==")
+        if "blame" in gc:
+            b = gc["blame"]
+            print(f"  last touched by {b.get('author')} in {b.get('commit')}"
+                  f" at {b.get('modified')}")
+        for c in gc.get("recent_commits", []):
+            print(f"  {c['hash']} {c['author']}: {c['message']}")
+    fh = result.get("fingerprint_history")
+    if fh:
+        print("\n== Fingerprint History ==")
+        for r in fh:
+            print(f"  run {r['run_serial']} ({r['source_name']}):"
+                  f" {r['n_occurrences']} occurrence(s)")
     return 0
 
 
@@ -1703,6 +1761,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("inspect")
     sp.add_argument("ref", help="tag:serial[:event], serial[:event], or ~N")
+    sp.add_argument("-n", "--lines", type=int, default=3,
+                    help="context lines before/after")
+    sp.add_argument("--source", action="store_true",
+                    help="include source-file context")
+    sp.add_argument("--git", action="store_true",
+                    help="include git blame + recent commits")
+    sp.add_argument("--fingerprint", action="store_true",
+                    help="include fingerprint occurrence history")
+    sp.add_argument("--full", action="store_true", help="all enrichments")
+    sp.add_argument("--source-root", default=None, dest="source_root",
+                    help="root for resolving ref_file (default: cwd)")
+    sp.add_argument("-F", "--field", action="append", default=None,
+                    help="output only these result fields (repeatable)")
+    sp.add_argument("-j", "--json", action="store_true")
     sp.set_defaults(fn=cmd_inspect)
 
     sp = sub.add_parser("ci")

@@ -119,8 +119,26 @@ def _query(store: LogStore, sql: str, limit: int = 100) -> list[dict]:
     return _rows(store.spark.sql(sql))
 
 
-@tool("inspect", "Resolve a ref (tag:serial[:event], ~N, serial) to its rows")
-def _inspect(store: LogStore, ref: str) -> list[dict]:
+@tool("inspect", "Event detail with log/source/git/fingerprint enrichment")
+def _inspect(
+    store: LogStore,
+    ref: str,
+    lines: int = 3,
+    source: bool = False,
+    git: bool = False,
+    fingerprint: bool = False,
+    source_root: str | None = None,
+) -> dict | list[dict]:
+    """Event refs get the enriched composition (services.inspect_event);
+    run refs fall back to the plain resolved rows."""
+    if services.parse_ref(ref).is_event():
+        return output.scrub_nulls(
+            services.inspect_event(
+                store, ref, lines=lines, source_root=source_root,
+                include_source=source, include_git=git,
+                include_fingerprint=fingerprint,
+            )
+        )
     return _rows(services.resolve_ref(store, ref))
 
 

@@ -310,3 +310,101 @@ def report_data(
             fixed_errors=top(fixed),
         )
     return data
+
+
+def fingerprint_history(store: LogStore, fingerprint: str, n: int = 20) -> list[dict]:
+    """Per-run occurrence history of one fingerprint (reference
+    get_fingerprint_history, services/inspect.py:159-210): which runs
+    contain it, how often, first/last seen. One filtered groupBy — the
+    fingerprint predicate prunes at the scan."""
+    rows = (
+        store.events_flat()
+        .filter(F.col("fingerprint") == fingerprint)
+        .groupBy("run_serial", "source_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("run_timestamp").alias("first_seen"),
+        )
+        .orderBy(F.desc("run_serial"))
+        .limit(n)
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def inspect_event(
+    store: LogStore,
+    ref: str,
+    lines: int = 3,
+    source_root: str | None = None,
+    include_source: bool = False,
+    include_git: bool = False,
+    include_fingerprint: bool = False,
+) -> dict:
+    """Comprehensive event detail (reference cmd_inspect,
+    commands/events.py:223-373): the event row plus log context (always),
+    source context / git blame+history / fingerprint history on request.
+    Every enrichment is best-effort — a missing raw log or untracked file
+    yields None for that section, never an error."""
+    from blq_cli_spark import gitctx
+    from blq_cli_spark.operators import context as ctx_ops
+
+    parsed = parse_ref(ref)
+    if not parsed.is_event():
+        raise ValueError(f"inspect requires an event ref (e.g. 5:3), got {ref!r}")
+    rows = resolve_ref(store, ref).collect()
+    if not rows:
+        raise ValueError(f"event {ref} not found")
+    event = rows[0].asDict()
+    result = dict(event)
+
+    start, end = event.get("log_line_start"), event.get("log_line_end")
+    result["log_context"] = None
+    if start is not None:
+        end = end or start
+        try:
+            df = get_output(
+                store, parsed.serial,
+                lines=f"{max(1, start - lines)}-{end + lines}",
+            )
+            result["log_context"] = [
+                {"line_number": r["line_number"], "line": r["line"],
+                 "is_event": start <= r["line_number"] <= end}
+                for r in df.orderBy("line_number").collect()
+            ]
+        except ValueError:
+            pass
+
+    root = source_root or "."
+    ref_file, ref_line = event.get("ref_file"), event.get("ref_line")
+    if include_source:
+        result["source_context"] = None
+        if ref_file:
+            try:
+                path = ctx_ops.resolve_under_root(root, ref_file)
+                with open(path) as fh:
+                    src = fh.read().splitlines()
+                line = ref_line or 1
+                lo = max(1, line - lines)
+                hi = min(len(src), line + lines)
+                result["source_context"] = [
+                    {"line_number": i, "line": src[i - 1], "is_event": i == line}
+                    for i in range(lo, hi + 1)
+                ]
+            except (OSError, ValueError):
+                pass
+    if include_git:
+        result["git_context"] = None
+        if ref_file:
+            try:
+                ctx_ops.resolve_under_root(root, ref_file)  # path safety first
+                result["git_context"] = gitctx.file_context(
+                    ref_file, ref_line, cwd=root
+                )
+            except ValueError:
+                pass
+    if include_fingerprint and event.get("fingerprint"):
+        result["fingerprint_history"] = fingerprint_history(
+            store, event["fingerprint"]
+        )
+    return result

@@ -455,3 +455,44 @@ def test_cli_filter_grep_like(cli_store, capsys, tmp_path):
     assert main(["--store", cli_store, "filter", str(log), "message~alp"]) == 0
     got = capsys.readouterr().out
     assert "alpha" in got and "beta" not in got
+
+
+def test_cli_inspect_enriched(tmp_path, capsys):
+    """inspect REF --full: log context, source context, git blame,
+    fingerprint history (reference cmd_inspect, events.py:223-373)."""
+    import os as _os
+    import subprocess as _sp
+
+    proj = tmp_path / "proj"
+    (proj / "src").mkdir(parents=True)
+    src = proj / "src" / "a.c"
+    src.write_text("\n".join(f"int line{i};" for i in range(1, 31)) + "\n")
+    _sp.run(["git", "init", "-q"], cwd=proj, check=True)
+    _sp.run(["git", "add", "."], cwd=proj, check=True)
+    _sp.run(["git", "-c", "user.email=t@t", "-c", "user.name=T",
+             "commit", "-qm", "add a.c"], cwd=proj, check=True)
+
+    log = tmp_path / "build.log"
+    log.write_text("src/a.c:10:5: error: undefined reference to 'foo'\n")
+    store = str(tmp_path / ".bird-spark")
+    assert main(["--store", store, "import", str(log), "--tag", "build"]) == 0
+    capsys.readouterr()
+
+    assert main(["--store", store, "inspect", "1:1", "--full",
+                 "--source-root", str(proj)]) == 0
+    out = capsys.readouterr().out
+    assert "== Log Context ==" in out and "undefined reference" in out
+    assert "== Source Context ==" in out and "int line10;" in out
+    assert "== Git Context ==" in out and "add a.c" in out
+    assert "== Fingerprint History ==" in out and "run 1" in out
+
+    # -F field selection emits JSON with just those keys
+    assert main(["--store", store, "inspect", "1:1", "-F", "severity",
+                 "-F", "message"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert set(data) == {"severity", "message"}
+
+    # run ref falls back to the resolved run-row listing
+    assert main(["--store", store, "inspect", "1"]) == 0
+    got = capsys.readouterr().out
+    assert "run_serial" in got and "build:1" in got

@@ -1598,7 +1598,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("status").set_defaults(fn=cmd_status)
 
-    sp = sub.add_parser("history")
+    sp = sub.add_parser("history", aliases=["h"])
     sp.add_argument("-n", type=int, default=None)
     sp.set_defaults(fn=cmd_history)
 
@@ -1738,7 +1738,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tag")
     sp.set_defaults(fn=cmd_register)
 
-    sp = sub.add_parser("commands")
+    sp = sub.add_parser("commands", aliases=["C"])
     msub = sp.add_subparsers(dest="commands_action")
     ms = msub.add_parser("suggest")
     ms.add_argument("match", nargs="?", default=None,

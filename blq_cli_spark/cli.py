@@ -1608,7 +1608,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-S", "--severity", default=None,
                         help="severity or comma list (error,warning,info)")
         sp.add_argument("-s", "--source", dest="source_flag", default=None)
-        sp.add_argument("-n", type=int, default=20)
+        # default None -> main() resolves output.default_limit from config
+        sp.add_argument("-n", type=int, default=None)
         sp.add_argument("--include-suppressed", action="store_true")
 
     sp = sub.add_parser("events", aliases=["e"])

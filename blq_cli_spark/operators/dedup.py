@@ -339,3 +339,39 @@ def dedup_clusters(
     ).unionByName(
         edges.select(F.col("u").alias("id"), F.col("u").alias("cluster_id")).distinct()
     ).distinct()
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Collapse near-duplicate CLUSTERS to one kept document each — the
+    final step of the dedup pipeline (pairs -> dedup_clusters ->
+    representatives): keep the highest-`score` member (ties: min id);
+    docs in no cluster keep themselves. Default score is text quality
+    (operators/text.quality_score), the Gopher-style "keep the best
+    copy" rule.
+
+    `assignments` is dedup_clusters() output (id, cluster_id). Plan
+    shape: broadcast-or-shuffle join docs->assignments (left: unclustered
+    docs survive with cluster_id = own id), one keyed window for the
+    argmax — no driver materialization, cluster cardinality bounds the
+    window partition size."""
+    from pyspark.sql import Window
+
+    from blq_cli_spark.operators import text as text_ops
+
+    score = text_ops.quality_score(F.col("text")) if score is None else score
+    joined = docs.join(
+        assignments.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "_cluster", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("_cluster").orderBy(score.desc(), F.asc(id_col))
+    return (
+        joined.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") == 1)
+        .drop("_rank", "_cluster", "cluster_id")
+    )

@@ -124,3 +124,29 @@ def test_lsh_to_clusters_end_to_end(spark):
     assert all(len(s) >= 2 for s in by_cluster.values())
     # representative is the min id of its cluster
     assert all(rep == min(s) for rep, s in by_cluster.items())
+
+
+def test_dedup_representatives_keeps_best_per_cluster(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: 2 has the highest score
+            (1, "short", 0.2), (2, "the best doc", 0.9), (3, "meh", 0.5),
+            # cluster {10,11}: tie -> min id (10) wins
+            (10, "tie a", 0.7), (11, "tie b", 0.7),
+            # unclustered: keeps itself
+            (20, "solo", 0.1),
+        ],
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.dedup_representatives(
+        docs, clusters, score=F.col("q")
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 10, 20]
+    # schema passes through untouched (minus the helper columns)
+    assert set(kept.columns) == {"doc_id", "text", "q"}

@@ -424,3 +424,36 @@ def x_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blq_cli_spark.operators import corpus
 
     return corpus.funnel_stats(table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "x_term_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT doc_id, count(*) AS score
+    FROM toks
+    WHERE term IN ('vector', 'stream', 'merge', 'sort')
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 4
+    ORDER BY score DESC, doc_id
+    LIMIT 25
+    """,
+)
+def x_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search over the corpus (operators/text.py
+    search_all_terms): the inverted-index query shape — only query-term
+    postings survive the explode filter, one groupBy(doc) computes the
+    AND gate + occurrence-count relevance; top-k compiles to
+    TakeOrderedAndProject."""
+    from blq_cli_spark.operators import text as text_ops
+
+    return (
+        text_ops.search_all_terms(
+            table(spark, sf_dir, "documents"),
+            ["vector", "stream", "merge", "sort"],
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )

@@ -13,6 +13,8 @@ fingerprints, F21 in SURVEY.md §2.8).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -158,4 +160,34 @@ def text_embeddings(
     id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         _batches, schema=f"{id_col} {id_type}, embedding array<float>"
+    )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) term search with an occurrence-count relevance
+    score — the inverted-index query shape executed as a posting-list
+    aggregation: explode tokens, keep only query terms (the filter prunes
+    the shuffle to |postings of query terms|, not |corpus tokens|), one
+    groupBy(doc) counting total hits (score) and distinct terms (the AND
+    gate). At scale the exploded (term, doc) relation IS the inverted
+    index; materialize it partitioned by term to skip the explode per
+    query."""
+    t = tokens(F.col(text_col))
+    hits = (
+        df.select(F.col(id_col), F.explode(t).alias("term"))
+        .filter(F.col("term").isin(*terms))
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            F.count_distinct("term").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(terms))
+        .drop("_nt")
     )

@@ -210,9 +210,15 @@ _LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 
 
 def cmd_sql(args) -> int:
+    from blq_cli_spark.plans.sql_macros import expand_macros
+
     st = _store(args)
     st.register_views()
-    sql = args.query
+    try:
+        sql = expand_macros(args.query, st)
+    except ValueError as e:
+        print(f"blq-spark sql: {e}", file=sys.stderr)
+        return 2
     if not _LIMIT_RE.search(sql):
         # LIMIT injection guard (reference serve.py:773-776)
         sql = f"SELECT * FROM ({sql}) LIMIT {args.limit}"
@@ -520,7 +526,9 @@ def cmd_shell(args) -> int:
             print("events_flat runs_loaded events runs attempts outcomes outputs sessions")
             continue
         try:
-            df = st.spark.sql(sql)
+            from blq_cli_spark.plans.sql_macros import expand_macros
+
+            df = st.spark.sql(expand_macros(sql, st))
             if not df.columns:  # DDL-ish statement
                 continue
             print(format_output(df.limit(100), args.format))

@@ -111,7 +111,10 @@ def _events(
 
 @tool("query", "Raw Spark SQL over the registered views (LIMIT-guarded)")
 def _query(store: LogStore, sql: str, limit: int = 100) -> list[dict]:
+    from blq_cli_spark.plans.sql_macros import expand_macros
+
     store.register_views()
+    sql = expand_macros(sql, store)  # ValueError -> error envelope
     # always wrap: subquery wrapping composes with an inner LIMIT, and a
     # substring test would be fooled by 'limit' in a column name or
     # string literal  (reference serve.py:773-776)

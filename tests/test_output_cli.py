@@ -496,3 +496,24 @@ def test_cli_inspect_enriched(tmp_path, capsys):
     assert main(["--store", store, "inspect", "1"]) == 0
     got = capsys.readouterr().out
     assert "run_serial" in got and "build:1" in got
+
+
+def test_cli_sql_macros(cli_store, capsys):
+    """blq_* table macros in raw SQL (reference docs/query-guide.md:69-80)."""
+    assert main(["--store", cli_store, "--format", "json", "sql",
+                 "SELECT severity, message FROM blq_errors(5)"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and all(r["severity"] == "error" for r in rows)
+    # macro composes inside a bigger query (join against another macro)
+    assert main(["--store", cli_store, "--format", "json", "sql",
+                 "SELECT h.run_serial, e.severity FROM blq_history(5) h "
+                 "JOIN blq_load_events() e ON h.run_serial = e.run_serial"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 3  # 2 events in run 1 + 1 in run 2
+    # diff macro takes two run serials
+    assert main(["--store", cli_store, "--format", "json", "sql",
+                 "SELECT * FROM blq_diff(1, 2)"]) == 0
+    assert json.loads(capsys.readouterr().out)
+    # unknown macro / bad args -> clean errors
+    assert main(["--store", cli_store, "sql", "SELECT * FROM blq_nope()"]) == 2
+    assert main(["--store", cli_store, "sql", "SELECT * FROM blq_errors('x')"]) == 2

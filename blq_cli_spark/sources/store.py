@@ -106,6 +106,76 @@ class LogStore:
         self.events_flat().createOrReplaceTempView("events_flat")
         self.runs_loaded().createOrReplaceTempView("runs_loaded")
 
+    # -- ergonomic Python API (reference docs/python-api.md:37-70) ------------
+
+    @classmethod
+    def open(cls, path: str | None = None, spark: SparkSession | None = None) -> "LogStore":
+        """Open a store: explicit path, $BLQ_SPARK_STORE, or walk up from
+        cwd looking for `.bird-spark` (reference LogStore.open +
+        _find_lq_dir, query.py:593-677). Builds the tuned session when
+        none is passed."""
+        if spark is None:
+            from blq_cli_spark.session import get_spark
+
+            spark = get_spark()
+        if path is None:
+            path = os.environ.get("BLQ_SPARK_STORE")
+        if path is None:
+            d = os.getcwd()
+            while True:
+                cand = os.path.join(d, ".bird-spark")
+                if os.path.isdir(cand):
+                    path = cand
+                    break
+                parent = os.path.dirname(d)
+                if parent == d:
+                    path = os.path.join(os.getcwd(), ".bird-spark")
+                    break
+                d = parent
+        return cls(spark, path)
+
+    def query(self):
+        """Fluent entry: LogQuery over events_flat (reference
+        store.events() -> LogQuery; the raw table accessor keeps the
+        `events()` name here, so the builder gets `query()`)."""
+        from blq_cli_spark.plans.query import LogQuery
+
+        return LogQuery(self.events_flat())
+
+    def run_events(self, run_serial: int):
+        """Events of one run as a LogQuery (reference store.run(n))."""
+        return self.query().filter(F.col("run_serial") == run_serial)
+
+    def latest_run(self) -> int | None:
+        """Most recent run_serial (reference store.latest_run())."""
+        row = self.runs().agg(F.max("run_serial").alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else None
+
+    def event(self, run_serial: int, event_index: int) -> dict | None:
+        """One event as a dict (reference store.event(run, idx))."""
+        rows = (
+            self.events_flat()
+            .filter(
+                (F.col("run_serial") == run_serial)
+                & (F.col("event_index") == event_index)
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def has_data(self) -> bool:
+        """Any runs stored? LIMIT-1 probe (reference store.has_data())."""
+        return bool(self.runs().limit(1).collect())
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw SQL over the registered views WITH blq_* macro expansion
+        (reference store.sql / connection.sql over DuckDB macros)."""
+        from blq_cli_spark.plans.sql_macros import expand_macros
+
+        self.register_views()
+        return self.spark.sql(expand_macros(query, self))
+
     # -- ingest ---------------------------------------------------------------
 
     def next_serial(self) -> int:

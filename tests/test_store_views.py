@@ -207,3 +207,45 @@ def test_compact_preserves_data(spark, tmp_path):
     assert all(r["date"] == d for r in after)  # partition col survives
     # idempotent
     assert st.compact("events") == 0
+
+
+def test_python_api_ergonomics(spark, tmp_path, monkeypatch):
+    """Reference python-api.md:37-70 surface: open/query/run_events/
+    latest_run/event/has_data/sql."""
+    import os
+
+    from tests.fixtures_blq import make_runs_and_events
+
+    root = tmp_path / "proj" / ".bird-spark"
+    st = LogStore(spark, str(root))
+    assert not st.has_data()
+    runs, events = make_runs_and_events()
+    by_run: dict[str, list] = {}
+    for ev in events:
+        by_run.setdefault(ev["invocation_id"], []).append(ev)
+    for run in runs:
+        st.append_run(run, by_run.get(run["id"], []))
+    assert st.has_data()
+    assert st.latest_run() == len(runs)
+
+    # open(): explicit, env, walk-up
+    assert LogStore.open(str(root), spark).root == str(root)
+    monkeypatch.setenv("BLQ_SPARK_STORE", str(root))
+    assert LogStore.open(spark=spark).root == str(root)
+    monkeypatch.delenv("BLQ_SPARK_STORE")
+    sub = tmp_path / "proj" / "src" / "deep"
+    sub.mkdir(parents=True)
+    monkeypatch.chdir(sub)
+    assert LogStore.open(spark=spark).root == str(root)
+
+    # fluent query surface
+    n_err = st.query().filter(severity="error").count()
+    assert n_err > 0
+    assert st.run_events(1).count() >= 1
+    ev = st.event(1, 1)
+    assert ev is not None and ev["run_serial"] == 1
+    assert st.event(1, 9999) is None
+
+    # sql with macro expansion
+    got = st.sql("SELECT count(*) AS n FROM blq_errors(100)").collect()[0]["n"]
+    assert got == min(n_err, 100)

@@ -167,3 +167,11 @@ ANNOTATIONS_SCHEMA = StructType(
         _f("date", DT, False),
     ]
 )
+
+
+# Semantic schema version (reference docs/schema-stability.md: major =
+# breaking table changes, minor = additive columns/tables, patch =
+# view/macro-only changes). v1 was the flat export layout
+# (execution.migrate_from_export reads it); v2 is this partitioned
+# parquet + blob model.
+SCHEMA_VERSION = "2.1.0"

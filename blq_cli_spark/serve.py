@@ -277,6 +277,7 @@ def _info(store: LogStore) -> dict:
     latest = store.runs().agg(F.max("run_serial").alias("m")).collect()[0]["m"]
     return {
         "root": store.root,
+        "schema_version": store.schema_version(),
         "tables": counts,
         "latest_run_serial": int(latest) if latest is not None else None,
     }

@@ -196,9 +196,38 @@ class LogStore:
         self._serial_cache += 1
         return self._serial_cache
 
+    def schema_version(self) -> str | None:
+        """Stored schema version of this store, None if unmarked
+        (pre-versioning store or empty dir)."""
+        try:
+            with open(os.path.join(self.root, "schema_version")) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def _check_writable_schema(self) -> None:
+        """Write-compat gate (reference docs/schema-stability.md semver
+        contract): writers refuse a store from a DIFFERENT MAJOR —
+        breaking layouts need `blq-spark migrate`, not silent mixing.
+        Reads stay allowed (additive minors are backward-readable).
+        Unmarked stores are stamped on first write."""
+        marker = os.path.join(self.root, "schema_version")
+        found = self.schema_version()
+        if found is None:
+            os.makedirs(self.root, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(schemas.SCHEMA_VERSION)
+            return
+        if found.split(".")[0] != schemas.SCHEMA_VERSION.split(".")[0]:
+            raise RuntimeError(
+                f"store at {self.root} has schema {found}, this engine "
+                f"writes {schemas.SCHEMA_VERSION}; run `blq-spark migrate`"
+            )
+
     def _append(self, name: str, rows: list[dict]) -> None:
         if not rows:
             return
+        self._check_writable_schema()
         df = self.spark.createDataFrame(
             [self._conform(r, _TABLES[name]) for r in rows], _TABLES[name]
         )

@@ -249,3 +249,27 @@ def test_python_api_ergonomics(spark, tmp_path, monkeypatch):
     # sql with macro expansion
     got = st.sql("SELECT count(*) AS n FROM blq_errors(100)").collect()[0]["n"]
     assert got == min(n_err, 100)
+
+
+def test_schema_version_marker_and_write_gate(spark, tmp_path):
+    """Semver write-compat contract (reference docs/schema-stability.md):
+    first write stamps the version; a different MAJOR refuses writes but
+    keeps reads working."""
+    import pytest as _pytest
+
+    from blq_cli_spark import schemas as _schemas
+
+    st = LogStore(spark, str(tmp_path / "vstore"))
+    assert st.schema_version() is None
+    st.start_attempt({"cmd": "x"})
+    assert st.schema_version() == _schemas.SCHEMA_VERSION
+
+    # same-major minor bump still writes
+    (tmp_path / "vstore" / "schema_version").write_text("2.0.0")
+    st.start_attempt({"cmd": "y"})
+
+    # different major: writes refuse, reads still fine
+    (tmp_path / "vstore" / "schema_version").write_text("3.0.0")
+    with _pytest.raises(RuntimeError, match="migrate"):
+        st.start_attempt({"cmd": "z"})
+    assert st.attempts().count() == 2

@@ -41,3 +41,23 @@ def test_quantile_summary_rank_error(spark):
         n = grp.count()
         below = grp.filter(F.col("l_extendedprice") <= r["p50"]).count()
         assert abs(below / n - 0.5) < 0.02  # rank error way under 2%
+
+
+def test_frequent_terms_cms_matches_exact_topk(spark):
+    """CMS heavy hitters: top-k set and ORDER match the exact groupBy
+    answer on a skewed distribution; estimates never undercount."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import sketch
+
+    # zipf-ish: value v_i appears (40 - i)^2 times
+    rows = [(f"v{i:02d}",) for i in range(40) for _ in range((40 - i) ** 2)]
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    got = sketch.frequent_terms(df, "term", k=10)
+    exact = {
+        r["term"]: r["n"]
+        for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert [t for t, _ in got] == sorted(exact, key=lambda t: -exact[t])[:10]
+    assert all(est >= exact[t] for t, est in got)  # CMS never undercounts
+    assert all(est <= exact[t] * 1.05 for t, est in got)  # eps-tight here

@@ -23,6 +23,9 @@ PROBES = [
     "x_lsh_ann",
     "ts_tumbling_window",
     "w_analytics_suite",
+    "x_term_search",
+    "a_corr_stats",
+    "a_unpivot_metrics",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

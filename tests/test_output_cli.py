@@ -504,10 +504,12 @@ def test_cli_sql_macros(cli_store, capsys):
                  "SELECT severity, message FROM blq_errors(5)"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert rows and all(r["severity"] == "error" for r in rows)
-    # macro composes inside a bigger query (join against another macro)
+    # macro composes inside a bigger query (join against another macro);
+    # scoped to runs 1-2 — earlier tests in this module append more runs
     assert main(["--store", cli_store, "--format", "json", "sql",
-                 "SELECT h.run_serial, e.severity FROM blq_history(5) h "
-                 "JOIN blq_load_events() e ON h.run_serial = e.run_serial"]) == 0
+                 "SELECT h.run_serial, e.severity FROM blq_history(100) h "
+                 "JOIN blq_load_events() e ON h.run_serial = e.run_serial "
+                 "WHERE h.run_serial <= 2"]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert len(rows) == 3  # 2 events in run 1 + 1 in run 2
     # diff macro takes two run serials

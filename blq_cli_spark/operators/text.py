@@ -191,3 +191,37 @@ def search_all_terms(
         .filter(F.col("_nt") == len(terms))
         .drop("_nt")
     )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materializable inverted index: (term, doc id, term frequency).
+    Write it partitioned/bucketed BY TERM and every later search touches
+    only its query terms' partitions — the explode+filter in
+    search_all_terms amortizes to zero across queries. One explode +
+    one groupBy; tf carried for relevance scoring."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_index(index: DataFrame, terms: Sequence[str], id_col: str = "doc_id") -> DataFrame:
+    """Conjunctive search over a prebuilt inverted index — same results
+    as search_all_terms(docs, terms) but reading only the query terms'
+    posting lists (term-partition pruning when the index is stored
+    partitioned by term)."""
+    return (
+        index.filter(F.col("term").isin(*terms))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(terms))
+        .drop("_nt")
+    )

@@ -40,3 +40,34 @@ def test_funnel_knobs_change_stages_only_downstream(spark):
     assert loose["raw"] == tight["raw"]  # raw unaffected by knobs
     assert loose["min_tokens"] >= tight["min_tokens"]
     assert loose["sample"] >= tight["sample"]
+
+
+def test_inverted_index_matches_direct_search(spark, tmp_path):
+    from blq_cli_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark scan join join"),
+            (2, "join scan"),
+            (3, "spark spark join scan window"),
+            (4, "window only here"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "join", "scan"]
+    direct = {
+        r["doc_id"]: r["score"]
+        for r in text_ops.search_all_terms(docs, terms).collect()
+    }
+    # materialize partitioned by term (the pruning layout), search the index
+    path = str(tmp_path / "invidx")
+    text_ops.build_inverted_index(docs).write.partitionBy("term").parquet(path)
+    idx = spark.read.parquet(path)
+    via_index = {
+        r["doc_id"]: r["score"]
+        for r in text_ops.search_index(idx, terms).collect()
+    }
+    assert direct == via_index == {1: 4, 3: 4}
+    # the index scan prunes to the query terms' partitions
+    plan = idx.filter(idx.term.isin(*terms))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -208,3 +208,28 @@ def test_j2_counts_join_actually_broadcasts(spark):
     degrades to a shuffle join — exactly what an earlier revision did)."""
     plan = _physical(spark, "j2_left_join_counts")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_term_search_is_take_ordered(spark):
+    """The top-k relevance sort must compile to TakeOrderedAndProject
+    (distributed heap), and the aggregation keeps map-side partials —
+    posting lists shuffle pre-combined, never raw token rows."""
+    plan = _physical(spark, "x_term_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_corr_stats_single_shuffle_partial_agg(spark):
+    """Second-moment aggregates are single-pass: ONE aggregation
+    exchange with map-side partial corr/stddev/var/covar states."""
+    plan = _physical(spark, "a_corr_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_corr" in plan and "partial_stddev_samp" in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    """Melt is a per-row Expand AFTER the aggregation — exactly one
+    exchange (the groupBy's), nothing for the unpivot itself."""
+    plan = _physical(spark, "a_unpivot_metrics")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

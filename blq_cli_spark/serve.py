@@ -627,6 +627,71 @@ def _p_investigate_flaky(
 5. Suggest fixes to make tests more deterministic"""
 
 
+# --- resources: URI-addressed read-only views (reference serve.py:3700-3800,
+# @mcp.resource blq://...) — each resolves to a tool call, so any MCP
+# framing layer can advertise them verbatim -----------------------------------
+
+RESOURCES = (
+    "blq://status",
+    "blq://runs",
+    "blq://events",
+    "blq://event/{ref}",
+    "blq://errors",
+    "blq://errors/{run_serial}",
+    "blq://warnings",
+    "blq://warnings/{run_serial}",
+    "blq://context/{ref}",
+    "blq://commands",
+    "blq://guide",
+)
+
+_GUIDE = """blq-spark agent guide.
+Start with resource blq://status, then blq://errors. Use the `events`
+tool for filtered queries, `query` for raw SQL over events_flat /
+runs_loaded (blq_* macros supported), `inspect` for one event with
+log/source/git context, `run`/`exec` to execute commands, `report` for
+a composed summary. Refs look like tag:serial[:event], e.g. build:5:2.
+"""
+
+
+def list_resources() -> list[str]:
+    return list(RESOURCES)
+
+
+def read_resource(store: LogStore, uri: str) -> dict:
+    """Resolve one blq:// URI to its tool result (error envelope on an
+    unknown or malformed URI)."""
+    if not uri.startswith("blq://"):
+        return {"ok": False, "error": f"not a blq:// uri: {uri}"}
+    path = uri[len("blq://"):]
+    head, _, arg = path.partition("/")
+    sev = {"errors": "error", "warnings": "warning"}
+    if head == "status" and not arg:
+        return dispatch(store, "status")
+    if head == "runs" and not arg:
+        return dispatch(store, "history", {"n": 100})
+    if head == "events" and not arg:
+        return dispatch(store, "events", {"limit": 100})
+    if head in sev:
+        args: dict = {"severities": [sev[head]], "limit": 50 if not arg else 100}
+        if arg:
+            try:
+                args["run_serial"] = int(arg)
+            except ValueError:
+                return {"ok": False, "error": f"invalid run serial: {arg!r}"}
+        return dispatch(store, "events", args)
+    if head == "event" and arg:
+        return dispatch(store, "event", {"ref": arg})
+    if head == "context" and arg:
+        return dispatch(store, "context", {"ref": arg})
+    if head == "commands" and not arg:
+        return dispatch(store, "commands")
+    if head == "guide" and not arg:
+        return {"ok": True, "result": _GUIDE}
+    return {"ok": False, "error": f"unknown resource: {uri}",
+            "resources": list_resources()}
+
+
 def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) -> int:
     """Line-delimited JSON loop: one request object per line. This is the
     transport the reference's MCP stdio server provides; swap in a real
@@ -648,6 +713,10 @@ def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) ->
                 resp = {"ok": True, "result": list_tools()}
             elif req.get("tool") == "__prompts__":
                 resp = {"ok": True, "result": list_prompts()}
+            elif req.get("tool") == "__resources__":
+                resp = {"ok": True, "result": list_resources()}
+            elif "resource" in req:
+                resp = read_resource(store, req.get("resource", ""))
             elif "prompt" in req:
                 resp = get_prompt(store, req.get("prompt", ""), req.get("args"))
             else:

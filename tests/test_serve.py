@@ -252,3 +252,34 @@ def test_tool_sandbox_list_and_suggest(store):
     # no runs named 'build' in the fixture -> clean agent-facing error
     sg = serve.dispatch(store, "sandbox_suggest", {"command": "nothere"})
     assert not sg["ok"] and "no runs" in sg["error"]
+
+
+def test_resources_inventory_and_read(store):
+    assert "blq://status" in serve.list_resources()
+    # direct reads resolve to their tool results
+    assert serve.read_resource(store, "blq://status")["ok"]
+    errs = serve.read_resource(store, "blq://errors")
+    assert errs["ok"] and all(
+        e["severity"] == "error" for e in errs["result"]["events"]
+    )
+    run3 = serve.read_resource(store, "blq://errors/3")
+    assert run3["ok"] and all(
+        e["run_serial"] == 3 for e in run3["result"]["events"]
+    )
+    guide = serve.read_resource(store, "blq://guide")
+    assert guide["ok"] and "events" in guide["result"]
+    # malformed uris -> error envelopes, never raises
+    assert not serve.read_resource(store, "blq://errors/xyz")["ok"]
+    assert not serve.read_resource(store, "http://nope")["ok"]
+    bad = serve.read_resource(store, "blq://unknown")
+    assert not bad["ok"] and "blq://status" in bad["resources"]
+    # stdio transport: listing + read
+    out = io.StringIO()
+    reqs = (
+        json.dumps({"tool": "__resources__"}) + "\n"
+        + json.dumps({"resource": "blq://runs"}) + "\n"
+    )
+    serve.serve_stdio(store, stdin=io.StringIO(reqs), stdout=out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert lines[0]["ok"] and "blq://guide" in lines[0]["result"]
+    assert lines[1]["ok"] and len(lines[1]["result"]) == 8

@@ -657,11 +657,39 @@ def cmd_run(args) -> int:
     except LockHeldError as exc:
         print(f"blq-spark run: {exc}", file=sys.stderr)
         return 3
-    n = st.events().filter(F.col("invocation_id") == run["id"]).count()
-    print(
-        f"run {run['run_serial']} exit={run['exit_code']} "
-        f"{run['duration_ms']}ms ({n} events)"
-    )
+    ev = st.events().filter(F.col("invocation_id") == run["id"])
+    n = ev.count()
+    n_err = ev.filter(F.col("severity") == "error").count()
+    n_warn = ev.filter(F.col("severity") == "warning").count()
+    if getattr(args, "json", False):
+        # structured result (reference exec --json, cli.py:381): run
+        # metadata + counts + the first errors/warnings
+        import json as _json
+
+        limit = getattr(args, "error_limit", 20)
+        events = [
+            {k: r[k] for k in ("event_index", "severity", "ref_file",
+                               "ref_line", "message", "tool_name")}
+            for r in ev.filter(F.col("severity").isin("error", "warning"))
+            .orderBy("event_index").limit(limit).collect()
+        ]
+        print(_json.dumps(output.scrub_nulls({
+            "run_serial": run["run_serial"],
+            "exit_code": run["exit_code"],
+            "duration_ms": run["duration_ms"],
+            "n_events": n, "n_errors": n_err, "n_warnings": n_warn,
+            "events": events,
+        }), default=str, indent=2))
+    elif getattr(args, "summary", False):
+        # reference exec --summary: one brief line
+        print(f"✓ exit={run['exit_code']} {n_err} error(s), {n_warn} warning(s)"
+              if run["exit_code"] == 0 else
+              f"✗ exit={run['exit_code']} {n_err} error(s), {n_warn} warning(s)")
+    else:
+        print(
+            f"run {run['run_serial']} exit={run['exit_code']} "
+            f"{run['duration_ms']}ms ({n} events)"
+        )
     return 0 if run["exit_code"] == 0 else int(run["exit_code"] or 1)
 
 
@@ -1831,6 +1859,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="serialize concurrent runs holding this lock name")
         sp.add_argument("--wait-lock", dest="wait_lock", type=float, default=None,
                         help="wait up to N seconds for --lock instead of failing")
+        # reference exec output modes (cli.py:381-386)
+        sp.add_argument("-j", "--json", action="store_true",
+                        help="structured JSON result with first errors/warnings")
+        sp.add_argument("--summary", action="store_true",
+                        help="one-line error/warning count summary")
+        sp.add_argument("--error-limit", type=int, default=20, dest="error_limit")
 
     sp = sub.add_parser("run", aliases=["r"])
     sp.add_argument("cmd", nargs=argparse.REMAINDER)

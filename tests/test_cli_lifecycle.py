@@ -340,3 +340,31 @@ def test_commands_config_suppression_lifecycle(seeded, capsys):
     assert main(["--store", root, "commands", "config", "bld", "--clear-suppress"]) == 0
     assert "cleared 2" in capsys.readouterr().out
     assert store_mod.suppressed_fingerprints(seeded, command="bld") == []
+
+
+def test_run_json_and_summary_output(tmp_path, capsys):
+    """run/exec --json and --summary structured results (reference exec
+    output modes, cli.py:381-386)."""
+    import sys as _sys
+
+    from blq_cli_spark.cli import main
+
+    store = str(tmp_path / "store")
+    script = (
+        "import sys; print('src/a.c:10:5: error: boom'); "
+        "print('src/a.c:20:1: warning: meh'); sys.exit(1)"
+    )
+    rc = main(["--store", store, "exec", "--json", "-f", "gcc", "--",
+               _sys.executable, "-c", script])
+    assert rc == 1  # propagates the command's exit code
+    data = json.loads(capsys.readouterr().out)
+    assert data["exit_code"] == 1
+    assert data["n_errors"] == 1 and data["n_warnings"] == 1
+    assert data["events"][0]["severity"] == "error"
+    assert data["events"][0]["ref_file"] == "src/a.c"
+
+    rc = main(["--store", store, "exec", "--summary", "--",
+               _sys.executable, "-c", "print('all good')"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "0 error(s)" in out and out.startswith("✓")

@@ -130,17 +130,35 @@ def cmd_report(args) -> int:
     if getattr(args, "summary", False):
         _emit(views.summary(st.events_flat(), latest_only=args.latest), args)
         return 0
+    baseline = getattr(args, "baseline", None)
+    if isinstance(baseline, str):
+        # run id or branch name (reference report_cmd --baseline)
+        baseline = (
+            int(baseline) if baseline.isdigit()
+            else services.resolve_baseline(st, branch=baseline)
+        )
+        if baseline is None:
+            print(f"blq-spark report: no baseline run for {args.baseline!r}",
+                  file=sys.stderr)
+            return 2
     data = services.report_data(
         st,
         run_serial=getattr(args, "run", None),
-        baseline_serial=getattr(args, "baseline", None),
+        baseline_serial=baseline,
     )
     if getattr(args, "json", False):
         import json as _json
 
-        print(_json.dumps(output.scrub_nulls(data), default=str, indent=2))
+        text = _json.dumps(output.scrub_nulls(data), default=str, indent=2)
     else:
-        print(output.render_report_markdown(data, include_warnings=args.warnings))
+        text = output.render_report_markdown(data, include_warnings=args.warnings)
+    dest = getattr(args, "output", None)
+    if dest:
+        with open(dest, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote report to {dest}")
+    else:
+        print(text)
     return 0
 
 
@@ -1723,10 +1741,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("report")
     sp.add_argument("--latest", action="store_true")
     sp.add_argument("--summary", action="store_true", help="per-tool summary table")
-    sp.add_argument("--run", type=int, default=None)
-    sp.add_argument("--baseline", type=int, default=None)
-    sp.add_argument("--warnings", action="store_true")
+    sp.add_argument("--run", "-r", type=int, default=None)
+    sp.add_argument("--baseline", "-b", default=None,
+                    help="baseline run id or branch name")
+    sp.add_argument("--warnings", "-w", action="store_true")
     sp.add_argument("--json", action="store_true")
+    sp.add_argument("--output", "-o", default=None, help="write to file")
     sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("filter", aliases=["f"])

@@ -519,3 +519,12 @@ def test_cli_sql_macros(cli_store, capsys):
     # unknown macro / bad args -> clean errors
     assert main(["--store", cli_store, "sql", "SELECT * FROM blq_nope()"]) == 2
     assert main(["--store", cli_store, "sql", "SELECT * FROM blq_errors('x')"]) == 2
+
+
+def test_cli_report_output_file_and_branch_baseline(cli_store, capsys, tmp_path):
+    dest = str(tmp_path / "report.md")
+    assert main(["--store", cli_store, "report", "-o", dest]) == 0
+    assert "wrote report" in capsys.readouterr().out
+    assert "# Build Report" in open(dest).read()
+    # branch-name baseline with no matching run -> clean error
+    assert main(["--store", cli_store, "report", "-b", "no-such-branch"]) == 2

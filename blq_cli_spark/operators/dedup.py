@@ -375,3 +375,80 @@ def dedup_representatives(
         .filter(F.col("_rank") == 1)
         .drop("_rank", "_cluster", "cluster_id")
     )
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The materializable LSH state: (id, band_idx, band_key) rows.
+    Persist this table (partitioned/bucketed by band_key) once per
+    corpus; incremental dedup then hashes only NEW documents — the
+    shuffle-heavy signature computation never re-runs over old data."""
+    return _banded(df, text_col, id_col, n, num_hashes, bands)
+
+
+def lsh_candidates_against(
+    new_df: DataFrame,
+    stored_banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hot_bucket_cap: int = 256,
+) -> DataFrame:
+    """Incremental MinHash-LSH: candidate pairs between a NEW batch and
+    an EXISTING corpus's banded signatures (plus new-vs-new pairs).
+
+    The production dedup shape: per-batch cost is O(|new| shingles) for
+    hashing plus a join that touches only the band buckets the new docs
+    land in — with `stored_banded` bucketed by band_key the old side
+    never reshuffles. Returns (id_a, id_b) with the same hot-bucket
+    star-cap discipline as minhash_lsh_candidates: a degenerate bucket
+    on the stored side contributes one representative edge per new doc
+    instead of its full membership.
+
+    Signature parameters MUST match the stored table's (same n /
+    num_hashes / bands), or band keys are meaningless."""
+    from pyspark.sql import Window
+
+    new_banded = _banded(new_df, text_col, id_col, n, num_hashes, bands)
+    # new-vs-new pairs ride the standard path (self-join within batch)
+    batch_pairs = minhash_lsh_candidates(
+        new_df, text_col, id_col, n, num_hashes, bands, hot_bucket_cap
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    stored_sized = stored_banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    cold = stored_sized.filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
+    cross_cold = (
+        new_banded.alias("n")
+        .join(
+            cold.alias("s"),
+            (F.col("n.band_idx") == F.col("s.band_idx"))
+            & (F.col("n.band_key") == F.col("s.band_key"))
+            & (F.col("n.id") != F.col("s.id")),
+        )
+        .select(
+            F.least("n.id", "s.id").alias("id_a"),
+            F.greatest("n.id", "s.id").alias("id_b"),
+        )
+    )
+    hot_reps = (
+        stored_sized.filter(F.col("_bsz") > hot_bucket_cap)
+        .groupBy("band_idx", "band_key")
+        .agg(F.min("id").alias("_rep"))
+    )
+    cross_hot = (
+        new_banded.join(hot_reps, ["band_idx", "band_key"])
+        .filter(F.col("id") != F.col("_rep"))
+        .select(
+            F.least("id", "_rep").alias("id_a"),
+            F.greatest("id", "_rep").alias("id_b"),
+        )
+    )
+    return batch_pairs.unionByName(cross_cold).unionByName(cross_hot).distinct()

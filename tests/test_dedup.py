@@ -150,3 +150,38 @@ def test_dedup_representatives_keeps_best_per_cluster(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 10, 20]
     # schema passes through untouched (minus the helper columns)
     assert set(kept.columns) == {"doc_id", "text", "q"}
+
+
+def test_incremental_lsh_matches_full_recompute(spark):
+    """Candidates from (stored signatures + new batch) must cover exactly
+    what a full recompute over the combined corpus finds."""
+    base = [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(20)]
+    # two near-dup groups spanning the old/new boundary
+    docs_old = spark.createDataFrame(
+        base + [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    docs_new = spark.createDataFrame(
+        [
+            (200, "the quick brown fox jumps over the lazy dog today"),  # dup of 100
+            (201, "alpha beta gamma delta epsilon zeta doc 3"),          # dup of 3
+            (202, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    stored = dedup.banded_signatures(docs_old)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidates_against(docs_new, stored).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs_old.unionByName(docs_new), n=3
+        ).collect()
+    }
+    # incremental finds every cross/batch pair involving a new doc...
+    new_ids = {200, 201, 202}
+    assert {p for p in full if p[0] in new_ids or p[1] in new_ids} == inc
+    # ...and in particular the two boundary-spanning duplicates
+    assert (100, 200) in inc and (3, 201) in inc

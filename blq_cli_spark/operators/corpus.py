@@ -14,7 +14,7 @@ the same single-pass profile projection.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from blq_cli_spark.operators import text as text_ops
 
@@ -104,3 +104,38 @@ def materialize(
         .select(id_col)
     )
     return docs.join(reps, id_col, "left_semi")
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hot_bucket_cap: int = 256,
+    score: Column | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy deduplication in one call — the composed
+    pipeline a training-data run actually executes:
+
+        MinHash+LSH candidate pairs  (dedup.minhash_lsh_candidates)
+          -> connected components    (dedup.dedup_clusters,
+                                      large-star/small-star)
+          -> one kept doc/cluster    (dedup.dedup_representatives,
+                                      best quality_score, ties -> min id)
+
+    Returns the surviving documents with their original schema. Every
+    stage is distributed (bucketed candidate join, O(log n) iterative
+    components, one keyed window); nothing is collected to the driver.
+    For batch-over-batch ingestion use dedup.banded_signatures +
+    lsh_candidates_against to skip re-hashing the existing corpus."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    pairs = dedup_ops.minhash_lsh_candidates(
+        docs, text_col, id_col, n, num_hashes, bands, hot_bucket_cap
+    )
+    clusters = dedup_ops.dedup_clusters(pairs)
+    return dedup_ops.dedup_representatives(
+        docs, clusters, id_col=id_col, score=score
+    )

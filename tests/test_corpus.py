@@ -71,3 +71,32 @@ def test_inverted_index_matches_direct_search(spark, tmp_path):
     # the index scan prunes to the query terms' partitions
     plan = idx.filter(idx.term.isin(*terms))._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_neardup_dedup_end_to_end(spark):
+    """Composed pipeline: LSH pairs -> components -> representatives.
+    Three exact-ish duplicate groups collapse to one kept doc each; the
+    kept doc is the highest-quality member."""
+    from blq_cli_spark.operators import corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through a long meadow of example text for dedup"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body),                      # exact dup of 1
+            (3, body + " trailing extra"),  # near dup of 1
+            (10, "a completely different document about spark shuffles "
+                 "and the partitioning of large distributed joins today"),
+            (11, "short unique"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = corpus.neardup_dedup(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # group {1,2,3} -> one survivor; 10 and 11 untouched
+    assert len(ids) == 3 and 10 in ids and 11 in ids
+    assert len({1, 2, 3} & set(ids)) == 1
+    assert set(kept.columns) == {"doc_id", "text"}

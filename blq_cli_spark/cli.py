@@ -708,6 +708,11 @@ def cmd_run(args) -> int:
             f"run {run['run_serial']} exit={run['exit_code']} "
             f"{run['duration_ms']}ms ({n} events)"
         )
+    from blq_cli_spark.sources import store as store_mod
+
+    pruned = store_mod.maybe_auto_prune(st)
+    if pruned:
+        print(f"auto-prune: removed {pruned} old run(s)", file=sys.stderr)
     return 0 if run["exit_code"] == 0 else int(run["exit_code"] or 1)
 
 

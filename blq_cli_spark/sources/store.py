@@ -695,7 +695,48 @@ USER_CONFIG_SCHEMA: dict[str, object] = {
     "output.default_limit": 10,  # default -n for errors/warnings/history
     "run.default_format": "auto",  # default parse format for run/import
     "clean.max_age_days": None,  # default retention window for clean prune
+    # auto-prune after runs (reference _maybe_auto_prune,
+    # commands/execution.py + test_autoprune.py): opt-in, throttled
+    "clean.auto_prune": False,
+    "clean.max_runs": None,  # per-source cap when auto-pruning
+    "clean.max_size_mb": None,  # total stored-output cap
+    "clean.prune_interval_minutes": 60,  # min gap between auto-prunes
 }
+
+
+def maybe_auto_prune(store: "LogStore") -> int | None:
+    """Opportunistic retention after a run (reference autoprune trigger):
+    no-op unless `clean.auto_prune` is set AND at least one policy key
+    is configured AND the throttle interval has elapsed since the last
+    prune (mtime of a marker file — cheap, no table read). Returns runs
+    removed, or None when skipped."""
+    import time as _time
+
+    if not config_get(store, "clean.auto_prune"):
+        return None
+    days = config_get(store, "clean.max_age_days")
+    max_runs = config_get(store, "clean.max_runs")
+    max_mb = config_get(store, "clean.max_size_mb")
+    if days is None and max_runs is None and max_mb is None:
+        return None
+    marker = os.path.join(store.root, "last_prune")
+    interval_min = config_get(store, "clean.prune_interval_minutes")
+    # explicit 0 means "every run" — `or`-defaulting would eat it
+    interval_s = float(60 if interval_min is None else interval_min) * 60
+    try:
+        if _time.time() - os.path.getmtime(marker) < interval_s:
+            return None
+    except OSError:
+        pass  # no marker yet -> prune now
+    n = 0
+    if days is not None or max_runs is not None:
+        n += store.prune_runs(max_age_days=days, max_runs_per_source=max_runs)
+    if max_mb is not None:
+        n += store.prune_by_size(int(max_mb) * 1024 * 1024)
+    store.cleanup_orphaned_blobs()
+    with open(marker, "w") as fh:
+        fh.write(str(_time.time()))
+    return n
 
 
 def _parse_config_value(raw: str):

@@ -368,3 +368,48 @@ def test_run_json_and_summary_output(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "0 error(s)" in out and out.startswith("✓")
+
+
+def test_auto_prune_triggers_and_throttles(tmp_path, capsys):
+    """clean.auto_prune: retention fires after a run when configured,
+    respects the throttle marker (reference test_autoprune.py logic)."""
+    import sys as _sys
+    import time as _time
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+    from blq_cli_spark.sources import store as store_mod
+    from blq_cli_spark.sources.store import LogStore
+
+    store = str(tmp_path / "store")
+    # off by default: no marker appears
+    assert main(["--store", store, "exec", "--",
+                 _sys.executable, "-c", "print('one')"]) == 0
+    capsys.readouterr()
+    assert not os.path.exists(os.path.join(store, "last_prune"))
+
+    st = LogStore(get_spark(), store)
+    assert store_mod.maybe_auto_prune(st) is None  # not enabled
+    store_mod.config_set(st, "clean.auto_prune", "true")
+    assert store_mod.maybe_auto_prune(st) is None  # no policy keys set
+    store_mod.config_set(st, "clean.max_runs", "1")
+    store_mod.config_set(st, "clean.prune_interval_minutes", "0")
+
+    # two more runs so a per-source cap of 1 has something to remove
+    for i in range(2):
+        assert main(["--store", store, "exec", "-n", "src", "--",
+                     _sys.executable, "-c", f"print({i})"]) == 0
+    capsys.readouterr()
+    # the post-run hook fired: marker exists and old runs are gone
+    assert os.path.exists(os.path.join(store, "last_prune"))
+    assert st.runs().count() <= 2  # one per source at most, post-prune
+    # throttled: with a fresh marker and a real interval, nothing fires
+    store_mod.config_set(st, "clean.prune_interval_minutes", "60")
+    with open(os.path.join(store, "last_prune"), "w") as fh:
+        fh.write(str(_time.time()))
+    os.utime(os.path.join(store, "last_prune"))
+    assert store_mod.maybe_auto_prune(st) is None
+    # expired marker -> allowed again
+    old = _time.time() - 7200
+    os.utime(os.path.join(store, "last_prune"), (old, old))
+    assert store_mod.maybe_auto_prune(st) is not None

@@ -157,6 +157,15 @@ def _execute_and_store(
     events = logparse.parse_content(output, fmt)
     format_used = events[0]["format_used"] if events else None
 
+    # silent failure -> synthetic exit event (reference execution.py:599-601)
+    n_err = sum(1 for e in events if e.get("severity") == "error")
+    n_warn = sum(1 for e in events if e.get("severity") == "warning")
+    reason = status_reason(exit_code, n_err, n_warn, source_name, timed_out)
+    if reason and exit_code and not n_err and not n_warn:
+        ev = synthetic_exit_event(source_name, exit_code, reason)
+        ev["event_index"] = len(events) + 1
+        events.append(ev)
+
     run = store.append_run(
         {
             "id": attempt["id"],  # run id == attempt id, like the reference
@@ -279,3 +288,75 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
         "date"
     ).parquet(store._path("events"))
     return n
+
+
+# -- exit-code reasons (reference WELL_KNOWN_EXIT_CODES, commands/core.py:334,
+# and _compute_status_reason / synthetic exit events, execution.py:58-110) ----
+
+# Public tool facts: what each non-zero exit code means for common tools.
+EXIT_CODE_REASONS: dict[str, dict[int, str]] = {
+    "pytest": {1: "Tests failed", 2: "Interrupted", 3: "Internal error",
+               4: "Usage error", 5: "No tests collected"},
+    "ruff": {1: "Lint violations found", 2: "Fatal error"},
+    "mypy": {1: "Type errors found", 2: "Fatal error"},
+    "cargo": {101: "Build/test failed"},
+    "make": {2: "Errors encountered"},
+    "go": {1: "Build/test failed", 2: "Usage error"},
+    "npm": {1: "Generic failure"},
+    "tsc": {1: "Type errors found"},
+    "eslint": {1: "Lint violations found", 2: "Fatal error"},
+    "black": {1: "Files would be reformatted", 123: "Internal error"},
+    "flake8": {1: "Violations found"},
+    "gcc": {1: "Compilation errors"},
+    "rustc": {1: "Compilation errors"},
+}
+
+
+def exit_code_reason(source_name: str | None, exit_code: int) -> str | None:
+    """Human-readable meaning of a tool's exit code: exact source-name
+    match first, then prefix ('pytest-unit' -> 'pytest')."""
+    if not source_name:
+        return None
+    if source_name in EXIT_CODE_REASONS:
+        return EXIT_CODE_REASONS[source_name].get(exit_code)
+    for tool, codes in EXIT_CODE_REASONS.items():
+        if source_name.startswith(tool):
+            return codes.get(exit_code)
+    return None
+
+
+def status_reason(
+    exit_code: int | None,
+    n_errors: int,
+    n_warnings: int,
+    source_name: str | None,
+    timed_out: bool,
+) -> str | None:
+    """Why did this run 'fail'? Only answered when it is NOT self-evident
+    (no parsed errors/warnings but a non-zero exit)."""
+    if timed_out:
+        return "Command timed out"
+    if exit_code and n_errors == 0 and n_warnings == 0:
+        return (
+            exit_code_reason(source_name, exit_code)
+            or f"Non-zero exit code ({exit_code}) with no errors detected"
+        )
+    return None
+
+
+def synthetic_exit_event(source_name: str | None, exit_code: int, reason: str) -> dict:
+    """Info-level event surfacing a silent non-zero exit, so `blq events`
+    shows WHY a run failed even when the parser found nothing."""
+    import hashlib
+
+    fp = hashlib.md5(f"{source_name}:exit_{exit_code}".encode()).hexdigest()[:16]
+    return {
+        "event_index": 1,
+        "event_type": "exit",
+        "severity": "info",
+        "message": reason,
+        "code": f"exit_{exit_code}",
+        "tool_name": source_name,
+        "fingerprint": fp,
+        "format_used": "synthetic",
+    }

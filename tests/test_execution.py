@@ -171,3 +171,45 @@ def test_run_command_lock_held_leaves_no_pending_attempt(spark, tmp_path):
     assert run["exit_code"] == 0
     # lock released after the run completes
     assert locks.read_lock(str(tmp_path / "bird" / "locks"), "build") is None
+
+
+def test_exit_code_reason_lookup():
+    from blq_cli_spark.sources.execution import exit_code_reason, status_reason
+
+    assert exit_code_reason("pytest", 5) == "No tests collected"
+    assert exit_code_reason("pytest-unit", 5) == "No tests collected"  # prefix
+    assert exit_code_reason("ruff-check", 1) == "Lint violations found"
+    assert exit_code_reason("pytest", 99) is None
+    assert exit_code_reason("unknown-tool", 1) is None
+    assert exit_code_reason(None, 1) is None
+    # status reasons: timeout wins; silent non-zero explains itself
+    assert status_reason(None, 0, 0, "pytest", True) == "Command timed out"
+    assert status_reason(5, 0, 0, "pytest", False) == "No tests collected"
+    assert "Non-zero exit code (7)" in status_reason(7, 0, 0, "mystery", False)
+    assert status_reason(1, 3, 0, "pytest", False) is None  # self-evident
+    assert status_reason(0, 0, 0, "pytest", False) is None
+
+
+def test_silent_failure_gets_synthetic_exit_event(spark, tmp_path):
+    """A non-zero exit with no parsed diagnostics surfaces a synthetic
+    info event explaining why (reference execution.py:599-601)."""
+    st = LogStore(spark, str(tmp_path / "bird"))
+    run = run_command(
+        st, [sys.executable, "-c", "import sys; sys.exit(5)"],
+        source_name="pytest-unit",
+    )
+    assert run["exit_code"] == 5
+    evs = st.events().collect()
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["severity"] == "info" and ev["code"] == "exit_5"
+    assert ev["message"] == "No tests collected"
+    assert ev["fingerprint"]
+    # a run WITH parsed errors gets no synthetic event
+    run2 = run_command(
+        st, [sys.executable, "-c",
+             "import sys; print('src/a.c:1:1: error: boom'); sys.exit(1)"],
+        source_name="gcc-build", fmt="gcc",
+    )
+    evs2 = st.events().filter(F.col("invocation_id") == run2["id"]).collect()
+    assert len(evs2) == 1 and evs2[0]["severity"] == "error"

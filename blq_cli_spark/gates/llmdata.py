@@ -457,3 +457,161 @@ def x_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(25)
     )
+
+
+# --- corpus quality / safety (operators/quality.py) -------------------------
+
+
+@gate(
+    "x_repetition_profile",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) FROM tok
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM tok
+    ),
+    counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY ALL),
+    stats AS (
+      SELECT doc_id, n, sum(c) AS total, max(c) AS maxc,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM counts GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_tokens,
+           round(max(CASE WHEN n = 1 THEN CAST(maxc AS DOUBLE) / total END), 6) AS top_token_ratio,
+           round(max(CASE WHEN n = 2 THEN CAST(dup AS DOUBLE) / total END), 6) AS dup_2gram_ratio,
+           round(max(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END), 6) AS dup_3gram_ratio
+    FROM stats GROUP BY doc_id
+    """,
+)
+def x_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-token
+    ratio + duplicated 2/3-gram occurrence fractions. One explode, two
+    map-side-combinable aggregations — no joins, no windows
+    (operators/quality.py repetition_profile)."""
+    from blq_cli_spark.operators import quality
+
+    return quality.repetition_profile(table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+_PII_RAW_SQL = """
+    concat_ws(' ', 'contact',
+      'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+      'from',
+      '10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+             || CAST((doc_id * 7) % 250 AS VARCHAR) || '.9',
+      'call',
+      '+1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+      substr(text, 1, 80))
+"""
+
+
+def _pii_oracle() -> str:
+    from blq_cli_spark.operators.quality import PII_ORDER, PII_PATTERNS
+
+    redact = "raw"
+    for kind in PII_ORDER:
+        redact = f"regexp_replace({redact}, '{PII_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    return f"""
+    WITH synth AS (SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(raw, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+           {redact} AS redacted
+    FROM synth
+    """
+
+
+@gate("x_pii_redaction", oracle=_pii_oracle())
+def x_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a deterministically synthesized column
+    (the driver corpus is PII-free word salad, so the gate plants one
+    email/IPv4/phone per row to exercise real matches). Patterns are
+    Java-regex/RE2-portable; the op itself is a pure regexp projection —
+    scan-bound, no shuffle (operators/quality.py)."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(F.lit("user"), d.cast("string"), F.lit("@mail.example.com")),
+        F.lit("from"),
+        F.concat(
+            F.lit("10."),
+            (d % 200).cast("string"),
+            F.lit("."),
+            ((d * 7) % 250).cast("string"),
+            F.lit(".9"),
+        ),
+        F.lit("call"),
+        F.concat(F.lit("+1 555-01"), F.lpad((d % 100).cast("string"), 2, "0")),
+        F.substring("text", 1, 80),
+    )
+    synth = docs.select("doc_id", raw.alias("text"))
+    return quality.pii_profile(synth).withColumnRenamed("id", "doc_id")
+
+
+@gate(
+    "x_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+      FROM tok
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 53 = 0),
+    corp AS (SELECT doc_id, g FROM g WHERE doc_id % 53 <> 0)
+    SELECT c.doc_id AS id,
+           count(DISTINCT c.g) AS n_gram_hits,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY 1
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word-4-gram shingles
+    with a held-out benchmark split (doc_id % 53 == 0 stands in for an
+    eval set). The benchmark shingle set is broadcast, so the corpus side
+    never shuffles before the match (operators/quality.py decontaminate)."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return quality.decontaminate(corpus, bench, n=4)
+
+
+@gate(
+    "x_langid_eval",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             CASE WHEN len(list_filter({_TOK}, w -> lower(w) IN {_STOPLIST_SQL}))
+                       / greatest(len({_TOK}), 1) >= 0.03
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY ALL
+    """,
+)
+def x_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the n-gram-heuristic
+    predictor against the corpus's labeled lang column — the
+    label-vs-prediction quality-eval join every curation pipeline runs."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,180 @@
+"""Corpus-quality and data-safety operators for training-data pipelines:
+Gopher-style repetition signals, PII detection/redaction, and benchmark
+decontamination.
+
+These extend the reference's text surface (its quality signals stop at
+event fingerprinting, src/blq/events.py:96-153) with the standard
+large-corpus curation steps a 100 TB pretraining pipeline runs between
+ingest and tokenization.
+
+Scale design:
+- repetition_profile is explode -> two keyed aggregations; the n-gram
+  fan-out is bounded (3x tokens) and both shuffles key on (doc, n, gram)
+  / (doc, n) — well-distributed, map-side combinable.
+- PII ops are pure column expressions (regexp_extract_all /
+  regexp_replace) — whole-stage codegen, zero Python.
+- decontaminate broadcasts the *benchmark* shingle set (benchmarks are
+  MBs, corpora are TBs — always broadcast the small, fixed side) so the
+  corpus scan never shuffles; the per-doc overlap agg shuffles only the
+  matched rows.
+
+All outputs are engine-portable (no hash/RNG beyond md5) so each op is
+DuckDB-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from blq_cli_spark.operators.text import tokens
+
+# --- repetition (Gopher-style quality signals) ------------------------------
+
+
+def _raw_ngrams(t: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (repetition needs duplicate counts;
+    contrast ngrams_from_tokens, which dedups for shingle-set semantics)."""
+    if n == 1:
+        return t
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules, re-expressed relationally):
+
+    - ``top_token_ratio``: occurrences of the most frequent token / total
+      tokens (catches "buy buy buy ..." spam),
+    - ``dup_2gram_ratio`` / ``dup_3gram_ratio``: fraction of n-gram
+      occurrences that belong to a duplicated n-gram (catches boilerplate
+      and template loops).
+
+    One explode over the union of 1/2/3-gram streams, then two keyed
+    aggregations — both map-side combinable, no joins, no windows. The
+    fan-out is ~3x the token count, so the shuffle volume stays linear in
+    corpus size at 100 TB.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(parallelism, "id")
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            _raw_ngrams(F.col("t"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    grams = toks.select(
+        "id", F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("gr")
+    ).select("id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    counts = grams.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("maxc"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    pick = lambda n, expr: F.max(F.when(F.col("n") == n, expr))  # noqa: E731
+    return stats.groupBy("id").agg(
+        pick(1, F.col("total")).alias("n_tokens"),
+        F.round(pick(1, F.col("maxc") / F.col("total")), 6).alias("top_token_ratio"),
+        F.round(pick(2, F.col("dup") / F.col("total")), 6).alias("dup_2gram_ratio"),
+        F.round(pick(3, F.col("dup") / F.col("total")), 6).alias("dup_3gram_ratio"),
+    )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+# Patterns are deliberately restricted to syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB), with identical match semantics: character
+# classes, bounded repetition, \b word boundaries. No lookaround (RE2 has
+# none), no possessive quantifiers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{6,}\d",
+}
+# Redaction order matters: emails first (their local parts contain digits
+# a later phone pass could half-match), then IPs, then phones.
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (see PII_PATTERNS) as a long column."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast(
+        "long"
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (<EMAIL>, <IPV4>,
+    <PHONE>). Pure regexp_replace chain — codegen'd, zero Python."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts + the redacted text. One projection over
+    the scan: no shuffle at all — this op is scan-bound at any scale."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        pii_count(t, "phone").alias("n_phones"),
+        redact_pii(t).alias("redacted"),
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing word n-gram shingles with an
+    evaluation benchmark (the GPT-3/Llama-style train-test overlap check).
+
+    Returns (id, n_gram_hits, n_bench_docs): distinct contaminated
+    shingles and distinct benchmark documents hit.
+
+    Scale shape: the benchmark side is exploded to its distinct
+    (bench_id, shingle) pairs and BROADCAST — benchmarks are fixed and
+    tiny next to a 100 TB corpus, so the corpus scan joins map-side with
+    no shuffle; only matched rows (a vanishing fraction) reach the
+    per-doc aggregation."""
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("t"))
+        return toks.select(
+            out_id,
+            F.explode(F.array_distinct(_raw_ngrams(F.col("t"), n))).alias("g"),
+        )
+
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    corp_g = shingles(corpus.repartition(parallelism, id_col), "id")
+    bench_g = shingles(benchmark, "bench_id")
+    return (
+        corp_g.join(F.broadcast(bench_g), "g")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("g").alias("n_gram_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_gram_hits") >= min_overlap)
+    )

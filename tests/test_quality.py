@@ -1,0 +1,111 @@
+"""Unit tests for operators/quality.py: repetition signals, PII
+redaction, benchmark decontamination — crafted inputs with hand-computed
+expectations (the gate suite covers the DuckDB parity side)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from blq_cli_spark.operators import quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_profile_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "go stop go stop go"),
+        ],
+    )
+    out = {
+        r["id"]: r
+        for r in quality.repetition_profile(df).collect()
+    }
+    # doc 1: all four tokens identical; all 3 bigrams and 2 trigrams dup'd
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["dup_2gram_ratio"] == 1.0
+    assert out[1]["dup_3gram_ratio"] == 1.0
+    # doc 2: no repetition anywhere
+    assert out[2]["top_token_ratio"] == 0.2
+    assert out[2]["dup_2gram_ratio"] == 0.0
+    assert out[2]["dup_3gram_ratio"] == 0.0
+    # doc 3: "go" 3/5 tokens; bigrams: [go stop, stop go, go stop, stop go]
+    # -> all 4 dup'd; trigrams: [go stop go, stop go stop, go stop go]
+    # -> "go stop go" x2 dup'd of 3 total
+    assert out[3]["top_token_ratio"] == 0.6
+    assert out[3]["dup_2gram_ratio"] == 1.0
+    assert out[3]["dup_3gram_ratio"] == round(2 / 3, 6)
+
+
+def test_repetition_profile_short_doc_null_ratios(spark):
+    # a 2-token doc has no trigrams: dup_3gram_ratio must be NULL (no
+    # rows), never a fabricated zero — same as the SQL oracle's semantics
+    out = quality.repetition_profile(_docs(spark, [(1, "only two")])).collect()[0]
+    assert out["n_tokens"] == 2
+    assert out["dup_3gram_ratio"] is None
+
+
+def test_pii_redaction_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail bob.smith+x@corp.example.org or admin@host.io, "
+                "server 192.168.0.17, call +44 20 7946 0958 now",
+            ),
+            (2, "no pii here at all"),
+        ],
+    )
+    out = {r["id"]: r for r in quality.pii_profile(df).collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phones"] == 1
+    red = out[1]["redacted"]
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "bob.smith" not in red and "192.168" not in red and "7946" not in red
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[2]["n_emails"] == out[2]["n_ipv4"] == out[2]["n_phones"] == 0
+
+
+def test_decontaminate_flags_overlap_and_broadcasts(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            # copies a 5-token span of the benchmark -> two distinct 4-grams
+            (1, "intro text then quick brown fox jumps over and outro"),
+            (2, "completely unrelated words in this document body here"),
+        ],
+    )
+    hits = quality.decontaminate(corpus, bench, n=4)
+    rows = {r["id"]: r for r in hits.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_gram_hits"] == 2
+    assert rows[1]["n_bench_docs"] == 1
+    # the benchmark side must broadcast: the corpus never shuffles pre-join
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_profile_no_python_in_plan(spark):
+    df = _docs(spark, [(1, "a b c a b c")])
+    plan = (
+        quality.repetition_profile(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_pii_is_pure_projection(spark):
+    df = _docs(spark, [(1, "x@y.io")])
+    plan = quality.pii_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: scan-bound at any scale

@@ -356,15 +356,81 @@ def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
 
 
-@gate("x_dedup_clusters")  # no oracle: iterative (large-star/small-star) —
-# rows-only driver check; tests/test_dedup.py verifies against union-find
+@gate(
+    "x_dedup_clusters",
+    # The Spark side is iterative (alternating large-star/small-star),
+    # but its FIXPOINT — (id, min id of connected component) — is
+    # declaratively checkable: DuckDB reproduces the same LSH pairs
+    # (including the hot-bucket star cap) and closes them with a
+    # recursive CTE. Recursion is oracle-only; the distributed engine
+    # never materializes transitive reachability.
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+           {_MINHASH_SIG_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    sized AS (
+      SELECT doc_id, band_idx, band_key,
+             count(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+      FROM bands
+    ),
+    cold_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a
+      JOIN sized b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 256
+    ),
+    hot_rep AS (
+      SELECT band_idx, band_key, min(doc_id) AS rep
+      FROM sized WHERE bsz > 256 GROUP BY 1, 2
+    ),
+    hot_pairs AS (
+      SELECT least(r.rep, s.doc_id) AS id_a, greatest(r.rep, s.doc_id) AS id_b
+      FROM sized s
+      JOIN hot_rep r ON s.band_idx = r.band_idx AND s.band_key = r.band_key
+      WHERE s.bsz > 256 AND s.doc_id <> r.rep
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b
+      FROM (SELECT * FROM cold_pairs UNION ALL SELECT * FROM hot_pairs)
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS root FROM nodes
+      UNION
+      SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY node
+    """,
+)
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: LSH candidate pairs -> connected components ->
-    (id, cluster_id) with cluster_id = min id of the component. The
-    collapse-duplicate-groups step after candidate generation; the only
-    non-SQL-expressible gate (O(log n) alternating-star iterations)."""
+    (id, cluster_id) with cluster_id = min id of the component — the
+    collapse-duplicate-groups step after candidate generation. Iterative
+    on the Spark side (O(log n) alternating-star rounds, SoCC'14); the
+    oracle checks the fixpoint via a recursive CTE over the identical
+    pair set. Shingles are word 3-grams, matching
+    x_minhash_lsh_candidates (unigram shingles over a small vocabulary
+    degenerate into one mega-bucket; see that gate's perf note)."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(docs)
+    pairs = dedup.minhash_lsh_candidates(docs, n=3, num_hashes=8, bands=4)
     return dedup.dedup_clusters(pairs).orderBy("id")
 
 

@@ -233,3 +233,27 @@ def test_unpivot_is_expand_no_extra_shuffle(spark):
     plan = _physical(spark, "a_unpivot_metrics")
     assert "Expand" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q19_disjunction_decomposes_to_scan_filters(spark):
+    """The Q19-shaped OR-of-ANDs must not reach the join intact: Catalyst
+    extracts each side's common conjuncts as scan-level DataFilters
+    (lineitem quantity range, part size/brand set) so the shuffle only
+    carries pre-filtered rows."""
+    plan = plan_of(queries()["q19_brand_size_quantity"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(l_quantity,1.0)" in ln for ln in pushed), pushed
+    assert any("EqualTo(p_brand,Brand#1)" in ln for ln in pushed), pushed
+
+
+def test_quality_gate_plans_stay_jvm_side(spark):
+    """The round-4 corpus-quality gates are pure relational/codegen plans:
+    no Python eval stage of any kind."""
+    for name in (
+        "x_repetition_profile",
+        "x_pii_redaction",
+        "x_decontaminate",
+        "x_langid_eval",
+    ):
+        plan = plan_of(queries()[name](spark, SF_SMOKE))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name

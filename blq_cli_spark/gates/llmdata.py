@@ -681,3 +681,36 @@ def x_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@gate(
+    "x_source_mix",
+    oracle="""
+    WITH mixed AS (
+      SELECT source, doc_id,
+             (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                     THEN '40' ELSE 'c0' END) AS kept
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER (kept) AS n_kept
+    FROM mixed GROUP BY source
+    """,
+)
+def x_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixing audit: even-numbered sources sampled at
+    0.25, odd at 0.75 (operators/corpus.py mix_sources — broadcast rate
+    dim + deterministic md5-threshold membership, zero corpus shuffle
+    before the audit agg). Per-source total vs kept counts."""
+    from blq_cli_spark.operators import corpus
+
+    docs = table(spark, sf_dir, "documents")
+    rates = {f"src{i}": (0.25 if i % 2 == 0 else 0.75) for i in range(20)}
+    kept = corpus.mix_sources(docs, rates).select("source", F.lit(1).alias("_one"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "source", "left").select(
+        "source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )

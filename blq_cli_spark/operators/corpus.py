@@ -139,3 +139,46 @@ def neardup_dedup(
     return dedup_ops.dedup_representatives(
         docs, clusters, id_col=id_col, score=score
     )
+
+
+def mix_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Source-weighted corpus mixing: keep each document with its
+    source's acceptance rate — the sampling step that turns raw corpus
+    proportions into a training-data mixture (web down-weighted, books
+    up-weighted, etc.).
+
+    Membership is DETERMINISTIC and engine-portable: a doc is kept iff
+    the first two hex chars of md5(id) compare below the source's
+    threshold (rate quantized to 1/256ths; lowercase-hex lexicographic
+    order == numeric order). Unlike `df.sample`, the decision depends
+    only on the id — reproducible across runs, engines, partitionings,
+    and cluster sizes, and the same predicate re-materializes the exact
+    split anywhere.
+
+    Scale shape: the rate table is a handful of rows — broadcast join,
+    then a pure column-expression filter. No shuffle of the corpus."""
+    def thresh(rate: float) -> str:
+        # rate >= 1.0 keeps everything: 'g' sorts above every hex char
+        q = int(rate * 256)
+        return "g" if q >= 256 else format(max(q, 0), "02x")
+
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(s, thresh(r)) for s, r in rates.items()],
+        f"{source_col} string, _thresh string",
+    )
+    default_thresh = thresh(default_rate)
+    return (
+        docs.join(F.broadcast(dim), source_col, "left")
+        .filter(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+            < F.coalesce(F.col("_thresh"), F.lit(default_thresh))
+        )
+        .drop("_thresh")
+    )

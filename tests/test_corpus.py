@@ -4,6 +4,8 @@ deterministic across invocations."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from blq_cli_spark.operators import corpus
 from blq_cli_spark.sources.tables import table
 
@@ -100,3 +102,33 @@ def test_neardup_dedup_end_to_end(spark):
     assert len(ids) == 3 and 10 in ids and 11 in ids
     assert len({1, 2, 3} & set(ids)) == 1
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_mix_sources_deterministic_and_rate_bounded(spark):
+    from blq_cli_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(2000)], "doc_id long, source string"
+    )
+    rates = {"s0": 0.25, "s1": 1.0}
+    kept = corpus.mix_sources(docs, rates)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rate 1.0 keeps EVERY row (threshold 'g' sorts above all hex)
+    assert counts["s1"] == 1000
+    # rate 0.25 keeps ~64/256 of rows — binomial(1000, .25): wide bounds
+    assert 175 <= counts["s0"] <= 325
+    # deterministic: a second evaluation yields the identical id set
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in corpus.mix_sources(docs, rates).select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_mix_sources_unknown_source_uses_default_rate(spark):
+    from blq_cli_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "unknown") for i in range(100)], "doc_id long, source string"
+    )
+    assert corpus.mix_sources(docs, {"s0": 1.0}).count() == 0  # default 0.0
+    assert corpus.mix_sources(docs, {}, default_rate=1.0).count() == 100

@@ -714,3 +714,45 @@ def x_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(kept_counts, "source", "left").select(
         "source", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
     )
+
+
+@gate(
+    "x_quantized_embeddings",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN 1.0 ELSE s END AS scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / CASE WHEN s = 0 THEN 1.0 ELSE s END) AS INTEGER)) AS qv
+      FROM scaled
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_max(qv) AS INTEGER) AS q_max
+    FROM q
+    """,
+)
+def x_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit: per-vector scale + code-sum/
+    min/max. IEEE float64 division and round-half-away-from-zero agree
+    bit-for-bit across Spark and DuckDB, so the quantizer (the 4x
+    storage/shuffle compression step for a 100 TB embedding store) is
+    hash-checkable, not just spot-tested (similarity.quantize_embeddings)."""
+    qdf = similarity.quantize_embeddings(table(spark, sf_dir, "embeddings"))
+    acc = F.aggregate(
+        F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return qdf.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 6).alias("scale_r"),
+        acc.alias("q_sum"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+    )

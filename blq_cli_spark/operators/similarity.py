@@ -577,3 +577,79 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+# --- int8 quantization ------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) in [-127, 127]. Returns (id, qvec, scale).
+
+    This is the storage/scan scale path for a 100 TB embedding store —
+    4x smaller than float32 on disk and over the shuffle, with cosine
+    ranking nearly unchanged (cosine is per-vector-scale invariant, so
+    scoring can ignore `scale` entirely; it is kept for dot-product /
+    dequantization consumers). Pure column expressions: codegen'd,
+    engine-portable (DuckDB computes bit-identical int8 codes, so the
+    quantizer itself is oracle-checkable)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    raw_scale = F.array_max(F.transform(F.col("_v"), F.abs)) / F.lit(127.0)
+    base = base.withColumn(
+        "scale", F.when(raw_scale == 0.0, F.lit(1.0)).otherwise(raw_scale)
+    )
+    q = F.transform(F.col("_v"), lambda x: F.round(x / F.col("scale")).cast("tinyint"))
+    return base.select("id", q.alias("qvec"), "scale")
+
+
+def cosine_topk_quantized(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over an int8-quantized corpus: same
+    broadcast-queries / per-partition-local-top-k / window-merge shape
+    as cosine_topk, but corpus batches arrive as int8 codes (4x less
+    scan+shuffle volume). Codes are widened to float32 inside the GEMM
+    kernel; per-vector scales cancel out of cosine and are never read."""
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy()
+    Q = _to_matrix(qpdf[vec_col])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    bc = corpus_q.sparkSession.sparkContext.broadcast((qids, Q, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        bqids, bQ, bqn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["id"].to_numpy()
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.float32)
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            cn[cn == 0.0] = 1.0
+            cos = (bQ @ C.T) / np.outer(bqn, cn)
+            for qi in range(len(bqids)):
+                row = cos[qi]
+                mask = nids != bqids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                take = min(k, len(cand_idx))
+                top = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {"qid": bqids[qi], "nid": nids[top], "cos": row[top]}
+                )
+
+    scored = corpus_q.mapInPandas(score, "qid long, nid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )

@@ -155,3 +155,43 @@ def test_trained_ivf_beats_random_centroids(spark, emb):
     assert r_trained >= r_rand, (r_trained, r_rand)
     # deterministic: same corpus + seed -> same centroids
     assert trained_c == similarity.ivf_train_centroids(emb, n_cells=8)
+
+
+def test_quantize_embeddings_bounds_and_reconstruction(spark):
+    from blq_cli_spark.sources.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    row = q.selectExpr(
+        "min(array_min(qvec)) AS lo",
+        "max(array_max(qvec)) AS hi",
+        "min(scale) AS smin",
+    ).collect()[0]
+    assert -127 <= row["lo"] and row["hi"] <= 127
+    assert row["smin"] > 0
+    # reconstruction error bounded by scale/2 per element
+    err = (
+        q.join(emb, q.id == emb.vec_id)
+        .selectExpr(
+            "max(array_max(zip_with(embedding, qvec, "
+            "(v, c) -> abs(cast(v as double) - c * scale)))) AS max_err",
+            "max(scale) AS smax",
+        )
+        .collect()[0]
+    )
+    assert err["max_err"] <= err["smax"] / 2 + 1e-9
+
+
+def test_quantized_topk_recall_floor(spark):
+    from blq_cli_spark.sources.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    quant = similarity.cosine_topk_quantized(
+        similarity.quantize_embeddings(emb), queries, k=5
+    )
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in quant.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall

@@ -26,6 +26,12 @@ PROBES = [
     "x_term_search",
     "a_corr_stats",
     "a_unpivot_metrics",
+    "x_repetition_profile",
+    "x_decontaminate",
+    "x_dedup_clusters",
+    "x_quantized_embeddings",
+    "x_source_mix",
+    "q19_brand_size_quantity",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

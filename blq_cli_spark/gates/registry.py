@@ -63,15 +63,17 @@ DRIVER_ORDER = [
     "q18_large_orders",
     "q4_priority_semi",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q19_brand_size_quantity",
     "w_serial_latest_suite",
     "w_analytics_suite",
     "o_sort_suite",
     "o6_count_before_limit",
     "j2_left_join_counts",
     "j4_full_outer_diff",
-    "j5_anti_join",
-    "j_semi_join",
-    "j7_range_join_buckets",
+    "j_small_suite",
     "a_stats_suite",
     "a_counts_suite",
     "a13_top10_by_group",
@@ -84,17 +86,11 @@ DRIVER_ORDER = [
     "u_setops_suite",
     "f_string_suite",
     "f_datetime_suite",
-    "f_case_coalesce",
-    "f_regexp_grep",
-    "f_json_extract",
-    "f_struct_json",
+    "f_scalar_suite",
     "f15_explode_token_counts",
     "f23_linespec_selection",
     "w4_grep_context",
-    "ts_tumbling_window",
-    "ts_sessionize",
-    "ts_error_rate_by_day",
-    "ts_topk_active_users",
+    "ts_suite",
     "x_text_profile",
     "x_exact_dedup",
     "x_jaccard_top_pairs",
@@ -106,6 +102,10 @@ DRIVER_ORDER = [
     "x_ivf_ann",
     "x_asof_attribution",
     "x_salted_agg",
+    "x_quality_suite",
+    "x_dedup_clusters",
+    "x_source_mix",
+    "x_quantized_embeddings",
 ]
 
 

@@ -23,7 +23,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from blq_cli_spark.gates import aggs, relational, windows
+from blq_cli_spark.gates import (
+    aggs,
+    events_ts,
+    llmdata,
+    relational,
+    scalar_fns,
+    windows,
+)
 from blq_cli_spark.gates.registry import gate, oracle_of
 
 # part -> (query_fn, [(column, kind)]) where kind 'd' = double (decimal
@@ -87,6 +94,51 @@ _SPECS = {
          [("n_orders", "s"), ("n_customers", "s"), ("total_value", "d"),
           ("missing_total", "d"), ("max_orderkey", "s")]),
     ],
+    # round 4: three merges freeing driver-window slots for the new
+    # flagship gates (quality suite, dedup clusters, source mix,
+    # quantization, and the q7/q12/q14/q19 TPC-H shapes)
+    "f_scalar_suite": [
+        ("case_coalesce", scalar_fns.f_case_coalesce,
+         [("o_orderkey", "s"), ("status_label", "s"), ("size_bucket", "s"),
+          ("priority", "s")]),
+        ("regexp", scalar_fns.f_regexp_grep,
+         [("doc_id", "s"), ("has_kw", "s"), ("n_data", "s"),
+          ("word_before_join", "s")]),
+        ("json_extract", scalar_fns.f_json_extract,
+         [("k_mod", "s"), ("n", "s"), ("total_value", "d")]),
+        ("struct_json", scalar_fns.f_struct_json,
+         [("n_name", "s"), ("info_json", "s")]),
+    ],
+    "ts_suite": [
+        ("tumbling", events_ts.ts_tumbling_window,
+         [("wstart", "s"), ("event_type", "s"), ("n", "s"), ("total_value", "d")]),
+        ("sessionize", events_ts.ts_sessionize,
+         [("user_id", "s"), ("n_sessions", "s"), ("n_events", "s")]),
+        ("error_rate", events_ts.ts_error_rate_by_day,
+         [("day", "s"), ("n_total", "s"), ("n_errors", "s"), ("error_rate", "d")]),
+        ("topk_users", events_ts.ts_topk_active_users,
+         [("user_id", "s"), ("n_events", "s"), ("n_types", "s"), ("last_seen", "s")]),
+    ],
+    "j_small_suite": [
+        ("anti", relational.j5_anti_join,
+         [("c_custkey", "s"), ("c_mktsegment", "s")]),
+        ("semi", relational.j_semi_join,
+         [("s_suppkey", "s"), ("s_name", "s")]),
+        ("range_buckets", relational.j7_range_join_buckets,
+         [("label", "s"), ("n", "s"), ("total", "d")]),
+    ],
+    "x_quality_suite": [
+        ("repetition", llmdata.x_repetition_profile,
+         [("doc_id", "s"), ("n_tokens", "s"), ("top_token_ratio", "d"),
+          ("dup_2gram_ratio", "d"), ("dup_3gram_ratio", "d")]),
+        ("pii", llmdata.x_pii_redaction,
+         [("doc_id", "s"), ("n_emails", "s"), ("n_ipv4", "s"),
+          ("n_phones", "s"), ("redacted", "s")]),
+        ("langid", llmdata.x_langid_eval,
+         [("lang", "s"), ("lang_pred", "s"), ("n", "s")]),
+        ("decontaminate", llmdata.x_decontaminate,
+         [("id", "s"), ("n_gram_hits", "s"), ("n_bench_docs", "s")]),
+    ],
 }
 
 # member names as registered (for oracle lookup)
@@ -113,6 +165,21 @@ _MEMBER_GATE = {
     "having": "a7_having",
     "collect_json": "a10_collect_json",
     "global_scalars": "a11_global_scalars",
+    "case_coalesce": "f_case_coalesce",
+    "regexp": "f_regexp_grep",
+    "json_extract": "f_json_extract",
+    "struct_json": "f_struct_json",
+    "tumbling": "ts_tumbling_window",
+    "sessionize": "ts_sessionize",
+    "error_rate": "ts_error_rate_by_day",
+    "topk_users": "ts_topk_active_users",
+    "anti": "j5_anti_join",
+    "semi": "j_semi_join",
+    "range_buckets": "j7_range_join_buckets",
+    "repetition": "x_repetition_profile",
+    "pii": "x_pii_redaction",
+    "langid": "x_langid_eval",
+    "decontaminate": "x_decontaminate",
 }
 
 

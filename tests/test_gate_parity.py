@@ -41,7 +41,7 @@ def test_driver_window_covers_every_family():
     def family(prefix):
         return [n for n in window if n.startswith(prefix)]
 
-    assert len(family("q")) == 7  # all TPC-H shapes
+    assert len(family("q")) == 11  # all TPC-H shapes incl. q7/q12/q14/q19
     assert family("w")  # windows
     assert family("o")  # sorts/limits
     assert family("j")  # joins
@@ -49,8 +49,10 @@ def test_driver_window_covers_every_family():
     assert family("p")  # filters
     assert family("u")  # set ops
     assert family("f")  # scalar functions
-    assert family("ts")  # time series
-    assert len(family("x")) == 11  # every LLM-pipeline operator
+    assert family("ts")  # time series (merged ts_suite)
+    # every LLM-pipeline operator: 11 r1-r3 gates + quality suite,
+    # dedup clusters, source mix, quantization (round 4)
+    assert len(family("x")) == 15
 
 
 def test_entry_smoke(spark):

@@ -363,3 +363,51 @@ def test_stream_enrich_static_broadcast(spark, drop_dir):
     rows = spark.sql("SELECT * FROM enriched").collect()
     assert len(rows) == 3
     assert {r["dim_origin"] for r in rows} == {"ci", "local"}
+
+
+def test_stream_pii_redaction_projection(spark, tmp_path):
+    """The PII redact/count ops are stateless projections, so they run
+    unchanged on a streaming DataFrame — the curation pipeline's scrub
+    step applies at ingest time with zero state."""
+    import json as _json
+
+    from blq_cli_spark.operators import quality
+
+    d = tmp_path / "pii_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "mail me at eve@example.net from 10.1.2.3"},
+        {"doc_id": 2, "text": "clean document body"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    _drain(quality.pii_profile(stream), "pii_stream_out")
+    got = {r["id"]: r for r in spark.sql("SELECT * FROM pii_stream_out").collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in got[1]["redacted"] and "<IPV4>" in got[1]["redacted"]
+    assert got[2]["redacted"] == "clean document body"
+
+
+def test_stream_repetition_profile_with_foreachbatch(spark, tmp_path):
+    """repetition_profile aggregates per doc (finite, per-row-derivable),
+    so the streaming form runs it per micro-batch via foreachBatch —
+    the standard pattern for batch-only ops inside a stream."""
+    import json as _json
+
+    from blq_cli_spark.operators import quality
+
+    d = tmp_path / "rep_stream"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "spam spam spam spam"})
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(quality.repetition_profile(batch_df).collect())
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    assert out and out[0]["top_token_ratio"] == 1.0

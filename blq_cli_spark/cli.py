@@ -1077,6 +1077,63 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """`blq-spark corpus ACTION --input X.parquet`: the training-data
+    curation operators over an arbitrary parquet corpus — the same
+    library surface the gates exercise (operators/{text,quality,corpus,
+    dedup}.py), reachable from the shell. With --output the full result
+    is written as parquet (distributed write, nothing driver-side);
+    without it a bounded sample prints in the session's output format."""
+    import json as _json
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+    from blq_cli_spark.operators import dedup as dedup_ops
+    from blq_cli_spark.operators import quality
+    from blq_cli_spark.operators import text as text_ops
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-spark-corpus")
+    docs = spark.read.parquet(args.input)
+    tc, ic = args.text_col, args.id_col
+    act = args.corpus_action
+    if act == "profile":
+        out = text_ops.profile(docs, text_col=tc, id_col=ic)
+    elif act == "quality":
+        out = quality.repetition_profile(docs, text_col=tc, id_col=ic)
+    elif act == "redact":
+        out = quality.pii_profile(docs, text_col=tc, id_col=ic)
+    elif act == "funnel":
+        out = corpus_ops.funnel_stats(docs, text_col=tc, id_col=ic)
+    elif act == "dedup":
+        out = corpus_ops.neardup_dedup(docs, text_col=tc, id_col=ic)
+    elif act == "exact-dedup":
+        out = dedup_ops.exact_duplicates(docs, text_col=tc, id_col=ic)
+    elif act == "mix":
+        try:
+            rates = _json.loads(args.rates or "")
+        except ValueError:
+            print("corpus mix: --rates must be a JSON object", file=sys.stderr)
+            return 2
+        out = corpus_ops.mix_sources(
+            docs, rates, source_col=args.source_col, id_col=ic,
+            default_rate=args.default_rate,
+        )
+    elif act == "decontaminate":
+        if not args.benchmark:
+            print("corpus decontaminate: --benchmark PARQUET required", file=sys.stderr)
+            return 2
+        bench = spark.read.parquet(args.benchmark)
+        out = quality.decontaminate(docs, bench, text_col=tc, id_col=ic, n=args.ngram)
+    else:  # pragma: no cover - argparse restricts choices
+        return 2
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
+    else:
+        _emit(out.limit(args.limit), args)
+    return 0
+
+
 def cmd_formats(args) -> int:
     """`blq formats`: list every parse format grouped by category
     (reference cmd_formats, commands/management.py:1033-1113 — there a
@@ -2022,6 +2079,24 @@ def build_parser() -> argparse.ArgumentParser:
     msv = msb.add_parser("serve")
     msv.add_argument("--once", action="store_true")
     sp.set_defaults(fn=cmd_mcp)
+
+    sp = sub.add_parser("corpus")
+    sp.add_argument(
+        "corpus_action",
+        choices=["profile", "quality", "redact", "funnel", "dedup",
+                 "exact-dedup", "mix", "decontaminate"],
+    )
+    sp.add_argument("--input", required=True, help="corpus parquet path")
+    sp.add_argument("--output", help="write full result parquet here")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--source-col", default="source", help="mix: source column")
+    sp.add_argument("--rates", help='mix: JSON rates, e.g. \'{"web": 0.25}\'')
+    sp.add_argument("--default-rate", type=float, default=0.0)
+    sp.add_argument("--benchmark", help="decontaminate: benchmark parquet path")
+    sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")
+    sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
+    sp.set_defaults(fn=cmd_corpus)
 
     return p
 

@@ -413,3 +413,52 @@ def test_auto_prune_triggers_and_throttles(tmp_path, capsys):
     old = _time.time() - 7200
     os.utime(os.path.join(store, "last_prune"), (old, old))
     assert store_mod.maybe_auto_prune(st) is not None
+
+
+def test_cli_corpus_actions(tmp_path, capsys):
+    """`blq-spark corpus` exposes the curation operators over arbitrary
+    parquet: preview mode prints a bounded sample; --output writes the
+    full result distributed."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "web"),
+            (2, "alpha beta gamma alpha beta", "web"),
+            (3, "mail x@y.io now", "books"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    assert main(["corpus", "profile", "--input", src]) == 0
+    out = capsys.readouterr().out
+    assert "n_tokens" in out
+
+    assert main(["corpus", "redact", "--input", src]) == 0
+    assert "<EMAIL>" in capsys.readouterr().out
+
+    dst = str(tmp_path / "deduped.parquet")
+    assert main(["corpus", "exact-dedup", "--input", src, "--output", dst]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(dst).count() == 2  # docs 1+2 collapse
+
+    assert (
+        main(["corpus", "mix", "--input", src, "--rates", '{"web": 1.0}']) == 0
+    )
+    mix_out = capsys.readouterr().out
+    assert "books" not in mix_out  # default rate 0 drops unlisted sources
+
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta here")], "doc_id long, text string"
+    ).write.parquet(bench)
+    assert (
+        main(["corpus", "decontaminate", "--input", src,
+              "--benchmark", bench, "--ngram", "3"]) == 0
+    )
+    assert "n_gram_hits" in capsys.readouterr().out
+
+    assert main(["corpus", "mix", "--input", src, "--rates", "notjson"]) == 2

@@ -1087,45 +1087,34 @@ def cmd_corpus(args) -> int:
     import json as _json
 
     from blq_cli_spark.operators import corpus as corpus_ops
-    from blq_cli_spark.operators import dedup as dedup_ops
-    from blq_cli_spark.operators import quality
-    from blq_cli_spark.operators import text as text_ops
     from blq_cli_spark.session import get_spark
 
     spark = get_spark(app_name="blq-spark-corpus")
     docs = spark.read.parquet(args.input)
-    tc, ic = args.text_col, args.id_col
-    act = args.corpus_action
-    if act == "profile":
-        out = text_ops.profile(docs, text_col=tc, id_col=ic)
-    elif act == "quality":
-        out = quality.repetition_profile(docs, text_col=tc, id_col=ic)
-    elif act == "redact":
-        out = quality.pii_profile(docs, text_col=tc, id_col=ic)
-    elif act == "funnel":
-        out = corpus_ops.funnel_stats(docs, text_col=tc, id_col=ic)
-    elif act == "dedup":
-        out = corpus_ops.neardup_dedup(docs, text_col=tc, id_col=ic)
-    elif act == "exact-dedup":
-        out = dedup_ops.exact_duplicates(docs, text_col=tc, id_col=ic)
-    elif act == "mix":
+    rates = None
+    if args.corpus_action == "mix":
         try:
             rates = _json.loads(args.rates or "")
         except ValueError:
             print("corpus mix: --rates must be a JSON object", file=sys.stderr)
             return 2
-        out = corpus_ops.mix_sources(
-            docs, rates, source_col=args.source_col, id_col=ic,
-            default_rate=args.default_rate,
-        )
-    elif act == "decontaminate":
+    bench = None
+    if args.corpus_action == "decontaminate":
         if not args.benchmark:
             print("corpus decontaminate: --benchmark PARQUET required", file=sys.stderr)
             return 2
         bench = spark.read.parquet(args.benchmark)
-        out = quality.decontaminate(docs, bench, text_col=tc, id_col=ic, n=args.ngram)
-    else:  # pragma: no cover - argparse restricts choices
-        return 2
+    out = corpus_ops.run_action(
+        docs,
+        args.corpus_action,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        source_col=args.source_col,
+        rates=rates,
+        default_rate=args.default_rate,
+        benchmark=bench,
+        ngram=args.ngram,
+    )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")

@@ -182,3 +182,46 @@ def mix_sources(
         )
         .drop("_thresh")
     )
+
+
+def run_action(
+    docs: DataFrame,
+    action: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    benchmark: DataFrame | None = None,
+    ngram: int = 4,
+) -> DataFrame:
+    """Uniform dispatch for the curation-operator surface — shared by the
+    `corpus` CLI verb and the serve `corpus` tool so both fronts expose
+    the identical op set with identical semantics."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+    from blq_cli_spark.operators import quality
+
+    if action == "profile":
+        return text_ops.profile(docs, text_col=text_col, id_col=id_col)
+    if action == "quality":
+        return quality.repetition_profile(docs, text_col=text_col, id_col=id_col)
+    if action == "redact":
+        return quality.pii_profile(docs, text_col=text_col, id_col=id_col)
+    if action == "funnel":
+        return funnel_stats(docs, text_col=text_col, id_col=id_col)
+    if action == "dedup":
+        return neardup_dedup(docs, text_col=text_col, id_col=id_col)
+    if action == "exact-dedup":
+        return dedup_ops.exact_duplicates(docs, text_col=text_col, id_col=id_col)
+    if action == "mix":
+        return mix_sources(
+            docs, rates or {}, source_col=source_col, id_col=id_col,
+            default_rate=default_rate,
+        )
+    if action == "decontaminate":
+        if benchmark is None:
+            raise ValueError("decontaminate requires a benchmark DataFrame")
+        return quality.decontaminate(
+            docs, benchmark, text_col=text_col, id_col=id_col, n=ngram
+        )
+    raise ValueError(f"unknown corpus action: {action}")

@@ -437,6 +437,39 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
     return {"observed": observed, "suggested": suggested}
 
 
+@tool("corpus", "Training-data curation ops over a parquet corpus "
+      "(profile/quality/redact/funnel/dedup/exact-dedup/mix/decontaminate)")
+def _corpus(
+    store: LogStore,
+    action: str,
+    input: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rates: dict | None = None,
+    default_rate: float = 0.0,
+    benchmark: str | None = None,
+    ngram: int = 4,
+    output: str | None = None,
+    limit: int = 50,
+) -> dict:
+    """Same dispatch as the `corpus` CLI verb (operators/corpus.py
+    run_action). With `output`, the full result writes as parquet
+    (distributed) and only counts return; otherwise a bounded sample."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = store.spark.read.parquet(input)
+    bench = store.spark.read.parquet(benchmark) if benchmark else None
+    out = corpus_ops.run_action(
+        docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
+        rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
+    )
+    if output:
+        out.write.mode("overwrite").parquet(output)
+        return {"written": output, "rows": store.spark.read.parquet(output).count()}
+    return {"rows": _rows(out, limit)}
+
+
 # --- prompts (reference serve.py:3825-4016, 4 MCP prompts) -------------------
 
 _PROMPTS: dict[str, tuple[Callable, str]] = {}

@@ -283,3 +283,25 @@ def test_resources_inventory_and_read(store):
     lines = [json.loads(x) for x in out.getvalue().splitlines()]
     assert lines[0]["ok"] and "blq://guide" in lines[0]["result"]
     assert lines[1]["ok"] and len(lines[1]["result"]) == 8
+
+
+def test_corpus_tool(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "corpstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c a b", "web"), (2, "email me x@y.io", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    resp = serve.dispatch(st, "corpus", {"action": "redact", "input": src})
+    assert resp["ok"]
+    rows = {r["id"]: r for r in resp["result"]["rows"]}
+    assert "<EMAIL>" in rows[2]["redacted"]
+    # distributed write path returns counts only
+    dst = str(tmp_path / "clean.parquet")
+    resp = serve.dispatch(
+        st, "corpus", {"action": "exact-dedup", "input": src, "output": dst}
+    )
+    assert resp["ok"] and resp["result"]["rows"] == 2
+    # unknown action surfaces as a tool error, not a crash
+    resp = serve.dispatch(st, "corpus", {"action": "nope", "input": src})
+    assert not resp["ok"]

@@ -457,3 +457,91 @@ def q19_brand_size_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@gate(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped scalar-subquery-max: aggregate per-supplier
+    revenue, then keep the row(s) equal to the GLOBAL max. The max is a
+    one-row aggregate that Spark broadcasts back over the (already
+    shuffled) revenue table — no second scan of lineitem, no global
+    sort; the supplier dim attaches by broadcast at TPC-H ratios."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@gate(
+    "q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: global-scalar-average filter + ANTI join —
+    above-average-balance customers with no RECENT order (dormant),
+    counted per nation. The average is a broadcast one-row aggregate;
+    the anti join shuffles on custkey and keeps customers single-copy
+    (no fan-out). The recency predicate pushes to the orders scan, so
+    at 100 TB the anti join's build side is only the recent slice
+    pre-projected to the join key."""
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    orders_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_a"))
+        .join(orders_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -756,3 +756,57 @@ def x_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qvec").cast("int").alias("q_min"),
         F.array_max("qvec").cast("int").alias("q_max"),
     )
+
+
+@gate(
+    "x_winnow_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             generate_subscripts(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1) AS pos,
+             substr(md5(unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))), 1, 16) AS h
+      FROM tok
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (SELECT doc_id, count(*) AS n_fingerprints FROM winnowed GROUP BY doc_id),
+    subw AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword_tokens
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_subword_tokens,
+           coalesce(f.n_fingerprints, 0) AS n_fingerprints
+    FROM subw s LEFT JOIN fps f ON s.doc_id = f.doc_id
+    """,
+)
+def x_winnow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (SIGMOD'03 winnowing over
+    word 3-grams, window 4) + BPE-ish subword token counts — the two
+    remaining text-analysis primitives from the north star. Winnowing
+    keeps ~1/w of the shingle hashes while guaranteeing shared runs
+    >= k+w-1 tokens still collide; the fingerprint count and subword
+    count per doc are both engine-portable (md5 prefix, RE2-safe
+    regexp)."""
+    docs = table(spark, sf_dir, "documents")
+    fps = (
+        text.winnow_fingerprints(docs, k=3, w=4)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+    subw = docs.select(
+        "doc_id", text.subword_token_count(F.col("text")).alias("n_subword_tokens")
+    )
+    return subw.join(fps, subw.doc_id == fps.id, "left").select(
+        "doc_id",
+        "n_subword_tokens",
+        F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+    )

@@ -225,3 +225,61 @@ def search_index(index: DataFrame, terms: Sequence[str], id_col: str = "doc_id")
         .filter(F.col("_nt") == len(terms))
         .drop("_nt")
     )
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish subword token count: runs of letters, runs of digits, and
+    single non-alphanumeric marks each count as one token (the
+    pre-tokenization split BPE vocabularies apply before merges). A
+    cheap, deterministic proxy for tokenizer-cost estimation over a
+    corpus — pure regexp, codegen'd, and portable to RE2 engines."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash local-fingerprint scheme): hash every word k-gram,
+    then keep each window-of-w minimum. Guarantees any shared run of
+    >= k+w-1 tokens between two documents shares a fingerprint, at ~1/w
+    the storage of the full shingle set.
+
+    Relational form: posexplode k-grams -> per-doc sliding min over a
+    ROWS window -> distinct. One shuffle on the doc id (reused by the
+    window), linear in corpus size; the hash is an md5 prefix so DuckDB
+    selects bit-identical fingerprints."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        toks.repartition(parallelism, "id")
+        .select(
+            "id",
+            F.posexplode(
+                # guard: sequence(1, 0) would generate a DESCENDING ramp
+                F.when(
+                    F.size("t") >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(F.col("t"), i + j) for j in range(k)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "g"),
+        )
+        .select("id", "pos", F.substring(F.md5("g"), 1, 16).alias("h"))
+    )
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )

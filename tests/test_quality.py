@@ -109,3 +109,39 @@ def test_redact_pii_is_pure_projection(spark):
     df = _docs(spark, [(1, "x@y.io")])
     plan = quality.pii_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: scan-bound at any scale
+
+
+def test_subword_token_count_bpe_pretokenization(spark):
+    from blq_cli_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "can't stop won't stop (v2.0)")], "doc_id long, text string"
+    )
+    n = df.select(text_ops.subword_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    # can|'|t|stop|won|'|t|stop|(|v|2|.|0|) -> 14
+    assert n == 14
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+w-1 tokens
+    (here 3+4-1 = 6) share at least one fingerprint; disjoint docs
+    share none."""
+    from blq_cli_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+            (2, "head2 alpha beta gamma delta epsilon zeta other2"),
+            (3, "totally different words appear in this one here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnow_fingerprints(df, k=3, w=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(F.col("id") == i).collect()} for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # short doc (< k tokens) yields no fingerprints, not a crash
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert text_ops.winnow_fingerprints(short, k=3, w=4).count() == 0

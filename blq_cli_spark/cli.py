@@ -240,7 +240,13 @@ def cmd_sql(args) -> int:
     if not _LIMIT_RE.search(sql):
         # LIMIT injection guard (reference serve.py:773-776)
         sql = f"SELECT * FROM ({sql}) LIMIT {args.limit}"
-    _emit(st.spark.sql(sql), args)
+    df = st.spark.sql(sql)
+    if getattr(args, "explain", False):
+        # plan inspection without execution: the tuning loop's first stop
+        # (PushedFilters / ReadSchema / broadcast vs shuffle / codegen)
+        df.explain("formatted")
+        return 0
+    _emit(df, args)
     return 0
 
 
@@ -1824,6 +1830,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sql")
     sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--explain", action="store_true",
+                    help="print the physical plan instead of executing")
     sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser("import")

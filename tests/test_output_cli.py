@@ -528,3 +528,12 @@ def test_cli_report_output_file_and_branch_baseline(cli_store, capsys, tmp_path)
     assert "# Build Report" in open(dest).read()
     # branch-name baseline with no matching run -> clean error
     assert main(["--store", cli_store, "report", "-b", "no-such-branch"]) == 2
+
+
+def test_cli_sql_explain_prints_plan(cli_store, capsys):
+    rc = main(["--store", cli_store, "sql",
+               "SELECT severity, count(*) AS n FROM events GROUP BY severity",
+               "--explain"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out

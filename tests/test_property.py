@@ -211,3 +211,65 @@ def test_sniff_format_total(data):
     from blq_cli_spark.multimodal.binary import sniff_format
 
     assert sniff_format(data) in (None, "png", "gif", "jpeg", "wav", "riff", "mp4", "webm")
+
+
+# --- PII patterns (operators/quality.py) -------------------------------------
+
+import re as _re
+
+from blq_cli_spark.operators.quality import PII_ORDER, PII_PATTERNS
+
+
+def _py_redact(s: str) -> str:
+    for kind in PII_ORDER:
+        s = _re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", s)
+    return s
+
+
+pii_fragment = st.one_of(
+    st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.[a-z]{2,4}", fullmatch=True),
+    st.from_regex(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", fullmatch=True),
+    st.from_regex(r"\+?\d[\d\- ]{6,14}\d", fullmatch=True),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12),
+)
+
+
+@given(st.lists(pii_fragment, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_pii_redaction_idempotent_and_clean(frags):
+    """Redaction is idempotent, and the redacted text contains no
+    residual match of ANY pattern — i.e. the placeholders themselves can
+    never be re-matched (a digit-bearing placeholder would break this)."""
+    s = " ".join(frags)
+    once = _py_redact(s)
+    assert _py_redact(once) == once
+    for pat in PII_PATTERNS.values():
+        assert not _re.search(pat, once)
+
+
+# --- mix_sources threshold quantization --------------------------------------
+
+
+def _thresh(rate: float) -> str:
+    q = int(rate * 256)
+    return "g" if q >= 256 else format(max(q, 0), "02x")
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_mix_threshold_keeps_exact_quantized_fraction(rate):
+    """The md5-prefix rule keeps exactly floor(rate*256)/256 of the
+    2-hex-char key space, and the threshold is monotone in rate."""
+    t = _thresh(rate)
+    kept = sum(1 for i in range(256) if format(i, "02x") < t)
+    assert kept == min(int(rate * 256), 256)
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_mix_threshold_monotone(r1, r2):
+    lo, hi = sorted((r1, r2))
+    assert _thresh(lo) <= _thresh(hi)

@@ -82,10 +82,25 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # single-thread CPU calibration (fixed md5 workload):
+                # hosts differ round to round, so cross-round wall-clock
+                # comparisons should normalize by this. Higher = slower.
+                "calib_ms": _cpu_calibration_ms(),
             }
         )
     )
     spark.stop()
+
+
+def _cpu_calibration_ms() -> float:
+    """Milliseconds to md5 100k short strings single-threaded — a
+    deterministic, allocation-light proxy for per-core speed."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    for i in range(100_000):
+        hashlib.md5(b"calibration-%d" % i).hexdigest()
+    return round((time.perf_counter() - t0) * 1000, 1)
 
 
 if __name__ == "__main__":

@@ -139,3 +139,59 @@ def stream_first_seen(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_neardup_ingest(
+    docs_stream: DataFrame,
+    signatures_path: str,
+    flagged_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """Continuous-ingest FUZZY dedup (shape 4): each micro-batch is
+    LSH-matched against the PERSISTED corpus signatures, flagged pairs
+    are appended to `flagged_path`, and the batch's own banded
+    signatures are appended to `signatures_path` — so the next batch
+    (and the next job restart) dedups against everything ever seen,
+    while hashing only its own documents.
+
+    foreachBatch is the right harness here: the old-side state lives in
+    a parquet table, not stream state — it outlives the query, is
+    shared with the batch path (dedup.banded_signatures produces the
+    identical layout), and its size never touches executor memory
+    (bucket-join only). Exactly-once appends come from the checkpoint +
+    idempotent-by-batch-id sink contract."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        try:
+            stored = spark.read.parquet(signatures_path)
+        except Exception:
+            stored = None
+        if stored is not None:
+            pairs = dedup_ops.lsh_candidates_against(
+                batch_df, stored, text_col, id_col, n, num_hashes, bands
+            )
+        else:
+            pairs = dedup_ops.minhash_lsh_candidates(
+                batch_df, text_col, id_col, n, num_hashes, bands
+            )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            flagged_path
+        )
+        dedup_ops.banded_signatures(
+            batch_df, text_col, id_col, n, num_hashes, bands
+        ).write.mode("append").parquet(signatures_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -411,3 +411,40 @@ def test_stream_repetition_profile_with_foreachbatch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert out and out[0]["top_token_ratio"] == 1.0
+
+
+def test_stream_neardup_ingest_flags_cross_batch_dups(spark, tmp_path):
+    """Continuous fuzzy dedup: a doc arriving in batch 2 that near-dups a
+    batch-1 doc is flagged against the PERSISTED signatures, and the
+    signature store accumulates both batches."""
+    import json as _json
+
+    from blq_cli_spark.streaming import dedup as sdedup
+
+    d = tmp_path / "neardup_in"
+    d.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    (d / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": base})
+        + "\n"
+        + _json.dumps({"doc_id": 2, "text": "totally different content words here now ok"})
+    )
+    sig = str(tmp_path / "sigs")
+    flagged = str(tmp_path / "flagged")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = sdedup.stream_neardup_ingest(stream, sig, flagged, ckpt)
+    q.processAllAvailable()
+    # batch 2 lands AFTER batch 1's signatures persisted
+    (d / "b2.jsonl").write_text(_json.dumps({"doc_id": 3, "text": base + " tail"}))
+    q.processAllAvailable()
+    q.stop()
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(flagged).select("id_a", "id_b").collect()
+    }
+    assert (1, 3) in pairs or (3, 1) in pairs
+    assert not any({a, b} == {1, 2} for a, b in pairs)
+    sig_ids = {r["id"] for r in spark.read.parquet(sig).select("id").distinct().collect()}
+    assert sig_ids == {1, 2, 3}

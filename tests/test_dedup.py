@@ -185,3 +185,54 @@ def test_incremental_lsh_matches_full_recompute(spark):
     assert {p for p in full if p[0] in new_ids or p[1] in new_ids} == inc
     # ...and in particular the two boundary-spanning duplicates
     assert (100, 200) in inc and (3, 201) in inc
+
+
+def test_bucketed_signature_store_reduces_exchanges(spark, tmp_path):
+    """The incremental-dedup docstring claims a bucketed signature store
+    lets the old side join without reshuffling. Prove it on a real
+    bucketed table: the plan over the bucketed store must read
+    'Bucketed: true' and plan strictly fewer Exchanges than the same
+    join over a plain parquet store."""
+    import io
+    import contextlib
+
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon zeta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [(100, "alpha beta gamma doc1 delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = dedup_ops.banded_signatures(corpus)
+
+    def plan_text(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plain_path = str(tmp_path / "sigs_plain")
+    sigs.write.parquet(plain_path)
+    plain_plan = plan_text(
+        dedup_ops.lsh_candidates_against(new_batch, spark.read.parquet(plain_path))
+    )
+
+    tbl = "sig_store_bucket_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        sigs.write.bucketBy(8, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    try:
+        bucketed_plan = plan_text(
+            dedup_ops.lsh_candidates_against(new_batch, spark.table(tbl))
+        )
+        assert "Bucketed: true" in bucketed_plan
+        assert bucketed_plan.count("Exchange") < plain_plan.count("Exchange")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -653,7 +653,17 @@ def _ci_comment(st, args) -> int:
     if candidate is None:
         row = st.runs().agg(F.max("run_serial").alias("m")).collect()[0]
         candidate = int(row["m"])
-    print(hooks.format_pr_comment(st, baseline, candidate))
+    body = hooks.format_pr_comment(st, baseline, candidate)
+    if getattr(args, "post", False):
+        from blq_cli_spark import github
+
+        try:
+            print(github.post_pr_comment(body, update=not getattr(args, "no_update", False)))
+        except (ValueError, github.GitHubError) as exc:
+            print(f"blq-spark ci comment: {exc}", file=sys.stderr)
+            return 1
+        return 0
+    print(body)
     return 0
 
 
@@ -1684,13 +1694,19 @@ def cmd_serve(args) -> int:
 
     import json as _json
 
+    st = _store(args)
+    disabled = serve.resolve_disabled_tools(
+        cli_disabled=getattr(args, "disabled_tools", None),
+        safe_mode=getattr(args, "safe_mode", False),
+        store=st,
+    )
     if args.list_tools:
-        print(_json.dumps(serve.list_tools(), indent=2))
+        print(_json.dumps(serve.list_tools(disabled), indent=2))
         return 0
     if args.list_prompts:
         print(_json.dumps(serve.list_prompts(), indent=2))
         return 0
-    return serve.serve_stdio(_store(args), once=args.once)
+    return serve.serve_stdio(st, once=args.once, disabled=disabled)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -1903,6 +1919,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--candidate", type=int)
     sp.add_argument("--output", default="ci")
     sp.add_argument("--dry-run", action="store_true", dest="dry_run")
+    sp.add_argument("--post", action="store_true",
+                    help="comment: post to the PR via the GitHub API")
+    sp.add_argument("--no-update", action="store_true", dest="no_update",
+                    help="comment --post: always create, never update")
     sp.set_defaults(fn=cmd_ci)
 
     sp = sub.add_parser("output", aliases=["o"])
@@ -2044,6 +2064,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--once", action="store_true", help="answer one request, then exit")
     sp.add_argument("--list-tools", action="store_true", dest="list_tools")
     sp.add_argument("--list-prompts", action="store_true", dest="list_prompts")
+    sp.add_argument("--disabled-tools", dest="disabled_tools",
+                    help="comma-separated tools to refuse")
+    sp.add_argument("--safe-mode", action="store_true", dest="safe_mode",
+                    help="disable command-executing / SQL / mutating tools")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("sandbox")

@@ -30,6 +30,40 @@ from blq_cli_spark.sources import store as store_mod
 
 _TOOLS: dict[str, tuple[Callable, str]] = {}
 
+# Tools a safe-mode server refuses (reference serve.py:61-68
+# SAFE_MODE_DISABLED_TOOLS): everything that executes commands, runs raw
+# SQL, mutates the registry, or deletes data.
+SAFE_MODE_DISABLED_TOOLS = frozenset(
+    {"exec", "run", "query", "register", "unregister", "maintain", "corpus"}
+)
+
+
+def resolve_disabled_tools(
+    cli_disabled: str | None = None,
+    safe_mode: bool = False,
+    store: "LogStore | None" = None,
+) -> set[str]:
+    """Union of every disable source, mirroring the reference's
+    precedence (serve.py:74-131 _init_disabled_tools): safe-mode set +
+    --disabled-tools CSV + BLQ_MCP_DISABLED_TOOLS env + the store
+    config's mcp.disabled_tools list."""
+    import os as _os
+
+    disabled: set[str] = set()
+    if safe_mode:
+        disabled |= SAFE_MODE_DISABLED_TOOLS
+    for csv in (cli_disabled, _os.environ.get("BLQ_MCP_DISABLED_TOOLS", "")):
+        if csv:
+            disabled.update(t.strip() for t in csv.split(",") if t.strip())
+    if store is not None:
+        try:
+            from_config = store_mod.config_get(store, "mcp.disabled_tools")
+        except Exception:
+            from_config = None
+        if isinstance(from_config, list):
+            disabled.update(str(t) for t in from_config)
+    return disabled
+
 
 def tool(name: str, description: str):
     def deco(fn):
@@ -39,15 +73,26 @@ def tool(name: str, description: str):
     return deco
 
 
-def list_tools() -> list[dict]:
-    return [{"name": n, "description": d} for n, (_, d) in sorted(_TOOLS.items())]
+def list_tools(disabled: set[str] | None = None) -> list[dict]:
+    return [
+        {"name": n, "description": d}
+        for n, (_, d) in sorted(_TOOLS.items())
+        if not disabled or n not in disabled
+    ]
 
 
-def dispatch(store: LogStore, tool_name: str, args: dict | None = None) -> dict:
+def dispatch(
+    store: LogStore,
+    tool_name: str,
+    args: dict | None = None,
+    disabled: set[str] | None = None,
+) -> dict:
     """Run one tool call; always returns a JSON-able envelope."""
+    if disabled and tool_name in disabled:
+        return {"ok": False, "error": f"tool disabled: {tool_name}"}
     if tool_name not in _TOOLS:
         return {"ok": False, "error": f"unknown tool: {tool_name}",
-                "tools": [t["name"] for t in list_tools()]}
+                "tools": [t["name"] for t in list_tools(disabled)]}
     fn, _ = _TOOLS[tool_name]
     try:
         return {"ok": True, "result": fn(store, **(args or {}))}
@@ -725,10 +770,18 @@ def read_resource(store: LogStore, uri: str) -> dict:
             "resources": list_resources()}
 
 
-def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) -> int:
+def serve_stdio(
+    store: LogStore,
+    stdin=None,
+    stdout=None,
+    once: bool = False,
+    disabled: set[str] | None = None,
+) -> int:
     """Line-delimited JSON loop: one request object per line. This is the
     transport the reference's MCP stdio server provides; swap in a real
-    MCP framing layer without touching the tools."""
+    MCP framing layer without touching the tools. `disabled` tools are
+    hidden from __list__ and refused at dispatch (reference safe mode /
+    --disabled-tools)."""
     import sys
 
     stdin = stdin or sys.stdin
@@ -743,7 +796,7 @@ def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) ->
             resp = {"ok": False, "error": f"bad request json: {exc}"}
         else:
             if req.get("tool") == "__list__":
-                resp = {"ok": True, "result": list_tools()}
+                resp = {"ok": True, "result": list_tools(disabled)}
             elif req.get("tool") == "__prompts__":
                 resp = {"ok": True, "result": list_prompts()}
             elif req.get("tool") == "__resources__":
@@ -753,7 +806,8 @@ def serve_stdio(store: LogStore, stdin=None, stdout=None, once: bool = False) ->
             elif "prompt" in req:
                 resp = get_prompt(store, req.get("prompt", ""), req.get("args"))
             else:
-                resp = dispatch(store, req.get("tool", ""), req.get("args"))
+                resp = dispatch(store, req.get("tool", ""), req.get("args"),
+                                disabled=disabled)
         stdout.write(json.dumps(resp, default=str) + "\n")
         stdout.flush()
         if once:

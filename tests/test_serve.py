@@ -305,3 +305,24 @@ def test_corpus_tool(tmp_path, spark):
     # unknown action surfaces as a tool error, not a crash
     resp = serve.dispatch(st, "corpus", {"action": "nope", "input": src})
     assert not resp["ok"]
+
+
+def test_disabled_tools_and_safe_mode(tmp_path, spark, monkeypatch, capsys):
+    st = LogStore(spark, str(tmp_path / "safestore"))
+    disabled = serve.resolve_disabled_tools(safe_mode=True)
+    assert "exec" in disabled and "query" in disabled and "run" in disabled
+    # dispatch refuses, and __list__ hides
+    resp = serve.dispatch(st, "exec", {"cmd": ["true"]}, disabled=disabled)
+    assert not resp["ok"] and "disabled" in resp["error"]
+    names = {t["name"] for t in serve.list_tools(disabled)}
+    assert "exec" not in names and "status" in names
+    # env var + CSV + store-config union
+    monkeypatch.setenv("BLQ_MCP_DISABLED_TOOLS", "report")
+    from blq_cli_spark.sources import store as store_mod
+
+    store_mod.config_set(st, "mcp.disabled_tools", '["diff"]')
+    got = serve.resolve_disabled_tools(cli_disabled="history", store=st)
+    assert {"report", "history", "diff"} <= got
+    # enabled tools still dispatch normally under a disabled set
+    ok = serve.dispatch(st, "status", {}, disabled=disabled)
+    assert ok["ok"]

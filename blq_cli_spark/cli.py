@@ -1139,6 +1139,50 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_embeddings(args) -> int:
+    """`blq-spark embeddings ACTION --input X.parquet`: the similarity /
+    ANN operator surface over an arbitrary embedding parquet
+    (operators/similarity.py). `topk` defaults to brute-force exact;
+    --method lsh|ivf picks the bucketed approximate paths; `quantize`
+    writes the int8 form of the corpus."""
+    from blq_cli_spark.operators import similarity
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-spark-embeddings")
+    emb = spark.read.parquet(args.input)
+    ic, vc = args.id_col, args.vec_col
+    act = args.emb_action
+    if act == "quantize":
+        out = similarity.quantize_embeddings(emb, vec_col=vc, id_col=ic)
+    elif act == "topk":
+        queries = (
+            spark.read.parquet(args.queries)
+            if args.queries
+            else emb.orderBy(ic).limit(args.n_queries)
+        )
+        if args.method == "lsh":
+            out = similarity.lsh_bucket_topk(emb, queries, k=args.k, id_col=ic, vec_col=vc)
+        elif args.method == "ivf":
+            out = similarity.ivf_topk(emb, queries, k=args.k, id_col=ic, vec_col=vc)
+        elif args.method == "quantized":
+            out = similarity.cosine_topk_quantized(
+                similarity.quantize_embeddings(emb, vec_col=vc, id_col=ic),
+                queries, k=args.k, id_col=ic, vec_col=vc,
+            )
+        else:
+            out = similarity.cosine_topk(emb, queries, k=args.k, id_col=ic, vec_col=vc)
+    elif act == "neardup":
+        out = similarity.neardup_pairs(emb, threshold=args.threshold, id_col=ic, vec_col=vc)
+    else:  # pragma: no cover - argparse restricts choices
+        return 2
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
+    else:
+        _emit(out.limit(args.limit), args)
+    return 0
+
+
 def cmd_formats(args) -> int:
     """`blq formats`: list every parse format grouped by category
     (reference cmd_formats, commands/management.py:1033-1113 — there a
@@ -2118,6 +2162,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
+
+    sp = sub.add_parser("embeddings")
+    sp.add_argument("emb_action", choices=["topk", "quantize", "neardup"])
+    sp.add_argument("--input", required=True, help="embedding parquet path")
+    sp.add_argument("--output", help="write full result parquet here")
+    sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")
+    sp.add_argument("--n-queries", type=int, default=8, dest="n_queries")
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--method", choices=["exact", "lsh", "ivf", "quantized"],
+                    default="exact")
+    sp.add_argument("--threshold", type=float, default=0.95, help="neardup cosine floor")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
+    sp.set_defaults(fn=cmd_embeddings)
 
     return p
 

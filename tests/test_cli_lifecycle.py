@@ -462,3 +462,25 @@ def test_cli_corpus_actions(tmp_path, capsys):
     assert "n_gram_hits" in capsys.readouterr().out
 
     assert main(["corpus", "mix", "--input", src, "--rates", "notjson"]) == 2
+
+
+def test_cli_embeddings_actions(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main(["embeddings", "topk", "--input", src, "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "qid" in out and "cos" in out
+
+    dst = str(tmp_path / "q8.parquet")
+    assert main(["embeddings", "quantize", "--input", src, "--output", dst]) == 0
+    capsys.readouterr()
+    q = spark.read.parquet(dst)
+    assert q.count() == 500 and "qvec" in q.columns and "scale" in q.columns
+
+    assert main(["embeddings", "topk", "--input", src, "-k", "3",
+                 "--method", "quantized"]) == 0
+    assert "cos" in capsys.readouterr().out

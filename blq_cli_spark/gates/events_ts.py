@@ -218,3 +218,101 @@ def x_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).cast("long")
         ).alias("gap_s"),
     )
+
+
+@gate(
+    "ts_funnel_conversion",
+    oracle="""
+    WITH step1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    step2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN step1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    step3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN step2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM step1 WHERE t1 IS NOT NULL) AS n_view,
+           (SELECT count(*) FROM step2) AS n_view_click,
+           (SELECT count(*) FROM step3) AS n_full_funnel
+    """,
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users whose steps
+    occur in strict timestamp order. Three conditional window-mins over
+    ONE user partitioning — the shuffle happens once and the second and
+    third passes reuse it (contrast the oracle's three joins, which an
+    engine without partitioning reuse pays for). At 100 TB this is one
+    keyed exchange of (user, type, ts) projections."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+@gate(
+    "ts_cohort_retention",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS cohort FROM peru GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT p.user_id, f.cohort, p.wk
+      FROM peru p JOIN firstw f ON p.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted in each later week they were active — the standard retention
+    triangle. First-seen week is a window min over the user partition
+    (no self-join); the distinct + grouped count shuffle on small
+    derived keys. All week math is date_trunc-aligned so Spark and
+    DuckDB agree exactly."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("cohort", F.min("wk").over(w))
+        .select("user_id", "cohort", "wk")
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -257,3 +257,14 @@ def test_quality_gate_plans_stay_jvm_side(spark):
     ):
         plan = plan_of(queries()[name](spark, SF_SMOKE))
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """ts_funnel_conversion's three conditional window-mins must share a
+    single user-keyed Exchange (partitioning reuse), and the per-user
+    collapse must ride the same partitioning — only the final singleton
+    aggregate may add a second Exchange."""
+    plan = plan_of(queries()["ts_funnel_conversion"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]  # the numbered tree section
+    assert tree.count("Window") == 3
+    assert tree.count("Exchange") == 2, tree

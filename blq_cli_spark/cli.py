@@ -2149,7 +2149,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "corpus_action",
         choices=["profile", "quality", "redact", "funnel", "dedup",
-                 "exact-dedup", "mix", "decontaminate"],
+                 "exact-dedup", "mix", "decontaminate", "winnow", "tokens"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -224,4 +224,12 @@ def run_action(
         return quality.decontaminate(
             docs, benchmark, text_col=text_col, id_col=id_col, n=ngram
         )
+    if action == "winnow":
+        return text_ops.winnow_fingerprints(docs, text_col=text_col, id_col=id_col)
+    if action == "tokens":
+        return docs.select(
+            F.col(id_col).alias("id"),
+            text_ops.token_count(F.col(text_col)).alias("n_tokens"),
+            text_ops.subword_token_count(F.col(text_col)).alias("n_subword_tokens"),
+        )
     raise ValueError(f"unknown corpus action: {action}")

@@ -484,3 +484,20 @@ def test_cli_embeddings_actions(tmp_path, capsys):
     assert main(["embeddings", "topk", "--input", src, "-k", "3",
                  "--method", "quantized"]) == 0
     assert "cos" in capsys.readouterr().out
+
+
+def test_cli_corpus_winnow_and_tokens(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "wdocs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta v2.0")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    assert main(["corpus", "tokens", "--input", src]) == 0
+    out = capsys.readouterr().out
+    assert "n_subword_tokens" in out
+    assert main(["corpus", "winnow", "--input", src]) == 0
+    assert "fp" in capsys.readouterr().out

@@ -478,22 +478,31 @@ def q19_brand_size_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped scalar-subquery-max: aggregate per-supplier
-    revenue, then keep the row(s) equal to the GLOBAL max. The max is a
-    one-row aggregate that Spark broadcasts back over the (already
-    shuffled) revenue table — no second scan of lineitem, no global
-    sort; the supplier dim attaches by broadcast at TPC-H ratios."""
+    revenue, keep the row(s) equal to the GLOBAL max.
+
+    Form choice matters at 100 TB: the naive scalar-subquery
+    (`revenue.agg(max)` joined back) makes Catalyst expand the revenue
+    pipeline TWICE — two full lineitem scans, no exchange reuse
+    (verified in test_plan_quality). Instead the max rides a global
+    window over the ALREADY-AGGREGATED revenue table: its input is
+    supplier-cardinality (6000x smaller than lineitem at TPC-H ratios),
+    so the single-partition window costs MBs while the fact table is
+    scanned exactly once."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
+    from pyspark.sql import Window
+
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        revenue.withColumn("_mx", mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
         .join(
             F.broadcast(table(spark, sf_dir, "supplier")),
             F.col("s_suppkey") == F.col("supplier_no"),

@@ -268,3 +268,29 @@ def test_funnel_windows_share_one_exchange(spark):
     tree = plan.split("\n\n")[0]  # the numbered tree section
     assert tree.count("Window") == 3
     assert tree.count("Exchange") == 2, tree
+
+
+def test_q7_nation_broadcasts_twice(spark):
+    """The two-role dimension pattern: nation must attach via TWO
+    broadcast joins (supplier role + customer role), never a shuffle."""
+    plan = plan_of(queries()["q7_nation_volume"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+
+
+def test_q15_scans_lineitem_once(spark):
+    """The scalar-subquery-max shape must not re-scan lineitem for the
+    max: one lineitem scan feeds both the revenue agg and the max."""
+    plan = plan_of(queries()["q15_top_supplier"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+
+
+def test_q22_recency_filter_pushes_to_orders_scan(spark):
+    """The dormancy anti join's build side must be the filtered recent
+    slice: the orderdate predicate reaches the orders scan."""
+    plan = plan_of(queries()["q22_dormant_customers"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in plan or "left_anti" in plan or "BroadcastHashJoin" in tree

@@ -316,3 +316,56 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@gate(
+    "ts_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) FILTER (event_type = 'error') AS n_errors
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, n_errors,
+             avg(n_errors) OVER w AS mu,
+             stddev_samp(n_errors) OVER w AS sigma
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           round((n_errors - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE sigma IS NOT NULL AND sigma > 0
+      AND abs((n_errors - mu) / sigma) >= 1.5
+    """,
+)
+def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: days whose error count deviates >=
+    1.5 sigma from the TRAILING 7-day baseline (strictly preceding
+    frame, so a spike never suppresses its own alert). The window input
+    is the per-day aggregate — tiny at any corpus scale — so the
+    ordered frame costs nothing even though the raw events table is
+    100 TB; the heavy lifting is one map-side-combinable daily count."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "n_errors",
+        F.avg("n_errors").over(w).alias("mu"),
+        F.stddev_samp("n_errors").over(w).alias("sigma"),
+    )
+    z = (F.col("n_errors") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(F.col("sigma").isNotNull() & (F.col("sigma") > 0) & (F.abs(z) >= 1.5))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -1132,8 +1132,7 @@ def cmd_corpus(args) -> int:
         ngram=args.ngram,
     )
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
-        print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
+        _write_corpus_result(spark, out, args)
     else:
         _emit(out.limit(args.limit), args)
     return 0
@@ -1176,11 +1175,24 @@ def cmd_embeddings(args) -> int:
     else:  # pragma: no cover - argparse restricts choices
         return 2
     if args.output:
-        out.write.mode("overwrite").parquet(args.output)
-        print(f"wrote {spark.read.parquet(args.output).count()} rows to {args.output}")
+        _write_corpus_result(spark, out, args)
     else:
         _emit(out.limit(args.limit), args)
     return 0
+
+
+def _write_corpus_result(spark, out, args) -> None:
+    """Distributed result write for the corpus/embeddings verbs: parquet
+    by default, or sharded JSONL (the training-data interchange format)
+    with --output-format jsonl."""
+    fmt = getattr(args, "output_format", "parquet") or "parquet"
+    if fmt == "jsonl":
+        out.write.mode("overwrite").json(args.output)
+        n = spark.read.json(args.output).count()
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} rows to {args.output} ({fmt})")
 
 
 def cmd_formats(args) -> int:
@@ -2149,7 +2161,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "corpus_action",
         choices=["profile", "quality", "redact", "funnel", "dedup",
-                 "exact-dedup", "mix", "decontaminate", "winnow", "tokens"],
+                 "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
+                 "materialize"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2160,6 +2173,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--default-rate", type=float, default=0.0)
     sp.add_argument("--benchmark", help="decontaminate: benchmark parquet path")
     sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")
+    sp.add_argument("--output-format", choices=["parquet", "jsonl"],
+                    default="parquet", dest="output_format")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 
@@ -2175,6 +2190,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--threshold", type=float, default=0.95, help="neardup cosine floor")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--output-format", choices=["parquet", "jsonl"],
+                    default="parquet", dest="output_format")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_embeddings)
 

@@ -226,6 +226,8 @@ def run_action(
         )
     if action == "winnow":
         return text_ops.winnow_fingerprints(docs, text_col=text_col, id_col=id_col)
+    if action == "materialize":
+        return materialize(docs, text_col=text_col, id_col=id_col)
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),

@@ -501,3 +501,24 @@ def test_cli_corpus_winnow_and_tokens(tmp_path, capsys):
     assert "n_subword_tokens" in out
     assert main(["corpus", "winnow", "--input", src]) == 0
     assert "fp" in capsys.readouterr().out
+
+
+def test_cli_corpus_jsonl_export_and_materialize(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "jdocs.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox is running here and it is fine today ok", "s")
+         for i in range(8)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "out.jsonl")
+    assert main(["corpus", "redact", "--input", src, "--output", dst,
+                 "--output-format", "jsonl"]) == 0
+    out = capsys.readouterr().out
+    assert "(jsonl)" in out
+    assert spark.read.json(dst).count() == 8
+    assert main(["corpus", "materialize", "--input", src]) == 0
+    assert "text" in capsys.readouterr().out

@@ -60,3 +60,18 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_headline_gates_exist_with_oracles():
+    """bench.py crashes the driver's whole perf evidence if a HEADLINE
+    name drifts from the registry (the r3 failure mode, different
+    cause). Pin: every headline query is a registered gate with an
+    oracle, and the flagship entry() gate is among them."""
+    import bench
+
+    qs, os_ = queries(), oracles()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    no_oracle = [n for n in bench.HEADLINE if n not in os_]
+    assert not no_oracle, no_oracle
+    assert "q1_pricing_summary" in bench.HEADLINE

@@ -369,3 +369,47 @@ def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@gate(
+    "ts_error_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE event_type = 'error'
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def ts_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE days
+    with at least one error, plus how many distinct streaks. The classic
+    island key (day minus row_number-as-days) turns consecutiveness into
+    an equality group — one user-keyed window then two keyed aggs, all
+    on the distinct (user, day) table which is bounded by users x days
+    regardless of raw event volume."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -810,3 +810,93 @@ def x_winnow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subword_tokens",
         F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
     )
+
+
+@gate(
+    "x_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document (the cheap perplexity
+    proxy curation pipelines use to drop gibberish): mean ln(corpus
+    unigram probability) over the doc's tokens. The vocabulary table is
+    token-distinct — tiny next to the corpus — so it broadcasts; the
+    only corpus-sized shuffles are the frequency count and the per-doc
+    mean, both map-side combinable."""
+    docs = table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode("t").alias("w"))
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@gate(
+    "x_source_kl",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOK}) AS w FROM documents),
+    src AS (SELECT source, w, count(*) AS c FROM tok GROUP BY ALL),
+    src_tot AS (SELECT source, sum(c) AS n FROM src GROUP BY source),
+    corpus AS (SELECT w, count(*) AS cc FROM tok GROUP BY w),
+    corpus_tot AS (SELECT sum(cc) AS nn FROM corpus)
+    SELECT s.source,
+           round(sum((CAST(s.c AS DOUBLE) / t.n)
+                     * ln((CAST(s.c AS DOUBLE) / t.n)
+                          / (CAST(g.cc AS DOUBLE) / ct.nn))), 6) AS kl_vs_corpus
+    FROM src s
+    JOIN src_tot t ON s.source = t.source
+    JOIN corpus g ON s.w = g.w
+    CROSS JOIN corpus_tot ct
+    GROUP BY s.source
+    """,
+)
+def x_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token distribution vs the whole
+    corpus — the domain-shift audit behind source-mixing decisions
+    (a source with high KL is out-of-distribution). Every term in the
+    sum exists on both sides by construction (a source's tokens are a
+    subset of the corpus's), so no smoothing is needed and both engines
+    compute the identical finite sum. Distributions are (source, token)
+    aggregates — dimension-sized — so every join past the first count
+    is broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.select("source", text.tokens(F.col("text")).alias("t"))
+        .repartition(parallelism, "source")
+        .select("source", F.explode("t").alias("w"))
+    )
+    src = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("nn")
+    return (
+        src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "w")
+        .join(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+    )

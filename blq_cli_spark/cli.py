@@ -2162,7 +2162,7 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus_action",
         choices=["profile", "quality", "redact", "funnel", "dedup",
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
-                 "materialize"],
+                 "materialize", "score", "source-kl"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

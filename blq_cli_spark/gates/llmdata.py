@@ -827,28 +827,12 @@ def x_winnow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model score per document (the cheap perplexity
-    proxy curation pipelines use to drop gibberish): mean ln(corpus
-    unigram probability) over the doc's tokens. The vocabulary table is
-    token-distinct — tiny next to the corpus — so it broadcasts; the
-    only corpus-sized shuffles are the frequency count and the per-doc
-    mean, both map-side combinable."""
-    docs = table(spark, sf_dir, "documents")
-    parallelism = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
-        .repartition(parallelism, "doc_id")
-        .select("doc_id", F.explode("t").alias("w"))
-    )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = freq.agg(F.sum("c").alias("n"))
-    return (
-        toks.join(F.broadcast(freq), "w")
-        .join(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"),
-        )
+    proxy curation pipelines use to drop gibberish) — see
+    operators/quality.py unigram_logprob for the scale notes."""
+    from blq_cli_spark.operators import quality
+
+    return quality.unigram_logprob(table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
     )
 
 
@@ -873,30 +857,8 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence of the token distribution vs the whole
-    corpus — the domain-shift audit behind source-mixing decisions
-    (a source with high KL is out-of-distribution). Every term in the
-    sum exists on both sides by construction (a source's tokens are a
-    subset of the corpus's), so no smoothing is needed and both engines
-    compute the identical finite sum. Distributions are (source, token)
-    aggregates — dimension-sized — so every join past the first count
-    is broadcast."""
-    docs = table(spark, sf_dir, "documents")
-    parallelism = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.select("source", text.tokens(F.col("text")).alias("t"))
-        .repartition(parallelism, "source")
-        .select("source", F.explode("t").alias("w"))
-    )
-    src = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
-    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
-    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
-    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
-    p = F.col("c") / F.col("n")
-    q = F.col("cc") / F.col("nn")
-    return (
-        src.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(corpus), "w")
-        .join(F.broadcast(corpus_tot))
-        .groupBy("source")
-        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
-    )
+    corpus — the domain-shift audit behind source-mixing decisions; see
+    operators/quality.py source_kl for the scale notes."""
+    from blq_cli_spark.operators import quality
+
+    return quality.source_kl(table(spark, sf_dir, "documents"))

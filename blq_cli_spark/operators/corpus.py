@@ -228,6 +228,10 @@ def run_action(
         return text_ops.winnow_fingerprints(docs, text_col=text_col, id_col=id_col)
     if action == "materialize":
         return materialize(docs, text_col=text_col, id_col=id_col)
+    if action == "score":
+        return quality.unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    if action == "source-kl":
+        return quality.source_kl(docs, text_col=text_col, source_col=source_col)
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),

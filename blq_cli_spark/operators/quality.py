@@ -178,3 +178,61 @@ def decontaminate(
         )
         .filter(F.col("n_gram_hits") >= min_overlap)
     )
+
+
+# --- distribution-based quality signals --------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean ln(corpus unigram probability) per document — the cheap
+    perplexity proxy for gibberish filtering. The vocabulary (distinct
+    tokens) broadcasts; the corpus-sized shuffles (frequency count,
+    per-doc mean) are map-side combinable."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+        .repartition(parallelism, "id")
+        .select("id", F.explode("t").alias("w"))
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def source_kl(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source KL divergence of the token distribution against the
+    whole corpus — the domain-shift audit behind source-mix decisions.
+    Exact finite sum: a source's token support is a subset of the
+    corpus's, so no smoothing term is needed. All post-count joins are
+    broadcast (distributions are dimension-sized)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(source_col).alias("source"), tokens(F.col(text_col)).alias("t"))
+        .repartition(parallelism, "source")
+        .select("source", F.explode("t").alias("w"))
+    )
+    src = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("nn")
+    return (
+        src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "w")
+        .join(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+    )

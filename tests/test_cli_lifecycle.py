@@ -522,3 +522,19 @@ def test_cli_corpus_jsonl_export_and_materialize(tmp_path, capsys):
     assert spark.read.json(dst).count() == 8
     assert main(["corpus", "materialize", "--input", src]) == 0
     assert "text" in capsys.readouterr().out
+
+
+def test_cli_corpus_score_and_source_kl(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "sdocs.parquet")
+    spark.createDataFrame(
+        [(1, "common common common words", "a"), (2, "rare tokens here now", "b")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    assert main(["corpus", "score", "--input", src]) == 0
+    assert "avg_logprob" in capsys.readouterr().out
+    assert main(["corpus", "source-kl", "--input", src]) == 0
+    assert "kl_vs_corpus" in capsys.readouterr().out

@@ -32,6 +32,13 @@ PROBES = [
     "x_quantized_embeddings",
     "x_source_mix",
     "q19_brand_size_quantity",
+    "x_unigram_logprob",
+    "x_source_kl",
+    "x_winnow_tokens",
+    "ts_funnel_conversion",
+    "ts_cohort_retention",
+    "ts_anomaly_days",
+    "ts_error_streaks",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -34,7 +34,8 @@ _TOOLS: dict[str, tuple[Callable, str]] = {}
 # SAFE_MODE_DISABLED_TOOLS): everything that executes commands, runs raw
 # SQL, mutates the registry, or deletes data.
 SAFE_MODE_DISABLED_TOOLS = frozenset(
-    {"exec", "run", "query", "register", "unregister", "maintain", "corpus"}
+    {"exec", "run", "query", "register", "unregister", "maintain",
+     "corpus", "embeddings"}  # corpus/embeddings read+write arbitrary paths
 )
 
 
@@ -509,6 +510,56 @@ def _corpus(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
     )
+    if output:
+        out.write.mode("overwrite").parquet(output)
+        return {"written": output, "rows": store.spark.read.parquet(output).count()}
+    return {"rows": _rows(out, limit)}
+
+
+@tool("embeddings", "Similarity/ANN ops over an embedding parquet "
+      "(topk exact|lsh|ivf|quantized, quantize, neardup)")
+def _embeddings(
+    store: LogStore,
+    action: str,
+    input: str,
+    queries: str | None = None,
+    n_queries: int = 8,
+    k: int = 5,
+    method: str = "exact",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    output: str | None = None,
+    limit: int = 50,
+) -> dict:
+    """Serve twin of the `embeddings` CLI verb (cli.py cmd_embeddings)."""
+    from blq_cli_spark.operators import similarity
+
+    spark = store.spark
+    emb = spark.read.parquet(input)
+    if action == "quantize":
+        out = similarity.quantize_embeddings(emb, vec_col=vec_col, id_col=id_col)
+    elif action == "topk":
+        qdf = (
+            spark.read.parquet(queries)
+            if queries
+            else emb.orderBy(id_col).limit(n_queries)
+        )
+        if method == "lsh":
+            out = similarity.lsh_bucket_topk(emb, qdf, k=k, id_col=id_col, vec_col=vec_col)
+        elif method == "ivf":
+            out = similarity.ivf_topk(emb, qdf, k=k, id_col=id_col, vec_col=vec_col)
+        elif method == "quantized":
+            out = similarity.cosine_topk_quantized(
+                similarity.quantize_embeddings(emb, vec_col=vec_col, id_col=id_col),
+                qdf, k=k, id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            out = similarity.cosine_topk(emb, qdf, k=k, id_col=id_col, vec_col=vec_col)
+    elif action == "neardup":
+        out = similarity.neardup_pairs(emb, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown embeddings action: {action}")
     if output:
         out.write.mode("overwrite").parquet(output)
         return {"written": output, "rows": store.spark.read.parquet(output).count()}

@@ -326,3 +326,17 @@ def test_disabled_tools_and_safe_mode(tmp_path, spark, monkeypatch, capsys):
     # enabled tools still dispatch normally under a disabled set
     ok = serve.dispatch(st, "status", {}, disabled=disabled)
     assert ok["ok"]
+
+
+def test_embeddings_tool(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "embstore"))
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    resp = serve.dispatch(st, "embeddings", {"action": "topk", "input": src, "k": 3})
+    assert resp["ok"]
+    rows = resp["result"]["rows"]
+    assert rows and {"qid", "nid", "cos", "rn"} <= set(rows[0])
+    resp = serve.dispatch(st, "embeddings", {"action": "quantize", "input": src,
+                                             "output": str(tmp_path / "q.parquet")})
+    assert resp["ok"] and resp["result"]["rows"] == 500
+    resp = serve.dispatch(st, "embeddings", {"action": "nope", "input": src})
+    assert not resp["ok"]

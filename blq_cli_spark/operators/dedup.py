@@ -452,3 +452,59 @@ def lsh_candidates_against(
         )
     )
     return batch_pairs.unionByName(cross_cold).unionByName(cross_hot).distinct()
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded hamming search (Manku et al.,
+    WWW'07): split each simhash into `bands` contiguous bit blocks; by
+    pigeonhole, two hashes within hamming distance < `bands` share at
+    least one identical block, so an equi-join on (band_idx, block
+    value) finds every candidate without an all-pairs pass. The exact
+    hamming distance (bit_count of xor) then filters candidates.
+
+    Requires max_hamming < bands for the completeness guarantee.
+    Returns (id_a, id_b, hamming). Scale shape: the block value is a
+    well-distributed join key (simhash bits are balanced by
+    construction), so the self-join is near-linear like MinHash-LSH."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    block = bits // bands
+    sim = simhash_df(df, text_col, id_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.shiftright(F.col("simhash"), bi * block)
+            .bitwiseAND(F.lit((1 << block) - 1))
+            .alias("val"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sim.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", "simhash", "b.band_idx", "b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -266,3 +266,33 @@ def test_lsh_candidate_recall_vs_exact_jaccard(spark):
     assert recall >= 0.9, (recall, len(truth), len(cands))
     # precision guard: candidates stay within a small multiple of truth
     assert len(cands) <= 10 * len(truth), len(cands)
+
+
+def test_simhash_candidates_pigeonhole_completeness(spark):
+    """The banded join must find EVERY pair within the hamming radius:
+    compare against the brute-force all-pairs hamming computation on a
+    small corpus, and reject configs that break the pigeonhole guarantee."""
+    import itertools
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from blq_cli_spark.operators import dedup as dedup_ops
+    from blq_cli_spark.sources.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    sim = {r["id"]: r["simhash"] for r in dedup_ops.simhash_df(docs, bits=32).collect()}
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sim), 2)
+        if bin(sim[a] ^ sim[b]).count("1") <= 1
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.simhash_candidates(
+            docs, bits=32, bands=2, max_hamming=1
+        ).collect()
+    }
+    assert got == truth
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup_ops.simhash_candidates(docs, bits=32, bands=2, max_hamming=2)

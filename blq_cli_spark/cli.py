@@ -1130,6 +1130,7 @@ def cmd_corpus(args) -> int:
         default_rate=args.default_rate,
         benchmark=bench,
         ngram=args.ngram,
+        method=args.dedup_method,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2175,6 +2176,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],
                     default="parquet", dest="output_format")
+    sp.add_argument("--method", choices=["minhash", "simhash"],
+                    default="minhash", dest="dedup_method",
+                    help="dedup: candidate-generation strategy")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -115,6 +115,7 @@ def neardup_dedup(
     bands: int = 4,
     hot_bucket_cap: int = 256,
     score: Column | None = None,
+    method: str = "minhash",
 ) -> DataFrame:
     """End-to-end fuzzy deduplication in one call — the composed
     pipeline a training-data run actually executes:
@@ -132,9 +133,18 @@ def neardup_dedup(
     lsh_candidates_against to skip re-hashing the existing corpus."""
     from blq_cli_spark.operators import dedup as dedup_ops
 
-    pairs = dedup_ops.minhash_lsh_candidates(
-        docs, text_col, id_col, n, num_hashes, bands, hot_bucket_cap
-    )
+    if method == "simhash":
+        # banded hamming search: same near-linear self-join shape, one
+        # integer fingerprint per doc instead of k minhashes
+        pairs = dedup_ops.simhash_candidates(
+            docs, text_col, id_col, bits=32, bands=2, max_hamming=1
+        ).select("id_a", "id_b")
+    elif method == "minhash":
+        pairs = dedup_ops.minhash_lsh_candidates(
+            docs, text_col, id_col, n, num_hashes, bands, hot_bucket_cap
+        )
+    else:
+        raise ValueError(f"unknown dedup method: {method}")
     clusters = dedup_ops.dedup_clusters(pairs)
     return dedup_ops.dedup_representatives(
         docs, clusters, id_col=id_col, score=score
@@ -194,6 +204,7 @@ def run_action(
     default_rate: float = 0.0,
     benchmark: DataFrame | None = None,
     ngram: int = 4,
+    method: str = "minhash",
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -210,7 +221,7 @@ def run_action(
     if action == "funnel":
         return funnel_stats(docs, text_col=text_col, id_col=id_col)
     if action == "dedup":
-        return neardup_dedup(docs, text_col=text_col, id_col=id_col)
+        return neardup_dedup(docs, text_col=text_col, id_col=id_col, method=method)
     if action == "exact-dedup":
         return dedup_ops.exact_duplicates(docs, text_col=text_col, id_col=id_col)
     if action == "mix":

@@ -132,3 +132,21 @@ def test_mix_sources_unknown_source_uses_default_rate(spark):
     )
     assert corpus.mix_sources(docs, {"s0": 1.0}).count() == 0  # default 0.0
     assert corpus.mix_sources(docs, {}, default_rate=1.0).count() == 100
+
+
+def test_neardup_dedup_simhash_method(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "completely different text with other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = corpus.neardup_dedup(docs, method="simhash")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 3 in ids and len(ids & {1, 2}) == 1  # identical pair collapsed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dedup method"):
+        corpus.neardup_dedup(docs, method="nope")

@@ -902,3 +902,28 @@ def x_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@gate(
+    "x_binary_content_address",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def x_binary_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column content addressing, oracle-checked: documents encode
+    to a binary column (the multimodal data model's opaque payload —
+    multimodal/binary.py; the store's blob sink uses the same sha-256
+    identity, sources/store.py write_output) and both engines must agree
+    on byte length and digest. JVM-side end to end: encode/octet_length/
+    sha2 are codegen'd expressions, no Python."""
+    docs = table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )

@@ -1,0 +1,87 @@
+"""Differential oracle for the STORE macro library: the driver's static
+tables can't exercise LogStore views, so this suite writes a real store
+and checks `load_runs` / `load_events` against DuckDB SQL over the same
+parquet files — the store macros get the same engine-vs-engine evidence
+the gate catalog gives the driver tables."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from blq_cli_spark.sources.store import LogStore
+from tests.fixtures_blq import make_runs_and_events
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oracle_store") / "bird")
+    st = LogStore(spark, root)
+    runs, events = make_runs_and_events()
+    by_run: dict[str, list] = {}
+    for ev in events:
+        by_run.setdefault(ev["invocation_id"], []).append(ev)
+    for run in runs:
+        st.append_run(run, by_run.get(run["id"], []))
+    con = duckdb.connect()
+    for t in ("runs", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(root, t)}/*/*.parquet', hive_partitioning=1)"
+        )
+    return st, con
+
+
+def test_load_runs_counts_match_duckdb(seeded):
+    st, con = seeded
+    got = {
+        r["id"]: (
+            r["n_events"], r["n_errors"], r["n_warnings"],
+            r["n_unique_errors"], r["badge"],
+        )
+        for r in st.runs_loaded().collect()
+    }
+    want = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(
+            """
+            SELECT r.id,
+                   coalesce(c.n_events, 0), coalesce(c.n_errors, 0),
+                   coalesce(c.n_warnings, 0), coalesce(c.n_unique, 0),
+                   CASE WHEN r.exit_code IS NULL THEN '?'
+                        WHEN r.exit_code = 0 THEN 'ok'
+                        WHEN r.exit_code < 0 THEN 'killed'
+                        ELSE 'fail' END AS badge
+            FROM runs r
+            LEFT JOIN (
+              SELECT invocation_id,
+                     count(*) AS n_events,
+                     count(*) FILTER (severity = 'error') AS n_errors,
+                     count(*) FILTER (severity = 'warning') AS n_warnings,
+                     count(DISTINCT fingerprint)
+                       FILTER (severity = 'error') AS n_unique
+              FROM events GROUP BY invocation_id
+            ) c ON c.invocation_id = r.id
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 8
+
+
+def test_load_events_run_serial_mapping_matches_duckdb(seeded):
+    st, con = seeded
+    got = {
+        (r["id"], r["run_serial"], r["source_name"])
+        for r in st.events_flat().select("id", "run_serial", "source_name").collect()
+    }
+    want = set(
+        con.execute(
+            """
+            SELECT e.id, r.run_serial, r.source_name
+            FROM events e JOIN runs r ON e.invocation_id = r.id
+            """
+        ).fetchall()
+    )
+    assert got == want and got

@@ -85,3 +85,43 @@ def test_load_events_run_serial_mapping_matches_duckdb(seeded):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_load_attempts_status_matches_duckdb(spark, tmp_path):
+    from tests.fixtures_blq import make_attempts_and_outcomes
+
+    st = LogStore(spark, str(tmp_path / "bird_att"))
+    attempts, outcomes = make_attempts_and_outcomes()
+    for att in attempts:
+        st.start_attempt(att)
+    for out in outcomes:
+        st.complete_attempt(out["attempt_id"], out)
+    got = {
+        r["id"]: (r["status"], r["badge"])
+        for r in st.attempts_loaded().select("id", "status", "badge").collect()
+    }
+    con = duckdb.connect()
+    root = st.root if hasattr(st, "root") else str(tmp_path / "bird_att")
+    for t in ("attempts", "outcomes"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(root, t)}/*/*.parquet', hive_partitioning=1)"
+        )
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            """
+            SELECT a.id,
+                   CASE WHEN o.attempt_id IS NULL THEN 'pending'
+                        WHEN o.exit_code IS NULL THEN 'orphaned'
+                        ELSE 'completed' END AS status,
+                   CASE WHEN o.exit_code IS NULL THEN '?'
+                        WHEN o.exit_code = 0 THEN 'ok'
+                        WHEN o.exit_code < 0 THEN 'killed'
+                        ELSE 'fail' END AS badge
+            FROM attempts a LEFT JOIN outcomes o ON o.attempt_id = a.id
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == len(attempts)
+    assert set(got.values()) >= {("pending", "?"), ("completed", "ok")}

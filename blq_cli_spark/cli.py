@@ -1093,6 +1093,19 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_anomalies(args) -> int:
+    """`blq-spark anomalies`: days whose error/warning volume deviates
+    from the trailing baseline (services.anomalous_days) — the
+    burst-detection view of the store."""
+    st = _store(args)
+    df = services.anomalous_days(
+        st, severity=args.severity, window_days=args.window,
+        threshold=args.threshold,
+    )
+    _emit(df, args)
+    return 0
+
+
 def cmd_corpus(args) -> int:
     """`blq-spark corpus ACTION --input X.parquet`: the training-data
     curation operators over an arbitrary parquet corpus — the same
@@ -2157,6 +2170,13 @@ def build_parser() -> argparse.ArgumentParser:
     msv = msb.add_parser("serve")
     msv.add_argument("--once", action="store_true")
     sp.set_defaults(fn=cmd_mcp)
+
+    sp = sub.add_parser("anomalies")
+    sp.add_argument("--severity", default="error",
+                    choices=["error", "warning", "info"])
+    sp.add_argument("--window", type=int, default=7, help="baseline days")
+    sp.add_argument("--threshold", type=float, default=1.5, help="sigma floor")
+    sp.set_defaults(fn=cmd_anomalies)
 
     sp = sub.add_parser("corpus")
     sp.add_argument(

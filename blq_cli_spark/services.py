@@ -408,3 +408,46 @@ def inspect_event(
             store, event["fingerprint"]
         )
     return result
+
+
+def anomalous_days(
+    store: LogStore,
+    severity: str = "error",
+    window_days: int = 7,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Days whose `severity` event count deviates >= `threshold` sigma
+    from the trailing `window_days` baseline (strictly preceding frame —
+    a spike never suppresses its own alert; same relational shape as the
+    ts_anomaly_days gate, here over the store's own events). The ordered
+    window runs on the per-day aggregate, which is tiny at any store
+    size; the daily count is map-side combinable and the date-partition
+    layout prunes the scan when a time range is applied upstream."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    daily = (
+        store.events()
+        .filter(F.col("severity") == severity)
+        .groupBy(F.col("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
+    scored = daily.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            F.col("sigma").isNotNull() & (F.col("sigma") > 0) & (F.abs(z) >= threshold)
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias(f"n_{severity}s"),
+            F.round(z, 2).alias("zscore"),
+        )
+        .orderBy("day")
+    )

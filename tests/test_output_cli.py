@@ -537,3 +537,27 @@ def test_cli_sql_explain_prints_plan(cli_store, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_cli_anomalies_flags_burst_day(spark, tmp_path, capsys):
+    """Seed 10 quiet days then one burst day: the burst must be flagged
+    and the quiet days must not."""
+    import datetime as dt
+
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "astore"))
+    base = dt.datetime(2026, 5, 1, 10)
+    for i in range(11):
+        day = base + dt.timedelta(days=i)
+        n_err = 20 if i == 10 else (2 + i % 2)
+        st.append_run(
+            {"cmd": "build", "timestamp": day, "date": day.date(),
+             "source_name": "build", "exit_code": 1},
+            [{"severity": "error", "message": f"e{j}", "event_type": "diagnostic"}
+             for j in range(n_err)],
+        )
+    assert main(["--store", str(tmp_path / "astore"), "anomalies"]) == 0
+    out = capsys.readouterr().out
+    assert "2026-05-11" in out
+    assert "2026-05-05" not in out

@@ -340,3 +340,19 @@ def test_embeddings_tool(tmp_path, spark):
     assert resp["ok"] and resp["result"]["rows"] == 500
     resp = serve.dispatch(st, "embeddings", {"action": "nope", "input": src})
     assert not resp["ok"]
+
+
+def test_cli_serve_safe_mode_list_tools(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+
+    store = str(tmp_path / "smstore")
+    assert main(["--store", store, "serve", "--list-tools", "--safe-mode"]) == 0
+    names = {t["name"] for t in json.loads(capsys.readouterr().out)}
+    assert "status" in names and "events" in names
+    assert not (names & serve.SAFE_MODE_DISABLED_TOOLS)
+
+    # --disabled-tools CSV composes with safe mode
+    assert main(["--store", store, "serve", "--list-tools",
+                 "--disabled-tools", "status,history"]) == 0
+    names = {t["name"] for t in json.loads(capsys.readouterr().out)}
+    assert "status" not in names and "history" not in names and "exec" in names

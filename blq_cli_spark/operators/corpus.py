@@ -137,7 +137,13 @@ def neardup_dedup(
         # banded hamming search: same near-linear self-join shape, one
         # integer fingerprint per doc instead of k minhashes
         pairs = dedup_ops.simhash_candidates(
-            docs, text_col, id_col, bits=32, bands=2, max_hamming=1
+            docs,
+            text_col,
+            id_col,
+            bits=32,
+            bands=2,
+            max_hamming=1,
+            hot_bucket_cap=hot_bucket_cap,
         ).select("id_a", "id_b")
     elif method == "minhash":
         pairs = dedup_ops.minhash_lsh_candidates(

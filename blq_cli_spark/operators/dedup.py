@@ -17,7 +17,7 @@ Scale design (100 TB corpora):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from blq_cli_spark.operators import text as text_ops
 from blq_cli_spark.operators.text import fingerprint, tokens
@@ -461,6 +461,7 @@ def simhash_candidates(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    hot_bucket_cap: int = 256,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded hamming search (Manku et al.,
     WWW'07): split each simhash into `bands` contiguous bit blocks; by
@@ -471,8 +472,21 @@ def simhash_candidates(
 
     Requires max_hamming < bands for the completeness guarantee.
     Returns (id_a, id_b, hamming). Scale shape: the block value is a
-    well-distributed join key (simhash bits are balanced by
-    construction), so the self-join is near-linear like MinHash-LSH."""
+    well-distributed join key for organic text (simhash bits are
+    balanced by construction) — but a degenerate corpus slice
+    (empty/near-empty docs all hashing to simhash 0, or a
+    boilerplate-dominated shard) concentrates one block value and makes
+    that bucket's self-join quadratic. Buckets larger than
+    `hot_bucket_cap` therefore skip all-pairs and emit a STAR instead —
+    every member paired with the bucket's min-id representative, O(size)
+    pairs — exactly the discipline minhash_lsh_candidates applies. Star
+    pairs still carry the exact hamming distance and pass through the
+    same <= max_hamming filter, so no pair violating the threshold is
+    ever emitted; the (documented) recall cost is that two hot-bucket
+    members near each other but both far from the representative connect
+    only if another band's cold bucket catches them. Bucket sizes come
+    from a window count over the SAME (band_idx, val) key the self-join
+    shuffles on, so the guard adds no extra exchange."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     block = bits // bands
@@ -489,22 +503,47 @@ def simhash_candidates(
     banded = sim.select(
         "id", "simhash", F.explode(F.array(*band_cols)).alias("b")
     ).select("id", "simhash", "b.band_idx", "b.val")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+    # lineage cut: consumed by both self-join sides + the hot branch;
+    # without it the md5-heavy simhash pipeline re-runs per consumer
+    # (same rationale as minhash_lsh_candidates).
+    w = Window.partitionBy("band_idx", "val")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=False
+    )
+    cold = sized.filter(F.col("_bsz") <= hot_bucket_cap).drop("_bsz")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+            "hamming"
+        ),
+    )
+    hot = sized.filter(F.col("_bsz") > hot_bucket_cap)
+    hot_pairs = (
+        hot.join(
+            hot.groupBy("band_idx", "val").agg(
+                F.min_by(F.struct("id", "simhash"), "id").alias("_rep")
+            ),
+            ["band_idx", "val"],
         )
+        .filter(F.col("id") != F.col("_rep.id"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.least("id", F.col("_rep.id")).alias("id_a"),
+            F.greatest("id", F.col("_rep.id")).alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash").bitwiseXOR(F.col("_rep.simhash"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return pairs
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

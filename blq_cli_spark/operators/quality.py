@@ -187,9 +187,15 @@ def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Mean ln(corpus unigram probability) per document — the cheap
-    perplexity proxy for gibberish filtering. The vocabulary (distinct
-    tokens) broadcasts; the corpus-sized shuffles (frequency count,
-    per-doc mean) are map-side combinable."""
+    perplexity proxy for gibberish filtering.
+
+    Scale shape: the token-frequency table is CORPUS-DERIVED and
+    unbounded (a raw web corpus has billions of distinct tokens from
+    typos/hashes/URLs), so it must NOT be broadcast unconditionally —
+    the token join is a plain equi-join on `w` and AQE is free to
+    broadcast it only when it actually fits. Both corpus-sized shuffles
+    (frequency count, per-doc mean) are map-side combinable; the only
+    forced broadcast is the single-row grand total."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
@@ -199,7 +205,7 @@ def unigram_logprob(
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     return (
-        toks.join(F.broadcast(freq), "w")
+        toks.join(freq, "w")
         .join(F.broadcast(total))
         .groupBy("id")
         .agg(
@@ -215,8 +221,13 @@ def source_kl(
     """Per-source KL divergence of the token distribution against the
     whole corpus — the domain-shift audit behind source-mix decisions.
     Exact finite sum: a source's token support is a subset of the
-    corpus's, so no smoothing term is needed. All post-count joins are
-    broadcast (distributions are dimension-sized)."""
+    corpus's, so no smoothing term is needed.
+
+    Scale shape: per-source totals and the grand total ARE
+    dimension-sized (one row per source / one row overall) and broadcast;
+    the per-token corpus distribution is CORPUS-DERIVED and unbounded,
+    so that join stays a plain equi-join on `w` (AQE broadcasts it only
+    when it genuinely fits)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(source_col).alias("source"), tokens(F.col(text_col)).alias("t"))
@@ -231,7 +242,7 @@ def source_kl(
     q = F.col("cc") / F.col("nn")
     return (
         src.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(corpus), "w")
+        .join(corpus, "w")
         .join(F.broadcast(corpus_tot))
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))

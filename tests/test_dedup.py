@@ -296,3 +296,41 @@ def test_simhash_candidates_pigeonhole_completeness(spark):
     assert got == truth
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup_ops.simhash_candidates(docs, bits=32, bands=2, max_hamming=2)
+
+
+def test_simhash_hot_bucket_cap_degenerate_corpus(spark):
+    """VERDICT r4 ask #2: 10k identical docs hash to one simhash, so every
+    band bucket is degenerate — uncapped banded-hamming would emit
+    ~50M pairs per band. The star cap must bound output to O(n) pairs
+    (everyone paired with the min-id representative, hamming 0) while
+    keeping the bucket connected for downstream clustering."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate line every crawler shard emits").alias("text"),
+    )
+    pairs = dedup_ops.simhash_candidates(docs, bits=16, bands=4, max_hamming=3)
+    rows = pairs.collect()
+    assert len(rows) == n - 1, len(rows)  # star, not quadratic
+    assert all(r["id_a"] == "d00000" for r in rows)  # min-id representative
+    assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_simhash_cap_inherited_by_neardup_dedup(spark):
+    """neardup_dedup(method='simhash') must survive a degenerate corpus:
+    all-identical docs collapse to ONE surviving representative, and the
+    run completes in star-bounded time."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.range(2000).select(
+        F.format_string("d%05d", F.col("id")).alias("doc_id"),
+        F.lit("identical empty-ish shard boilerplate").alias("text"),
+    )
+    kept = corpus_ops.neardup_dedup(docs, method="simhash", hot_bucket_cap=64)
+    assert kept.count() == 1

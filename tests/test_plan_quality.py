@@ -294,3 +294,46 @@ def test_q22_recency_filter_pushes_to_orders_scan(spark):
     assert any("o_orderdate" in ln for ln in pushed), pushed
     tree = plan.split("\n\n")[0]
     assert "LeftAnti" in plan or "left_anti" in plan or "BroadcastHashJoin" in tree
+
+
+def test_unigram_vocab_join_is_not_hint_broadcast(spark):
+    """VERDICT r4 ask #1: the token-frequency table in unigram_logprob is
+    corpus-derived and unbounded, so it must NOT carry an unconditional
+    broadcast hint. With auto-broadcast disabled (hints would still force
+    a broadcast), the token join must plan as a shuffle join; only the
+    single-row total stays hinted."""
+    from blq_cli_spark.operators import quality
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("uniq"), F.col("id"), F.lit(" shared"), F.col("id") % 7
+        ).alias("text"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(quality.unigram_logprob(docs))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_source_kl_corpus_distribution_is_not_hint_broadcast(spark):
+    """Same discipline for source_kl: per-source totals (dimension-sized)
+    may broadcast, but the per-token corpus distribution join must be a
+    plain equi-join that degrades to shuffle when broadcast is off."""
+    from blq_cli_spark.operators import quality
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.concat(F.lit("tok"), F.col("id")).alias("text"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(quality.source_kl(docs))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

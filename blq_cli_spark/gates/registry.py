@@ -67,19 +67,18 @@ DRIVER_ORDER = [
     "q12_priority_by_status",
     "q14_promo_revenue",
     "q19_brand_size_quantity",
+    "q15_top_supplier",
+    "q22_dormant_customers",
     "w_serial_latest_suite",
     "w_analytics_suite",
     "o_sort_suite",
-    "o6_count_before_limit",
     "j2_left_join_counts",
     "j4_full_outer_diff",
     "j_small_suite",
     "a_stats_suite",
     "a_counts_suite",
     "a13_top10_by_group",
-    "a8_group_by_all",
-    "a_rollup_hierarchy",
-    "a_percentiles",
+    "a_olap_suite",
     "a_json_scalars_suite",
     "p_filter_suite",
     "p9_default_to_latest",
@@ -106,6 +105,7 @@ DRIVER_ORDER = [
     "x_dedup_clusters",
     "x_source_mix",
     "x_quantized_embeddings",
+    "x_lm_suite",
 ]
 
 

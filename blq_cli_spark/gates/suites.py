@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from blq_cli_spark.gates import (
     aggs,
+    analytics_ext,
+    context_ops,
     events_ts,
     llmdata,
     relational,
@@ -93,6 +95,9 @@ _SPECS = {
         ("global_scalars", aggs.a11_global_scalars,
          [("n_orders", "s"), ("n_customers", "s"), ("total_value", "d"),
           ("missing_total", "d"), ("max_orderkey", "s")]),
+        # round 5: folded in to free a driver-window slot for x_lm_suite
+        ("count_page", context_ops.o6_count_before_limit,
+         [("total_count", "s"), ("page_json", "s")]),
     ],
     # round 4: three merges freeing driver-window slots for the new
     # flagship gates (quality suite, dedup clusters, source mix,
@@ -126,6 +131,33 @@ _SPECS = {
          [("s_suppkey", "s"), ("s_name", "s")]),
         ("range_buckets", relational.j7_range_join_buckets,
          [("label", "s"), ("n", "s"), ("total", "d")]),
+    ],
+    # round 5: driver-window rotation (VERDICT r4 ask #3) — the round-4
+    # additions (grouping sets, pivot, winnowing, unigram LM, source KL)
+    # get driver-hash rows via two union-suites; rollup/percentiles/
+    # group-by-all fold into the OLAP suite to free the slots
+    "a_olap_suite": [
+        ("grouping_sets", analytics_ext.a_grouping_sets,
+         [("priority", "s"), ("status", "s"), ("n_orders", "s"),
+          ("total_price", "d")]),
+        ("pivot", analytics_ext.a_pivot_status_by_priority,
+         [("priority", "s"), ("n_open", "s"), ("n_filled", "s"),
+          ("n_partial", "s")]),
+        ("rollup", aggs.a_rollup_hierarchy,
+         [("event_type", "s"), ("user_bucket", "s"), ("n", "s"),
+          ("total", "d"), ("gid", "s")]),
+        ("percentiles", aggs.a_percentiles,
+         [("event_type", "s"), ("p50", "d"), ("p95", "d"), ("p99", "d")]),
+        ("group_by_all", context_ops.a8_group_by_all,
+         [("event_type", "s"), ("day", "s"), ("n", "s"), ("total", "d")]),
+    ],
+    "x_lm_suite": [
+        ("winnow", llmdata.x_winnow_tokens,
+         [("doc_id", "s"), ("n_subword_tokens", "s"), ("n_fingerprints", "s")]),
+        ("unigram", llmdata.x_unigram_logprob,
+         [("doc_id", "s"), ("n_tokens", "s"), ("avg_logprob", "d")]),
+        ("source_kl", llmdata.x_source_kl,
+         [("source", "s"), ("kl_vs_corpus", "d")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -176,6 +208,15 @@ _MEMBER_GATE = {
     "anti": "j5_anti_join",
     "semi": "j_semi_join",
     "range_buckets": "j7_range_join_buckets",
+    "count_page": "o6_count_before_limit",
+    "grouping_sets": "a_grouping_sets",
+    "pivot": "a_pivot_status_by_priority",
+    "rollup": "a_rollup_hierarchy",
+    "percentiles": "a_percentiles",
+    "group_by_all": "a8_group_by_all",
+    "winnow": "x_winnow_tokens",
+    "unigram": "x_unigram_logprob",
+    "source_kl": "x_source_kl",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -1125,7 +1125,15 @@ def cmd_corpus(args) -> int:
         try:
             rates = _json.loads(args.rates or "")
         except ValueError:
-            print("corpus mix: --rates must be a JSON object", file=sys.stderr)
+            rates = None
+        if not isinstance(rates, dict) or not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in rates.values()
+        ):
+            print(
+                "corpus mix: --rates must be a JSON object of numbers",
+                file=sys.stderr,
+            )
             return 2
     bench = None
     if args.corpus_action == "decontaminate":
@@ -1764,18 +1772,26 @@ def cmd_serve(args) -> int:
 
     import json as _json
 
+    # ADVICE r4: listing is static metadata — don't pay SparkSession
+    # startup for it. config_get only touches store.root, so the
+    # root-only shim feeds the store-config disable source too.
+    if args.list_prompts:
+        print(_json.dumps(serve.list_prompts(), indent=2))
+        return 0
+    if args.list_tools:
+        disabled = serve.resolve_disabled_tools(
+            cli_disabled=getattr(args, "disabled_tools", None),
+            safe_mode=getattr(args, "safe_mode", False),
+            store=_store_shim(args),
+        )
+        print(_json.dumps(serve.list_tools(disabled), indent=2))
+        return 0
     st = _store(args)
     disabled = serve.resolve_disabled_tools(
         cli_disabled=getattr(args, "disabled_tools", None),
         safe_mode=getattr(args, "safe_mode", False),
         store=st,
     )
-    if args.list_tools:
-        print(_json.dumps(serve.list_tools(disabled), indent=2))
-        return 0
-    if args.list_prompts:
-        print(_json.dumps(serve.list_prompts(), indent=2))
-        return 0
     return serve.serve_stdio(st, once=args.once, disabled=disabled)
 
 

@@ -496,6 +496,7 @@ def _corpus(
     default_rate: float = 0.0,
     benchmark: str | None = None,
     ngram: int = 4,
+    method: str = "minhash",
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -509,6 +510,7 @@ def _corpus(
     out = corpus_ops.run_action(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
+        method=method,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

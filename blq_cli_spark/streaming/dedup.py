@@ -163,35 +163,77 @@ def stream_neardup_ingest(
     a parquet table, not stream state — it outlives the query, is
     shared with the batch path (dedup.banded_signatures produces the
     identical layout), and its size never touches executor memory
-    (bucket-join only). Exactly-once appends come from the checkpoint +
-    idempotent-by-batch-id sink contract."""
+    (bucket-join only).
+
+    Delivery contract: foreachBatch is AT-LEAST-ONCE — after a crash the
+    last micro-batch replays with the SAME batch_id. The sink makes the
+    replay a no-op by stamping batch_id on BOTH outputs and skipping any
+    write whose batch_id is already present: a replayed batch recomputes
+    the identical pairs (the stored-signature side only advances once
+    this batch's own signatures commit, which happens last), so
+    re-checking per output also heals a crash that landed between the
+    two appends. Net effect: effectively-once rows in both tables, and
+    batch_id survives downstream as an audit/filter column."""
+    sink = neardup_sink(
+        signatures_path, flagged_path, text_col, id_col, n, num_hashes, bands
+    )
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def neardup_sink(
+    signatures_path: str,
+    flagged_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """The foreachBatch sink behind stream_neardup_ingest, exposed so the
+    idempotency contract is directly testable: calling the sink twice
+    with the same batch_id must be a no-op the second time."""
     from blq_cli_spark.operators import dedup as dedup_ops
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+
+        def _already(path: str) -> bool:
+            try:
+                prior = spark.read.parquet(path)
+            except Exception:
+                return False
+            if "batch_id" not in prior.columns:
+                return False
+            return bool(prior.filter(F.col("batch_id") == batch_id).take(1))
+
+        if _already(signatures_path):
+            return  # signatures commit last: batch fully applied
         try:
-            stored = spark.read.parquet(signatures_path)
+            stored = spark.read.parquet(signatures_path).drop("batch_id")
         except Exception:
             stored = None
-        if stored is not None:
-            pairs = dedup_ops.lsh_candidates_against(
-                batch_df, stored, text_col, id_col, n, num_hashes, bands
-            )
-        else:
-            pairs = dedup_ops.minhash_lsh_candidates(
-                batch_df, text_col, id_col, n, num_hashes, bands
-            )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            flagged_path
-        )
+        if not _already(flagged_path):
+            if stored is not None:
+                pairs = dedup_ops.lsh_candidates_against(
+                    batch_df, stored, text_col, id_col, n, num_hashes, bands
+                )
+            else:
+                pairs = dedup_ops.minhash_lsh_candidates(
+                    batch_df, text_col, id_col, n, num_hashes, bands
+                )
+            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(flagged_path)
         dedup_ops.banded_signatures(
             batch_df, text_col, id_col, n, num_hashes, bands
-        ).write.mode("append").parquet(signatures_path)
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            signatures_path
+        )
 
-    return (
-        docs_stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    return _sink

@@ -538,3 +538,19 @@ def test_cli_corpus_score_and_source_kl(tmp_path, capsys):
     assert "avg_logprob" in capsys.readouterr().out
     assert main(["corpus", "source-kl", "--input", src]) == 0
     assert "kl_vs_corpus" in capsys.readouterr().out
+
+
+def test_cli_corpus_mix_rejects_non_object_rates(tmp_path, capsys):
+    """ADVICE r4: valid-JSON non-objects ('[0.5]', '"web"') and
+    non-numeric values must exit 2 with the usage message, not crash."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="t-mix-validate")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a", "web")], "doc_id long, text string, source string"
+    ).write.parquet(src)
+    for bad in ("[0.5]", '"web"', '{"web": "high"}', '{"web": true}'):
+        assert main(["corpus", "mix", "--input", src, "--rates", bad]) == 2
+        assert "JSON object" in capsys.readouterr().err

@@ -356,3 +356,37 @@ def test_cli_serve_safe_mode_list_tools(tmp_path, capsys):
                  "--disabled-tools", "status,history"]) == 0
     names = {t["name"] for t in json.loads(capsys.readouterr().out)}
     assert "status" not in names and "history" not in names and "exec" in names
+
+
+def test_corpus_tool_simhash_method_reachable(tmp_path, spark):
+    """ADVICE r4: the serve corpus tool must forward the dedup `method`
+    param like the CLI verb does — simhash dedup over MCP."""
+    st = LogStore(spark, str(tmp_path / "simstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "identical boilerplate text for everyone") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    resp = serve.dispatch(
+        st, "corpus", {"action": "dedup", "input": src, "method": "simhash"}
+    )
+    assert resp["ok"], resp
+    assert len(resp["result"]["rows"]) == 1  # all docs collapse to one
+
+
+def test_cli_serve_listing_needs_no_spark(tmp_path, capsys, monkeypatch):
+    """ADVICE r4: --list-tools/--list-prompts print static metadata and
+    must not pay SparkSession startup: break the real store constructor
+    and assert listing still works."""
+    from blq_cli_spark import cli
+
+    def _boom(args):
+        raise AssertionError("listing must not construct the Spark store")
+
+    monkeypatch.setattr(cli, "_store", _boom)
+    store = str(tmp_path / "nostore")
+    assert cli.main(["--store", store, "serve", "--list-tools"]) == 0
+    names = {t["name"] for t in json.loads(capsys.readouterr().out)}
+    assert "status" in names
+    assert cli.main(["--store", store, "serve", "--list-prompts"]) == 0
+    assert json.loads(capsys.readouterr().out)

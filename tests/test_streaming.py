@@ -448,3 +448,44 @@ def test_stream_neardup_ingest_flags_cross_batch_dups(spark, tmp_path):
     assert not any({a, b} == {1, 2} for a, b in pairs)
     sig_ids = {r["id"] for r in spark.read.parquet(sig).select("id").distinct().collect()}
     assert sig_ids == {1, 2, 3}
+
+
+def test_neardup_sink_batch_replay_is_noop(spark, tmp_path):
+    """ADVICE r4: foreachBatch is at-least-once, so a crash-replayed
+    micro-batch re-invokes the sink with the SAME batch_id. The sink must
+    be idempotent: both outputs carry batch_id, and replay appends
+    nothing — including the partial-failure case where flagged committed
+    but signatures did not."""
+    from blq_cli_spark.streaming import dedup as sdedup
+
+    sig = str(tmp_path / "sigs")
+    flagged = str(tmp_path / "flagged")
+    sink = sdedup.neardup_sink(sig, flagged)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally different content words here now ok")],
+        "doc_id long, text string",
+    )
+    sink(b1, 0)
+    n_sig = spark.read.parquet(sig).count()
+    n_flag_files = spark.read.parquet(flagged).count()
+    # full replay of batch 0: nothing changes
+    sink(b1, 0)
+    assert spark.read.parquet(sig).count() == n_sig
+    assert spark.read.parquet(flagged).count() == n_flag_files
+    assert "batch_id" in spark.read.parquet(sig).columns
+
+    # batch 1 brings a near-dup of doc 1; then simulate the partial
+    # crash: flagged for batch 2 committed, signatures did not
+    b2 = spark.createDataFrame([(3, base + " tail")], "doc_id long, text string")
+    sink(b2, 1)
+    flagged_rows = spark.read.parquet(flagged).count()
+    assert {1, 2, 3} == {
+        r["id"] for r in spark.read.parquet(sig).select("id").distinct().collect()
+    }
+    sink(b2, 1)  # replay: no-op
+    assert spark.read.parquet(flagged).count() == flagged_rows
+    assert (
+        spark.read.parquet(sig).filter("batch_id = 1").select("id").distinct().count()
+        == 1
+    )

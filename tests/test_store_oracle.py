@@ -125,3 +125,74 @@ def test_load_attempts_status_matches_duckdb(spark, tmp_path):
     }
     assert got == want and len(got) == len(attempts)
     assert set(got.values()) >= {("pending", "?"), ("completed", "ok")}
+
+
+def test_concurrent_writers_lose_nothing_and_match_duckdb(spark, tmp_path):
+    """VERDICT r4 ask #5: N parallel append_run writers against ONE store.
+    Unsynchronized Spark append jobs share `_temporary` staging and lose
+    writes (measured 9/32 lost before the store-write lock); with the
+    lock every row must land exactly once, and the runs⋈events view must
+    still match DuckDB over the same files."""
+    import threading
+
+    root = str(tmp_path / "bird_concurrent")
+    n_threads, n_runs = 6, 3
+    errs: list = []
+
+    def writer(t: int) -> None:
+        try:
+            st = LogStore(spark, root)  # own instance: separate serial cache
+            for i in range(n_runs):
+                st.append_run(
+                    {"cmd": f"cmd-{t}-{i}", "exit_code": i % 2},
+                    events=[
+                        {"severity": "error" if i % 2 else "info",
+                         "message": f"msg-{t}-{i}"}
+                    ],
+                    output=f"output-{t}-{i}",
+                )
+        except Exception as e:  # surfaced below; a thread must not die silently
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    st = LogStore(spark, root)
+    expected = n_threads * n_runs
+    assert st.runs().count() == expected
+    assert st.runs().select("id").distinct().count() == expected
+    assert st.events().count() == expected
+
+    con = duckdb.connect()
+    for t in ("runs", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(root, t)}/*/*.parquet', hive_partitioning=1)"
+        )
+    got = {
+        (r["id"], r["n_events"], r["n_errors"], r["badge"])
+        for r in st.runs_loaded()
+        .select("id", "n_events", "n_errors", "badge")
+        .collect()
+    }
+    want = set(
+        con.execute(
+            """
+            SELECT r.id, coalesce(c.n, 0), coalesce(c.n_err, 0),
+                   CASE WHEN r.exit_code = 0 THEN 'ok' ELSE 'fail' END
+            FROM runs r
+            LEFT JOIN (
+              SELECT invocation_id, count(*) AS n,
+                     count(*) FILTER (severity = 'error') AS n_err
+              FROM events GROUP BY invocation_id
+            ) c ON c.invocation_id = r.id
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == expected
+    # the write lock is released afterwards, not leaked
+    assert not os.path.exists(os.path.join(root, "locks", "store-write.lock"))

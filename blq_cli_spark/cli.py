@@ -1118,6 +1118,10 @@ def cmd_corpus(args) -> int:
     from blq_cli_spark.operators import corpus as corpus_ops
     from blq_cli_spark.session import get_spark
 
+    if getattr(args, "signatures", None) and args.dedup_method != "minhash":
+        print("corpus dedup: --signatures requires --method minhash",
+              file=sys.stderr)
+        return 2
     spark = get_spark(app_name="blq-spark-corpus")
     docs = spark.read.parquet(args.input)
     rates = None
@@ -1152,6 +1156,7 @@ def cmd_corpus(args) -> int:
         benchmark=bench,
         ngram=args.ngram,
         method=args.dedup_method,
+        signatures=getattr(args, "signatures", None),
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2210,6 +2215,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--default-rate", type=float, default=0.0)
     sp.add_argument("--benchmark", help="decontaminate: benchmark parquet path")
     sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")
+    sp.add_argument("--signatures",
+                    help="dedup: persisted banded-signature parquet; dedup "
+                         "incrementally against it and append this batch's "
+                         "surviving signatures (minhash only)")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],
                     default="parquet", dest="output_format")
     sp.add_argument("--method", choices=["minhash", "simhash"],

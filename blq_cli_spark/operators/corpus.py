@@ -157,6 +157,51 @@ def neardup_dedup(
     )
 
 
+def incremental_neardup_dedup(
+    docs: DataFrame,
+    stored_banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hot_bucket_cap: int = 256,
+    score: Column | None = None,
+) -> DataFrame:
+    """Batch-over-batch fuzzy dedup against a PERSISTED signature table —
+    the production continuous-ingest shape (VERDICT r4 ask #7).
+
+    A batch doc that LSH-matches any stored doc is a duplicate of an
+    already-kept document and is dropped; the remainder goes through the
+    normal in-batch neardup pipeline. Only the NEW batch is hashed —
+    the stored corpus contributes its banded signatures via the bucket
+    equi-join in dedup.lsh_candidates_against, so per-batch cost is
+    O(|batch|) regardless of corpus size. Caller appends the survivors'
+    dedup.banded_signatures to the store afterwards (run_action does
+    this when given a signatures path)."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    pairs = dedup_ops.lsh_candidates_against(
+        docs, stored_banded, text_col, id_col, n, num_hashes, bands, hot_bucket_cap
+    )
+    stored_ids = stored_banded.select(F.col("id").alias("_sid")).distinct()
+    # every cross pair is one batch doc + one stored doc; the batch side
+    # is the duplicate (the stored side was already kept)
+    cross_a = pairs.join(
+        stored_ids, pairs.id_b == stored_ids._sid, "left_semi"
+    ).select(F.col("id_a").alias("_dup"))
+    cross_b = pairs.join(
+        stored_ids, pairs.id_a == stored_ids._sid, "left_semi"
+    ).select(F.col("id_b").alias("_dup"))
+    dup_ids = cross_a.unionByName(cross_b).distinct()
+    fresh = docs.join(
+        dup_ids, F.col(id_col) == F.col("_dup"), "left_anti"
+    )
+    return neardup_dedup(
+        fresh, text_col, id_col, n, num_hashes, bands, hot_bucket_cap, score=score
+    )
+
+
 def mix_sources(
     docs: DataFrame,
     rates: dict[str, float],
@@ -211,10 +256,17 @@ def run_action(
     benchmark: DataFrame | None = None,
     ngram: int = 4,
     method: str = "minhash",
+    signatures: str | None = None,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
-    the identical op set with identical semantics."""
+    the identical op set with identical semantics.
+
+    `signatures` (dedup only): parquet path of persisted
+    dedup.banded_signatures state. If present, the batch dedups
+    incrementally against it (incremental_neardup_dedup) instead of
+    recomputing the whole corpus; either way the survivors' signatures
+    are appended so the next batch sees everything kept so far."""
     from blq_cli_spark.operators import dedup as dedup_ops
     from blq_cli_spark.operators import quality
 
@@ -227,6 +279,31 @@ def run_action(
     if action == "funnel":
         return funnel_stats(docs, text_col=text_col, id_col=id_col)
     if action == "dedup":
+        if signatures:
+            if method != "minhash":
+                raise ValueError("incremental dedup (--signatures) is minhash-only")
+            spark = docs.sparkSession
+            try:
+                stored = spark.read.parquet(signatures)
+            except Exception:
+                stored = None
+            if stored is not None:
+                if "batch_id" in stored.columns:  # streaming-sink layout
+                    stored = stored.drop("batch_id")
+                kept = incremental_neardup_dedup(
+                    docs, stored, text_col=text_col, id_col=id_col
+                )
+            else:
+                kept = neardup_dedup(docs, text_col=text_col, id_col=id_col)
+            # materialize BEFORE appending: the kept plan reads the
+            # signatures path lazily, and appending this batch's own
+            # signatures first would make every survivor self-match on
+            # re-evaluation
+            kept = kept.localCheckpoint(eager=True)
+            dedup_ops.banded_signatures(
+                kept, text_col=text_col, id_col=id_col
+            ).write.mode("append").parquet(signatures)
+            return kept
         return neardup_dedup(docs, text_col=text_col, id_col=id_col, method=method)
     if action == "exact-dedup":
         return dedup_ops.exact_duplicates(docs, text_col=text_col, id_col=id_col)

@@ -497,6 +497,7 @@ def _corpus(
     benchmark: str | None = None,
     ngram: int = 4,
     method: str = "minhash",
+    signatures: str | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -510,7 +511,7 @@ def _corpus(
     out = corpus_ops.run_action(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
-        method=method,
+        method=method, signatures=signatures,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -1619,10 +1619,12 @@ def _subcommand_names() -> list[str]:
 
 
 def cmd_sandbox(args) -> int:
-    """`blq sandbox list|inspect|set|unset|suggest|tighten`: per-command
-    sandbox spec management (reference sandbox_cmd.py:13-330). list /
-    inspect / set / unset are config CRUD; suggest / tighten aggregate
-    observed run metrics with Spark (see blq_cli_spark/sandbox.py)."""
+    """`blq sandbox list|inspect|set|unset|suggest|tighten|profile`:
+    per-command sandbox spec management (reference sandbox_cmd.py:13-330
+    + cmd_sandbox_profile:207). list / inspect / set / unset are config
+    CRUD; suggest / tighten / profile aggregate observed run metrics
+    with Spark (see blq_cli_spark/sandbox.py; profile is the portable
+    degraded mode of the reference's strace profiler)."""
     import json as _json
 
     from blq_cli_spark import sandbox as sbx
@@ -1705,6 +1707,34 @@ def cmd_sandbox(args) -> int:
     if args.name not in store_mod.registered_commands(st):
         print(f"unknown command {args.name!r} (register it first)", file=sys.stderr)
         return 2
+    if action == "profile":
+        # degraded mode of the reference's strace profiler: report the
+        # rusage metrics recorded at execution time (see
+        # sandbox.profile_runs); skip cleanly when there's no evidence
+        rows = [r.asDict() for r in
+                sbx.profile_runs(st.runs(), args.name, last_n=args.last_n).collect()]
+        if not rows:
+            print(f"no runs found for {args.name!r}; run it a few times first")
+            return 1
+        observed, suggested = sbx.suggest_spec(st.runs(), args.name)
+        if args.json:
+            print(_json.dumps(
+                {"runs": rows, "observed": observed, "suggested": suggested},
+                indent=2, default=str,
+            ))
+            return 0
+        print(f"Profile of {args.name!r} ({observed['run_count']} run(s); "
+              "recorded rusage — no strace in this runtime):")
+        print(f"{'serial':>7} {'started':<20} {'exit':>5} {'wall_ms':>8} "
+              f"{'mem_peak':>9} {'cpu_ms':>8}")
+        for r in rows:
+            cpu_ms = r["cpu_usec"] // 1000 if r["cpu_usec"] is not None else None
+            print(f"{r['run_serial']:>7} {r['started']:<20} "
+                  f"{str(r['exit_code']):>5} {str(r['duration_ms']):>8} "
+                  f"{sbx.fmt_size(r['memory_peak_bytes']):>9} {str(cpu_ms):>8}")
+        print("Suggested sandbox spec:")
+        print(_json.dumps(suggested, indent=2))
+        return 0
     if action == "suggest":
         got = sbx.suggest_spec(st.runs(), args.name)
         if got is None:
@@ -2182,6 +2212,11 @@ def build_parser() -> argparse.ArgumentParser:
     stt = ssub.add_parser("tighten")
     stt.add_argument("name")
     stt.add_argument("--dry-run", action="store_true", dest="dry_run")
+    spf = ssub.add_parser("profile")
+    spf.add_argument("name")
+    spf.add_argument("-j", "--json", action="store_true")
+    spf.add_argument("-n", type=int, default=20, dest="last_n",
+                     help="most recent runs to show (default 20)")
     sp.set_defaults(fn=cmd_sandbox, json=False)
 
     sp = sub.add_parser("mcp")

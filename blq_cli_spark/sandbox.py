@@ -163,6 +163,33 @@ def observed_metrics(runs: DataFrame, source_name: str) -> DataFrame:
     )
 
 
+def profile_runs(runs: DataFrame, source_name: str, last_n: int = 20) -> DataFrame:
+    """Per-run resource profile for `sandbox profile` — the portable
+    degraded mode of the reference's strace profiler (cli.py:1359,
+    blq_sandbox/profile.py): no strace in this runtime, so the evidence
+    is each run's RECORDED rusage metrics (run_command stamps
+    $.metrics.* into extension_data at execution time) plus wall time
+    and exit code. Most-recent `last_n` runs; the filter and JSON
+    extraction stay JVM-side, the sort is a bounded top-k."""
+    return (
+        runs.filter(F.col("source_name") == source_name)
+        .select(
+            "run_serial",
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("started"),
+            "exit_code",
+            "duration_ms",
+            F.get_json_object("extension_data", "$.metrics.memory_peak_bytes")
+            .cast("long")
+            .alias("memory_peak_bytes"),
+            F.get_json_object("extension_data", "$.metrics.cpu_usage_usec")
+            .cast("long")
+            .alias("cpu_usec"),
+        )
+        .orderBy(F.desc("run_serial"))
+        .limit(last_n)
+    )
+
+
 def suggest_spec(runs: DataFrame, source_name: str) -> tuple[dict, dict] | None:
     """(observed, suggested-spec-dict) with the reference's headroom rules
     (2x memory, 2x cpu, 3x wall-clock timeout; sandbox_cmd.py:154-205),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime as dt
 import getpass
+import json
 import os
 import platform as _platform
 import shutil
@@ -26,6 +27,37 @@ import uuid
 
 from blq_cli_spark.sources import logparse
 from blq_cli_spark.sources.store import LogStore
+
+
+def _child_rusage():
+    """Snapshot of cumulative waited-children rusage (None where the
+    resource module is unavailable, e.g. non-POSIX)."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_CHILDREN)
+    except Exception:
+        return None
+
+
+def _rusage_metrics(before) -> dict | None:
+    """Child resource metrics in the extension_data layout sandbox
+    suggest/tighten/profile aggregate ($.metrics.memory_peak_bytes /
+    cpu_usage_usec — reference records the same keys from its sandbox
+    runner). CPU is the delta over the run's children; memory peak is
+    ru_maxrss (kilobytes on Linux) of the largest waited child — an
+    upper bound if this process ran bigger children earlier."""
+    after = _child_rusage()
+    if before is None or after is None:
+        return None
+    cpu_usec = int(
+        ((after.ru_utime + after.ru_stime) - (before.ru_utime + before.ru_stime))
+        * 1_000_000
+    )
+    return {
+        "memory_peak_bytes": int(after.ru_maxrss) * 1024,
+        "cpu_usage_usec": max(cpu_usec, 0),
+    }
 
 
 def _git_context(cwd: str) -> dict:
@@ -128,6 +160,7 @@ def _execute_and_store(
     live_log = os.path.join(live_dir, "combined.log")
 
     timed_out = False
+    ru_before = _child_rusage()
     with open(live_log, "wb") as sink:
         proc = subprocess.Popen(
             cmd, cwd=cwd, stdout=sink, stderr=subprocess.STDOUT
@@ -139,6 +172,7 @@ def _execute_and_store(
             proc.kill()
             proc.wait()
             exit_code, timed_out = None, True
+    metrics = _rusage_metrics(ru_before)
 
     completed = dt.datetime.now()
     duration_ms = int((completed - started).total_seconds() * 1000)
@@ -184,6 +218,7 @@ def _execute_and_store(
             "source_type": "run",
             "platform": _platform.system().lower(),
             "arch": _platform.machine(),
+            "extension_data": json.dumps({"metrics": metrics}) if metrics else None,
             **_git_context(cwd),
         },
         events=events,

@@ -169,3 +169,47 @@ def test_mcp_install_merge_and_marker_safety(tmp_path, capsys, monkeypatch):
     # corrupt json -> clean error
     open(".mcp.json", "w").write("{nope")
     assert main(["--store", store, "mcp", "install"]) == 2
+
+
+def test_cli_sandbox_profile_reports_recorded_metrics(sandbox_store, capsys):
+    """VERDICT r4 parity nit: `sandbox profile` in portable degraded mode
+    — per-run recorded rusage metrics + suggested spec; clean skip when
+    there is no run evidence."""
+    root = sandbox_store.root
+    assert main(["--store", root, "sandbox", "profile", "build"]) == 0
+    out = capsys.readouterr().out
+    assert "4 run(s)" in out and "Suggested sandbox spec" in out
+    assert "180m" in out  # peak memory of the heaviest run, humanized
+
+    assert main(["--store", root, "sandbox", "profile", "build", "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert len(data["runs"]) == 4
+    assert data["observed"]["max_memory_bytes"] == 180 << 20
+    assert data["suggested"]["memory"] == (180 << 20) * 2
+    # per-run rows carry the recorded metrics, newest first
+    mems = [r["memory_peak_bytes"] for r in data["runs"]]
+    assert None in mems and (180 << 20) in mems
+
+    # no-evidence path: registered but never run -> exit 1, not a crash
+    store_mod.register_command(sandbox_store, "deploy", ["./deploy.sh"])
+    assert main(["--store", root, "sandbox", "profile", "deploy"]) == 1
+    assert "no runs" in capsys.readouterr().out
+    # unknown command -> usage error
+    assert main(["--store", root, "sandbox", "profile", "zzz"]) == 2
+
+
+def test_run_command_records_rusage_metrics(spark, tmp_path):
+    """run_command must stamp $.metrics rusage into extension_data so
+    sandbox suggest/tighten/profile work on real runs end-to-end."""
+    from blq_cli_spark.sources import execution
+
+    st = LogStore(spark, str(tmp_path / "rusage_store"))
+    run = execution.run_command(st, ["python", "-c", "print('hi')"],
+                                source_name="hello")
+    row = st.runs().filter(f"id = '{run['id']}'").select("extension_data").first()
+    metrics = json.loads(row["extension_data"])["metrics"]
+    assert metrics["memory_peak_bytes"] > 0
+    assert metrics["cpu_usage_usec"] >= 0
+    # and the profile pipeline picks them up
+    prof = sbx.profile_runs(st.runs(), "hello").collect()
+    assert prof and prof[0]["memory_peak_bytes"] == metrics["memory_peak_bytes"]

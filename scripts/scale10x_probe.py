@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""10x scale probe for the round-4 operator families (VERDICT r4 ask #6).
+
+The driver's largest scale factor (sf0.1) is small enough that Spark's
+per-stage floor dominates, so sf0.01->sf0.1 ratios under-report the true
+data exponent. This probe generates SYNTHETIC corpora from one
+distribution at 1x (matching sf0.1's 5k docs / 2k embeddings) and 10x
+(50k docs / 20k embeddings), times each family at both sizes, and
+reports the measured scaling exponent  log10(t_10x / t_1x)  — 1.0 is
+perfectly linear, <1 is overhead-bound, >1.3 flags a super-linear term.
+
+Run from the repo root:  python scripts/scale10x_probe.py
+Writes nothing outside a temp dir; prints one table.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+DOCS_1X, EMB_1X, DIM = 5_000, 2_000, 64
+VOCAB = [f"w{i:04d}" for i in range(2_000)]
+SOURCES = ["web", "books", "code", "wiki"]
+LANGS = ["en", "de", "fr"]
+
+
+def make_docs(spark, n: int, path: str) -> None:
+    rng = random.Random(42)
+    rows = []
+    for i in range(n):
+        nw = rng.randint(8, 80)
+        words = [VOCAB[int(rng.paretovariate(1.1)) % len(VOCAB)] for _ in range(nw)]
+        if i % 37 == 0:  # planted near-dup mass for the dedup-ish ops
+            words = VOCAB[:20] + words[:5]
+        text = " ".join(words)
+        rows.append((i, text, LANGS[i % 3], SOURCES[i % 4], len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(32).write.mode("overwrite").parquet(path)
+
+
+def make_emb(spark, n: int, path: str) -> None:
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(DIM)], i % 10) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(32).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+    from blq_cli_spark.operators import quality, similarity
+    from blq_cli_spark.operators import text as text_ops
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="scale10x-probe")
+    tmp = tempfile.mkdtemp(prefix="scale10x_")
+    sizes = {"1x": (DOCS_1X, EMB_1X), "10x": (DOCS_1X * 10, EMB_1X * 10)}
+    for tag, (nd, ne) in sizes.items():
+        make_docs(spark, nd, f"{tmp}/docs_{tag}")
+        make_emb(spark, ne, f"{tmp}/emb_{tag}")
+    bench = spark.read.parquet(f"{tmp}/docs_1x").limit(100)
+    queries = spark.read.parquet(f"{tmp}/emb_1x").limit(20)
+
+    def probes(tag: str):
+        docs = spark.read.parquet(f"{tmp}/docs_{tag}")
+        emb = spark.read.parquet(f"{tmp}/emb_{tag}")
+        qd = similarity.quantize_embeddings(emb)
+        return {
+            "quality_repetition": lambda: quality.repetition_profile(docs),
+            "quality_pii": lambda: quality.pii_profile(docs),
+            "quality_decontaminate": lambda: quality.decontaminate(docs, bench),
+            "quality_unigram_logprob": lambda: quality.unigram_logprob(docs),
+            "quality_source_kl": lambda: quality.source_kl(docs),
+            "mix_sources": lambda: corpus_ops.mix_sources(
+                docs, {"web": 0.25, "books": 1.0, "code": 0.5}
+            ),
+            "winnow_fingerprints": lambda: text_ops.winnow_fingerprints(docs),
+            "quantize_embeddings": lambda: similarity.quantize_embeddings(emb),
+            "quantized_topk": lambda: similarity.cosine_topk_quantized(
+                qd, queries, k=5
+            ),
+            "simhash_candidates": lambda: __import__(
+                "blq_cli_spark.operators.dedup", fromlist=["x"]
+            ).simhash_candidates(docs),
+        }
+
+    # warm codegen/python workers on 1x (not timed)
+    for fn in probes("1x").values():
+        fn().count()
+
+    names = list(probes("1x"))
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for tag in sizes:
+        p = probes(tag)
+        for name in names:
+            best = min(_time_once(p[name]) for _ in range(2))
+            times[name][tag] = best
+    print(f"{'family':26s} {'1x':>9s} {'10x':>9s} {'exponent':>9s}")
+    for name in names:
+        t1, t10 = times[name]["1x"], times[name]["10x"]
+        exp = math.log10(max(t10, 1e-9) / max(t1, 1e-9))
+        print(f"{name:26s} {t1:8.3f}s {t10:8.3f}s {exp:9.2f}")
+    spark.stop()
+
+
+def _time_once(fn) -> float:
+    t0 = time.perf_counter()
+    fn().count()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

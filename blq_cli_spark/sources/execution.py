@@ -276,8 +276,7 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
     ]
     # run rows re-derived from their events; exported run_serial only
     # seeds the ordering — actual serials continue this store's sequence
-    base = store.next_serial() - 1
-    store._serial_cache = None
+    # (the block is reserved below, once the new-run count is known)
     order_cols = [F.col("_src_serial").asc_nulls_last()]
     if "timestamp" in flat.columns:
         order_cols.append(F.col("timestamp"))
@@ -297,7 +296,6 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
             if "run_serial" in flat.columns
             else F.lit(None).cast("bigint").alias("_src_serial"),
         )
-        .withColumn("run_serial", F.row_number().over(w) + F.lit(base))
         .withColumn("id", F.col("invocation_id"))
     )
     # an export tree may lack a timestamp column entirely — conform()
@@ -313,15 +311,23 @@ def migrate_from_export(store: LogStore, export_root: str) -> int:
     n = new_runs.count()
     if not n:
         return 0
-    conform(new_runs, schemas.RUNS_SCHEMA).write.mode("append").partitionBy(
-        "date"
-    ).parquet(store._path("runs"))
-    ev = new_events
-    if "date" not in ev.columns:
-        ev = _backfill_date(ev)
-    conform(ev, schemas.EVENTS_SCHEMA).write.mode("append").partitionBy(
-        "date"
-    ).parquet(store._path("events"))
+    # reserve the whole serial block at once (durable counter, unique
+    # across concurrent writers) and hold the store-write lock over the
+    # append jobs — same staging-collision discipline as LogStore._append
+    base = store.reserve_serials(n)
+    new_runs = new_runs.withColumn(
+        "run_serial", F.row_number().over(w) + F.lit(base)
+    )
+    with store._write_lock():
+        conform(new_runs, schemas.RUNS_SCHEMA).write.mode("append").partitionBy(
+            "date"
+        ).parquet(store._path("runs"))
+        ev = new_events
+        if "date" not in ev.columns:
+            ev = _backfill_date(ev)
+        conform(ev, schemas.EVENTS_SCHEMA).write.mode("append").partitionBy(
+            "date"
+        ).parquet(store._path("events"))
     return n
 
 

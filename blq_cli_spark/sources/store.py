@@ -20,10 +20,11 @@ Design decisions vs the reference:
   the tiny metadata write (a few rows per run), never a corpus-sized
   job, so ingest throughput is bounded by job latency, not data volume
   — the same single-writer contract as the reference, scoped to the
-  commit instead of the whole store. (run_serial assignment remains
-  best-effort under concurrency; see next_serial.)
+  commit instead of the whole store.
 - global run_serial via single-partition window (bird_schema.sql:288-295)
-  -> assigned HERE at ingest (max+1 over the tiny runs table), stored.
+  -> assigned HERE at ingest from a durable counter file advanced under
+  the same store-write lock (next_serial) — unique across concurrent
+  writer threads and processes, monotone across prunes.
 - content-addressing: BLAKE2b in the reference (bird.py:1323) -> sha256;
   the hash is an opaque key, parity not required (SURVEY.md F20).
   Inline threshold 4096 bytes -> data: URI, else sharded blob file
@@ -39,7 +40,7 @@ import json
 import os
 import threading
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -72,7 +73,6 @@ _TABLES = {
 class LogStore:
     spark: SparkSession
     root: str
-    _serial_cache: int | None = field(default=None, repr=False)
 
     # -- table access --------------------------------------------------------
 
@@ -198,22 +198,47 @@ class LogStore:
     # -- ingest ---------------------------------------------------------------
 
     def next_serial(self) -> int:
-        """Next run_serial as cached max+1 over the runs dimension.
+        """Next run_serial — UNIQUE across concurrent writer threads and
+        processes (round 5; previously a process-local cached max).
 
-        Single-writer by design: two concurrent LogStore *processes*
-        could read the same max and assign duplicate serials. That
-        matches the reference, which is also single-writer (DuckDB file
-        lock, bird.py:36-99); we drop the lock because parquet *appends*
-        are conflict-free — only the serial is process-local. Deployments
-        needing many concurrent ingest processes should treat run_serial
-        as display-only and derive it at read time with the W1 window
-        oracle (gates/windows.py), which is exactly the reference's
-        bird_schema.sql:288-295 formulation."""
-        if self._serial_cache is None:
+        The issued high-water mark lives in a durable counter file
+        (`<root>/run_serial`) advanced under the store-write lock —
+        the same single-writer discipline as the reference's DuckDB
+        lock (bird.py:36-99), scoped to a microsecond file bump instead
+        of the whole store. First use on a pre-counter store seeds the
+        file from max(run_serial) over the runs table (one tiny
+        dimension scan, once); every later call is pure file I/O — no
+        Spark job. Crash between bump and append skips a serial, which
+        is harmless (serials are ordinal, not dense)."""
+        with self._write_lock():
+            return self._reserve_serials_locked(1)
+
+    def reserve_serials(self, count: int) -> int:
+        """Reserve `count` consecutive serials; returns the base B such
+        that B+1..B+count are this caller's (bulk ingest/migration)."""
+        with self._write_lock():
+            first = self._reserve_serials_locked(count)
+            return first - 1
+
+    def _reserve_serials_locked(self, count: int) -> int:
+        """Advance the counter file by `count`, returning the first
+        reserved serial. Caller must hold the store-write lock."""
+        path = os.path.join(self.root, "run_serial")
+        last = None
+        try:
+            with open(path) as fh:
+                last = int(fh.read().strip())
+        except (OSError, ValueError):
+            pass
+        if last is None:
             row = self.runs().agg(F.max("run_serial").alias("m")).collect()[0]
-            self._serial_cache = int(row["m"] or 0)
-        self._serial_cache += 1
-        return self._serial_cache
+            last = int(row["m"] or 0)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(last + count))
+        os.replace(tmp, path)
+        return last + 1
 
     def schema_version(self) -> str | None:
         """Stored schema version of this store, None if unmarked
@@ -488,7 +513,8 @@ class LogStore:
                     self._rewrite_keep("outputs", "invocation_id", keep_ids)
             finally:
                 keep_ids.unpersist()
-        self._serial_cache = None
+        # serials are never reused after a prune: the durable counter
+        # (next_serial) keeps the high-water mark monotone
         return total - self.runs().count()
 
     def prune_by_size(self, max_total_bytes: int) -> int:
@@ -527,7 +553,6 @@ class LogStore:
                 self._rewrite_keep("outputs", "invocation_id", keep_ids)
             finally:
                 keep_ids.unpersist()
-            self._serial_cache = None
         return n_drop
 
     def _drop_date_partitions(self, name: str, cutoff: _dt.date) -> int:

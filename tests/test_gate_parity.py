@@ -41,7 +41,7 @@ def test_driver_window_covers_every_family():
     def family(prefix):
         return [n for n in window if n.startswith(prefix)]
 
-    assert len(family("q")) == 11  # all TPC-H shapes incl. q7/q12/q14/q19
+    assert len(family("q")) == 13  # all TPC-H shapes incl. q15/q22 (round 5)
     assert family("w")  # windows
     assert family("o")  # sorts/limits
     assert family("j")  # joins
@@ -51,8 +51,9 @@ def test_driver_window_covers_every_family():
     assert family("f")  # scalar functions
     assert family("ts")  # time series (merged ts_suite)
     # every LLM-pipeline operator: 11 r1-r3 gates + quality suite,
-    # dedup clusters, source mix, quantization (round 4)
-    assert len(family("x")) == 15
+    # dedup clusters, source mix, quantization (round 4) + the LM suite
+    # (winnow/unigram/KL, round 5)
+    assert len(family("x")) == 16
 
 
 def test_entry_smoke(spark):

@@ -166,6 +166,10 @@ def test_concurrent_writers_lose_nothing_and_match_duckdb(spark, tmp_path):
     assert st.runs().count() == expected
     assert st.runs().select("id").distinct().count() == expected
     assert st.events().count() == expected
+    # run_serial is issued from the durable counter under the same lock:
+    # unique AND gapless across all concurrent writers
+    serials = sorted(r["run_serial"] for r in st.runs().select("run_serial").collect())
+    assert serials == list(range(1, expected + 1)), serials[:40]
 
     con = duckdb.connect()
     for t in ("runs", "events"):

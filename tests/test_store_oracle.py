@@ -200,3 +200,28 @@ def test_concurrent_writers_lose_nothing_and_match_duckdb(spark, tmp_path):
     assert got == want and len(got) == expected
     # the write lock is released afterwards, not leaked
     assert not os.path.exists(os.path.join(root, "locks", "store-write.lock"))
+
+
+def test_store_write_lock_foreign_holder_and_stale_reclaim(spark, tmp_path, monkeypatch):
+    """Cross-process half of the append serialization: a LIVE foreign
+    holder of the store-write lock blocks appends (bounded wait ->
+    LockHeldError), and a DEAD holder's lock is reclaimed transparently."""
+    from blq_cli_spark.sources import locks as locks_mod
+    from blq_cli_spark.sources import store as store_mod
+
+    st = LogStore(spark, str(tmp_path / "locked_store"))
+    st.append_run({"cmd": "first"}, events=[])
+    locks_dir = os.path.join(st.root, "locks")
+
+    monkeypatch.setattr(store_mod, "_WRITE_LOCK_WAIT_S", 0.5)
+    # live holder (this PID counts as alive) -> append must give up
+    locks_mod.acquire_lock(locks_dir, "store-write", "att-1", "other-writer")
+    with pytest.raises(locks_mod.LockHeldError):
+        st.append_run({"cmd": "blocked"}, events=[])
+    locks_mod.release_lock(locks_dir, "store-write")
+    st.append_run({"cmd": "after-release"}, events=[])
+
+    # dead holder -> reclaimed without error
+    locks_mod.acquire_lock(locks_dir, "store-write", "att-2", "crashed", pid=999_999_999)
+    st.append_run({"cmd": "after-stale"}, events=[])
+    assert st.runs().count() == 3

@@ -554,3 +554,269 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@gate(
+    "q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT strftime(o_orderdate, '%Y')                     AS o_year,
+             l_extendedprice * (1 - l_discount)              AS volume,
+             n2.n_name                                       AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation n1 ON c_nationkey  = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey  = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: the deepest join tree in the
+    suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2 ⋈
+    region) with a conditional-ratio aggregate on top.
+
+    100 TB shape: every dimension (part-filtered, supplier, customer,
+    nation both roles, region) broadcasts; the only shuffles are the
+    lineitem⋈orders equi-join and the final tiny per-year aggregate.
+    The selective p_type filter lands on the part scan BEFORE its
+    broadcast, so the fact table is pruned by the smallest dim first.
+    (Reference join surface: src/blq/bird_schema.sql:357-359, diff/ratio
+    aggregation pattern: src/blq/schema.sql:261-283.)"""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@gate(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count distribution: LEFT OUTER join with a
+    predicate ON THE JOIN (not a filter — customers with zero qualifying
+    orders must survive with count 0), then a second aggregation over the
+    first's result (histogram of counts).
+
+    100 TB shape: orders pre-filters and pre-projects to o_custkey before
+    the join; count(o_orderkey) counts non-null matches only. The first
+    agg shuffles on custkey; the histogram input is customer-cardinality
+    and re-aggregates map-side to ~100 distinct counts. (Reference
+    left-join+agg surface: src/blq/bird_schema.sql:433-465.)"""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@gate(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND p_size < 10
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery (per-part average):
+    revenue from orders of less than 20% of a part's average quantity.
+
+    The correlated `avg per partkey` decorrelates to a WINDOW average
+    over the part key instead of a grouped-agg-plus-join-back: the
+    naive decorrelation scans lineitem twice (once raw, once for the
+    avg — the two subtrees differ, so no exchange reuse), while the
+    window form scans it ONCE and shuffles the brand-filtered slice
+    once on l_partkey (per-part groups are bounded — one part's
+    lineitems — so the window state is tiny at any corpus size). The
+    brand/size filter prunes part BEFORE broadcast; at 100 TB the agg
+    input is a 1/25-brand slice, not the whole fact table.
+    (Correlated-subquery surface in the reference: suppression
+    subselects, src/blq/services/query.py:299-302; single-scan
+    precedent: q15 above.)"""
+    from pyspark.sql import Window
+
+    part = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # per-part avg over ALL lineitems of the surviving parts (the
+    # correlated subquery ranges over lineitem unfiltered by quantity)
+    slice_li = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    cap = (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2).alias(
+        "_qty_cap"
+    )
+    return (
+        slice_li.withColumn("_qty_cap", cap)
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@gate(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND o2.o_orderstatus = 'F'
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting": for finished
+    orders, suppliers from one nation who were the ONLY late supplier on
+    a multi-supplier order. (Adapted lateness predicate — this schema has
+    no commit/receipt dates, so late = shipped >365 days after the order
+    date.)
+
+    100 TB form choice: the textbook EXISTS/NOT-EXISTS pair compiles to
+    a semi join + anti join with non-equi residuals — three shuffles of
+    the fact table. Instead the per-order supplier sets ride ONE window
+    over the order key (distinct-supplier count and distinct-LATE-
+    supplier count as collect_set sizes — suppliers-per-order is bounded
+    by the order's line count, so the set state is tiny at any corpus
+    size): one lineitem scan, one fact shuffle, no fan-out. A qualifying
+    row is a late line in a multi-supplier order whose late-supplier
+    set is exactly {itself}. The oracle proves the window form equals
+    the EXISTS form."""
+    from pyspark.sql import Window
+
+    orders_f = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    w = Window.partitionBy("l_orderkey")
+    rows = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "_late",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+            ).cast("int"),
+        )
+        .withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "_n_late",
+            F.size(
+                F.collect_set(F.when(F.col("_late") == 1, F.col("l_suppkey"))).over(w)
+            ),
+        )
+    )
+    lone_late = rows.filter(
+        (F.col("_late") == 1) & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+    ).select("l_orderkey", "l_suppkey")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        lone_late.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -337,3 +337,53 @@ def test_source_kl_corpus_distribution_is_not_hint_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q8_every_dimension_broadcasts(spark):
+    """The deepest join tree (7 joins) must broadcast every dimension:
+    part/supplier/customer/nation(x2)/region attach as BroadcastHashJoin
+    and the selective p_type filter reaches the part scan pre-broadcast."""
+    plan = plan_of(queries()["q8_market_share"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 6, tree
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(p_type,ECONOMY)" in ln for ln in pushed), pushed
+
+
+def test_q13_left_outer_with_on_predicate(spark):
+    """Q13's join predicate must stay ON the join (zero-order customers
+    survive) and the priority filter must push to the orders scan; the
+    two-level aggregation costs exactly two hash exchanges."""
+    plan = plan_of(queries()["q13_customer_distribution"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "LeftOuter" in tree, tree
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in ln for ln in pushed), pushed
+    # two hash exchanges (per-customer agg, histogram agg) + the final
+    # presentation sort's range exchange — nothing else
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 3, tree
+
+
+def test_q17_scans_lineitem_once(spark):
+    """The correlated per-part average must decorrelate to a WINDOW over
+    the single lineitem scan — not a grouped-agg-plus-join-back that
+    reads the fact table twice."""
+    plan = plan_of(queries()["q17_small_quantity_revenue"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree, tree
+
+
+def test_q21_single_fact_shuffle_two_windows(spark):
+    """The EXISTS/NOT-EXISTS pair must compile to two collect_set windows
+    sharing ONE order-keyed exchange over a single lineitem scan, with
+    top-k as TakeOrderedAndProject."""
+    plan = plan_of(queries()["q21_waiting_suppliers"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2, tree
+    # window exchange + final agg exchange only (broadcasts excluded)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2, tree
+    assert "TakeOrderedAndProject" in tree, tree

@@ -1157,6 +1157,8 @@ def cmd_corpus(args) -> int:
         ngram=args.ngram,
         method=args.dedup_method,
         signatures=getattr(args, "signatures", None),
+        span_tokens=args.span_tokens,
+        min_docs=args.min_docs,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2239,7 +2241,7 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus_action",
         choices=["profile", "quality", "redact", "funnel", "dedup",
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
-                 "materialize", "score", "source-kl"],
+                 "materialize", "score", "source-kl", "clean-spans"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2259,6 +2261,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--method", choices=["minhash", "simhash"],
                     default="minhash", dest="dedup_method",
                     help="dedup: candidate-generation strategy")
+    sp.add_argument("--span-tokens", type=int, default=10,
+                    help="clean-spans: tokens per boilerplate span")
+    sp.add_argument("--min-docs", type=int, default=2,
+                    help="clean-spans: drop spans in this many+ docs")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -927,3 +927,52 @@ def x_binary_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(bin_col).cast("long").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
+
+
+@gate(
+    "x_boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    spans0 AS (
+      SELECT doc_id, t,
+             CAST(unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS INT) AS pos
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos*10+1 : (pos+1)*10], ' ') AS span_text
+      FROM spans0
+    ),
+    counts AS (
+      SELECT span_text, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span_text
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           count(CASE WHEN c.nd < 2 THEN 1 END) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN c.nd < 2 THEN s.span_text END,
+                                   ' ' ORDER BY s.pos), '')) AS clean_md5
+    FROM spans s JOIN counts c USING (span_text)
+    GROUP BY s.doc_id
+    """,
+)
+def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document boilerplate removal: drop every
+    10-token span that appears verbatim in 2+ distinct documents, then
+    reassemble the survivors in order (quality.remove_repeated_spans).
+    The oracle rebuilds the identical span/count/reassemble pipeline in
+    DuckDB and md5s the cleaned text."""
+    from blq_cli_spark.operators import quality
+
+    out = quality.remove_repeated_spans(
+        table(spark, sf_dir, "documents"), span_tokens=10, min_docs=2
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -257,6 +257,8 @@ def run_action(
     ngram: int = 4,
     method: str = "minhash",
     signatures: str | None = None,
+    span_tokens: int = 10,
+    min_docs: int = 2,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -326,6 +328,11 @@ def run_action(
         return quality.unigram_logprob(docs, text_col=text_col, id_col=id_col)
     if action == "source-kl":
         return quality.source_kl(docs, text_col=text_col, source_col=source_col)
+    if action == "clean-spans":
+        return quality.remove_repeated_spans(
+            docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
+            min_docs=min_docs,
+        )
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),

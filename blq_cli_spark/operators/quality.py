@@ -247,3 +247,69 @@ def source_kl(
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal (C4 / RefinedWeb repeated-line
+    rule, adapted to token spans): split each document into consecutive
+    `span_tokens`-token spans, drop every span whose text occurs in
+    `min_docs`-or-more DISTINCT documents, and reassemble the survivors
+    in order. Whitespace is normalized to single spaces (the only
+    rewrite this operator performs besides span removal).
+
+    Returns (id, n_spans, n_kept, clean_text); documents whose every
+    span was boilerplate come back with n_kept=0 and clean_text=''.
+
+    Scale shape (100 TB): spans explode ~1x the corpus token volume;
+    the distinct-doc count per span text is a two-stage map-side-
+    combinable aggregate on the md5 span key, and the count table is
+    CORPUS-DERIVED and unbounded (hot boilerplate spans are exactly the
+    point), so it joins back as a plain equi-join — no broadcast hint,
+    AQE may broadcast only when it fits. Reassembly is one keyed
+    aggregate with an array_sort on bounded per-doc state (a doc's own
+    spans). Nothing is quadratic; nothing collects to the driver.
+
+    Reference parity: the reference's closest surface is suppression
+    filtering (src/blq/services/query.py:299-302) — this is the
+    corpus-cleaning generalization the north star asks for.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    toks = F.split(norm, " ")
+    k = span_tokens
+    # split() always yields >=1 element, so n_spans >= 1 and the
+    # sequence below never runs descending.
+    n_spans = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    spans = df.select(
+        F.col(id_col).alias("id"), F.posexplode(spans_arr).alias("pos", "span_text")
+    ).withColumn("span_fp", F.md5(F.col("span_text")))
+    counts = spans.groupBy("span_fp").agg(F.count_distinct(F.col("id")).alias("_nd"))
+    tagged = spans.join(counts, "span_fp")  # plain equi-join: corpus-derived side
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_nd") < min_docs,
+                        F.struct(F.col("pos"), F.col("span_text")),
+                    )
+                )
+            ),
+            lambda s: s.span_text,
+        ),
+        " ",
+    )
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("_nd") < min_docs).cast("int")).alias("n_kept"),
+        kept_text.alias("clean_text"),
+    )

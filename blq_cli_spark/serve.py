@@ -484,7 +484,8 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
 
 
 @tool("corpus", "Training-data curation ops over a parquet corpus "
-      "(profile/quality/redact/funnel/dedup/exact-dedup/mix/decontaminate)")
+      "(profile/quality/redact/funnel/dedup/exact-dedup/mix/decontaminate/"
+      "clean-spans)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -498,6 +499,8 @@ def _corpus(
     ngram: int = 4,
     method: str = "minhash",
     signatures: str | None = None,
+    span_tokens: int = 10,
+    min_docs: int = 2,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -511,7 +514,8 @@ def _corpus(
     out = corpus_ops.run_action(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
-        method=method, signatures=signatures,
+        method=method, signatures=signatures, span_tokens=span_tokens,
+        min_docs=min_docs,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -603,3 +603,31 @@ def test_cli_corpus_dedup_incremental_signatures_roundtrip(tmp_path, capsys):
     # simhash + --signatures is a usage error, not a crash
     assert main(["corpus", "dedup", "--input", p2, "--signatures", sig,
                  "--method", "simhash"]) != 0
+
+
+def test_cli_corpus_clean_spans(tmp_path, capsys):
+    """`corpus clean-spans` removes cross-document boilerplate spans and
+    writes the cleaned corpus distributed."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter unique content one"),
+            (2, "subscribe to our newsletter fresh words two"),
+            (3, "entirely distinct document body here now three"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "clean.parquet")
+    assert main(
+        ["corpus", "clean-spans", "--input", src, "--output", dst,
+         "--span-tokens", "4", "--min-docs", "2"]
+    ) == 0
+    capsys.readouterr()
+    got = {r["id"]: r for r in spark.read.parquet(dst).collect()}
+    assert got[1]["clean_text"] == "unique content one"
+    assert got[2]["clean_text"] == "fresh words two"
+    assert got[3]["n_kept"] == got[3]["n_spans"]

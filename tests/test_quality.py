@@ -145,3 +145,64 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     # short doc (< k tokens) yields no fingerprints, not a crash
     short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
     assert text_ops.winnow_fingerprints(short, k=3, w=4).count() == 0
+
+
+def test_remove_repeated_spans_hand_computed(spark):
+    # span_tokens=3: doc 1 & 2 share the boilerplate span "a b c";
+    # doc 3 is entirely its own content; doc 4 is ALL boilerplate.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "u v w m n o"),
+            (4, "a b c"),
+        ],
+    )
+    out = {
+        r["id"]: r
+        for r in quality.remove_repeated_spans(df, span_tokens=3, min_docs=2).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "x y z"
+    assert out[2]["clean_text"] == "p q r"
+    assert out[3]["n_kept"] == 2 and out[3]["clean_text"] == "u v w m n o"
+    # fully-boilerplate doc survives as a row with empty text
+    assert out[4]["n_spans"] == 1 and out[4]["n_kept"] == 0
+    assert out[4]["clean_text"] == ""
+
+
+def test_remove_repeated_spans_within_doc_repeat_survives(spark):
+    # a span repeated WITHIN one doc is not cross-document boilerplate
+    df = _docs(spark, [(1, "a b c a b c"), (2, "x y z w v u")])
+    out = {
+        r["id"]: r
+        for r in quality.remove_repeated_spans(df, span_tokens=3, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "a b c a b c"
+    assert out[1]["n_kept"] == 2
+
+
+def test_remove_repeated_spans_count_join_not_hint_broadcast(spark):
+    """The span-count table is corpus-derived and unbounded: the join
+    back must not carry an unconditional broadcast hint (same contract
+    as unigram_logprob's vocabulary join)."""
+    df = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    plan = quality.remove_repeated_spans(df)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins, plan
+    assert not any("broadcast" in ln.lower() for ln in joins), joins
+
+
+def test_remove_repeated_spans_no_python_in_plan(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    out = quality.remove_repeated_spans(df)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

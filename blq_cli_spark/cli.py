@@ -1201,6 +1201,11 @@ def cmd_embeddings(args) -> int:
             out = similarity.cosine_topk(emb, queries, k=args.k, id_col=ic, vec_col=vc)
     elif act == "neardup":
         out = similarity.neardup_pairs(emb, threshold=args.threshold, id_col=ic, vec_col=vc)
+    elif act == "semantic-dedup":
+        out = similarity.semantic_dedup(
+            emb, threshold=args.threshold, id_col=ic, vec_col=vc,
+            method="bucketed" if args.method == "lsh" else "exact",
+        )
     else:  # pragma: no cover - argparse restricts choices
         return 2
     if args.output:
@@ -2269,7 +2274,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_corpus)
 
     sp = sub.add_parser("embeddings")
-    sp.add_argument("emb_action", choices=["topk", "quantize", "neardup"])
+    sp.add_argument("emb_action",
+                    choices=["topk", "quantize", "neardup", "semantic-dedup"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")

@@ -976,3 +976,42 @@ def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@gate(
+    "x_semantic_dedup",
+    # Iterative connected components on the Spark side; the oracle
+    # reproduces the identical cosine pair set declaratively and closes
+    # it with a recursive CTE (same pattern as x_dedup_clusters).
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT.format(a="a.embedding", b="b.embedding")}
+            / (sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+               * sqrt({_DOT.format(a="b.embedding", b="b.embedding")})) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS root FROM nodes
+      UNION
+      SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id AS id,
+           coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+           (cc.cluster_id IS NULL OR cc.cluster_id = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.id
+    """,
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): embedding pairs at cosine >= 0.4 ->
+    connected components -> keep min id per component; every vector
+    reports (id, cluster_id, kept)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4).orderBy("id")

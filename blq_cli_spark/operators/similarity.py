@@ -653,3 +653,47 @@ def cosine_topk_quantized(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): treat embedding pairs with cosine >= `threshold`
+    as semantic duplicates, group them into connected components, and
+    keep ONE representative (the minimum id) per component.
+
+    Returns every input id with (id, cluster_id, kept): unclustered
+    vectors keep themselves; within a component only the min id is kept.
+
+    Scale shape: `method='exact'` runs the triangle-blocked GEMM
+    (neardup_pairs — the oracle form; quadratic in corpus size);
+    `method='bucketed'` is the 100 TB path (per-bucket quadratic via
+    banded hyperplane buckets, measured recall floor in
+    tests/test_similarity.py). Components use the alternating-star
+    iteration (dedup.dedup_clusters — O(log n) shuffle rounds, no
+    driver union-find); near-dup components are small at high
+    thresholds, so the final left join back to the corpus is on a
+    pair-derived table far smaller than the corpus."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    if method == "bucketed":
+        pairs = neardup_pairs_bucketed(corpus, threshold, id_col=id_col, vec_col=vec_col)
+    else:
+        pairs = neardup_pairs(corpus, threshold, id_col=id_col, vec_col=vec_col)
+    cc = dedup_ops.dedup_clusters(pairs)
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("id"))).alias(
+                "kept"
+            ),
+        )
+    )

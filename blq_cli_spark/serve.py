@@ -565,6 +565,11 @@ def _embeddings(
             out = similarity.cosine_topk(emb, qdf, k=k, id_col=id_col, vec_col=vec_col)
     elif action == "neardup":
         out = similarity.neardup_pairs(emb, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    elif action == "semantic-dedup":
+        out = similarity.semantic_dedup(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            method="bucketed" if method == "lsh" else "exact",
+        )
     else:
         raise ValueError(f"unknown embeddings action: {action}")
     if output:

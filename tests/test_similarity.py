@@ -195,3 +195,52 @@ def test_quantized_topk_recall_floor(spark):
     a = {(r["qid"], r["nid"]) for r in quant.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_semantic_dedup_keeps_one_per_component(spark, emb):
+    """SemDeDup semantics: every vector appears exactly once; components
+    keep exactly their min id; unclustered vectors keep themselves."""
+    out = similarity.semantic_dedup(emb, threshold=0.4).collect()
+    total = emb.count()
+    assert len(out) == total
+    by_id = {r["id"]: r for r in out}
+    pairs = _exact_numpy(emb, 0.4)
+    # union-find reference over the exact pair set
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    clustered = set(parent)
+    for root, members in comp.items():
+        mn = min(members)
+        for m in members:
+            assert by_id[m]["cluster_id"] == mn
+            assert by_id[m]["kept"] == (m == mn)
+    for r in out:
+        if r["id"] not in clustered:
+            assert r["kept"] and r["cluster_id"] == r["id"]
+
+
+def test_semantic_dedup_bucketed_subset_of_exact(spark, emb):
+    """The bucketed path may miss pairs (recall < 1) but must never
+    invent them: its duplicate set (kept=False rows) is a subset of the
+    exact path's."""
+    exact = {r["id"] for r in similarity.semantic_dedup(emb, 0.4).collect() if not r["kept"]}
+    approx = {
+        r["id"]
+        for r in similarity.semantic_dedup(emb, 0.4, method="bucketed").collect()
+        if not r["kept"]
+    }
+    assert approx <= exact, (approx - exact)

@@ -1206,6 +1206,13 @@ def cmd_embeddings(args) -> int:
             emb, threshold=args.threshold, id_col=ic, vec_col=vc,
             method="bucketed" if args.method == "lsh" else "exact",
         )
+    elif act == "cluster":
+        from blq_cli_spark.operators import clustering
+
+        cents = clustering.kmeans_fit(
+            emb, k=args.k_cells, iters=args.iters, id_col=ic, vec_col=vc
+        )
+        out = clustering.kmeans_assign(emb, cents, id_col=ic, vec_col=vc)
     else:  # pragma: no cover - argparse restricts choices
         return 2
     if args.output:
@@ -2275,7 +2282,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
-                    choices=["topk", "quantize", "neardup", "semantic-dedup"])
+                    choices=["topk", "quantize", "neardup", "semantic-dedup",
+                             "cluster"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")
@@ -2284,6 +2292,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--method", choices=["exact", "lsh", "ivf", "quantized"],
                     default="exact")
     sp.add_argument("--threshold", type=float, default=0.95, help="neardup cosine floor")
+    sp.add_argument("--k-cells", type=int, default=16, dest="k_cells",
+                    help="cluster: number of k-means centroids")
+    sp.add_argument("--iters", type=int, default=10,
+                    help="cluster: Lloyd's iterations")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],

@@ -534,6 +534,8 @@ def _embeddings(
     k: int = 5,
     method: str = "exact",
     threshold: float = 0.95,
+    k_cells: int = 16,
+    iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     output: str | None = None,
@@ -570,6 +572,13 @@ def _embeddings(
             emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
             method="bucketed" if method == "lsh" else "exact",
         )
+    elif action == "cluster":
+        from blq_cli_spark.operators import clustering
+
+        cents = clustering.kmeans_fit(
+            emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        out = clustering.kmeans_assign(emb, cents, id_col=id_col, vec_col=vec_col)
     else:
         raise ValueError(f"unknown embeddings action: {action}")
     if output:

@@ -631,3 +631,37 @@ def test_cli_corpus_clean_spans(tmp_path, capsys):
     assert got[1]["clean_text"] == "unique content one"
     assert got[2]["clean_text"] == "fresh words two"
     assert got[3]["n_kept"] == got[3]["n_spans"]
+
+
+def test_cli_embeddings_cluster(tmp_path, capsys):
+    """`embeddings cluster` trains distributed k-means and writes
+    per-vector cell assignments."""
+    import numpy as np
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    rng = np.random.RandomState(5)
+    rows = []
+    for c in range(2):
+        base = np.zeros(8)
+        base[c] = 4.0
+        for i in range(40):
+            v = base + rng.normal(0, 0.2, 8)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+    dst = str(tmp_path / "cells.parquet")
+    assert main(
+        ["embeddings", "cluster", "--input", src, "--output", dst,
+         "--k-cells", "2", "--iters", "5"]
+    ) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(dst).collect()
+    assert len(got) == 80
+    cells = {r["id"]: r["cell"] for r in got}
+    # the two planted blobs land in two distinct cells
+    a = {cells[i] for i in cells if i < 100}
+    b = {cells[i] for i in cells if i >= 100}
+    assert len(a) == 1 and len(b) == 1 and a != b

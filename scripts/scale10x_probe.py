@@ -70,6 +70,12 @@ def main() -> None:
         make_emb(spark, ne, f"{tmp}/emb_{tag}")
     bench = spark.read.parquet(f"{tmp}/docs_1x").limit(100)
     queries = spark.read.parquet(f"{tmp}/emb_1x").limit(20)
+    from blq_cli_spark.operators import clustering
+
+    # train once on 1x: the probed op is the per-row assignment pass
+    km_centroids = clustering.kmeans_fit(
+        spark.read.parquet(f"{tmp}/emb_1x"), k=8, iters=3
+    )
 
     def probes(tag: str):
         docs = spark.read.parquet(f"{tmp}/docs_{tag}")
@@ -92,6 +98,11 @@ def main() -> None:
             "simhash_candidates": lambda: __import__(
                 "blq_cli_spark.operators.dedup", fromlist=["x"]
             ).simhash_candidates(docs),
+            "boilerplate_removal": lambda: quality.remove_repeated_spans(docs),
+            "semantic_dedup_bucketed": lambda: similarity.semantic_dedup(
+                emb, threshold=0.9, method="bucketed"
+            ),
+            "kmeans_assign": lambda: clustering.kmeans_assign(emb, km_centroids),
         }
 
     # warm codegen/python workers on 1x (not timed)

@@ -1202,9 +1202,10 @@ def cmd_embeddings(args) -> int:
     elif act == "neardup":
         out = similarity.neardup_pairs(emb, threshold=args.threshold, id_col=ic, vec_col=vc)
     elif act == "semantic-dedup":
+        sd_method = {"lsh": "bucketed", "ivf": "kmeans"}.get(args.method, "exact")
         out = similarity.semantic_dedup(
             emb, threshold=args.threshold, id_col=ic, vec_col=vc,
-            method="bucketed" if args.method == "lsh" else "exact",
+            method=sd_method,
         )
     elif act == "cluster":
         from blq_cli_spark.operators import clustering

@@ -672,17 +672,38 @@ def semantic_dedup(
 
     Scale shape: `method='exact'` runs the triangle-blocked GEMM
     (neardup_pairs — the oracle form; quadratic in corpus size);
-    `method='bucketed'` is the 100 TB path (per-bucket quadratic via
-    banded hyperplane buckets, measured recall floor in
-    tests/test_similarity.py). Components use the alternating-star
-    iteration (dedup.dedup_clusters — O(log n) shuffle rounds, no
-    driver union-find); near-dup components are small at high
-    thresholds, so the final left join back to the corpus is on a
-    pair-derived table far smaller than the corpus."""
+    `method='bucketed'` is the hash-blocked 100 TB path (per-bucket
+    quadratic via banded hyperplane buckets, measured recall floor in
+    tests/test_similarity.py); `method='kmeans'` is the paper-faithful
+    SemDeDup blocking — train k data-adapted centroids
+    (clustering.kmeans_fit, whole-corpus Lloyd's, k ~ corpus/10k) and
+    compare pairs only WITHIN a cluster, so compute is per-cell
+    quadratic and the cells track real density instead of random
+    hyperplanes. Components use the alternating-star iteration
+    (dedup.dedup_clusters — O(log n) shuffle rounds, no driver
+    union-find); near-dup components are small at high thresholds, so
+    the final left join back to the corpus is on a pair-derived table
+    far smaller than the corpus."""
     from blq_cli_spark.operators import dedup as dedup_ops
 
     if method == "bucketed":
         pairs = neardup_pairs_bucketed(corpus, threshold, id_col=id_col, vec_col=vec_col)
+    elif method == "kmeans":
+        from blq_cli_spark.operators import clustering
+
+        k = max(2, min(64, corpus.count() // 64))
+        cents = clustering.kmeans_fit(corpus, k=k, id_col=id_col, vec_col=vec_col)
+        # multi-probe blocking: each vector joins its top-2 cells, so a
+        # pair straddling a cell boundary still collides in the
+        # runner-up cell (same trick as IVF search's nprobe)
+        blocked = (
+            _ivf_assign(corpus, cents, id_col, vec_col, out_id="id", nprobe=2)
+            .withColumn("side", F.lit("a"))
+            .withColumn("selfb", F.lit(True))
+        )
+        pairs = blocked.groupBy("cell").applyInPandas(
+            _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
+        ).distinct()
     else:
         pairs = neardup_pairs(corpus, threshold, id_col=id_col, vec_col=vec_col)
     cc = dedup_ops.dedup_clusters(pairs)

@@ -568,9 +568,10 @@ def _embeddings(
     elif action == "neardup":
         out = similarity.neardup_pairs(emb, threshold=threshold, id_col=id_col, vec_col=vec_col)
     elif action == "semantic-dedup":
+        sd_method = {"lsh": "bucketed", "ivf": "kmeans"}.get(method, "exact")
         out = similarity.semantic_dedup(
             emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
-            method="bucketed" if method == "lsh" else "exact",
+            method=sd_method,
         )
     elif action == "cluster":
         from blq_cli_spark.operators import clustering

@@ -244,3 +244,19 @@ def test_semantic_dedup_bucketed_subset_of_exact(spark, emb):
         if not r["kept"]
     }
     assert approx <= exact, (approx - exact)
+
+
+def test_semantic_dedup_kmeans_blocked_subset_of_exact(spark, emb):
+    """The paper-faithful SemDeDup blocking (k-means cells) compares
+    pairs only within a cell — it may split true components but must
+    never invent duplicates."""
+    exact = {r["id"] for r in similarity.semantic_dedup(emb, 0.4).collect() if not r["kept"]}
+    km = {
+        r["id"]
+        for r in similarity.semantic_dedup(emb, 0.4, method="kmeans").collect()
+        if not r["kept"]
+    }
+    assert km <= exact, (km - exact)
+    # and it must find a substantial share of them (cells are dense)
+    if exact:
+        assert len(km) / len(exact) >= 0.5, (len(km), len(exact))

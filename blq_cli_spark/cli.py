@@ -1145,6 +1145,31 @@ def cmd_corpus(args) -> int:
             print("corpus decontaminate: --benchmark PARQUET required", file=sys.stderr)
             return 2
         bench = spark.read.parquet(args.benchmark)
+    if args.corpus_action == "train-classifier":
+        from blq_cli_spark.operators import classifier as classifier_ops
+
+        if not args.positives or not args.weights_out:
+            print(
+                "corpus train-classifier: --positives PARQUET and "
+                "--weights-out JSON required",
+                file=sys.stderr,
+            )
+            return 2
+        pos = spark.read.parquet(args.positives)
+        w = classifier_ops.train_text_classifier(
+            pos, docs, id_col=args.id_col, text_col=args.text_col
+        )
+        with open(args.weights_out, "w") as fh:
+            _json.dump(w, fh)
+        print(f"trained {len(w) - 1}-dim classifier -> {args.weights_out}")
+        return 0
+    weights = None
+    if args.corpus_action == "classify":
+        if not args.weights:
+            print("corpus classify: --weights JSON required", file=sys.stderr)
+            return 2
+        with open(args.weights) as fh:
+            weights = _json.load(fh)
     out = corpus_ops.run_action(
         docs,
         args.corpus_action,
@@ -1159,6 +1184,7 @@ def cmd_corpus(args) -> int:
         signatures=getattr(args, "signatures", None),
         span_tokens=args.span_tokens,
         min_docs=args.min_docs,
+        weights=weights,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2254,7 +2280,8 @@ def build_parser() -> argparse.ArgumentParser:
         "corpus_action",
         choices=["profile", "quality", "redact", "funnel", "dedup",
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
-                 "materialize", "score", "source-kl", "clean-spans"],
+                 "materialize", "score", "source-kl", "clean-spans",
+                 "train-classifier", "classify"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2278,6 +2305,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="clean-spans: tokens per boilerplate span")
     sp.add_argument("--min-docs", type=int, default=2,
                     help="clean-spans: drop spans in this many+ docs")
+    sp.add_argument("--positives",
+                    help="train-classifier: high-quality reference parquet")
+    sp.add_argument("--weights-out", dest="weights_out",
+                    help="train-classifier: write weights JSON here")
+    sp.add_argument("--weights",
+                    help="classify: trained weights JSON path")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1,0 +1,146 @@
+"""Model-based quality classifier over text columns.
+
+The GPT-3 / CCNet-style corpus filter: train a linear classifier to
+separate a high-quality reference corpus (positives) from the raw
+corpus (negatives), then score every document and keep the high-scoring
+slice. Features are the hashing-trick n-gram vectors from
+text.text_embeddings (no vocabulary, no fit pass, identical on any
+executor), so the whole pipeline is deterministic and engine-portable.
+
+Training is full-batch logistic regression with the same distributed
+cost model as clustering.kmeans_fit:
+
+- the weight vector (dim+1 floats) is the ONLY driver state and
+  broadcasts into the Arrow kernel each round;
+- each round is one pass over the (persisted) feature table: every
+  batch emits a partial gradient sum + loss + count, the k x n_batches
+  partials reduce with one small posexplode/groupBy, and only dim+1
+  sums come back to the driver;
+- features are computed ONCE and persisted — iterations re-read
+  columnar features, not raw text.
+
+Scoring (classifier_score) is a stateless distributed projection:
+sigmoid(w . x + b) per document, no shuffle, no driver traffic.
+
+Iterative fixpoint -> no DuckDB-oracle gate (same rationale as
+clustering / streaming); tests/test_classifier.py trains on a planted
+separable corpus and asserts held-out accuracy, determinism, and
+bounded driver traffic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from blq_cli_spark.operators.text import text_embeddings
+
+
+def _featurize(df: DataFrame, dim: int, id_col: str, text_col: str) -> DataFrame:
+    # unigram hashing (n=1): the fastText-style bag — bigrams are too
+    # sparse to transfer between train and held-out documents
+    return text_embeddings(df, dim=dim, n=1, id_col=id_col, text_col=text_col)
+
+
+def train_text_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    dim: int = 256,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[float]:
+    """Fit logistic-regression weights separating `positives` from
+    `negatives`. Returns dim+1 floats (weights + trailing bias) —
+    broadcast-sized model state at any corpus size."""
+    pos = _featurize(positives, dim, id_col, text_col).select(
+        F.col("embedding").alias("x"), F.lit(1.0).alias("y")
+    )
+    neg = _featurize(negatives, dim, id_col, text_col).select(
+        F.col("embedding").alias("x"), F.lit(0.0).alias("y")
+    )
+    feats = pos.unionByName(neg).persist()
+    try:
+        n_total = feats.count()  # also materializes the persisted features
+        w = np.zeros(dim + 1, dtype=np.float64)
+        for _ in range(iters):
+            wb = w.copy()
+
+            def grad_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                    y = pdf["y"].to_numpy()
+                    z = X @ wb[:-1] + wb[-1]
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    err = p - y
+                    g = np.concatenate([X.T @ err, [err.sum()]])
+                    yield pd.DataFrame({"g": [g.tolist()], "cnt": [len(pdf)]})
+
+            partials = feats.mapInPandas(grad_kernel, "g array<double>, cnt long")
+            sums = (
+                partials.select(F.posexplode("g").alias("idx", "val"))
+                .groupBy("idx")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )  # dim+1 rows — bounded
+            g = np.zeros(dim + 1)
+            for r in sums:
+                g[r["idx"]] = r["s"]
+            g /= n_total
+            g[:-1] += l2 * w[:-1]
+            w -= lr * g
+        return [float(x) for x in w]
+    finally:
+        feats.unpersist()
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with a trained classifier: (id, score) with
+    score = sigmoid(w . features + b). Stateless projection — the model
+    broadcasts inside the kernel, nothing shuffles."""
+    w = np.asarray(weights, dtype=np.float64)
+    d = dim if dim is not None else len(w) - 1
+    feats = _featurize(df, d, id_col, text_col)
+
+    def score_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            z = X @ w[:-1] + w[-1]
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "score": 1.0 / (1.0 + np.exp(-z))}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return feats.mapInPandas(score_kernel, f"id {id_type}, score double")
+
+
+def quality_filter(
+    df: DataFrame,
+    weights: list[float],
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents the classifier scores above `threshold` — the
+    corpus-filter composition (score -> semi-join back on id, documents
+    keep all their columns and never fan out)."""
+    keep = classifier_score(df, weights, id_col=id_col, text_col=text_col).filter(
+        F.col("score") >= threshold
+    )
+    return df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")

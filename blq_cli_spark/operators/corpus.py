@@ -259,6 +259,7 @@ def run_action(
     signatures: str | None = None,
     span_tokens: int = 10,
     min_docs: int = 2,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -332,6 +333,14 @@ def run_action(
         return quality.remove_repeated_spans(
             docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
             min_docs=min_docs,
+        )
+    if action == "classify":
+        if not weights:
+            raise ValueError("classify requires trained classifier weights")
+        from blq_cli_spark.operators import classifier as classifier_ops
+
+        return classifier_ops.classifier_score(
+            docs, weights, id_col=id_col, text_col=text_col
         )
     if action == "tokens":
         return docs.select(

@@ -501,6 +501,7 @@ def _corpus(
     signatures: str | None = None,
     span_tokens: int = 10,
     min_docs: int = 2,
+    weights: list | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -515,7 +516,7 @@ def _corpus(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
         method=method, signatures=signatures, span_tokens=span_tokens,
-        min_docs=min_docs,
+        min_docs=min_docs, weights=weights,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -665,3 +665,42 @@ def test_cli_embeddings_cluster(tmp_path, capsys):
     a = {cells[i] for i in cells if i < 100}
     b = {cells[i] for i in cells if i >= 100}
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_cli_corpus_classifier_roundtrip(tmp_path, capsys):
+    """train-classifier writes weights JSON; classify scores a corpus
+    with them — the GPT-3-style model-based quality filter from the
+    shell."""
+    import json
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    schema = "doc_id long, text string"
+    pos_rows = [(i, "careful analysis research evidence method insight") for i in range(30)]
+    neg_rows = [(100 + i, "buy click free winner casino pills offer") for i in range(30)]
+    pos_p = str(tmp_path / "pos.parquet")
+    raw_p = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(pos_rows, schema).write.parquet(pos_p)
+    spark.createDataFrame(neg_rows, schema).write.parquet(raw_p)
+    wpath = str(tmp_path / "w.json")
+    assert main(
+        ["corpus", "train-classifier", "--input", raw_p,
+         "--positives", pos_p, "--weights-out", wpath]
+    ) == 0
+    capsys.readouterr()
+    w = json.load(open(wpath))
+    assert len(w) == 257  # default dim + bias
+
+    mixed_p = str(tmp_path / "mixed.parquet")
+    spark.createDataFrame(pos_rows[:5] + neg_rows[:5], schema).write.parquet(mixed_p)
+    dst = str(tmp_path / "scored.parquet")
+    assert main(
+        ["corpus", "classify", "--input", mixed_p, "--weights", wpath,
+         "--output", dst]
+    ) == 0
+    capsys.readouterr()
+    scores = {r["id"]: r["score"] for r in spark.read.parquet(dst).collect()}
+    assert all(scores[i] > 0.5 for i in range(5))
+    assert all(scores[100 + i] < 0.5 for i in range(5))

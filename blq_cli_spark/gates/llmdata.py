@@ -1015,3 +1015,42 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports (id, cluster_id, kept)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, threshold=0.4).orderBy("id")
+
+
+@gate(
+    "x_gopher_rules",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           (len(t) >= 10 AND len(t) <= 100000) AS token_count_ok,
+           (list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) >= 2.0
+            AND list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) <= 12.0)
+             AS mean_word_len_ok,
+           ((len(string_split(text, '#')) - 1
+             + len(string_split_regex(text, '\\.\\.\\.')) - 1)
+            / greatest(len(t), 1) <= 0.1) AS symbol_ratio_ok,
+           (len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+            / greatest(len(t), 1) >= 0.8) AS alpha_word_ratio_ok,
+           (len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) >= 2) AS stopwords_ok,
+           ((len(t) >= 10 AND len(t) <= 100000)
+            AND (list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) >= 2.0
+                 AND list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) <= 12.0)
+            AND ((len(string_split(text, '#')) - 1
+                  + len(string_split_regex(text, '\\.\\.\\.')) - 1)
+                 / greatest(len(t), 1) <= 0.1)
+            AND (len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+                 / greatest(len(t), 1) >= 0.8)
+            AND (len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) >= 2)) AS passes
+    FROM tok
+    """,
+)
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document rule filters (arXiv:2112.11446 §A1.1)
+    as a zero-shuffle, zero-Python projection — each rule's boolean plus
+    the conjunction, oracle-matched expression by expression."""
+    from blq_cli_spark.operators import quality
+
+    return quality.gopher_rules(table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )

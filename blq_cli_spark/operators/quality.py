@@ -313,3 +313,61 @@ def remove_repeated_spans(
         F.sum((F.col("_nd") < min_docs).cast("int")).alias("n_kept"),
         kept_text.alias("clean_text"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-level rule filters (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) as pure column expressions: token-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and ...),
+    alphabetic-word ratio, and a minimum stopword count. Returns one row
+    per document with each rule's boolean plus the conjunction
+    ``passes``.
+
+    Scale shape: zero shuffles and zero Python — every rule is a
+    codegen'd projection over the token array, so the filter runs at
+    scan speed and composes with partition pruning. (The repetition
+    rules from the same paper live in repetition_profile — they need
+    aggregation; these do not.)"""
+    from blq_cli_spark.operators.text import EN_STOPWORDS
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    safe_n = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        t, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+    ) / safe_n
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    )
+    n_alpha_words = F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    rules = {
+        "token_count_ok": (n >= min_tokens) & (n <= max_tokens),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": (n_symbols / safe_n) <= max_symbol_ratio,
+        "alpha_word_ratio_ok": (n_alpha_words / safe_n) >= min_alpha_word_ratio,
+        "stopwords_ok": n_stop >= min_stopwords,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )

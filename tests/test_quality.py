@@ -206,3 +206,39 @@ def test_remove_repeated_spans_no_python_in_plan(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_gopher_rules_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            # 12 tokens, all alpha, has stopwords -> passes
+            (1, "the quick brown fox jumps over the lazy dog in a field"),
+            # too short
+            (2, "too short"),
+            # symbol spam: many # marks
+            (3, "# # # # # # # # # the price of it is in the box now ok"),
+            # numeric soup: alpha ratio fails
+            (4, "1 2 3 4 5 6 7 8 9 10 the of a to in is it and more"),
+        ],
+    )
+    out = {r["id"]: r for r in quality.gopher_rules(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["token_count_ok"] and not out[2]["passes"]
+    assert not out[3]["symbol_ratio_ok"] and not out[3]["passes"]
+    assert not out[4]["alpha_word_ratio_ok"] and not out[4]["passes"]
+    assert out[4]["stopwords_ok"]
+
+
+def test_gopher_rules_zero_shuffle_zero_python(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "d e f")])
+    out = quality.gopher_rules(df)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -2281,7 +2281,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["profile", "quality", "redact", "funnel", "dedup",
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
-                 "train-classifier", "classify", "gopher"],
+                 "train-classifier", "classify", "gopher", "passages"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -1054,3 +1054,41 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_rules(table(spark, sf_dir, "documents")).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@gate(
+    "x_duplicate_passages",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    wins0 AS (
+      SELECT doc_id, t,
+             CAST(unnest(range(0, greatest(len(t) - 7, 0))) AS INT) AS pos
+      FROM tok WHERE len(t) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos+1 : pos+8], ' ')) AS wfp
+      FROM wins0
+    ),
+    counts AS (SELECT wfp, count(DISTINCT doc_id) AS nd FROM wins GROUP BY wfp),
+    dup AS (
+      SELECT w.doc_id, w.pos FROM wins w JOIN counts c USING (wfp)
+      WHERE c.nd >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    )
+    SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def x_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-duplicate ranges (Lee et al. arXiv:2107.06499,
+    relational form): stride-1 8-token windows shared by 2+ docs, merged
+    into maximal token ranges with the gaps-and-islands pattern."""
+    return dedup.duplicate_passages(
+        table(spark, sf_dir, "documents"), k=8, min_docs=2
+    ).withColumnRenamed("id", "doc_id")

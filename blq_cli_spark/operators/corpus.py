@@ -334,6 +334,8 @@ def run_action(
             docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
             min_docs=min_docs,
         )
+    if action == "passages":
+        return dedup_ops.duplicate_passages(docs, text_col=text_col, id_col=id_col)
     if action == "gopher":
         return quality.gopher_rules(docs, text_col=text_col, id_col=id_col)
     if action == "classify":

@@ -547,3 +547,62 @@ def simhash_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level duplicate detection (the relational form of exact
+    substring dedup, Lee et al. 2022, arXiv:2107.06499): slide an
+    overlapping k-token window over every document, mark windows whose
+    text occurs in `min_docs`+ distinct documents, and merge adjacent
+    duplicated windows into maximal passages via the gaps-and-islands
+    pattern. Returns (id, start_tok, end_tok, n_windows) — the token
+    ranges a trainer should drop or down-weight.
+
+    Unlike remove_repeated_spans (disjoint fixed spans), the stride-1
+    windows detect duplicated passages at ANY alignment, and the island
+    merge recovers their full extent.
+
+    Scale shape: the window explode is k x token volume (bounded
+    fan-out); the distinct-doc count is a map-side-combinable aggregate
+    on the md5 window key joining back as a plain equi-join (unbounded
+    corpus-derived side — no broadcast hint); the island merge is ONE
+    keyed window over (doc, pos), and a doc's own windows bound its
+    state. Nothing quadratic, nothing driver-side."""
+    toks = F.col("_toks")
+    n_wins = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    wins = (
+        df.select(F.col(id_col).alias("id"), text_ops.tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size(toks) >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_wins - 1),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+                )
+            ).alias("pos", "wfp"),
+        )
+    )
+    counts = wins.groupBy("wfp").agg(F.count_distinct("id").alias("_nd"))
+    dup = (
+        wins.join(counts, "wfp")  # plain equi-join: corpus-derived side
+        .filter(F.col("_nd") >= min_docs)
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_isl")
+    )

@@ -334,3 +334,45 @@ def test_simhash_cap_inherited_by_neardup_dedup(spark):
     )
     kept = corpus_ops.neardup_dedup(docs, method="simhash", hot_bucket_cap=64)
     assert kept.count() == 1
+
+
+def test_duplicate_passages_hand_computed(spark):
+    """Two docs share a 10-token passage at different alignments; the
+    stride-1 windows find it wherever it sits and the island merge
+    recovers the full extent."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {shared} v1 v2"),          # passage at tok 3..12
+            (2, f"{shared} w1 w2 w3 w4 w5 w6 w7 w8"), # passage at tok 0..9
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["start_tok"], r["end_tok"], r["n_windows"])
+        for r in dedup_ops.duplicate_passages(df, k=8, min_docs=2).collect()
+    }
+    # doc 1: shared toks at 3..12 -> windows 3..5 (8-tok each) -> range 3..12
+    assert out[1] == (3, 12, 3)
+    # doc 2: windows 0..2 -> range 0..9
+    assert out[2] == (0, 9, 3)
+    assert 3 not in out
+
+
+def test_duplicate_passages_join_not_hint_broadcast(spark):
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    plan = (
+        dedup_ops.duplicate_passages(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins and not any("broadcast" in ln.lower() for ln in joins), joins

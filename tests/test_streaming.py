@@ -489,3 +489,38 @@ def test_neardup_sink_batch_replay_is_noop(spark, tmp_path):
         spark.read.parquet(sig).filter("batch_id = 1").select("id").distinct().count()
         == 1
     )
+
+
+def test_stream_classifier_and_gopher_projections(spark, tmp_path):
+    """classifier_score and gopher_rules are stateless per-document
+    projections, so both run unchanged on a streaming DataFrame — the
+    model-based filter and the rule filter apply at ingest time."""
+    import json as _json
+
+    from blq_cli_spark.operators import classifier, quality
+
+    pos = spark.createDataFrame(
+        [(i, "careful analysis research evidence the method") for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, "buy click free winner casino pills") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = classifier.train_text_classifier(pos, neg, dim=64, iters=10)
+
+    d = tmp_path / "clf_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "careful analysis research evidence the method"},
+        {"doc_id": 2, "text": "buy click free winner casino pills"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    _drain(classifier.classifier_score(stream, w), "clf_stream_out")
+    got = {r["id"]: r["score"] for r in spark.sql("SELECT * FROM clf_stream_out").collect()}
+    assert got[1] > 0.5 > got[2]
+
+    _drain(quality.gopher_rules(stream, min_tokens=3), "gopher_stream_out")
+    rules = {r["id"]: r for r in spark.sql("SELECT * FROM gopher_stream_out").collect()}
+    assert rules[1]["token_count_ok"] and rules[2]["token_count_ok"]

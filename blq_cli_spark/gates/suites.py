@@ -170,6 +170,15 @@ _SPECS = {
          [("lang", "s"), ("lang_pred", "s"), ("n", "s")]),
         ("decontaminate", llmdata.x_decontaminate,
          [("id", "s"), ("n_gram_hits", "s"), ("n_bench_docs", "s")]),
+        # round 5 late additions ride the same driver row
+        ("gopher", llmdata.x_gopher_rules,
+         [("doc_id", "s"), ("n_tokens", "s"), ("token_count_ok", "s"),
+          ("mean_word_len_ok", "s"), ("symbol_ratio_ok", "s"),
+          ("alpha_word_ratio_ok", "s"), ("stopwords_ok", "s"), ("passes", "s")]),
+        ("boilerplate", llmdata.x_boilerplate_removal,
+         [("doc_id", "s"), ("n_spans", "s"), ("n_kept", "s"), ("clean_md5", "s")]),
+        ("passages", llmdata.x_duplicate_passages,
+         [("doc_id", "s"), ("start_tok", "s"), ("end_tok", "s"), ("n_windows", "s")]),
     ],
 }
 
@@ -221,6 +230,9 @@ _MEMBER_GATE = {
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",
     "decontaminate": "x_decontaminate",
+    "gopher": "x_gopher_rules",
+    "boilerplate": "x_boilerplate_removal",
+    "passages": "x_duplicate_passages",
 }
 
 

@@ -179,6 +179,8 @@ _SPECS = {
          [("doc_id", "s"), ("n_spans", "s"), ("n_kept", "s"), ("clean_md5", "s")]),
         ("passages", llmdata.x_duplicate_passages,
          [("doc_id", "s"), ("start_tok", "s"), ("end_tok", "s"), ("n_windows", "s")]),
+        ("semdedup", llmdata.x_semantic_dedup,
+         [("id", "s"), ("cluster_id", "s"), ("kept", "s")]),
     ],
 }
 
@@ -233,6 +235,7 @@ _MEMBER_GATE = {
     "gopher": "x_gopher_rules",
     "boilerplate": "x_boilerplate_removal",
     "passages": "x_duplicate_passages",
+    "semdedup": "x_semantic_dedup",
 }
 
 

@@ -273,3 +273,70 @@ def test_mix_threshold_keeps_exact_quantized_fraction(rate):
 def test_mix_threshold_monotone(r1, r2):
     lo, hi = sorted((r1, r2))
     assert _thresh(lo) <= _thresh(hi)
+
+
+# --- corpus-cleaning identities ---------------------------------------------
+
+_word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@given(st.lists(st.lists(_word, min_size=1, max_size=25), min_size=1,
+                max_size=6, unique_by=lambda ws: tuple(ws)))
+@settings(max_examples=15, deadline=None)
+def test_remove_repeated_spans_identity_on_unique_docs(spark, docs):
+    """If no span text repeats across documents, cleaning is the
+    whitespace-normalizing identity: every span survives."""
+    from blq_cli_spark.operators import quality
+
+    # make docs pairwise span-disjoint by prefixing each word with the
+    # doc index (uniqueness of the word lists alone doesn't prevent a
+    # shared 3-token run)
+    rows = [
+        (i, " ".join(f"d{i}_{w}" for w in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           quality.remove_repeated_spans(df, span_tokens=3).collect()}
+    for i, ws in enumerate(rows):
+        assert out[i]["n_kept"] == out[i]["n_spans"]
+        assert out[i]["clean_text"] == rows[i][1]
+
+
+@given(st.lists(st.lists(_word, min_size=8, max_size=20), min_size=1,
+                max_size=5))
+@settings(max_examples=15, deadline=None)
+def test_duplicate_passages_empty_on_disjoint_docs(spark, docs):
+    """Prefix-disjoint docs share no 8-token window -> no passages."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    rows = [
+        (i, " ".join(f"d{i}_{w}" for w in ws)) for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup_ops.duplicate_passages(df, k=8, min_docs=2).count() == 0
+
+
+@given(st.lists(st.lists(_word, min_size=1, max_size=20), min_size=2,
+                max_size=5))
+@settings(max_examples=10, deadline=None)
+def test_semantic_dedup_partition_property(spark, docs):
+    """semantic_dedup output is always a partition of the input ids:
+    every id appears once, every cluster_id is a member of its own
+    cluster, and each cluster keeps exactly one representative."""
+    from blq_cli_spark.operators import similarity, text as text_ops
+    import pyspark.sql.functions as F
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = text_ops.text_embeddings(df).withColumn(
+        "vec_id", F.col("doc_id")
+    )
+    out = similarity.semantic_dedup(emb, threshold=0.8).collect()
+    assert sorted(r["id"] for r in out) == list(range(len(rows)))
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid in {m["id"] for m in members}
+        assert sum(m["kept"] for m in members) == 1
+        assert min(m["id"] for m in members) == cid

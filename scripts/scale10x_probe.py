@@ -76,6 +76,8 @@ def main() -> None:
     km_centroids = clustering.kmeans_fit(
         spark.read.parquet(f"{tmp}/emb_1x"), k=8, iters=3
     )
+    # fixed weights: scoring is the scale path, training is bounded-state
+    clf_weights = [0.01 * ((i % 7) - 3) for i in range(64)] + [0.0]
 
     def probes(tag: str):
         docs = spark.read.parquet(f"{tmp}/docs_{tag}")
@@ -103,6 +105,13 @@ def main() -> None:
                 emb, threshold=0.9, method="bucketed"
             ),
             "kmeans_assign": lambda: clustering.kmeans_assign(emb, km_centroids),
+            "duplicate_passages": lambda: __import__(
+                "blq_cli_spark.operators.dedup", fromlist=["x"]
+            ).duplicate_passages(docs),
+            "classifier_score": lambda: __import__(
+                "blq_cli_spark.operators.classifier", fromlist=["x"]
+            ).classifier_score(docs, clf_weights),
+            "gopher_rules": lambda: quality.gopher_rules(docs),
         }
 
     # warm codegen/python workers on 1x (not timed)

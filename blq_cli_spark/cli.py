@@ -2281,7 +2281,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["profile", "quality", "redact", "funnel", "dedup",
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
-                 "train-classifier", "classify", "gopher", "passages"],
+                 "train-classifier", "classify", "gopher", "passages",
+                 "score-bigram"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

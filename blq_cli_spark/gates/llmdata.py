@@ -1092,3 +1092,45 @@ def x_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_passages(
         table(spark, sf_dir, "documents"), k=8, min_docs=2
     ).withColumnRenamed("id", "doc_id")
+
+
+_LAM = 0.7
+
+
+@gate(
+    "x_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t, CAST(unnest(range(1, len(t))) AS INT) AS i
+      FROM tok WHERE len(t) >= 2
+    ),
+    big AS (SELECT doc_id, t[i] AS v, t[i+1] AS w FROM pos),
+    uni AS (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (SELECT sum(cw) AS n FROM uni),
+    bc AS (SELECT v, w, count(*) AS cvw FROM big GROUP BY v, w),
+    cc AS (SELECT v, sum(cvw) AS cv FROM bc GROUP BY v)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln({_LAM!r} * (CAST(cvw AS DOUBLE) / cv)
+                        + {1.0 - _LAM!r} * (CAST(cw AS DOUBLE) / n))), 6)
+             AS avg_logprob
+    FROM big b
+    JOIN bc USING (v, w)
+    JOIN cc USING (v)
+    JOIN uni USING (w), tot
+    GROUP BY b.doc_id
+    """,
+)
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document (conditional upgrade of
+    x_unigram_logprob): mean ln(0.7 P(w|v) + 0.3 P(w)) over the corpus
+    bigram/context/unigram tables, every corpus-derived side joining
+    plain (quality.bigram_logprob)."""
+    from blq_cli_spark.operators import quality
+
+    return quality.bigram_logprob(
+        table(spark, sf_dir, "documents"), lam=_LAM
+    ).withColumnRenamed("id", "doc_id")

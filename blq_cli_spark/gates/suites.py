@@ -158,6 +158,8 @@ _SPECS = {
          [("doc_id", "s"), ("n_tokens", "s"), ("avg_logprob", "d")]),
         ("source_kl", llmdata.x_source_kl,
          [("source", "s"), ("kl_vs_corpus", "d")]),
+        ("bigram", llmdata.x_bigram_logprob,
+         [("doc_id", "s"), ("n_bigrams", "s"), ("avg_logprob", "d")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -228,6 +230,7 @@ _MEMBER_GATE = {
     "winnow": "x_winnow_tokens",
     "unigram": "x_unigram_logprob",
     "source_kl": "x_source_kl",
+    "bigram": "x_bigram_logprob",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

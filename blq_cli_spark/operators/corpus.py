@@ -327,6 +327,8 @@ def run_action(
         return materialize(docs, text_col=text_col, id_col=id_col)
     if action == "score":
         return quality.unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    if action == "score-bigram":
+        return quality.bigram_logprob(docs, text_col=text_col, id_col=id_col)
     if action == "source-kl":
         return quality.source_kl(docs, text_col=text_col, source_col=source_col)
     if action == "clean-spans":

@@ -371,3 +371,64 @@ def gopher_rules(
         *[expr.alias(name) for name, expr in rules.items()],
         passes.alias("passes"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM score per document: the mean over token
+    positions 2..n of ln(lam * P(w|v) + (1-lam) * P(w)), with P(w|v) =
+    corpus bigram count / context count and P(w) the corpus unigram —
+    the conditional upgrade of unigram_logprob (a gibberish filter that
+    also catches shuffled-but-common-token text). Fixed-lambda linear
+    interpolation keeps every term exactly computable cross-engine (no
+    discounting state).
+
+    Scale shape: identical to unigram_logprob — the bigram, context,
+    and unigram tables are all CORPUS-DERIVED and unbounded, so each
+    joins back as a plain equi-join (no broadcast hint; AQE decides);
+    every count aggregate is map-side combinable; the only forced
+    broadcast is the single-row grand total."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+        .repartition(parallelism, "id")
+        .filter(F.size("t") >= 2)
+    )
+    big = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("v"),
+                    F.element_at(F.col("t"), i + 1).alias("w"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    total = uni.agg(F.sum("cw").alias("n"))
+    bcounts = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    ccounts = bcounts.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    p = F.lit(lam) * (F.col("cvw") / F.col("cv")) + F.lit(1.0 - lam) * (
+        F.col("cw") / F.col("n")
+    )
+    return (
+        big.join(bcounts, ["v", "w"])  # plain equi-joins: corpus-derived
+        .join(ccounts, "v")
+        .join(uni, "w")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )

@@ -242,3 +242,34 @@ def test_gopher_rules_zero_shuffle_zero_python(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree, tree
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bigram_logprob_prefers_common_sequences(spark):
+    """A doc made of the corpus's dominant bigram scores higher than a
+    doc of the same tokens in an order never seen elsewhere."""
+    df = _docs(
+        spark,
+        [
+            (1, "go stop go stop go stop"),
+            (2, "go stop go stop go stop"),
+            (3, "go stop go stop go stop"),
+            (4, "stop stop go go stop go"),
+        ],
+    )
+    out = {r["id"]: r for r in quality.bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["avg_logprob"] == out[2]["avg_logprob"] == out[3]["avg_logprob"]
+    assert out[1]["avg_logprob"] > out[4]["avg_logprob"]
+
+
+def test_bigram_logprob_joins_not_hint_broadcast(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "b c d")])
+    plan = (
+        quality.bigram_logprob(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    # exactly one broadcast hint: the single-row grand total
+    assert sum("broadcast" in ln.lower() for ln in joins) <= 1, joins

@@ -704,3 +704,30 @@ def test_cli_corpus_classifier_roundtrip(tmp_path, capsys):
     scores = {r["id"]: r["score"] for r in spark.read.parquet(dst).collect()}
     assert all(scores[i] > 0.5 for i in range(5))
     assert all(scores[100 + i] < 0.5 for i in range(5))
+
+
+def test_cli_corpus_round5_actions_smoke(tmp_path, capsys):
+    """Thin-dispatch smoke for the round-5 corpus actions: gopher,
+    passages, score-bigram, clean-spans preview (library semantics are
+    gate/unit-tested; this pins the CLI wiring)."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today again"),
+            (2, "the quick brown fox jumps over the lazy dog today also"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    for action, marker in [
+        ("gopher", "passes"),
+        ("passages", "start_tok"),
+        ("score-bigram", "avg_logprob"),
+        ("clean-spans", "n_kept"),
+    ]:
+        assert main(["corpus", action, "--input", src]) == 0, action
+        out = capsys.readouterr().out
+        assert marker in out, (action, out)

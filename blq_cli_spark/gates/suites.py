@@ -58,6 +58,9 @@ _SPECS = {
          [("c_mktsegment", "s"), ("o_orderkey", "s"), ("totalprice", "d"), ("rn", "s")]),
         ("cumsum", windows.w_cumulative_user_value,
          [("user_id", "s"), ("event_id", "s"), ("running_total", "d")]),
+        ("rankdist", windows.w_rank_distributions,
+         [("o_orderkey", "s"), ("quartile", "s"), ("pct_rank", "d"),
+          ("cume", "d")]),
     ],
     "p_filter_suite": [
         ("in_eq", relational.p_in_and_eq_filter,
@@ -196,6 +199,7 @@ _MEMBER_GATE = {
     "lag_gap": "w_lag_gap_stats",
     "topn": "w_topn_per_group",
     "cumsum": "w_cumulative_user_value",
+    "rankdist": "w_rank_distributions",
     "in_eq": "p_in_and_eq_filter",
     "ilike": "p_ilike_pattern",
     "exclude": "p_exclude_invert",

@@ -220,3 +220,29 @@ def w_cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 4).alias("running_total"),
     )
+
+
+@gate(
+    "w_rank_distributions",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist):
+    per-customer price quartiles and rank fractions — one keyed window,
+    shared sort, deterministic tiebreak on the order key."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

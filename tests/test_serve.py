@@ -390,3 +390,35 @@ def test_cli_serve_listing_needs_no_spark(tmp_path, capsys, monkeypatch):
     assert "status" in names
     assert cli.main(["--store", store, "serve", "--list-prompts"]) == 0
     assert json.loads(capsys.readouterr().out)
+
+
+def test_corpus_tool_round5_actions(tmp_path, spark):
+    """Serve twin exposes the round-5 curation actions through the same
+    run_action dispatch the CLI uses."""
+    st = LogStore(spark, str(tmp_path / "corpstore5"))
+    src = str(tmp_path / "docs5.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today one"),
+            (2, "the quick brown fox jumps over the lazy dog today two"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    for action, col in [
+        ("gopher", "passes"),
+        ("passages", "start_tok"),
+        ("score-bigram", "avg_logprob"),
+        ("clean-spans", "n_kept"),
+    ]:
+        resp = serve.dispatch(st, "corpus", {"action": action, "input": src})
+        assert resp["ok"], (action, resp)
+        assert resp["result"]["rows"] and col in resp["result"]["rows"][0], action
+    # classify with inline weights
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "classify", "input": src, "weights": [0.0] * 65},
+    )
+    assert resp["ok"] and abs(resp["result"]["rows"][0]["score"] - 0.5) < 1e-9
+    # classify without weights is a clean tool error
+    resp = serve.dispatch(st, "corpus", {"action": "classify", "input": src})
+    assert not resp["ok"]

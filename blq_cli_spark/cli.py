@@ -1163,6 +1163,32 @@ def cmd_corpus(args) -> int:
             _json.dump(w, fh)
         print(f"trained {len(w) - 1}-dim classifier -> {args.weights_out}")
         return 0
+    if args.corpus_action == "pipeline":
+        if not args.stages:
+            print("corpus pipeline: --stages JSON file required", file=sys.stderr)
+            return 2
+        with open(args.stages) as fh:
+            stages = _json.load(fh)
+        if not isinstance(stages, list):
+            print("corpus pipeline: --stages must be a JSON list", file=sys.stderr)
+            return 2
+        # resolve path-valued stage params to loaded objects
+        for st_spec in stages:
+            if isinstance(st_spec.get("benchmark"), str):
+                st_spec["benchmark"] = spark.read.parquet(st_spec["benchmark"])
+            if isinstance(st_spec.get("weights"), str):
+                with open(st_spec["weights"]) as fh:
+                    st_spec["weights"] = _json.load(fh)
+        out, audit = corpus_ops.pipeline(
+            docs, stages, text_col=args.text_col, id_col=args.id_col, audit=True
+        )
+        for a in audit:
+            print(f"# stage {a['stage']} {a['op']}: {a['rows']} rows", file=sys.stderr)
+        if args.output:
+            _write_corpus_result(spark, out, args)
+        else:
+            _emit(out.limit(args.limit), args)
+        return 0
     weights = None
     if args.corpus_action == "classify":
         if not args.weights:
@@ -2282,7 +2308,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
-                 "score-bigram"],
+                 "score-bigram", "pipeline"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2312,6 +2338,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="train-classifier: write weights JSON here")
     sp.add_argument("--weights",
                     help="classify: trained weights JSON path")
+    sp.add_argument("--stages",
+                    help="pipeline: JSON file with the ordered stage list")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

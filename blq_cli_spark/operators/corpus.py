@@ -355,3 +355,95 @@ def run_action(
             text_ops.subword_token_count(F.col(text_col)).alias("n_subword_tokens"),
         )
     raise ValueError(f"unknown corpus action: {action}")
+
+
+def pipeline(
+    docs: DataFrame,
+    stages: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    audit: bool = False,
+) -> DataFrame | tuple[DataFrame, list[dict]]:
+    """Configurable curation pipeline: apply an ordered list of stages,
+    each stage consuming and producing a docs-shaped DataFrame, so one
+    declarative spec runs the whole corpus-prep flow the individual
+    `corpus` actions expose one at a time. Stage spec (dicts, JSON-able
+    for the CLI/serve fronts):
+
+      {"op": "gopher", ...gopher_rules kwargs}       keep rows passing
+      {"op": "classify", "weights": [...],
+       "threshold": 0.5}                             model quality filter
+      {"op": "clean-spans", "span_tokens": 10,
+       "min_docs": 2, "drop_empty": true}            rewrite text column
+      {"op": "dedup", "method": "minhash"|"simhash"} fuzzy dedup survivors
+      {"op": "exact-dedup"}                          one doc per content
+      {"op": "decontaminate", "benchmark": DF,
+       "ngram": 4}                                   drop benchmark overlap
+      {"op": "mix", "rates": {...},
+       "default_rate": 0.0, "source_col": "source"}  source-weighted sample
+
+    Every stage keeps the input schema (clean-spans rewrites `text_col`
+    in place), so stages compose in any order. With audit=True also
+    returns [{"stage", "op", "rows"}] counts — each count is an extra
+    action, so leave it off in production and read the final count only.
+
+    Scale: the composition adds NOTHING beyond its stages — each is the
+    already-scale-shaped operator; filters are left-semi joins on id
+    (docs never fan out, all columns ride through untouched)."""
+    from blq_cli_spark.operators import classifier as classifier_ops
+    from blq_cli_spark.operators import dedup as dedup_ops
+    from blq_cli_spark.operators import quality
+
+    tc = text_col
+    out = docs
+    counts: list[dict] = []
+    for i, spec in enumerate(stages):
+        spec = dict(spec)
+        op = spec.pop("op", None)
+        if op == "gopher":
+            flags = quality.gopher_rules(out, text_col=tc, id_col=id_col, **spec)
+            keep = flags.filter(F.col("passes")).select(F.col("id").alias(id_col))
+            out = out.join(keep, id_col, "left_semi")
+        elif op == "classify":
+            out = classifier_ops.quality_filter(
+                out, spec["weights"], threshold=spec.get("threshold", 0.5),
+                id_col=id_col, text_col=tc,
+            )
+        elif op == "clean-spans":
+            drop_empty = spec.pop("drop_empty", True)
+            cleaned = quality.remove_repeated_spans(
+                out, text_col=tc, id_col=id_col, **spec
+            ).select(F.col("id").alias(id_col), "clean_text")
+            out = (
+                out.drop(tc)
+                .join(cleaned, id_col)
+                .withColumnRenamed("clean_text", tc)
+            )
+            if drop_empty:
+                out = out.filter(F.col(tc) != "")
+        elif op == "dedup":
+            out = neardup_dedup(out, text_col=tc, id_col=id_col, **spec)
+        elif op == "exact-dedup":
+            reps = (
+                dedup_ops.exact_duplicates(out, text_col=tc, id_col=id_col)
+                .select(F.col("keep_id").alias(id_col))
+            )
+            out = out.join(reps, id_col, "left_semi")
+        elif op == "decontaminate":
+            bench = spec.pop("benchmark")
+            flagged = quality.decontaminate(
+                out, bench, text_col=tc, id_col=id_col, **spec
+            )
+            dirty = flagged.filter(F.col("n_gram_hits") > 0).select(
+                F.col("id").alias(id_col)
+            )
+            out = out.join(dirty, id_col, "left_anti")
+        elif op == "mix":
+            out = mix_sources(
+                out, spec.pop("rates", {}), id_col=id_col, **spec
+            )
+        else:
+            raise ValueError(f"pipeline stage {i}: unknown op {op!r}")
+        if audit:
+            counts.append({"stage": i, "op": op, "rows": out.count()})
+    return (out, counts) if audit else out

@@ -502,6 +502,7 @@ def _corpus(
     span_tokens: int = 10,
     min_docs: int = 2,
     weights: list | None = None,
+    stages: list | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -512,6 +513,20 @@ def _corpus(
 
     docs = store.spark.read.parquet(input)
     bench = store.spark.read.parquet(benchmark) if benchmark else None
+    if action == "pipeline":
+        if not isinstance(stages, list):
+            raise ValueError("pipeline requires stages: a JSON list")
+        for st_spec in stages:
+            if isinstance(st_spec.get("benchmark"), str):
+                st_spec["benchmark"] = store.spark.read.parquet(st_spec["benchmark"])
+        out, audit = corpus_ops.pipeline(
+            docs, stages, text_col=text_col, id_col=id_col, audit=True
+        )
+        if output:
+            out.write.mode("overwrite").parquet(output)
+            return {"written": output, "audit": audit,
+                    "rows": store.spark.read.parquet(output).count()}
+        return {"audit": audit, "rows": _rows(out, limit)}
     out = corpus_ops.run_action(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,

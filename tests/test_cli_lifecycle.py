@@ -731,3 +731,35 @@ def test_cli_corpus_round5_actions_smoke(tmp_path, capsys):
         assert main(["corpus", action, "--input", src]) == 0, action
         out = capsys.readouterr().out
         assert marker in out, (action, out)
+
+
+def test_cli_corpus_pipeline(tmp_path, capsys):
+    """`corpus pipeline --stages stages.json` runs the declarative
+    curation flow and writes the surviving corpus."""
+    import json
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today again"),
+            (2, "the quick brown fox jumps over the lazy dog today again"),
+            (3, "bad"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stages = str(tmp_path / "stages.json")
+    with open(stages, "w") as fh:
+        json.dump([{"op": "gopher"}, {"op": "exact-dedup"}], fh)
+    dst = str(tmp_path / "out.parquet")
+    assert main(
+        ["corpus", "pipeline", "--input", src, "--stages", stages,
+         "--output", dst]
+    ) == 0
+    err = capsys.readouterr().err
+    assert "stage 0 gopher: 2 rows" in err
+    assert "stage 1 exact-dedup: 1 rows" in err
+    assert spark.read.parquet(dst).count() == 1

@@ -150,3 +150,87 @@ def test_neardup_dedup_simhash_method(spark):
 
     with _pytest.raises(ValueError, match="unknown dedup method"):
         corpus.neardup_dedup(docs, method="nope")
+
+
+def test_pipeline_composes_stages_end_to_end(spark):
+    """One declarative spec: rule filter -> boilerplate rewrite -> exact
+    dedup -> fuzzy dedup. Planted spam, shared boilerplate, and
+    duplicates each fall out at the right stage."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    boiler = "subscribe to our newsletter for more updates and offers today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} the quick brown fox jumps over the lazy dog again", "web"),
+            (2, f"{boiler} a completely different body of useful text is here", "web"),
+            # exact duplicate of 1
+            (3, f"{boiler} the quick brown fox jumps over the lazy dog again", "web"),
+            # too short -> gopher kills it
+            (4, "tiny", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out, audit = corpus_ops.pipeline(
+        docs,
+        [
+            {"op": "gopher"},
+            {"op": "exact-dedup"},
+            {"op": "clean-spans", "span_tokens": 10, "min_docs": 2},
+        ],
+        audit=True,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 gone (rules), doc 3 gone (exact dup of 1 — deduped BEFORE
+    # span cleaning so duplicate mass doesn't mark its own content as
+    # boilerplate), shared boilerplate prefix stripped from survivors
+    assert set(rows) == {1, 2}
+    assert not rows[1]["text"].startswith("subscribe")
+    assert rows[1]["text"].endswith("again")
+    # schema preserved through every stage
+    assert set(rows[1].asDict()) == {"doc_id", "text", "source"}
+    assert [a["op"] for a in audit] == ["gopher", "exact-dedup", "clean-spans"]
+    assert audit[0]["rows"] == 3 and audit[-1]["rows"] == 2
+
+
+def test_pipeline_classify_and_decontaminate_stages(spark):
+    from blq_cli_spark.operators import classifier, corpus as corpus_ops
+
+    pos = spark.createDataFrame(
+        [(i, "careful analysis research evidence the method") for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, "buy click free winner casino pills") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = classifier.train_text_classifier(pos, neg, dim=64, iters=10)
+    bench = spark.createDataFrame(
+        [(1, "held out benchmark question text appears here")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "careful analysis research evidence the method works"),
+            (2, "buy click free winner casino pills now"),
+            (3, "careful research on held out benchmark question text appears here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_ops.pipeline(
+        docs,
+        [
+            {"op": "classify", "weights": w, "threshold": 0.5},
+            {"op": "decontaminate", "benchmark": bench, "n": 4},
+        ],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_pipeline_unknown_op_raises(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown op"):
+        corpus_ops.pipeline(docs, [{"op": "nope"}])

@@ -422,3 +422,26 @@ def test_corpus_tool_round5_actions(tmp_path, spark):
     # classify without weights is a clean tool error
     resp = serve.dispatch(st, "corpus", {"action": "classify", "input": src})
     assert not resp["ok"]
+
+
+def test_corpus_tool_pipeline(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "pipestore"))
+    src = str(tmp_path / "pdocs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today again"),
+            (2, "the quick brown fox jumps over the lazy dog today again"),
+            (3, "nah"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "pipeline", "input": src,
+         "stages": [{"op": "gopher"}, {"op": "exact-dedup"}]},
+    )
+    assert resp["ok"], resp
+    assert [a["rows"] for a in resp["result"]["audit"]] == [2, 1]
+    assert len(resp["result"]["rows"]) == 1
+    resp = serve.dispatch(st, "corpus", {"action": "pipeline", "input": src})
+    assert not resp["ok"]

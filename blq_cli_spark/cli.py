@@ -1018,6 +1018,21 @@ def cmd_hooks(args) -> int:
     hook built from registered commands (reference hooks_cmd.py)."""
     from blq_cli_spark import hooks
 
+    # agent target needs no store / SparkSession (reference hooks_cmd
+    # claude-code path: scripts + settings.json merge only)
+    if args.names and args.names[0] == "claude-code":
+        if args.action == "install":
+            written = hooks.install_agent_hooks(
+                args.repo, record=args.record, force=args.force
+            )
+            for w in written:
+                print(f"installed .claude/hooks/{w}")
+            print("registered in .claude/settings.json")
+            return 0
+        if args.action == "uninstall":
+            n = hooks.uninstall_agent_hooks(args.repo)
+            print(f"removed {n} agent hook(s)")
+            return 0
     st = _store(args)
     try:
         if args.action == "install":
@@ -2242,9 +2257,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("hooks")
     sp.add_argument("action", choices=["install", "uninstall", "status"])
-    sp.add_argument("names", nargs="*", help="registered commands (install)")
+    sp.add_argument("names", nargs="*",
+                    help="registered commands (git target), or the literal "
+                         "target 'claude-code' for agent hooks")
     sp.add_argument("--repo", default=".", help="git repository root")
     sp.add_argument("--hook", default="pre-commit")
+    sp.add_argument("--record", action="store_true",
+                    help="claude-code: also install attempt/outcome "
+                         "recording hooks")
     sp.add_argument("--force", action="store_true")
     sp.set_defaults(fn=cmd_hooks)
 

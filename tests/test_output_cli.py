@@ -561,3 +561,72 @@ def test_cli_anomalies_flags_burst_day(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "2026-05-11" in out
     assert "2026-05-05" not in out
+
+
+def test_cli_hooks_agent_install_merge_and_uninstall(tmp_path, capsys, monkeypatch):
+    """`hooks install claude-code [--record]`: marker-tagged scripts +
+    idempotent settings.json merge; uninstall removes only ours."""
+    import json
+    import os
+
+    from blq_cli_spark.cli import main
+
+    repo = str(tmp_path)
+    # pre-existing foreign hook entry must survive untouched
+    os.makedirs(os.path.join(repo, ".claude"))
+    foreign = {
+        "hooks": {
+            "PostToolUse": [
+                {"matcher": "Bash",
+                 "hooks": [{"type": "command", "command": "my-own-hook.sh"}]}
+            ]
+        },
+        "other_setting": 1,
+    }
+    with open(os.path.join(repo, ".claude", "settings.json"), "w") as fh:
+        json.dump(foreign, fh)
+
+    assert main(["hooks", "install", "claude-code", "--record",
+                 "--repo", repo]) == 0
+    out = capsys.readouterr().out
+    assert "blq-suggest.sh" in out and "blq-record-pre.sh" in out
+    hooks_dir = os.path.join(repo, ".claude", "hooks")
+    assert sorted(os.listdir(hooks_dir)) == [
+        "blq-record-post.sh", "blq-record-pre.sh", "blq-suggest.sh"
+    ]
+    for f in os.listdir(hooks_dir):
+        body = open(os.path.join(hooks_dir, f)).read()
+        assert "blq-spark-managed-hook" in body
+        assert body.startswith("#!/bin/bash")
+        assert os.access(os.path.join(hooks_dir, f), os.X_OK)
+    with open(os.path.join(repo, ".claude", "settings.json")) as fh:
+        settings = json.load(fh)
+    assert settings["other_setting"] == 1
+    post = settings["hooks"]["PostToolUse"]
+    assert any(h["hooks"][0]["command"] == "my-own-hook.sh" for h in post)
+    assert any(h["hooks"][0]["command"].endswith("blq-suggest.sh") for h in post)
+    assert any(h["hooks"][0]["command"].endswith("blq-record-post.sh") for h in post)
+    assert any(
+        h["hooks"][0]["command"].endswith("blq-record-pre.sh")
+        for h in settings["hooks"]["PreToolUse"]
+    )
+
+    # re-install is idempotent (no duplicate entries)
+    assert main(["hooks", "install", "claude-code", "--record",
+                 "--repo", repo]) == 0
+    capsys.readouterr()
+    with open(os.path.join(repo, ".claude", "settings.json")) as fh:
+        again = json.load(fh)
+    assert len(again["hooks"]["PostToolUse"]) == len(post)
+
+    # uninstall removes ours only
+    assert main(["hooks", "uninstall", "claude-code", "--repo", repo]) == 0
+    capsys.readouterr()
+    assert os.listdir(hooks_dir) == []
+    with open(os.path.join(repo, ".claude", "settings.json")) as fh:
+        final = json.load(fh)
+    assert final["hooks"]["PostToolUse"] == [
+        {"matcher": "Bash",
+         "hooks": [{"type": "command", "command": "my-own-hook.sh"}]}
+    ]
+    assert final["other_setting"] == 1

@@ -1018,6 +1018,8 @@ def cmd_hooks(args) -> int:
     hook built from registered commands (reference hooks_cmd.py)."""
     from blq_cli_spark import hooks
 
+    if args.action == "remove":
+        args.action = "uninstall"
     # agent target needs no store / SparkSession (reference hooks_cmd
     # claude-code path: scripts + settings.json merge only)
     if args.names and args.names[0] == "claude-code":
@@ -2256,7 +2258,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_annotate)
 
     sp = sub.add_parser("hooks")
-    sp.add_argument("action", choices=["install", "uninstall", "status"])
+    # "remove" is the reference's spelling (cmd_hooks_remove); keep both
+    sp.add_argument("action",
+                    choices=["install", "uninstall", "remove", "status"])
     sp.add_argument("names", nargs="*",
                     help="registered commands (git target), or the literal "
                          "target 'claude-code' for agent hooks")

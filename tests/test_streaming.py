@@ -524,3 +524,61 @@ def test_stream_classifier_and_gopher_projections(spark, tmp_path):
     _drain(quality.gopher_rules(stream, min_tokens=3), "gopher_stream_out")
     rules = {r["id"]: r for r in spark.sql("SELECT * FROM gopher_stream_out").collect()}
     assert rules[1]["token_count_ok"] and rules[2]["token_count_ok"]
+
+
+def test_windowed_source_kl_flags_drifted_source(spark, tmp_path):
+    """Drift monitor: per-window KL vs a bounded baseline spikes for the
+    source whose token distribution shifted; the in-distribution source
+    stays near zero; all values finite and non-negative."""
+    from blq_cli_spark.streaming import drift
+
+    base_corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    baseline = drift.build_baseline(base_corpus, top_k=4)
+    rows_b = {r["w"]: r["q"] for r in baseline.collect()}
+    assert "<OOV>" in rows_b and len(rows_b) == 5
+    assert all(q > 0 for q in rows_b.values())
+
+    d = tmp_path / "drift_stream"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:05", "source": "ok",
+         "text": "alpha beta gamma delta alpha beta"},
+        {"doc_id": 2, "ts": "2024-01-01T10:00:15", "source": "ok",
+         "text": "beta gamma alpha delta gamma alpha"},
+        {"doc_id": 3, "ts": "2024-01-01T10:00:25", "source": "spam",
+         "text": "buy pills now cheap casino winner"},
+        {"doc_id": 4, "ts": "2024-01-01T10:00:35", "source": "spam",
+         "text": "click free offer prize casino buy"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream
+        .schema("doc_id long, ts timestamp, source string, text string")
+        .json(str(d))
+    )
+    out = drift.windowed_source_kl(stream, baseline, window="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_kl")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # append mode finalizes a window only after the watermark passes its
+    # end: push it with a later batch (the pusher's own window never
+    # closes, which is correct streaming semantics)
+    pusher = {"doc_id": 9, "ts": "2024-01-01T10:10:00", "source": "ok",
+              "text": "alpha"}
+    (d / "b.jsonl").write_text(_json.dumps(pusher))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["source"]: r for r in spark.sql("SELECT * FROM drift_kl").collect()}
+    assert set(got) == {"ok", "spam"}
+    assert got["ok"]["kl"] >= 0 and got["spam"]["kl"] >= 0
+    # add-one smoothing over the small test support dampens magnitudes;
+    # the drifted source must still stand out by a clear factor
+    assert got["spam"]["kl"] > 2 * got["ok"]["kl"]
+    assert got["ok"]["n_tokens"] == 12 and got["spam"]["n_tokens"] == 12

@@ -1283,6 +1283,15 @@ def cmd_embeddings(args) -> int:
             emb, k=args.k_cells, iters=args.iters, id_col=ic, vec_col=vc
         )
         out = clustering.kmeans_assign(emb, cents, id_col=ic, vec_col=vc)
+    elif act == "decontaminate":
+        if not args.benchmark:
+            print("embeddings decontaminate: --benchmark PARQUET required",
+                  file=sys.stderr)
+            return 2
+        bench = spark.read.parquet(args.benchmark)
+        out = similarity.semantic_decontaminate(
+            emb, bench, threshold=args.threshold, id_col=ic, vec_col=vc
+        )
     else:  # pragma: no cover - argparse restricts choices
         return 2
     if args.output:
@@ -2370,7 +2379,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
                     choices=["topk", "quantize", "neardup", "semantic-dedup",
-                             "cluster"])
+                             "cluster", "decontaminate"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")
@@ -2379,6 +2388,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--method", choices=["exact", "lsh", "ivf", "quantized"],
                     default="exact")
     sp.add_argument("--threshold", type=float, default=0.95, help="neardup cosine floor")
+    sp.add_argument("--benchmark",
+                    help="decontaminate: benchmark embedding parquet")
     sp.add_argument("--k-cells", type=int, default=16, dest="k_cells",
                     help="cluster: number of k-means centroids")
     sp.add_argument("--iters", type=int, default=10,

@@ -1134,3 +1134,35 @@ def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.bigram_logprob(
         table(spark, sf_dir, "documents"), lam=_LAM
     ).withColumnRenamed("id", "doc_id")
+
+
+@gate(
+    "x_semantic_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id AS id,
+             max({_DOT.format(a="e.embedding", b="b.embedding")}
+                 / (sqrt({_DOT.format(a="e.embedding", b="e.embedding")})
+                    * sqrt({_DOT.format(a="b.embedding", b="b.embedding")})))
+               AS mx
+      FROM embeddings e CROSS JOIN bench b
+      GROUP BY e.vec_id
+    )
+    SELECT id, round(mx, 6) AS max_bench_cos, (mx >= 0.4) AS contaminated
+    FROM scored
+    """,
+)
+def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: per corpus vector, the
+    max cosine against a (bounded, broadcast) benchmark set and the
+    contamination flag at 0.4 — the semantic complement of the n-gram
+    x_decontaminate gate."""
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.orderBy("vec_id").limit(8)
+    out = similarity.semantic_decontaminate(emb, bench, threshold=0.4)
+    return out.select(
+        "id", F.round("max_bench_cos", 6).alias("max_bench_cos"), "contaminated"
+    )

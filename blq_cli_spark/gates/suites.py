@@ -186,6 +186,8 @@ _SPECS = {
          [("doc_id", "s"), ("start_tok", "s"), ("end_tok", "s"), ("n_windows", "s")]),
         ("semdedup", llmdata.x_semantic_dedup,
          [("id", "s"), ("cluster_id", "s"), ("kept", "s")]),
+        ("semdecon", llmdata.x_semantic_decontaminate,
+         [("id", "s"), ("max_bench_cos", "d"), ("contaminated", "s")]),
     ],
 }
 
@@ -243,6 +245,7 @@ _MEMBER_GATE = {
     "boilerplate": "x_boilerplate_removal",
     "passages": "x_duplicate_passages",
     "semdedup": "x_semantic_dedup",
+    "semdecon": "x_semantic_decontaminate",
 }
 
 

@@ -718,3 +718,47 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus
+    vector whose cosine against ANY benchmark vector reaches
+    `threshold` — the semantic complement of quality.decontaminate's
+    exact n-gram overlap (catches paraphrased test questions that share
+    no shingle).
+
+    Returns (id, max_bench_cos, contaminated). Scale shape mirrors
+    cosine_topk: the benchmark matrix broadcasts into the Arrow kernel
+    (benchmarks are bounded by definition), each corpus partition does
+    one GEMM against it, and the output is a per-row projection — no
+    shuffle, no driver traffic."""
+    bench = benchmark.select(F.col(vec_col).alias("v")).toPandas()
+    B = _to_matrix(bench["v"])
+    bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+    Bt = np.ascontiguousarray((B / np.maximum(bn, 1e-12)[:, None]).T)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _to_matrix(pdf[vec_col])
+            mn = np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-12)
+            mx = ((M / mn[:, None]) @ Bt).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "max_bench_cos": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return corpus.mapInPandas(
+        score, "id long, max_bench_cos double, contaminated boolean"
+    )

@@ -552,6 +552,7 @@ def _embeddings(
     threshold: float = 0.95,
     k_cells: int = 16,
     iters: int = 10,
+    benchmark: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     output: str | None = None,
@@ -596,6 +597,13 @@ def _embeddings(
             emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
         out = clustering.kmeans_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    elif action == "decontaminate":
+        if not benchmark:
+            raise ValueError("decontaminate requires a benchmark parquet path")
+        out = similarity.semantic_decontaminate(
+            emb, spark.read.parquet(benchmark), threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
     else:
         raise ValueError(f"unknown embeddings action: {action}")
     if output:

@@ -260,3 +260,23 @@ def test_semantic_dedup_kmeans_blocked_subset_of_exact(spark, emb):
     # and it must find a substantial share of them (cells are dense)
     if exact:
         assert len(km) / len(exact) >= 0.5, (len(km), len(exact))
+
+
+def test_semantic_decontaminate_flags_near_benchmark(spark):
+    """Vectors near any benchmark vector flag; orthogonal ones don't;
+    exact benchmark copies carry max_bench_cos == 1."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # == bench vector
+        (2, [0.99, 0.1, 0.0, 0.0]),  # near bench
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r for r in
+           similarity.semantic_decontaminate(corpus, bench, 0.95).collect()}
+    assert out[1]["contaminated"] and abs(out[1]["max_bench_cos"] - 1.0) < 1e-9
+    assert out[2]["contaminated"]
+    assert not out[3]["contaminated"] and out[3]["max_bench_cos"] < 0.1

@@ -86,7 +86,12 @@ def test_store_partition_pruning(spark, tmp_path):
 
 
 # gates whose design intentionally runs a numpy/pandas kernel
-_PYTHON_KERNEL_GATES = {"x_cosine_topk", "x_lsh_ann", "x_ivf_ann", "x_embedding_neardup"}
+_PYTHON_KERNEL_GATES = {
+    "x_cosine_topk", "x_lsh_ann", "x_ivf_ann", "x_embedding_neardup",
+    # round 5: benchmark-matrix GEMM kernel, and the quality suite row
+    # that carries it (plus the semantic-dedup member's block kernels)
+    "x_semantic_decontaminate", "x_quality_suite",
+}
 
 
 def test_no_gate_plans_cartesian_or_row_python(spark):

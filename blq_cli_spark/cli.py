@@ -1140,7 +1140,7 @@ def cmd_corpus(args) -> int:
               file=sys.stderr)
         return 2
     spark = get_spark(app_name="blq-spark-corpus")
-    docs = spark.read.parquet(args.input)
+    docs = _read_corpus_input(spark, args)
     rates = None
     if args.corpus_action == "mix":
         try:
@@ -1246,7 +1246,7 @@ def cmd_embeddings(args) -> int:
     from blq_cli_spark.session import get_spark
 
     spark = get_spark(app_name="blq-spark-embeddings")
-    emb = spark.read.parquet(args.input)
+    emb = _read_corpus_input(spark, args)
     ic, vc = args.id_col, args.vec_col
     act = args.emb_action
     if act == "quantize":
@@ -1301,11 +1301,27 @@ def cmd_embeddings(args) -> int:
     return 0
 
 
+def _read_corpus_input(spark, args):
+    """Input reader for the corpus/embeddings verbs: parquet by default,
+    JSONL when --input-format jsonl or the path looks like JSON lines —
+    the interchange format corpora actually arrive in."""
+    fmt = getattr(args, "input_format", "auto") or "auto"
+    path = args.input
+    if fmt == "auto":
+        fmt = "jsonl" if path.rstrip("/").endswith((".jsonl", ".json", ".ndjson")) else "parquet"
+    return spark.read.json(path) if fmt == "jsonl" else spark.read.parquet(path)
+
+
 def _write_corpus_result(spark, out, args) -> None:
     """Distributed result write for the corpus/embeddings verbs: parquet
     by default, or sharded JSONL (the training-data interchange format)
     with --output-format jsonl."""
     fmt = getattr(args, "output_format", "parquet") or "parquet"
+    nparts = getattr(args, "output_partitions", None)
+    if nparts:
+        # control output file count/size: one shuffle, then each task
+        # writes one file (at 100 TB pick ~target_bytes/file_size tasks)
+        out = out.repartition(nparts)
     if fmt == "jsonl":
         out.write.mode("overwrite").json(args.output)
         n = spark.read.json(args.output).count()
@@ -2358,6 +2374,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "surviving signatures (minhash only)")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],
                     default="parquet", dest="output_format")
+    sp.add_argument("--input-format", choices=["auto", "parquet", "jsonl"],
+                    default="auto", dest="input_format")
+    sp.add_argument("--output-partitions", type=int, default=None,
+                    dest="output_partitions",
+                    help="repartition before writing (file-count control)")
     sp.add_argument("--method", choices=["minhash", "simhash"],
                     default="minhash", dest="dedup_method",
                     help="dedup: candidate-generation strategy")
@@ -2398,6 +2419,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--vec-col", default="embedding")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],
                     default="parquet", dest="output_format")
+    sp.add_argument("--input-format", choices=["auto", "parquet", "jsonl"],
+                    default="auto", dest="input_format")
+    sp.add_argument("--output-partitions", type=int, default=None,
+                    dest="output_partitions",
+                    help="repartition before writing (file-count control)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_embeddings)
 

@@ -763,3 +763,28 @@ def test_cli_corpus_pipeline(tmp_path, capsys):
     assert "stage 0 gopher: 2 rows" in err
     assert "stage 1 exact-dedup: 1 rows" in err
     assert spark.read.parquet(dst).count() == 1
+
+
+def test_cli_corpus_jsonl_input_and_output_partitions(tmp_path, capsys):
+    """JSONL corpora read directly (--input-format auto by extension);
+    --output-partitions controls the written file count."""
+    import json
+    import os
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.jsonl")
+    with open(src, "w") as fh:
+        for i in range(20):
+            fh.write(json.dumps({"doc_id": i, "text": f"alpha beta doc {i}"}) + "\n")
+    dst = str(tmp_path / "prof.parquet")
+    assert main(
+        ["corpus", "profile", "--input", src, "--output", dst,
+         "--output-partitions", "2"]
+    ) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(dst).count() == 20
+    parts = [f for f in os.listdir(dst) if f.startswith("part-")]
+    assert len(parts) == 2

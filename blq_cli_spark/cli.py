@@ -1228,6 +1228,7 @@ def cmd_corpus(args) -> int:
         span_tokens=args.span_tokens,
         min_docs=args.min_docs,
         weights=weights,
+        capacity_tokens=args.capacity_tokens,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2357,7 +2358,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
-                 "score-bigram", "pipeline"],
+                 "score-bigram", "pipeline", "pack"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2394,6 +2395,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="classify: trained weights JSON path")
     sp.add_argument("--stages",
                     help="pipeline: JSON file with the ordered stage list")
+    sp.add_argument("--capacity-tokens", type=int, default=512,
+                    dest="capacity_tokens",
+                    help="pack: tokens per training sequence bin")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1166,3 +1166,31 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("max_bench_cos", 6).alias("max_bench_cos"), "contaminated"
     )
+
+
+@gate(
+    "x_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id AS id, len({_TOK}) AS n_tokens FROM documents),
+    c AS (
+      SELECT id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM t
+    )
+    SELECT id, n_tokens, CAST(off AS BIGINT) AS offset,
+           CAST(floor(off / 512.0) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token bins via the distributed
+    prefix-sum (corpus.pack_sequences). The oracle is the naive global
+    cumulative window — the distributed range-split + within-range
+    windows must reproduce it exactly."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.pack_sequences(
+        table(spark, sf_dir, "documents"), capacity_tokens=512
+    )

@@ -260,6 +260,7 @@ def run_action(
     span_tokens: int = 10,
     min_docs: int = 2,
     weights: list[float] | None = None,
+    capacity_tokens: int = 512,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -335,6 +336,10 @@ def run_action(
         return quality.remove_repeated_spans(
             docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
             min_docs=min_docs,
+        )
+    if action == "pack":
+        return pack_sequences(
+            docs, capacity_tokens=capacity_tokens, text_col=text_col, id_col=id_col
         )
     if action == "passages":
         return dedup_ops.duplicate_passages(docs, text_col=text_col, id_col=id_col)
@@ -447,3 +452,66 @@ def pipeline(
         if audit:
             counts.append({"stage": i, "op": op, "rows": out.count()})
     return (out, counts) if audit else out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_buckets: int = 64,
+) -> DataFrame:
+    """Greedy training-sequence packing: assign documents (in id order)
+    to fixed-capacity token bins — the batch-construction step between
+    curation and tokenization. A document lands in the bin its running
+    token offset falls into: bin = floor(exclusive_prefix / capacity).
+
+    Returns (id, n_tokens, offset, bin); deterministic for a given
+    corpus regardless of partitioning.
+
+    Scale shape — DISTRIBUTED PREFIX SUM: a naive global cumulative
+    window (ORDER BY id over everything) collapses to one partition at
+    100 TB. Instead ids split into `id_buckets` contiguous ORDERED
+    ranges; per-range token totals (<= id_buckets longs) come to the
+    driver for the tiny prefix scan and broadcast back as map literals,
+    and each row's global offset = its range's base + a within-range
+    cumulative window (parallel across ranges). Only two scalars and
+    id_buckets totals ever leave the executors."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        text_ops.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    lo, hi = base.agg(F.min("id"), F.max("id")).collect()[0]
+    if lo is None:
+        return base.withColumn("offset", F.lit(0).cast("long")).withColumn(
+            "bin", F.lit(0).cast("long")
+        )
+    width = max(1, -(-(int(hi) - int(lo) + 1) // id_buckets))
+    rng = ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    ranged = base.withColumn("_rng", rng)
+    totals = {
+        r["_rng"]: r["_t"]
+        for r in ranged.groupBy("_rng").agg(F.sum("n_tokens").alias("_t")).collect()
+    }  # <= id_buckets rows
+    bases, acc = {}, 0
+    for k in sorted(totals):
+        bases[k] = acc
+        acc += totals[k]
+    base_map = F.create_map(
+        *[x for k, v in bases.items() for x in (F.lit(int(k)), F.lit(int(v)))]
+    )
+    w = (
+        Window.partitionBy("_rng")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    offset = (F.element_at(base_map, F.col("_rng")) + within).cast("long")
+    return ranged.select(
+        "id",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(float(capacity_tokens))).cast("long").alias("bin"),
+    )

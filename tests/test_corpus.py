@@ -234,3 +234,55 @@ def test_pipeline_unknown_op_raises(spark):
 
     with _pytest.raises(ValueError, match="unknown op"):
         corpus_ops.pipeline(docs, [{"op": "nope"}])
+
+
+def test_pack_sequences_matches_naive_cumsum_and_partitioning_invariant(spark):
+    """The distributed prefix-sum must equal the naive single-window
+    cumsum, and be identical under different input partitionings."""
+    import random
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    rng = random.Random(9)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = {r["id"]: r for r in
+            corpus_ops.pack_sequences(docs, capacity_tokens=100, id_buckets=16).collect()}
+    out2 = {r["id"]: r for r in
+            corpus_ops.pack_sequences(docs.repartition(32), capacity_tokens=100,
+                                      id_buckets=5).collect()}
+    # naive reference
+    acc = 0
+    for i, text in rows:
+        n = len(text.split())
+        assert out1[i]["n_tokens"] == n
+        assert out1[i]["offset"] == acc, i
+        assert out1[i]["bin"] == acc // 100
+        assert out2[i]["offset"] == acc
+        acc += n
+    # bins fill to capacity: every bin except possibly the last sees
+    # at least `capacity` tokens pass through it
+    n_bins = max(r["bin"] for r in out1.values()) + 1
+    assert n_bins == (acc + 99) // 100 or n_bins <= (acc // 100) + 1
+
+
+def test_pack_sequences_no_single_partition_global_window(spark):
+    """The plan must not contain a global (empty-partition-spec) window:
+    the whole point is the range-split prefix sum."""
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    out = corpus_ops.pack_sequences(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    # a global window shows as 'Window [...], [id ASC...]' with a
+    # SinglePartition exchange feeding it; our window partitions by _rng
+    assert "_rng" in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -1179,7 +1179,7 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS off
       FROM t
     )
-    SELECT id, n_tokens, CAST(off AS BIGINT) AS offset,
+    SELECT id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
            CAST(floor(off / 512.0) AS BIGINT) AS bin
     FROM c
     """,
@@ -1193,4 +1193,4 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus_ops.pack_sequences(
         table(spark, sf_dir, "documents"), capacity_tokens=512
-    )
+    ).withColumnRenamed("offset", "tok_offset")  # OFFSET is reserved in SQL

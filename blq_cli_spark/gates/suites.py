@@ -163,6 +163,8 @@ _SPECS = {
          [("source", "s"), ("kl_vs_corpus", "d")]),
         ("bigram", llmdata.x_bigram_logprob,
          [("doc_id", "s"), ("n_bigrams", "s"), ("avg_logprob", "d")]),
+        ("pack", llmdata.x_sequence_packing,
+         [("id", "s"), ("n_tokens", "s"), ("tok_offset", "s"), ("bin", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -237,6 +239,7 @@ _MEMBER_GATE = {
     "unigram": "x_unigram_logprob",
     "source_kl": "x_source_kl",
     "bigram": "x_bigram_logprob",
+    "pack": "x_sequence_packing",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -112,6 +112,10 @@ def main() -> None:
                 "blq_cli_spark.operators.classifier", fromlist=["x"]
             ).classifier_score(docs, clf_weights),
             "gopher_rules": lambda: quality.gopher_rules(docs),
+            "sequence_packing": lambda: corpus_ops.pack_sequences(docs),
+            "semantic_decontaminate": lambda: similarity.semantic_decontaminate(
+                emb, queries, threshold=0.9
+            ),
         }
 
     # warm codegen/python workers on 1x (not timed)

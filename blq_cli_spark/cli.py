@@ -2358,7 +2358,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
-                 "score-bigram", "pipeline", "pack"],
+                 "score-bigram", "pipeline", "pack", "report"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

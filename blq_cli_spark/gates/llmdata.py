@@ -1194,3 +1194,69 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.pack_sequences(
         table(spark, sf_dir, "documents"), capacity_tokens=512
     ).withColumnRenamed("offset", "tok_offset")  # OFFSET is reserved in SQL
+
+
+_QUALITY_EXPR = f"""(
+  (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+   + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / greatest(length(text), 1))
+  + len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) / greatest(len(t), 1)
+) / 3.0"""
+
+_GOPHER_PASSES = f"""(
+  (len(t) >= 10 AND len(t) <= 100000)
+  AND (list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) >= 2.0
+       AND list_sum(list_transform(t, w -> length(w))) / greatest(len(t), 1) <= 12.0)
+  AND ((len(string_split(text, '#')) - 1
+        + len(string_split_regex(text, '\\.\\.\\.')) - 1)
+       / greatest(len(t), 1) <= 0.1)
+  AND (len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))
+       / greatest(len(t), 1) >= 0.8)
+  AND (len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL})) >= 2)
+)"""
+
+
+@gate(
+    "x_corpus_report",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+    proj AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             len(t) AS nt,
+             {_QUALITY_EXPR} AS q,
+             CASE WHEN len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL}))
+                       / greatest(len(t), 1) >= 0.03 THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN {_GOPHER_PASSES} THEN 1 ELSE 0 END AS ok
+      FROM tok
+    ),
+    per_fp AS (
+      SELECT fp, count(*) AS c, sum(nt) AS snt, sum(q) AS sq,
+             sum(is_en) AS sen, sum(ok) AS sok
+      FROM proj GROUP BY fp
+    ),
+    g AS (
+      SELECT sum(c) AS n_docs, count(*) AS n_distinct,
+             sum(snt) AS total_tokens, sum(sq) AS sq2,
+             sum(sen) AS sen2, sum(sok) AS sok2
+      FROM per_fp
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+    UNION ALL SELECT 'n_distinct', CAST(n_distinct AS DOUBLE) FROM g
+    UNION ALL SELECT 'dup_rate',
+      round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM g
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM g
+    UNION ALL SELECT 'avg_tokens',
+      round(CAST(total_tokens AS DOUBLE) / n_docs, 6) FROM g
+    UNION ALL SELECT 'avg_quality', round(sq2 / n_docs, 6) FROM g
+    UNION ALL SELECT 'english_rate',
+      round(CAST(sen2 AS DOUBLE) / n_docs, 6) FROM g
+    UNION ALL SELECT 'gopher_pass_rate',
+      round(CAST(sok2 AS DOUBLE) / n_docs, 6) FROM g
+    """,
+)
+def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report (corpus.report_stats): duplicate rate, token
+    totals, quality/English/Gopher-pass rates — two shuffles total,
+    metric-by-metric oracle parity."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.report_stats(table(spark, sf_dir, "documents"))

@@ -337,6 +337,8 @@ def run_action(
             docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
             min_docs=min_docs,
         )
+    if action == "report":
+        return report_stats(docs, text_col=text_col, id_col=id_col)
     if action == "pack":
         return pack_sequences(
             docs, capacity_tokens=capacity_tokens, text_col=text_col, id_col=id_col
@@ -514,4 +516,64 @@ def pack_sequences(
         "n_tokens",
         offset.alias("offset"),
         F.floor(offset / F.lit(float(capacity_tokens))).cast("long").alias("bin"),
+    )
+
+
+def report_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus health report as (metric, value) rows: document and
+    distinct-content counts, duplicate rate, token totals/means, mean
+    quality score, English rate, and the Gopher-rule pass rate — the
+    numbers a curation run reports before/after each stage.
+
+    Scale shape (the funnel_stats pattern): ONE projection computes
+    every per-document signal (fingerprint, token count, quality, lang,
+    gopher conjunction — all codegen column expressions), one groupBy on
+    the md5 fingerprint carries the duplicate accounting, and one global
+    aggregate folds the rest. Two shuffles total regardless of metric
+    count; nothing re-scans the corpus."""
+    from blq_cli_spark.operators import quality
+
+    txt = F.col(text_col)
+    flags = quality.gopher_flags(text_col)
+    proj = docs.select(
+        text_ops.fingerprint(txt).alias("fp"),
+        text_ops.token_count(txt).alias("nt"),
+        text_ops.quality_score(txt).alias("q"),
+        (text_ops.language_id(txt) == "en").cast("int").alias("is_en"),
+        flags["passes"].cast("int").alias("ok"),
+    )
+    per_fp = proj.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("nt").alias("snt"),
+        F.sum("q").alias("sq"),
+        F.sum("is_en").alias("sen"),
+        F.sum("ok").alias("sok"),
+    )
+    g = per_fp.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("snt").alias("total_tokens"),
+        F.sum("sq").alias("_sq"),
+        F.sum("sen").alias("_sen"),
+        F.sum("sok").alias("_sok"),
+    )
+    n = F.col("n_docs").cast("double")
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_distinct", F.col("n_distinct").cast("double")),
+        ("dup_rate", F.round(1.0 - F.col("n_distinct") / n, 6)),
+        ("total_tokens", F.col("total_tokens").cast("double")),
+        ("avg_tokens", F.round(F.col("total_tokens") / n, 6)),
+        ("avg_quality", F.round(F.col("_sq") / n, 6)),
+        ("english_rate", F.round(F.col("_sen") / n, 6)),
+        ("gopher_pass_rate", F.round(F.col("_sok") / n, 6)),
+    ]
+    stacked = ", ".join(f"'{name}', `_m{i}`" for i, (name, _) in enumerate(metrics))
+    g2 = g.select(*[expr.alias(f"_m{i}") for i, (_, expr) in enumerate(metrics)])
+    return g2.selectExpr(
+        f"stack({len(metrics)}, {stacked}) as (metric, value)"
     )

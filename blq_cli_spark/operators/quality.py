@@ -315,10 +315,8 @@ def remove_repeated_spans(
     )
 
 
-def gopher_rules(
-    df: DataFrame,
+def gopher_flags(
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_tokens: int = 10,
     max_tokens: int = 100_000,
     min_mean_word_len: float = 2.0,
@@ -326,19 +324,10 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_stopwords: int = 2,
-) -> DataFrame:
-    """The Gopher/MassiveText document-level rule filters (Rae et al.
-    2021, arXiv:2112.11446 §A1.1) as pure column expressions: token-count
-    bounds, mean-word-length bounds, symbol-to-word ratio (# and ...),
-    alphabetic-word ratio, and a minimum stopword count. Returns one row
-    per document with each rule's boolean plus the conjunction
-    ``passes``.
-
-    Scale shape: zero shuffles and zero Python — every rule is a
-    codegen'd projection over the token array, so the filter runs at
-    scan speed and composes with partition pruning. (The repetition
-    rules from the same paper live in repetition_profile — they need
-    aggregation; these do not.)"""
+) -> dict[str, Column]:
+    """The Gopher rule booleans as reusable column expressions (keys:
+    the five rule names + 'passes'). Shared by gopher_rules and the
+    corpus report so the definitions cannot drift."""
     from blq_cli_spark.operators.text import EN_STOPWORDS
 
     t = tokens(F.col(text_col))
@@ -365,11 +354,48 @@ def gopher_rules(
     passes = None
     for expr in rules.values():
         passes = expr if passes is None else (passes & expr)
+    rules["passes"] = passes
+    return rules
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-level rule filters (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) as pure column expressions: token-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and ...),
+    alphabetic-word ratio, and a minimum stopword count. Returns one row
+    per document with each rule's boolean plus the conjunction
+    ``passes``.
+
+    Scale shape: zero shuffles and zero Python — every rule is a
+    codegen'd projection over the token array, so the filter runs at
+    scan speed and composes with partition pruning. (The repetition
+    rules from the same paper live in repetition_profile — they need
+    aggregation; these do not.)"""
+    rules = gopher_flags(
+        text_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopwords=min_stopwords,
+    )
     return df.select(
         F.col(id_col).alias("id"),
-        n.alias("n_tokens"),
-        *[expr.alias(name) for name, expr in rules.items()],
-        passes.alias("passes"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        *[rules[name].alias(name) for name in rules],
     )
 
 

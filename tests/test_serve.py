@@ -445,3 +445,19 @@ def test_corpus_tool_pipeline(tmp_path, spark):
     assert len(resp["result"]["rows"]) == 1
     resp = serve.dispatch(st, "corpus", {"action": "pipeline", "input": src})
     assert not resp["ok"]
+
+
+def test_corpus_tool_report_and_pack(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "repstore"))
+    src = str(tmp_path / "rdocs.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog here today"),
+         (2, "the quick brown fox jumps over the lazy dog here today")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    resp = serve.dispatch(st, "corpus", {"action": "report", "input": src})
+    assert resp["ok"]
+    metrics = {r["metric"]: r["value"] for r in resp["result"]["rows"]}
+    assert metrics["n_docs"] == 2.0 and metrics["dup_rate"] == 0.5
+    resp = serve.dispatch(st, "corpus", {"action": "pack", "input": src})
+    assert resp["ok"] and len(resp["result"]["rows"]) == 2

@@ -376,3 +376,27 @@ def test_duplicate_passages_join_not_hint_broadcast(spark):
     )
     joins = [ln for ln in plan.splitlines() if "Join" in ln]
     assert joins and not any("broadcast" in ln.lower() for ln in joins), joins
+
+
+def test_duplicate_passages_xxhash_fast_path_same_ranges(spark):
+    """The production hash knob must find the identical duplicate
+    ranges as the md5 oracle form."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    shared = " ".join(f"p{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1 y2"),
+            (2, f"{shared} z1 z2 z3 z4 z5 z6 z7 z8"),
+            (3, " ".join(f"u{i}" for i in range(15))),
+        ],
+        "doc_id long, text string",
+    )
+
+    def ranges(hash_fn):
+        return sorted(
+            (r["id"], r["start_tok"], r["end_tok"], r["n_windows"])
+            for r in dedup_ops.duplicate_passages(df, hash_fn=hash_fn).collect()
+        )
+
+    assert ranges("md5") == ranges("xxhash64") != []

@@ -462,6 +462,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     id_buckets: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy training-sequence packing: assign documents (in id order)
     to fixed-capacity token bins — the batch-construction step between

@@ -286,3 +286,15 @@ def test_pack_sequences_no_single_partition_global_window(spark):
     # SinglePartition exchange feeding it; our window partitions by _rng
     assert "_rng" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_sequences_precomputed_tokens_col(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", 3) for i in range(10)], "doc_id long, text string, nt long"
+    )
+    out = {r["id"]: r for r in
+           corpus_ops.pack_sequences(docs, capacity_tokens=9, tokens_col="nt").collect()}
+    assert out[0]["offset"] == 0 and out[9]["offset"] == 27
+    assert out[9]["bin"] == 3

@@ -452,6 +452,13 @@ def pipeline(
         else:
             raise ValueError(f"pipeline stage {i}: unknown op {op!r}")
         if audit:
+            # materialize the stage ONCE (executor-local checkpoint) so
+            # each audit count reads the previous stage's result instead
+            # of re-evaluating the whole prefix — linear, not quadratic,
+            # in stage count (measured 28.2s -> ~stage-sum at sf0.1). On
+            # a cluster, audit implies materialization cost by nature;
+            # leave audit off to keep the pipeline one lazy plan.
+            out = out.localCheckpoint(eager=True)
             counts.append({"stage": i, "op": op, "rows": out.count()})
     return (out, counts) if audit else out
 

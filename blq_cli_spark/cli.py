@@ -1143,19 +1143,31 @@ def cmd_corpus(args) -> int:
     docs = _read_corpus_input(spark, args)
     rates = None
     if args.corpus_action == "mix":
-        try:
-            rates = _json.loads(args.rates or "")
-        except ValueError:
-            rates = None
-        if not isinstance(rates, dict) or not all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in rates.values()
-        ):
-            print(
-                "corpus mix: --rates must be a JSON object of numbers",
-                file=sys.stderr,
+        if args.temperature is not None:
+            if args.rates:
+                print("corpus mix: use --rates or --temperature, not both",
+                      file=sys.stderr)
+                return 2
+            rates = corpus_ops.temperature_rates(
+                docs, alpha=args.temperature, source_col=args.source_col
             )
-            return 2
+            print("# temperature rates: "
+                  + ", ".join(f"{s}={r:.3f}" for s, r in sorted(rates.items())),
+                  file=sys.stderr)
+        else:
+            try:
+                rates = _json.loads(args.rates or "")
+            except ValueError:
+                rates = None
+            if not isinstance(rates, dict) or not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in rates.values()
+            ):
+                print(
+                    "corpus mix: --rates must be a JSON object of numbers",
+                    file=sys.stderr,
+                )
+                return 2
     bench = None
     if args.corpus_action == "decontaminate":
         if not args.benchmark:
@@ -2366,6 +2378,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--source-col", default="source", help="mix: source column")
     sp.add_argument("--rates", help='mix: JSON rates, e.g. \'{"web": 0.25}\'')
+    sp.add_argument("--temperature", type=float, default=None,
+                    help="mix: derive rates from source shares^alpha "
+                         "(XLM-style rebalancing) instead of --rates")
     sp.add_argument("--default-rate", type=float, default=0.0)
     sp.add_argument("--benchmark", help="decontaminate: benchmark parquet path")
     sp.add_argument("--ngram", type=int, default=4, help="decontaminate shingle size")

@@ -585,3 +585,39 @@ def report_stats(
     return g2.selectExpr(
         f"stack({len(metrics)}, {stacked}) as (metric, value)"
     )
+
+
+def temperature_rates(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-based source sampling rates (the multilingual-corpus
+    rebalancing rule, XLM / mBERT style): sample source s with
+    probability proportional to p_s^alpha where p_s is its share of the
+    corpus, then rescale so the most up-weighted source keeps 100% of
+    its documents. alpha=1 reproduces natural proportions; alpha<1
+    flattens the distribution (up-weights small sources relative to
+    their size — the low-resource-language trick).
+
+    Returns {source: keep_rate} for mix_sources — per-source keep rate
+    r_s = (target share / natural share), normalized to max 1. The
+    computation aggregates one dimension-sized table (one row per
+    source) and runs on the driver; feed the result straight to
+    mix_sources / corpus mix."""
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # dimension-sized: one row per source
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    shares = {s: n / total for s, n in counts.items()}
+    target = {s: p**alpha for s, p in shares.items()}
+    z = sum(target.values())
+    # keep rate proportional to target share / natural share
+    raw = {s: (target[s] / z) / shares[s] for s in counts}
+    mx = max(raw.values())
+    return {s: r / mx for s, r in raw.items()}

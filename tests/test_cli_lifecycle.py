@@ -788,3 +788,31 @@ def test_cli_corpus_jsonl_input_and_output_partitions(tmp_path, capsys):
     assert spark.read.parquet(dst).count() == 20
     parts = [f for f in os.listdir(dst) if f.startswith("part-")]
     assert len(parts) == 2
+
+
+def test_cli_corpus_mix_temperature(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "tdocs.parquet")
+    spark.createDataFrame(
+        [(i, "text", "big" if i < 450 else "small") for i in range(500)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "mixed.parquet")
+    assert main(
+        ["corpus", "mix", "--input", src, "--temperature", "0.5",
+         "--output", dst]
+    ) == 0
+    err = capsys.readouterr().err
+    assert "temperature rates" in err and "small=1.000" in err
+    got = spark.read.parquet(dst)
+    n_small = got.filter("source = 'small'").count()
+    n_big = got.filter("source = 'big'").count()
+    assert n_small == 50 and n_big < 260
+    # both flags together is a usage error
+    assert main(
+        ["corpus", "mix", "--input", src, "--temperature", "0.5",
+         "--rates", "{}"]
+    ) == 2

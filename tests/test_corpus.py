@@ -298,3 +298,25 @@ def test_pack_sequences_precomputed_tokens_col(spark):
            corpus_ops.pack_sequences(docs, capacity_tokens=9, tokens_col="nt").collect()}
     assert out[0]["offset"] == 0 and out[9]["offset"] == 27
     assert out[9]["bin"] == 3
+
+
+def test_temperature_rates_flatten_small_sources(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    natural = corpus_ops.temperature_rates(docs, alpha=1.0)
+    assert abs(natural["big"] - 1.0) < 1e-9 and abs(natural["small"] - 1.0) < 1e-9
+    flat = corpus_ops.temperature_rates(docs, alpha=0.5)
+    # alpha<1 up-weights the small source: it keeps everything while the
+    # big source is sampled down
+    assert flat["small"] == 1.0
+    assert flat["big"] < 0.5
+    # composes with mix_sources: kept counts follow the rates
+    kept = corpus_ops.mix_sources(docs, flat)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 100
+    assert counts["big"] < 550

@@ -245,6 +245,43 @@ def mix_sources(
     )
 
 
+def dedup_against_signatures(
+    docs: DataFrame,
+    signatures: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental fuzzy dedup against a persisted banded-signature
+    parquet: dedup this batch against the stored state (or in-batch on
+    first use), then append the survivors' signatures so the next batch
+    sees everything kept so far. Shared by run_action's dedup path, the
+    pipeline dedup stage, and (indirectly) the streaming sink contract.
+
+    The survivors materialize BEFORE the append: the kept plan reads the
+    signatures path lazily, and appending this batch's own signatures
+    first would make every survivor self-match on re-evaluation."""
+    from blq_cli_spark.operators import dedup as dedup_ops
+
+    spark = docs.sparkSession
+    try:
+        stored = spark.read.parquet(signatures)
+    except Exception:
+        stored = None
+    if stored is not None:
+        if "batch_id" in stored.columns:  # streaming-sink layout
+            stored = stored.drop("batch_id")
+        kept = incremental_neardup_dedup(
+            docs, stored, text_col=text_col, id_col=id_col
+        )
+    else:
+        kept = neardup_dedup(docs, text_col=text_col, id_col=id_col)
+    kept = kept.localCheckpoint(eager=True)
+    dedup_ops.banded_signatures(
+        kept, text_col=text_col, id_col=id_col
+    ).write.mode("append").parquet(signatures)
+    return kept
+
+
 def run_action(
     docs: DataFrame,
     action: str,
@@ -286,28 +323,9 @@ def run_action(
         if signatures:
             if method != "minhash":
                 raise ValueError("incremental dedup (--signatures) is minhash-only")
-            spark = docs.sparkSession
-            try:
-                stored = spark.read.parquet(signatures)
-            except Exception:
-                stored = None
-            if stored is not None:
-                if "batch_id" in stored.columns:  # streaming-sink layout
-                    stored = stored.drop("batch_id")
-                kept = incremental_neardup_dedup(
-                    docs, stored, text_col=text_col, id_col=id_col
-                )
-            else:
-                kept = neardup_dedup(docs, text_col=text_col, id_col=id_col)
-            # materialize BEFORE appending: the kept plan reads the
-            # signatures path lazily, and appending this batch's own
-            # signatures first would make every survivor self-match on
-            # re-evaluation
-            kept = kept.localCheckpoint(eager=True)
-            dedup_ops.banded_signatures(
-                kept, text_col=text_col, id_col=id_col
-            ).write.mode("append").parquet(signatures)
-            return kept
+            return dedup_against_signatures(
+                docs, signatures, text_col=text_col, id_col=id_col
+            )
         return neardup_dedup(docs, text_col=text_col, id_col=id_col, method=method)
     if action == "exact-dedup":
         return dedup_ops.exact_duplicates(docs, text_col=text_col, id_col=id_col)
@@ -429,7 +447,13 @@ def pipeline(
             if drop_empty:
                 out = out.filter(F.col(tc) != "")
         elif op == "dedup":
-            out = neardup_dedup(out, text_col=tc, id_col=id_col, **spec)
+            sig = spec.pop("signatures", None)
+            if sig:
+                out = dedup_against_signatures(
+                    out, sig, text_col=tc, id_col=id_col
+                )
+            else:
+                out = neardup_dedup(out, text_col=tc, id_col=id_col, **spec)
         elif op == "exact-dedup":
             reps = (
                 dedup_ops.exact_duplicates(out, text_col=tc, id_col=id_col)

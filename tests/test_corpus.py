@@ -320,3 +320,27 @@ def test_temperature_rates_flatten_small_sources(spark):
               kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["small"] == 100
     assert counts["big"] < 550
+
+
+def test_pipeline_dedup_stage_incremental_signatures(spark, tmp_path):
+    """A pipeline dedup stage with a signatures path dedups batch 2
+    against batch 1's persisted state — the continuous-ingest form of
+    the declarative pipeline."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "through the meadow of shared example text for dedup")
+    sig = str(tmp_path / "sigs.parquet")
+    b1 = spark.createDataFrame(
+        [(1, body), (2, "totally different first-batch document body here")],
+        "doc_id long, text string",
+    )
+    out1 = corpus_ops.pipeline(b1, [{"op": "dedup", "signatures": sig}])
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [(10, body + " extra"), (11, "a brand new unique second-batch text")],
+        "doc_id long, text string",
+    )
+    out2 = corpus_ops.pipeline(b2, [{"op": "dedup", "signatures": sig}])
+    # 10 matches batch 1's stored doc -> dropped; 11 survives
+    assert {r["doc_id"] for r in out2.collect()} == {11}

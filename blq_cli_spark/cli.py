@@ -1208,9 +1208,15 @@ def cmd_corpus(args) -> int:
             if isinstance(st_spec.get("weights"), str):
                 with open(st_spec["weights"]) as fh:
                     st_spec["weights"] = _json.load(fh)
-        out, audit = corpus_ops.pipeline(
-            docs, stages, text_col=args.text_col, id_col=args.id_col, audit=True
-        )
+        if args.no_audit:
+            out, audit = corpus_ops.pipeline(
+                docs, stages, text_col=args.text_col, id_col=args.id_col
+            ), []
+        else:
+            out, audit = corpus_ops.pipeline(
+                docs, stages, text_col=args.text_col, id_col=args.id_col,
+                audit=True,
+            )
         for a in audit:
             print(f"# stage {a['stage']} {a['op']}: {a['rows']} rows", file=sys.stderr)
         if args.output:
@@ -2410,6 +2416,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="classify: trained weights JSON path")
     sp.add_argument("--stages",
                     help="pipeline: JSON file with the ordered stage list")
+    sp.add_argument("--no-audit", action="store_true", dest="no_audit",
+                    help="pipeline: run as one lazy plan with no per-stage "
+                         "counts/materialization (the production mode)")
     sp.add_argument("--capacity-tokens", type=int, default=512,
                     dest="capacity_tokens",
                     help="pack: tokens per training sequence bin")

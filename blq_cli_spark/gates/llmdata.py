@@ -934,7 +934,7 @@ def x_binary_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS t
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ),
     spans0 AS (

@@ -95,7 +95,9 @@ def kmeans_fit(
         partials = corpus.mapInPandas(
             _partial_kernel(C, id_col, vec_col),
             "cell long, cnt long, vsum array<double>",
-        )
+        ).persist()  # two consumers below; without it the assignment
+        # kernel would re-run over the whole corpus per consumer
+        # (one pass per iteration is the module's stated cost model)
         # reduce the k x n_batches partial rows: element sums via one
         # small posexplode (k * batches * dim elements, corpus-independent)
         sums = (
@@ -106,6 +108,7 @@ def kmeans_fit(
         counts = partials.groupBy("cell").agg(F.sum("cnt").alias("n"))
         sum_rows = sums.collect()  # k x dim rows — bounded
         cnt_rows = {r["cell"]: r["n"] for r in counts.collect()}  # k rows
+        partials.unpersist()
         newC = C.copy()
         acc = np.zeros((k, dim))
         for r in sum_rows:

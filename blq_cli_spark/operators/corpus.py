@@ -449,6 +449,18 @@ def pipeline(
         elif op == "dedup":
             sig = spec.pop("signatures", None)
             if sig:
+                # same contract as run_action: the incremental path is
+                # minhash-only and takes no other knobs — surface any
+                # leftover keys instead of silently ignoring them
+                if spec.get("method", "minhash") != "minhash":
+                    raise ValueError(
+                        "incremental dedup (signatures) is minhash-only"
+                    )
+                spec.pop("method", None)
+                if spec:
+                    raise ValueError(
+                        f"dedup+signatures stage: unsupported keys {sorted(spec)}"
+                    )
                 out = dedup_against_signatures(
                     out, sig, text_col=tc, id_col=id_col
                 )
@@ -510,13 +522,20 @@ def pack_sequences(
     driver for the tiny prefix scan and broadcast back as map literals,
     and each row's global offset = its range's base + a within-range
     cumulative window (parallel across ranges). Only two scalars and
-    id_buckets totals ever leave the executors."""
+    id_buckets totals ever leave the executors.
+
+    The (id, n_tokens) projection is evaluated once per pass (range
+    totals + final select). At real scale pre-compute token counts once
+    and pass `tokens_col` so the passes read a narrow materialized
+    column instead of re-tokenizing text."""
     from pyspark.sql import Window
 
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        text_ops.token_count(F.col(text_col)).alias("n_tokens"),
+    nt = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else text_ops.token_count(F.col(text_col))
     )
+    base = docs.select(F.col(id_col).alias("id"), nt.alias("n_tokens"))
     lo, hi = base.agg(F.min("id"), F.max("id")).collect()[0]
     if lo is None:
         return base.withColumn("offset", F.lit(0).cast("long")).withColumn(

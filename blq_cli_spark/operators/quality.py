@@ -279,7 +279,10 @@ def remove_repeated_spans(
     filtering (src/blq/services/query.py:299-302) — this is the
     corpus-cleaning generalization the north star asks for.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ")
+    # normalize EVERY whitespace kind first, then trim: real web text is
+    # full of tabs/newlines, and 'subscribe to\nour newsletter' must
+    # match 'subscribe to our newsletter' for the cross-doc count
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     toks = F.split(norm, " ")
     k = span_tokens
     # split() always yields >=1 element, so n_spans >= 1 and the

@@ -291,13 +291,16 @@ def test_pack_sequences_no_single_partition_global_window(spark):
 def test_pack_sequences_precomputed_tokens_col(spark):
     from blq_cli_spark.operators import corpus as corpus_ops
 
+    # nt deliberately DIFFERS from token_count(text) ("a b c" -> 3) so a
+    # regression to re-tokenizing would fail, not pass by coincidence
     docs = spark.createDataFrame(
-        [(i, "a b c", 3) for i in range(10)], "doc_id long, text string, nt long"
+        [(i, "a b c", 5) for i in range(10)], "doc_id long, text string, nt long"
     )
     out = {r["id"]: r for r in
-           corpus_ops.pack_sequences(docs, capacity_tokens=9, tokens_col="nt").collect()}
-    assert out[0]["offset"] == 0 and out[9]["offset"] == 27
-    assert out[9]["bin"] == 3
+           corpus_ops.pack_sequences(docs, capacity_tokens=10, tokens_col="nt").collect()}
+    assert out[0]["n_tokens"] == 5
+    assert out[0]["offset"] == 0 and out[9]["offset"] == 45
+    assert out[9]["bin"] == 4
 
 
 def test_temperature_rates_flatten_small_sources(spark):

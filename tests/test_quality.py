@@ -273,3 +273,21 @@ def test_bigram_logprob_joins_not_hint_broadcast(spark):
     joins = [ln for ln in plan.splitlines() if "Join" in ln]
     # exactly one broadcast hint: the single-row grand total
     assert sum("broadcast" in ln.lower() for ln in joins) <= 1, joins
+
+
+def test_remove_repeated_spans_matches_across_whitespace_kinds(spark):
+    """Tab/newline-separated boilerplate must match its space-separated
+    twin (real web text regression from review)."""
+    df = _docs(
+        spark,
+        [
+            (1, "subscribe to\nour newsletter\textra words one two"),
+            (2, "subscribe to our newsletter other body text here"),
+        ],
+    )
+    out = {r["id"]: r for r in
+           quality.remove_repeated_spans(df, span_tokens=4, min_docs=2).collect()}
+    # the shared 4-token boilerplate span is detected despite \n and \t
+    assert out[1]["n_kept"] < out[1]["n_spans"]
+    assert not out[1]["clean_text"].startswith("subscribe")
+    assert "\n" not in out[1]["clean_text"] and "\t" not in out[1]["clean_text"]

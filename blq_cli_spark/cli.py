@@ -1302,6 +1302,8 @@ def cmd_embeddings(args) -> int:
             emb, k=args.k_cells, iters=args.iters, id_col=ic, vec_col=vc
         )
         out = clustering.kmeans_assign(emb, cents, id_col=ic, vec_col=vc)
+    elif act == "report":
+        out = similarity.embeddings_report(emb, id_col=ic, vec_col=vc)
     elif act == "decontaminate":
         if not args.benchmark:
             print("embeddings decontaminate: --benchmark PARQUET required",
@@ -2428,7 +2430,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
                     choices=["topk", "quantize", "neardup", "semantic-dedup",
-                             "cluster", "decontaminate"])
+                             "cluster", "decontaminate", "report"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")

@@ -1260,3 +1260,33 @@ def x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blq_cli_spark.operators import corpus as corpus_ops
 
     return corpus_ops.report_stats(table(spark, sf_dir, "documents"))
+
+
+@gate(
+    "x_embeddings_report",
+    oracle=f"""
+    WITH proj AS (
+      SELECT len(embedding) AS d,
+             sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ),
+    g AS (
+      SELECT count(*) AS n_vecs, min(d) AS dim_min, max(d) AS dim_max,
+             round(avg(nrm), 6) AS mean_norm, round(min(nrm), 6) AS min_norm,
+             round(max(nrm), 6) AS max_norm,
+             sum(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS n_zero
+      FROM proj
+    )
+    SELECT 'n_vecs' AS metric, CAST(n_vecs AS DOUBLE) AS value FROM g
+    UNION ALL SELECT 'dim_min', CAST(dim_min AS DOUBLE) FROM g
+    UNION ALL SELECT 'dim_max', CAST(dim_max AS DOUBLE) FROM g
+    UNION ALL SELECT 'mean_norm', mean_norm FROM g
+    UNION ALL SELECT 'min_norm', min_norm FROM g
+    UNION ALL SELECT 'max_norm', max_norm FROM g
+    UNION ALL SELECT 'n_zero', CAST(n_zero AS DOUBLE) FROM g
+    """,
+)
+def x_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health metrics (similarity.embeddings_report):
+    count, dimension bounds, norm stats, zero-vector count."""
+    return similarity.embeddings_report(table(spark, sf_dir, "embeddings"))

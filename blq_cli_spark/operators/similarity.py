@@ -762,3 +762,40 @@ def semantic_decontaminate(
     return corpus.mapInPandas(
         score, "id long, max_bench_cos double, contaminated boolean"
     )
+
+
+def embeddings_report(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-table health report as (metric, value) rows: vector
+    count, dimension min/max (ragged arrays are the classic corrupt-
+    export symptom), norm statistics, and the zero-vector count (which
+    would NaN any cosine). One projection + one global aggregate — pure
+    column expressions, no Python, no per-vector state."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    proj = corpus.select(
+        F.size(v).alias("d"), norm.alias("nrm")
+    )
+    g = proj.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("d").alias("dim_min"),
+        F.max("d").alias("dim_max"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum((F.col("nrm") < 1e-12).cast("long")).alias("n_zero"),
+    )
+    names = ["n_vecs", "dim_min", "dim_max", "mean_norm", "min_norm",
+             "max_norm", "n_zero"]
+    g2 = g.select(
+        *[F.col(c).cast("double").alias(f"_m{i}") for i, c in enumerate(names)]
+    )
+    stacked = ", ".join(f"'{c}', `_m{i}`" for i, c in enumerate(names))
+    return g2.selectExpr(f"stack({len(names)}, {stacked}) as (metric, value)")

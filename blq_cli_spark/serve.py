@@ -597,6 +597,8 @@ def _embeddings(
             emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
         out = clustering.kmeans_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    elif action == "report":
+        out = similarity.embeddings_report(emb, id_col=id_col, vec_col=vec_col)
     elif action == "decontaminate":
         if not benchmark:
             raise ValueError("decontaminate requires a benchmark parquet path")

@@ -461,3 +461,16 @@ def test_corpus_tool_report_and_pack(tmp_path, spark):
     assert metrics["n_docs"] == 2.0 and metrics["dup_rate"] == 0.5
     resp = serve.dispatch(st, "corpus", {"action": "pack", "input": src})
     assert resp["ok"] and len(resp["result"]["rows"]) == 2
+
+
+def test_embeddings_tool_report(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "embrep"))
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    resp = serve.dispatch(st, "embeddings", {"action": "report", "input": src})
+    assert resp["ok"], resp
+    m = {r["metric"]: r["value"] for r in resp["result"]["rows"]}
+    assert m["n_vecs"] == 2.0 and m["dim_min"] == m["dim_max"] == 2.0
+    assert m["max_norm"] == 5.0 and m["n_zero"] == 1.0

@@ -820,3 +820,335 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+@gate(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+    FROM (
+      SELECT c.suppkey, c.supplycost, s_acctbal, s_name, n_name,
+             p_partkey, p_name,
+             min(supplycost) OVER (PARTITION BY partkey) AS best
+      FROM cost c
+      JOIN part     ON p_partkey = partkey
+      JOIN supplier ON s_suppkey = suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'PROMO' AND r_name = 'AMERICA'
+    )
+    WHERE supplycost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier per part. (Adapted: this
+    schema has no partsupp table, so the part↔supplier cost relation is
+    derived from lineitem — supply cost = the minimum observed unit price
+    per (part, supplier) pair; region scoping rides supplier→nation→
+    region as in the original.)
+
+    100 TB form choice: the original's correlated MIN subquery over the
+    region-scoped partsupp decorrelates to a WINDOW min over the part key
+    on the already-joined slice — one scan, no join-back (q15/q17
+    precedent). The selective part filter (one size × one type) joins the
+    fact table BEFORE the per-pair aggregation, so at scale the groupBy
+    sees a thousandth of lineitem, not all of it; every dimension
+    broadcasts. (Reference min-per-group surface: latest-run resolution,
+    src/blq/services/query.py:167-189.)"""
+    from pyspark.sql import Window
+
+    part = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_name")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("supplycost")
+        )
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    best = F.min("supplycost").over(Window.partitionBy("l_partkey"))
+    return (
+        cost.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("_best", best)
+        .filter(F.col("supplycost") == F.col("_best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@gate(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by nation and year. (Adapted:
+    no partsupp → cost side of the profit expression uses the part's
+    retail price, `0.6 * p_retailprice * l_quantity`, in place of
+    `ps_supplycost * l_quantity`; the name-substring part filter, the
+    five-way join, and the nation×year rollup are the original shape.)
+
+    100 TB shape: part (name-filtered), supplier, and nation broadcast;
+    orders⋈lineitem is the one fact-fact shuffle; the final agg is tiny
+    (25 nations × 7 years). The `%red%` substring filter cannot push to
+    a parquet row-group but DOES prune part before its broadcast, so the
+    fact slice is cut by the broadcast hash join's build side — the same
+    plan a column-pruned partsupp variant would produce. (Reference
+    multi-join rollup surface: src/blq/bird_schema.sql:357-366.)"""
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@gate(
+    "q11_important_stock",
+    oracle="""
+    WITH value AS (
+      SELECT l_partkey AS partkey,
+             round(sum(l_quantity * p_retailprice), 2) AS val
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, val
+    FROM (SELECT partkey, val, sum(val) OVER () AS total FROM value)
+    WHERE val > total * 0.002
+    ORDER BY val DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important stock" value concentration: per-part
+    flow value for one nation's suppliers, keeping parts whose value
+    exceeds a fixed fraction of the nation's total. (Adapted: no
+    partsupp → value = sum over lineitem of quantity × part retail
+    price; the scalar-subquery-threshold shape is the original.)
+
+    100 TB form choice: the original's scalar subquery (`> SELECT
+    sum(...) * fraction`) would scan and aggregate the fact slice TWICE
+    — the window-over-empty-frame form (`sum(val) OVER ()`) computes the
+    global total on the ALREADY-AGGREGATED per-part table (bounded by
+    |part|, not |lineitem|), so the fact is scanned once (q15
+    precedent, asserted there in test_plan_quality). The single-
+    partition window is safe because its input is dimension-sized."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias(
+                "val"
+            )
+        )
+    )
+    total = F.sum("val").over(Window.partitionBy())
+    return (
+        val.withColumn("_total", total)
+        .filter(F.col("val") > F.col("_total") * 0.002)
+        .select("partkey", "val")
+        .orderBy(F.desc("val"), "partkey")
+    )
+
+
+@gate(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-relationship count: distinct suppliers
+    per (brand, type, size) bucket, excluding one brand, a type prefix,
+    and a denylisted supplier set. (Adapted: the part↔supplier relation
+    comes from lineitem instead of partsupp, and the "complaints"
+    denylist is suppliers with negative account balance — the reference
+    schema carries no comment text.)
+
+    100 TB shape: the denylist NOT IN compiles to a broadcast
+    LEFT-ANTI join (keys are non-null by construction, so anti ≡ NOT
+    IN); part prunes on brand/type/size BEFORE its broadcast; the only
+    fact shuffle is the partial_agg→distinct-count exchange on the
+    grouped keys. count(DISTINCT) goes through Spark's two-phase
+    expand/agg, which partial-aggregates map-side. (Reference
+    suppression-denylist surface: src/blq/services/query.py:299-302.)"""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@gate(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_1997,
+             sum(l_quantity) AS qty_all
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (SELECT suppkey FROM shipped
+                        WHERE qty_1997 > 0.3 * qty_all)
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped "who can promote this part line": suppliers in
+    one nation whose 1997 shipments of prefix-named parts dominate their
+    all-time shipments of that part. (Adapted: no partsupp.ps_availqty →
+    the original's `availqty > 0.5 × shipped` correlated threshold
+    becomes `1997 shipped > 0.3 × all-time shipped` — still a correlated
+    comparison of two aggregates over the same group.)
+
+    100 TB form choice: the original nests IN(IN(correlated-scalar)) —
+    the textbook plan re-scans lineitem for every (part, supplier)
+    group. Here BOTH aggregates ride one conditional-sum pass
+    (`sum(CASE WHEN in-window)` vs `sum(*)`) over the prefix-pruned
+    slice: one scan, one shuffle on the group key, then a broadcast
+    SEMI join into the supplier dimension. The `small%` prefix filter
+    prunes part before its broadcast. (Reference semi-join surface:
+    running-commands filter, src/blq/services/query.py:210-231.)"""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    qualified = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty_1997") > F.col("qty_all") * 0.3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualified),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

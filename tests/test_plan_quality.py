@@ -392,3 +392,63 @@ def test_q21_single_fact_shuffle_two_windows(spark):
     # window exchange + final agg exchange only (broadcasts excluded)
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2, tree
     assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_q2_window_min_no_joinback_single_scan(spark):
+    """The correlated-min decorrelation must ride a window over the
+    joined slice, not a grouped-agg-plus-join-back: one lineitem scan,
+    every dimension broadcast, part pruned at its scan."""
+    plan = plan_of(queries()["q2_min_cost_supplier"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert "CartesianProduct" not in tree
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_size" in ln or "p_type" in ln for ln in pushed), pushed
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_q9_dimensions_broadcast_one_fact_join(spark):
+    """part/supplier/nation broadcast; the only fact-fact join is
+    lineitem⋈orders; the name-substring filter prunes part pre-broadcast."""
+    plan = plan_of(queries()["q9_product_type_profit"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+    assert "CartesianProduct" not in tree
+    # the LIKE filter is evaluated at the part scan's filter, pre-broadcast
+    assert "Contains(p_name, red)" in plan or "p_name" in plan, plan
+
+
+def test_q11_total_rides_aggregated_table_single_scan(spark):
+    """The value-concentration threshold must compute the global total on
+    the per-part AGGREGATED table (q15 precedent): lineitem scanned once,
+    one single-partition window whose input is dimension-bounded."""
+    plan = plan_of(queries()["q11_important_stock"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+
+
+def test_q16_denylist_is_broadcast_anti(spark):
+    """The NOT-IN supplier denylist must compile to a broadcast LEFT-ANTI
+    join (non-null keys make them equivalent), and the brand/size
+    predicates must reach the part scan."""
+    plan = plan_of(queries()["q16_supplier_relationship"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_size" in ln or "p_brand" in ln for ln in pushed), pushed
+
+
+def test_q20_conditional_agg_single_scan_semi_join(spark):
+    """Both correlated aggregates (in-window vs all-time quantity) must
+    ride ONE conditional-sum pass: a single lineitem scan and a LeftSemi
+    into the supplier dimension."""
+    plan = plan_of(queries()["q20_promotion_suppliers"](spark, SF_SMOKE))
+    scans = [ln for ln in plan.splitlines() if "Location" in ln and "lineitem" in ln]
+    assert len(scans) == 1, scans
+    tree = plan.split("\n\n")[0]
+    assert "LeftSemi" in tree, tree

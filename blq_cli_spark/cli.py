@@ -1168,6 +1168,17 @@ def cmd_corpus(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+    target = None
+    if args.corpus_action == "select":
+        if bool(args.target) == bool(args.target_source):
+            print("corpus select: exactly one of --target PARQUET or "
+                  "--target-source SRC[,SRC...] required", file=sys.stderr)
+            return 2
+        if args.target:
+            target = spark.read.parquet(args.target)
+        else:
+            srcs = [s for s in args.target_source.split(",") if s]
+            target = docs.filter(F.col(args.source_col).isin(srcs))
     bench = None
     if args.corpus_action == "decontaminate":
         if not args.benchmark:
@@ -1205,6 +1216,8 @@ def cmd_corpus(args) -> int:
         for st_spec in stages:
             if isinstance(st_spec.get("benchmark"), str):
                 st_spec["benchmark"] = spark.read.parquet(st_spec["benchmark"])
+            if isinstance(st_spec.get("target"), str):
+                st_spec["target"] = spark.read.parquet(st_spec["target"])
             if isinstance(st_spec.get("weights"), str):
                 with open(st_spec["weights"]) as fh:
                     st_spec["weights"] = _json.load(fh)
@@ -1247,6 +1260,9 @@ def cmd_corpus(args) -> int:
         min_docs=args.min_docs,
         weights=weights,
         capacity_tokens=args.capacity_tokens,
+        target=target,
+        n_select=args.n_select,
+        seed=args.seed,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2378,7 +2394,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
-                 "score-bigram", "pipeline", "pack", "report"],
+                 "score-bigram", "pipeline", "pack", "report", "select"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2424,6 +2440,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--capacity-tokens", type=int, default=512,
                     dest="capacity_tokens",
                     help="pack: tokens per training sequence bin")
+    sp.add_argument("--target",
+                    help="select: target-domain parquet (DSIR fits the "
+                         "target distribution on it)")
+    sp.add_argument("--target-source", dest="target_source",
+                    help="select: comma-separated source values — use the "
+                         "matching slice of --input as the target instead "
+                         "of a separate --target parquet")
+    sp.add_argument("--n-select", type=int, default=100, dest="n_select",
+                    help="select: documents to resample (Gumbel top-k)")
+    sp.add_argument("--seed", type=int, default=0,
+                    help="select: resampling seed")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1290,3 +1290,88 @@ def x_embeddings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table health metrics (similarity.embeddings_report):
     count, dimension bounds, norm stats, zero-vector count."""
     return similarity.embeddings_report(table(spark, sf_dir, "embeddings"))
+
+
+# --- DSIR data selection (Xie et al. 2023) ---------------------------------
+
+def _dsir_oracle_core() -> str:
+    """Shared CTE chain for the DSIR gates: hashed-bucket counts,
+    smoothed log-ratio table, per-doc log-weights (selection.py
+    conventions: 4-hex md5 bucket, 256 buckets, Laplace a=1)."""
+    from blq_cli_spark.operators.selection import md5_int_sql
+
+    bucket = md5_int_sql("w", 4) + " % 256"
+    return f"""
+    tok AS (SELECT doc_id, source, unnest({_TOK}) AS w FROM documents),
+    tb AS (SELECT doc_id, source, {bucket} AS bucket FROM tok),
+    db AS (SELECT doc_id, bucket, count(*) AS cnt FROM tb GROUP BY ALL),
+    raw AS (SELECT bucket, sum(cnt) AS cr FROM db GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM tb
+            WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    nr AS (SELECT sum(cr) AS nr FROM raw),
+    nt AS (SELECT sum(ct) AS nt FROM tgt),
+    ratio AS (
+      SELECT bucket,
+             ln((coalesce(ct, 0) + 1.0) / (nt + 256.0))
+               - ln((coalesce(cr, 0) + 1.0) / (nr + 256.0)) AS log_ratio
+      FROM raw FULL OUTER JOIN tgt USING (bucket)
+      CROSS JOIN nr CROSS JOIN nt
+    ),
+    weights AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             round(sum(cnt * log_ratio), 6) AS log_weight
+      FROM db JOIN ratio USING (bucket)
+      GROUP BY doc_id
+    )"""
+
+
+def _dsir_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+
+
+@gate(
+    "x_dsir_weights",
+    oracle=f"""
+    WITH {_dsir_oracle_core()}
+    SELECT doc_id, n_tokens, log_weight FROM weights
+    """,
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (arXiv:2302.03169) over documents,
+    target = the src0/src1 slice: hashed-bucket bag-of-words models of
+    target and raw, per-doc log importance ratio. See
+    operators/selection.py for the single-scan/bounded-broadcast scale
+    notes."""
+    from blq_cli_spark.operators import selection
+
+    docs = table(spark, sf_dir, "documents")
+    return selection.dsir_logweights(docs, _dsir_target(spark, sf_dir))
+
+
+@gate(
+    "x_dsir_select",
+    oracle=f"""
+    WITH {_dsir_oracle_core()}
+    SELECT doc_id, n_tokens, log_weight,
+           round(log_weight - ln(-ln(
+             ({{gumbel}} + 0.5) / 4294967296.0)), 6) AS key
+    FROM weights
+    ORDER BY key DESC, doc_id
+    LIMIT 20
+    """.format(
+        gumbel=__import__(
+            "blq_cli_spark.operators.selection", fromlist=["md5_int_sql"]
+        ).md5_int_sql("doc_id", 8, salt="g0|")
+    ),
+)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling: draw 20 documents without
+    replacement with probability ∝ exp(log_weight), via the
+    deterministic md5-derived Gumbel key (selection.gumbel_key).
+    TakeOrderedAndProject top-k, asserted in test_plan_quality."""
+    from blq_cli_spark.operators import selection
+
+    docs = table(spark, sf_dir, "documents")
+    return selection.dsir_select(docs, _dsir_target(spark, sf_dir), n=20)

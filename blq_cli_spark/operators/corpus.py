@@ -298,6 +298,9 @@ def run_action(
     min_docs: int = 2,
     weights: list[float] | None = None,
     capacity_tokens: int = 512,
+    target: DataFrame | None = None,
+    n_select: int = 100,
+    seed: int = 0,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -373,6 +376,14 @@ def run_action(
         return classifier_ops.classifier_score(
             docs, weights, id_col=id_col, text_col=text_col
         )
+    if action == "select":
+        if target is None:
+            raise ValueError("select requires a target DataFrame")
+        from blq_cli_spark.operators import selection
+
+        return selection.dsir_select(
+            docs, target, n=n_select, text_col=text_col, id_col=id_col, seed=seed
+        )
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),
@@ -406,6 +417,8 @@ def pipeline(
        "ngram": 4}                                   drop benchmark overlap
       {"op": "mix", "rates": {...},
        "default_rate": 0.0, "source_col": "source"}  source-weighted sample
+      {"op": "select", "target": DF, "n": 100,
+       "buckets": 256, "seed": 0}                    DSIR importance resample
 
     Every stage keeps the input schema (clean-spans rewrites `text_col`
     in place), so stages compose in any order. With audit=True also
@@ -485,6 +498,14 @@ def pipeline(
             out = mix_sources(
                 out, spec.pop("rates", {}), id_col=id_col, **spec
             )
+        elif op == "select":
+            from blq_cli_spark.operators import selection
+
+            picked = selection.dsir_select(
+                out, spec.pop("target"), n=spec.pop("n", 100),
+                text_col=tc, id_col=id_col, **spec
+            ).select(id_col)
+            out = out.join(picked, id_col, "left_semi")
         else:
             raise ValueError(f"pipeline stage {i}: unknown op {op!r}")
         if audit:

@@ -485,7 +485,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
 
 @tool("corpus", "Training-data curation ops over a parquet corpus "
       "(profile/quality/redact/funnel/dedup/exact-dedup/mix/decontaminate/"
-      "clean-spans)")
+      "clean-spans/select/pack/report)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -503,6 +503,11 @@ def _corpus(
     min_docs: int = 2,
     weights: list | None = None,
     stages: list | None = None,
+    capacity_tokens: int = 512,
+    target: str | None = None,
+    target_source: str | None = None,
+    n_select: int = 100,
+    seed: int = 0,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -511,14 +516,30 @@ def _corpus(
     (distributed) and only counts return; otherwise a bounded sample."""
     from blq_cli_spark.operators import corpus as corpus_ops
 
+    import pyspark.sql.functions as F
+
     docs = store.spark.read.parquet(input)
     bench = store.spark.read.parquet(benchmark) if benchmark else None
+    tgt = None
+    if action == "select":
+        if bool(target) == bool(target_source):
+            raise ValueError(
+                "select requires exactly one of target (parquet path) or "
+                "target_source (comma-separated source values)"
+            )
+        if target:
+            tgt = store.spark.read.parquet(target)
+        else:
+            srcs = [s for s in target_source.split(",") if s]
+            tgt = docs.filter(F.col(source_col).isin(srcs))
     if action == "pipeline":
         if not isinstance(stages, list):
             raise ValueError("pipeline requires stages: a JSON list")
         for st_spec in stages:
             if isinstance(st_spec.get("benchmark"), str):
                 st_spec["benchmark"] = store.spark.read.parquet(st_spec["benchmark"])
+            if isinstance(st_spec.get("target"), str):
+                st_spec["target"] = store.spark.read.parquet(st_spec["target"])
         out, audit = corpus_ops.pipeline(
             docs, stages, text_col=text_col, id_col=id_col, audit=True
         )
@@ -531,7 +552,8 @@ def _corpus(
         docs, action, text_col=text_col, id_col=id_col, source_col=source_col,
         rates=rates, default_rate=default_rate, benchmark=bench, ngram=ngram,
         method=method, signatures=signatures, span_tokens=span_tokens,
-        min_docs=min_docs, weights=weights,
+        min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
+        target=tgt, n_select=n_select, seed=seed,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -816,3 +816,43 @@ def test_cli_corpus_mix_temperature(tmp_path, capsys):
         ["corpus", "mix", "--input", src, "--temperature", "0.5",
          "--rates", "{}"]
     ) == 2
+
+
+def test_cli_corpus_select_dsir(tmp_path, capsys):
+    """`corpus select` runs DSIR importance resampling: --target-source
+    fits the target on a slice of the input; --target takes a separate
+    parquet; exactly one of the two is required."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, "def class import return yield " * 4, "code") for i in range(10)]
+    rows += [(i, "the quick brown fox jumps over " * 4, "web") for i in range(10, 40)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+
+    # neither / both target flags -> usage error
+    assert main(["corpus", "select", "--input", src]) == 2
+    capsys.readouterr()
+
+    dst = str(tmp_path / "picked.parquet")
+    assert main(["corpus", "select", "--input", src,
+                 "--target-source", "code", "--n-select", "8",
+                 "--output", dst]) == 0
+    capsys.readouterr()
+    picked = spark.read.parquet(dst)
+    assert picked.count() == 8
+    # the code-vocabulary docs carry far higher importance weight
+    ids = {r["doc_id"] for r in picked.collect()}
+    assert len([i for i in ids if i < 10]) >= 6, ids
+
+    # separate --target parquet path
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(100, "def class import return yield lambda")],
+        "doc_id long, text string",
+    ).write.parquet(tgt)
+    assert main(["corpus", "select", "--input", src, "--target", tgt,
+                 "--n-select", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "log_weight" in out

@@ -347,3 +347,21 @@ def test_pipeline_dedup_stage_incremental_signatures(spark, tmp_path):
     out2 = corpus_ops.pipeline(b2, [{"op": "dedup", "signatures": sig}])
     # 10 matches batch 1's stored doc -> dropped; 11 survives
     assert {r["doc_id"] for r in out2.collect()} == {11}
+
+
+def test_pipeline_select_stage_keeps_doc_schema(spark):
+    """A `select` stage resamples toward the target and keeps the docs
+    schema (semi-join on id), so it composes with downstream stages."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    rows = [(i, "def class import return yield " * 3, "code") for i in range(8)]
+    rows += [(i, "the quick brown fox jumps over " * 3, "web") for i in range(8, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "code")
+    out = corpus_ops.pipeline(docs, [{"op": "select", "target": target, "n": 10}])
+    assert out.columns == docs.columns
+    got = out.collect()
+    assert len(got) == 10
+    assert sum(1 for r in got if r["source"] == "code") >= 6

@@ -474,3 +474,27 @@ def test_embeddings_tool_report(tmp_path, spark):
     m = {r["metric"]: r["value"] for r in resp["result"]["rows"]}
     assert m["n_vecs"] == 2.0 and m["dim_min"] == m["dim_max"] == 2.0
     assert m["max_norm"] == 5.0 and m["n_zero"] == 1.0
+
+
+def test_corpus_tool_select_dispatch(tmp_path, spark):
+    """The serve corpus tool reaches DSIR select with the same contract
+    as the CLI: target_source slices the input; missing/double target
+    spec is a tool error."""
+    st = LogStore(spark, str(tmp_path / "selstore"))
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, "def class import return yield " * 3, "code") for i in range(5)]
+    rows += [(i, "the quick brown fox jumps over " * 3, "web") for i in range(5, 20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "select", "input": src, "target_source": "code",
+         "n_select": 4},
+    )
+    assert resp["ok"], resp
+    got = resp["result"]["rows"]
+    assert len(got) == 4
+    assert all("log_weight" in r for r in got)
+    resp = serve.dispatch(st, "corpus", {"action": "select", "input": src})
+    assert not resp["ok"]

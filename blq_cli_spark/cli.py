@@ -1263,6 +1263,8 @@ def cmd_corpus(args) -> int:
         target=target,
         n_select=args.n_select,
         seed=args.seed,
+        chunk_size=args.chunk_size,
+        chunk_overlap=args.chunk_overlap,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2394,7 +2396,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "exact-dedup", "mix", "decontaminate", "winnow", "tokens",
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
-                 "score-bigram", "pipeline", "pack", "report", "select"],
+                 "score-bigram", "pipeline", "pack", "report", "select",
+                 "chunk"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2451,6 +2454,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="select: documents to resample (Gumbel top-k)")
     sp.add_argument("--seed", type=int, default=0,
                     help="select: resampling seed")
+    sp.add_argument("--chunk-size", type=int, default=128, dest="chunk_size",
+                    help="chunk: tokens per window")
+    sp.add_argument("--chunk-overlap", type=int, default=0,
+                    dest="chunk_overlap",
+                    help="chunk: tokens shared between adjacent windows")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

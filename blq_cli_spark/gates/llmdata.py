@@ -1375,3 +1375,37 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return selection.dsir_select(docs, _dsir_target(spark, sf_dir), n=20)
+
+
+@gate(
+    "x_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE {_TOK} END AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= 0 THEN 0
+                  ELSE 1 + (greatest(len(t) - 32, 0) + 23) // 24 END AS nc
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, t, unnest(range(0, CAST(nc AS BIGINT))) AS i
+      FROM base WHERE nc >= 1
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(t[i*24+1 : i*24+32]) AS INT) AS n_chunk_tokens,
+           array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap → stride 24) — see text.chunk_documents for the zero-shuffle
+    projection/generator scale notes."""
+    return text.chunk_documents(
+        table(spark, sf_dir, "documents"), size=32, overlap=8
+    )

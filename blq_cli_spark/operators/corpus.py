@@ -301,6 +301,8 @@ def run_action(
     target: DataFrame | None = None,
     n_select: int = 100,
     seed: int = 0,
+    chunk_size: int = 128,
+    chunk_overlap: int = 0,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -375,6 +377,11 @@ def run_action(
 
         return classifier_ops.classifier_score(
             docs, weights, id_col=id_col, text_col=text_col
+        )
+    if action == "chunk":
+        return text_ops.chunk_documents(
+            docs, text_col=text_col, id_col=id_col,
+            size=chunk_size, overlap=chunk_overlap,
         )
     if action == "select":
         if target is None:

@@ -103,3 +103,123 @@ def frequent_terms(
         key=lambda t: (-t[1], t[0]),
     )
     return scored[:k]
+
+
+def _bloom_positions(value: "F.Column", m_bits: int, k_hashes: int) -> "F.Column":
+    """Array of the k bit positions for a value: position_i =
+    int(md5(f"{i}|" || value)[:12 hex]) mod m. 48 hash bits per probe —
+    unbiased modulo for any practical m."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), value.cast("string"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 1 << 20, k_hashes: int = 4
+) -> dict:
+    """Build a Bloom filter over a column: {"m", "k", "bits"} with
+    `bits` a list of ceil(m/64) packed 64-bit words.
+
+    The production membership structure for continuous-ingest exact
+    dedup: yesterday's content hashes -> one fixed-size filter; today's
+    batch drops definite-misses WITHOUT a join against the full history
+    (bloom_filter_new below). False-positive rate for n items:
+    (1 − e^(−kn/m))^k — m=2^20, k=4 holds ~1% at n≈10^5; size m to
+    n·10 bits for ~1-2%.
+
+    Distributed build: explode the k probe positions, distinct them
+    (bounded by m — the only shuffle), and collect AT MOST m/8 bytes of
+    set positions to the driver (the sketch-result-collect precedent of
+    this module: fixed-size state, never corpus rows). Merge across
+    batches/partitions is bitwise OR (bloom_merge)."""
+    positions = (
+        df.select(
+            F.explode(_bloom_positions(F.col(value_col), m_bits, k_hashes)).alias(
+                "pos"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in positions:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # pack as SIGNED 64-bit so the words round-trip through a Spark
+    # array<bigint> literal/column unchanged
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return {"m": m_bits, "k": k_hashes, "bits": words}
+
+
+def bloom_merge(a: dict, b: dict) -> dict:
+    """OR-merge two Bloom filters built with identical (m, k)."""
+    if (a["m"], a["k"]) != (b["m"], b["k"]):
+        raise ValueError("cannot merge Bloom filters with different (m, k)")
+    return {
+        "m": a["m"],
+        "k": a["k"],
+        "bits": [x | y for x, y in zip(a["bits"], b["bits"])],
+    }
+
+
+def bloom_might_contain(
+    df: DataFrame, value_col: str, bloom: dict, out_col: str = "might_contain"
+) -> DataFrame:
+    """Append a membership column: False is DEFINITE absence, True is
+    presence with the filter's false-positive rate.
+
+    The filter ships as a one-row array<bigint> broadcast (fixed
+    m/8 bytes — never a plan-embedded literal, so a 1 MiB filter does
+    not bloat the query plan), and the probe is pure JVM column
+    arithmetic: element_at + shiftrightunsigned per hash."""
+    spark = df.sparkSession
+    words_df = spark.createDataFrame(
+        [(bloom["bits"],)], "___bloom_bits: array<bigint>"
+    )
+    probed = df.crossJoin(F.broadcast(words_df))
+    checks = []
+    for i in range(bloom["k"]):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col(value_col).cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % bloom["m"]
+        )
+        word = F.element_at(F.col("___bloom_bits"), (pos / 64).cast("int") + 1)
+        checks.append(F.bit_get(word, (pos % 64).cast("int")) == 1)
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return probed.withColumn(out_col, cond).drop("___bloom_bits")
+
+
+def bloom_filter_new(
+    df: DataFrame, value_col: str, bloom: dict
+) -> DataFrame:
+    """Keep only rows whose value is DEFINITELY not in the filter — the
+    fast path of incremental exact dedup: survivors are guaranteed new;
+    rows dropped here are re-checked (or simply dropped, accepting the
+    FPR) without ever joining the full history."""
+    return (
+        bloom_might_contain(df, value_col, bloom, out_col="___hit")
+        .filter(~F.col("___hit"))
+        .drop("___hit")
+    )

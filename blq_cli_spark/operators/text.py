@@ -283,3 +283,58 @@ def winnow_fingerprints(
         grams.select("id", F.min("h").over(win).alias("fp"))
         .distinct()
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step for embedding/retrieval pipelines and for
+    training corpora whose documents exceed the model's sequence length:
+    (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Windows are `size` tokens with stride `size − overlap`; the last
+    chunk may be shorter, empty documents produce no chunks, and a
+    document of ≤ `size` tokens produces exactly one chunk, so
+    n_chunks = 1 + ceil(max(0, n − size) / stride) (integer arithmetic —
+    identical in any engine).
+
+    Scale: a pure projection + generator — tokenize once (materialized
+    column, see the ngrams_from_tokens perf note), compute the chunk
+    count arithmetically, explode the chunk-index range, slice the token
+    array per index. Zero shuffles, zero Python; the ≤(1/stride) row
+    fan-out is the output's own size. Chunk ids (id, chunk_idx) are
+    deterministic and partition-independent, so downstream dedup/
+    embedding joins are reproducible across runs. (Reference
+    line-slicing surface this generalizes: read_lines/line-spec
+    selection, src/blq/services/context.py:16-78.)"""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("_t")).withColumn(
+        "_nc",
+        F.when(F.size("_t") <= 0, F.lit(0)).otherwise(
+            1
+            + F.floor(
+                (F.greatest(F.size("_t") - size, F.lit(0)) + stride - 1) / stride
+            ).cast("int")
+        ),
+    )
+    idx = F.when(
+        F.col("_nc") >= 1, F.sequence(F.lit(0), F.col("_nc") - 1, F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, size)
+    return (
+        base.select(id_col, "_t", F.explode(idx).alias("chunk_idx"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -508,6 +508,8 @@ def _corpus(
     target_source: str | None = None,
     n_select: int = 100,
     seed: int = 0,
+    chunk_size: int = 128,
+    chunk_overlap: int = 0,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -554,6 +556,7 @@ def _corpus(
         method=method, signatures=signatures, span_tokens=span_tokens,
         min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
         target=tgt, n_select=n_select, seed=seed,
+        chunk_size=chunk_size, chunk_overlap=chunk_overlap,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -856,3 +856,23 @@ def test_cli_corpus_select_dsir(tmp_path, capsys):
                  "--n-select", "5"]) == 0
     out = capsys.readouterr().out
     assert "log_weight" in out
+
+
+def test_cli_corpus_chunk(tmp_path, capsys):
+    """`corpus chunk` windows documents into overlapping token chunks."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    ).write.parquet(src)
+    dst = str(tmp_path / "chunks.parquet")
+    assert main(["corpus", "chunk", "--input", src, "--chunk-size", "4",
+                 "--chunk-overlap", "1", "--output", dst]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(dst)
+    assert got.count() == 3
+    assert set(got.columns) == {"doc_id", "chunk_idx", "n_chunk_tokens",
+                                "chunk_text"}

@@ -291,3 +291,69 @@ def test_remove_repeated_spans_matches_across_whitespace_kinds(spark):
     assert out[1]["n_kept"] < out[1]["n_spans"]
     assert not out[1]["clean_text"].startswith("subscribe")
     assert "\n" not in out[1]["clean_text"] and "\t" not in out[1]["clean_text"]
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Hand-computed chunk boundaries: overlap windows, short docs give
+    one chunk, empty docs give none, and the chunk set reassembles the
+    document (every token appears in some chunk)."""
+    from blq_cli_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b"),                              # short -> one chunk
+            (3, "   "),                              # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 3: 10 tokens -> 1 + ceil(6/3) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
+    # ragged tail: 5 tokens, size 4, stride 3 -> second chunk is short
+    tail = chunk_documents(
+        spark.createDataFrame([(9, "x0 x1 x2 x3 x4")], "doc_id long, text string"),
+        size=4, overlap=1,
+    ).collect()
+    assert sorted((r["chunk_idx"], r["chunk_text"]) for r in tail) == [
+        (0, "x0 x1 x2 x3"), (1, "x3 x4"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from blq_cli_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=4, overlap=-1)
+
+
+def test_chunk_documents_plan_no_shuffle_no_python(spark):
+    """Chunking is a projection + generator: zero Exchange, zero Python
+    in the plan."""
+    import contextlib
+    import io
+
+    from blq_cli_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_documents(docs, size=32, overlap=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan

@@ -1265,6 +1265,7 @@ def cmd_corpus(args) -> int:
         seed=args.seed,
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
+        history=args.history,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2454,6 +2455,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="select: documents to resample (Gumbel top-k)")
     sp.add_argument("--seed", type=int, default=0,
                     help="select: resampling seed")
+    sp.add_argument("--history",
+                    help="exact-dedup: persisted content-hash state dir "
+                         "(hashes.parquet + bloom.json); dedup this batch "
+                         "against it and fold the survivors in — returns "
+                         "surviving rows, not the fingerprint summary")
     sp.add_argument("--chunk-size", type=int, default=128, dest="chunk_size",
                     help="chunk: tokens per window")
     sp.add_argument("--chunk-overlap", type=int, default=0,

@@ -282,6 +282,80 @@ def dedup_against_signatures(
     return kept
 
 
+def exact_dedup_against_history(
+    docs: DataFrame,
+    history: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Incremental EXACT dedup against persisted content-hash state —
+    the Bloom-fast-path twin of dedup_against_signatures (fuzzy): keep
+    this batch's first copy of every content fingerprint never seen in
+    any prior batch, then fold the survivors into the state.
+
+    State layout under `history`: `hashes.parquet` (one fp per row,
+    appended per batch) and `bloom.json` (the mergeable Bloom filter of
+    every stored fp, sketch.bloom_build layout).
+
+    Scale shape (100 TB continuous ingest): WITHOUT the filter every
+    batch row — full text columns riding along — shuffles into an
+    anti-join against the ever-growing history. With it, rows whose
+    fingerprint the Bloom filter definitely hasn't seen skip the join
+    entirely (pure broadcast probe, no shuffle); only the maybe-seen
+    slice (true dups + the filter's ~1% false positives) anti-joins the
+    stored fp column (hash-only, column-pruned scan). The filter is
+    fixed-size, OR-merged per batch, and rebuilt from hashes.parquet if
+    lost. In-batch dups collapse first (min-id representative, the
+    exact_duplicates contract)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from blq_cli_spark.operators import sketch
+    from blq_cli_spark.operators.text import fingerprint
+
+    spark = docs.sparkSession
+    root = history.rstrip("/")
+    hashes_path = f"{root}/hashes.parquet"
+    bloom_path = f"{root}/bloom.json"
+
+    batch = docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    first_copy = F.col(id_col) == F.min(id_col).over(Window.partitionBy("_fp"))
+    batch = batch.withColumn("_first", first_copy).filter("_first").drop("_first")
+
+    stored_bloom = None
+    if _os.path.exists(bloom_path):
+        with open(bloom_path) as fh:
+            stored_bloom = _json.load(fh)
+    if stored_bloom is not None:
+        probed = sketch.bloom_might_contain(batch, "_fp", stored_bloom, "_maybe")
+        definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+        stored = spark.read.parquet(hashes_path).select(F.col("fp").alias("_fp"))
+        confirmed_new = maybe.join(stored, "_fp", "left_anti")
+        kept = definite_new.unionByName(confirmed_new)
+        m_bits, k_hashes = stored_bloom["m"], stored_bloom["k"]
+    else:
+        kept = batch
+    # materialize BEFORE appending state (same re-evaluation hazard as
+    # the fuzzy path: survivors read the history lazily)
+    kept = kept.localCheckpoint(eager=True)
+    kept.select(F.col("_fp").alias("fp")).write.mode("append").parquet(hashes_path)
+    new_bloom = sketch.bloom_build(
+        kept.select("_fp"), "_fp", m_bits=m_bits, k_hashes=k_hashes
+    )
+    if stored_bloom is not None:
+        new_bloom = sketch.bloom_merge(stored_bloom, new_bloom)
+    tmp = bloom_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(new_bloom, fh)
+    _os.replace(tmp, bloom_path)
+    return kept.drop("_fp")
+
+
 def run_action(
     docs: DataFrame,
     action: str,
@@ -303,6 +377,7 @@ def run_action(
     seed: int = 0,
     chunk_size: int = 128,
     chunk_overlap: int = 0,
+    history: str | None = None,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -333,6 +408,12 @@ def run_action(
             )
         return neardup_dedup(docs, text_col=text_col, id_col=id_col, method=method)
     if action == "exact-dedup":
+        if history:
+            # incremental form: returns the SURVIVING DOC ROWS (not the
+            # per-fingerprint summary) and folds them into the state
+            return exact_dedup_against_history(
+                docs, history, text_col=text_col, id_col=id_col
+            )
         return dedup_ops.exact_duplicates(docs, text_col=text_col, id_col=id_col)
     if action == "mix":
         return mix_sources(

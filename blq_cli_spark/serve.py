@@ -510,6 +510,7 @@ def _corpus(
     seed: int = 0,
     chunk_size: int = 128,
     chunk_overlap: int = 0,
+    history: str | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -556,7 +557,7 @@ def _corpus(
         method=method, signatures=signatures, span_tokens=span_tokens,
         min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
         target=tgt, n_select=n_select, seed=seed,
-        chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+        chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -876,3 +876,37 @@ def test_cli_corpus_chunk(tmp_path, capsys):
     assert got.count() == 3
     assert set(got.columns) == {"doc_id", "chunk_idx", "n_chunk_tokens",
                                 "chunk_text"}
+
+
+def test_cli_corpus_exact_dedup_history_roundtrip(tmp_path, capsys):
+    """`corpus exact-dedup --history DIR` round-trip: batch 1 seeds the
+    Bloom+hash state, batch 2 keeps only genuinely new content."""
+    import os
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    hist = str(tmp_path / "state")
+    os.makedirs(hist)
+    b1 = str(tmp_path / "b1.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    d1 = str(tmp_path / "kept1.parquet")
+    assert main(["corpus", "exact-dedup", "--input", b1, "--history", hist,
+                 "--output", d1]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(d1).count() == 2
+
+    b2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "brand new text")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    d2 = str(tmp_path / "kept2.parquet")
+    assert main(["corpus", "exact-dedup", "--input", b2, "--history", hist,
+                 "--output", d2]) == 0
+    capsys.readouterr()
+    assert [r["doc_id"] for r in spark.read.parquet(d2).collect()] == [11]

@@ -365,3 +365,44 @@ def test_pipeline_select_stage_keeps_doc_schema(spark):
     got = out.collect()
     assert len(got) == 10
     assert sum(1 for r in got if r["source"] == "code") >= 6
+
+
+def test_exact_dedup_against_history_incremental(spark, tmp_path):
+    """Batch-over-batch exact dedup with the Bloom fast path: batch 1
+    seeds the state; batch 2 drops exact copies of batch 1 AND its own
+    in-batch copies; the result equals a full recompute over both
+    batches; state survives for batch 3."""
+    import os
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    hist = str(tmp_path / "exact_state")
+    os.makedirs(hist)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out1 = corpus_ops.exact_dedup_against_history(b1, hist)
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}  # 3 is an in-batch dup
+    assert os.path.exists(f"{hist}/bloom.json")
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),        # dup of stored doc 1
+            (11, "eta theta iota"),          # new
+            (12, "  alpha   beta gamma  "),  # dup modulo whitespace norm
+            (13, "eta theta iota"),          # in-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out2 = corpus_ops.exact_dedup_against_history(b2, hist)
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+
+    b3 = spark.createDataFrame(
+        [(20, "eta theta iota"), (21, "kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    out3 = corpus_ops.exact_dedup_against_history(b3, hist)
+    assert {r["doc_id"] for r in out3.collect()} == {21}
+    # schema rides through unchanged
+    assert out3.columns == ["doc_id", "text"]

@@ -165,6 +165,13 @@ _SPECS = {
          [("doc_id", "s"), ("n_bigrams", "s"), ("avg_logprob", "d")]),
         ("pack", llmdata.x_sequence_packing,
          [("id", "s"), ("n_tokens", "s"), ("tok_offset", "s"), ("bin", "s")]),
+        # round 5 late additions: DSIR selection weights + chunking ride
+        # the same driver row
+        ("dsir", llmdata.x_dsir_weights,
+         [("doc_id", "s"), ("n_tokens", "s"), ("log_weight", "d")]),
+        ("chunk", llmdata.x_chunk_documents,
+         [("doc_id", "s"), ("chunk_idx", "s"), ("n_chunk_tokens", "s"),
+          ("chunk_text", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -240,6 +247,8 @@ _MEMBER_GATE = {
     "source_kl": "x_source_kl",
     "bigram": "x_bigram_logprob",
     "pack": "x_sequence_packing",
+    "dsir": "x_dsir_weights",
+    "chunk": "x_chunk_documents",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -116,6 +116,12 @@ def main() -> None:
             "semantic_decontaminate": lambda: similarity.semantic_decontaminate(
                 emb, queries, threshold=0.9
             ),
+            "chunk_documents": lambda: text_ops.chunk_documents(
+                docs, size=32, overlap=8
+            ),
+            "dsir_logweights": lambda: __import__(
+                "blq_cli_spark.operators.selection", fromlist=["x"]
+            ).dsir_logweights(docs, docs.filter(F.col("source") == "wiki")),
         }
 
     # warm codegen/python workers on 1x (not timed)

@@ -357,3 +357,35 @@ def test_chunk_documents_plan_no_shuffle_no_python(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_chunk_documents_matches_python_model_grid(spark):
+    """Exhaustive grid (doc lengths 0..24 x several size/overlap combos)
+    against a direct Python reference model — boundary arithmetic has no
+    room to drift."""
+    import math
+
+    from blq_cli_spark.operators.text import chunk_documents
+
+    def model(n, size, overlap):
+        stride = size - overlap
+        if n == 0:
+            return []
+        nc = 1 + math.ceil(max(0, n - size) / stride)
+        toks = [f"t{j}" for j in range(n)]
+        return [
+            (i, " ".join(toks[i * stride : i * stride + size]))
+            for i in range(nc)
+        ]
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{j}" for j in range(n))) for n in range(0, 25)],
+        "doc_id long, text string",
+    )
+    for size, overlap in [(1, 0), (4, 0), (4, 1), (4, 3), (7, 2), (30, 5)]:
+        got = {}
+        for r in chunk_documents(docs, size=size, overlap=overlap).collect():
+            got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+        for n in range(0, 25):
+            expect = model(n, size, overlap)
+            assert sorted(got.get(n, [])) == expect, (n, size, overlap)

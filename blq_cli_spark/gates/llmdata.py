@@ -931,7 +931,7 @@ def x_binary_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "x_boilerplate_removal",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
@@ -1408,4 +1408,27 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection/generator scale notes."""
     return text.chunk_documents(
         table(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+@gate(
+    "x_training_shuffle",
+    oracle="""
+    SELECT doc_id AS id,
+           md5(cast(doc_id AS VARCHAR) || chr(31) || '7') AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(cast(doc_id AS VARCHAR) || chr(31) || '7'), doc_id
+           ) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def x_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (seed 7): dense rank
+    0..n-1 in md5(id, seed) order. The oracle is the naive global
+    ROW_NUMBER window — the distributed hex-prefix-bucket rank
+    (corpus.training_shuffle) must reproduce it exactly."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.training_shuffle(
+        table(spark, sf_dir, "documents"), seed=7
     )

@@ -172,6 +172,8 @@ _SPECS = {
         ("chunk", llmdata.x_chunk_documents,
          [("doc_id", "s"), ("chunk_idx", "s"), ("n_chunk_tokens", "s"),
           ("chunk_text", "s")]),
+        ("shuffle", llmdata.x_training_shuffle,
+         [("id", "s"), ("shuffle_key", "s"), ("shuffle_rank", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -249,6 +251,7 @@ _MEMBER_GATE = {
     "pack": "x_sequence_packing",
     "dsir": "x_dsir_weights",
     "chunk": "x_chunk_documents",
+    "shuffle": "x_training_shuffle",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -472,6 +472,8 @@ def run_action(
         return selection.dsir_select(
             docs, target, n=n_select, text_col=text_col, id_col=id_col, seed=seed
         )
+    if action == "shuffle":
+        return training_shuffle(docs, id_col=id_col, seed=seed)
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),
@@ -677,6 +679,63 @@ def pack_sequences(
         offset.alias("offset"),
         F.floor(offset / F.lit(float(capacity_tokens))).cast("long").alias("bin"),
     )
+
+
+def training_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a dense rank 0..n-1 in md5(id, seed) order — the corpus-wide random
+    permutation a training run reads documents in. Changing `seed`
+    yields an independent permutation; the same (corpus, seed) yields
+    the same order on any engine and any partitioning (no RNG state).
+
+    Returns (id, shuffle_key, shuffle_rank).
+
+    Scale shape — DISTRIBUTED RANK (the pack_sequences prefix-sum
+    pattern applied to counts): a naive ROW_NUMBER() OVER (ORDER BY key)
+    collapses to one partition at 100 TB. Here the md5 key's first 4 hex
+    chars split rows into `rank_buckets` ORDERED buckets (hex-prefix
+    order == full-key order, and md5 is uniform so buckets are balanced
+    by construction — no skew sampling needed); per-bucket counts
+    (<= rank_buckets longs) come to the driver for the tiny prefix scan,
+    and each row's global rank = its bucket's base + a within-bucket
+    row_number (parallel across buckets). Ties (128-bit md5 collisions)
+    break on id, so the order is total and reproducible."""
+    from pyspark.sql import Window
+
+    buckets = max(1, min(int(rank_buckets), 65536))
+    key = F.md5(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    )
+    base = docs.select(F.col(id_col).alias("id"), key.alias("shuffle_key"))
+    bkt = F.floor(
+        F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
+        * buckets
+        / F.lit(65536)
+    ).cast("int")
+    bucketed = base.withColumn("_bkt", bkt)
+    counts = {
+        r["_bkt"]: r["_c"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("_c")).collect()
+    }  # <= rank_buckets rows
+    if not counts:
+        return base.withColumn("shuffle_rank", F.lit(0).cast("long"))
+    bases, acc = {}, 0
+    for k in sorted(counts):
+        bases[k] = acc
+        acc += counts[k]
+    base_map = F.create_map(
+        *[x for k, v in bases.items() for x in (F.lit(int(k)), F.lit(int(v)))]
+    )
+    w = Window.partitionBy("_bkt").orderBy("shuffle_key", "id")
+    rank = (F.element_at(base_map, F.col("_bkt")) + F.row_number().over(w) - 1).cast(
+        "long"
+    )
+    return bucketed.select("id", "shuffle_key", rank.alias("shuffle_rank"))
 
 
 def report_stats(

@@ -910,3 +910,23 @@ def test_cli_corpus_exact_dedup_history_roundtrip(tmp_path, capsys):
                  "--output", d2]) == 0
     capsys.readouterr()
     assert [r["doc_id"] for r in spark.read.parquet(d2).collect()] == [11]
+
+
+def test_cli_corpus_shuffle(tmp_path, capsys):
+    """`corpus shuffle` emits a dense deterministic training-order rank."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(src)
+    dst = str(tmp_path / "order.parquet")
+    assert main(["corpus", "shuffle", "--input", src, "--seed", "5",
+                 "--output", dst]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(dst)
+    assert set(got.columns) == {"id", "shuffle_key", "shuffle_rank"}
+    ranks = sorted(r["shuffle_rank"] for r in got.collect())
+    assert ranks == list(range(20))

@@ -406,3 +406,73 @@ def test_exact_dedup_against_history_incremental(spark, tmp_path):
     assert {r["doc_id"] for r in out3.collect()} == {21}
     # schema rides through unchanged
     assert out3.columns == ["doc_id", "text"]
+
+
+def test_training_shuffle_matches_naive_global_rank(spark):
+    """The distributed hex-prefix-bucket rank must equal the naive
+    ROW_NUMBER-over-everything order, under any partitioning and any
+    bucket count."""
+    import hashlib
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    naive = sorted(
+        range(400),
+        key=lambda i: (hashlib.md5(f"{i}\x1f3".encode()).hexdigest(), i),
+    )
+    expect = {i: r for r, i in enumerate(naive)}
+    for df, buckets in [(docs, 64), (docs.repartition(17), 5), (docs, 1)]:
+        got = {
+            r["id"]: r["shuffle_rank"]
+            for r in corpus_ops.training_shuffle(
+                df, seed=3, rank_buckets=buckets
+            ).collect()
+        }
+        assert got == expect, buckets
+
+
+def test_training_shuffle_seed_changes_order_and_is_dense(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    a = {r["id"]: r["shuffle_rank"]
+         for r in corpus_ops.training_shuffle(docs, seed=0).collect()}
+    b = {r["id"]: r["shuffle_rank"]
+         for r in corpus_ops.training_shuffle(docs, seed=1).collect()}
+    assert sorted(a.values()) == list(range(100))  # dense 0..n-1
+    assert sorted(b.values()) == list(range(100))
+    assert a != b  # a different seed is a different permutation
+
+
+def test_training_shuffle_no_single_partition_window(spark):
+    """The rank window must partition by the hash-prefix bucket — never
+    a global SinglePartition sort."""
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    out = corpus_ops.training_shuffle(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    assert "_bkt" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_training_shuffle_empty_input(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = corpus_ops.training_shuffle(docs)
+    assert out.columns == ["id", "shuffle_key", "shuffle_rank"]
+    assert out.count() == 0

@@ -1266,6 +1266,7 @@ def cmd_corpus(args) -> int:
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
         history=args.history,
+        n_per_source=args.n_per_source,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2398,7 +2399,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
-                 "chunk", "shuffle"],
+                 "chunk", "shuffle", "sample"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2465,6 +2466,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--chunk-overlap", type=int, default=0,
                     dest="chunk_overlap",
                     help="chunk: tokens shared between adjacent windows")
+    sp.add_argument("--per-source", type=int, default=100, dest="n_per_source",
+                    help="sample: exact documents to keep per source")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1432,3 +1432,32 @@ def x_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.training_shuffle(
         table(spark, sf_dir, "documents"), seed=7
     )
+
+
+@gate(
+    "x_source_budget_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source,
+             md5(cast(doc_id AS VARCHAR) || chr(31) || '7') AS k
+      FROM documents
+    )
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY k, doc_id
+             ) - 1 AS BIGINT) AS sample_rank
+      FROM k
+    ) WHERE sample_rank < 10
+    """,
+)
+def x_source_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-budget per-source sampling (10 docs/source, seed 7):
+    smallest md5(id, seed) keys win within each source. The oracle is
+    the naive per-source ROW_NUMBER — the distributed per-(source,
+    bucket) rank (corpus.stratified_sample) must reproduce it exactly."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.stratified_sample(
+        table(spark, sf_dir, "documents"), 10, seed=7
+    ).select("doc_id", "source", "sample_rank")

@@ -174,6 +174,8 @@ _SPECS = {
           ("chunk_text", "s")]),
         ("shuffle", llmdata.x_training_shuffle,
          [("id", "s"), ("shuffle_key", "s"), ("shuffle_rank", "s")]),
+        ("sample", llmdata.x_source_budget_sample,
+         [("doc_id", "s"), ("source", "s"), ("sample_rank", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -252,6 +254,7 @@ _MEMBER_GATE = {
     "dsir": "x_dsir_weights",
     "chunk": "x_chunk_documents",
     "shuffle": "x_training_shuffle",
+    "sample": "x_source_budget_sample",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -378,6 +378,7 @@ def run_action(
     chunk_size: int = 128,
     chunk_overlap: int = 0,
     history: str | None = None,
+    n_per_source: int = 100,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -474,6 +475,10 @@ def run_action(
         )
     if action == "shuffle":
         return training_shuffle(docs, id_col=id_col, seed=seed)
+    if action == "sample":
+        return stratified_sample(
+            docs, n_per_source, source_col=source_col, id_col=id_col, seed=seed
+        )
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),
@@ -736,6 +741,67 @@ def training_shuffle(
         "long"
     )
     return bucketed.select("id", "shuffle_key", rank.alias("shuffle_rank"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """Exact fixed-budget sampling per source: keep the `n_per_source`
+    documents with the smallest md5(id, seed) key within each source —
+    a deterministic engine-independent random sample with an EXACT count
+    per domain (rate-based mix_sources can't guarantee counts).
+
+    Returns the input rows that survive, plus `sample_rank` (0-based
+    within-source rank in key order).
+
+    Scale shape: a naive ROW_NUMBER() OVER (PARTITION BY source ...)
+    puts each source's entire corpus in ONE task — a web-dominated crawl
+    makes that task 90 TB. Instead the rank distributes exactly like
+    training_shuffle's, per source: the key's hex prefix splits each
+    source into `rank_buckets` ordered uniform buckets, per-(source,
+    bucket) counts (bounded: sources are dimension-sized × rank_buckets)
+    turn into exclusive base offsets on the driver and broadcast-join
+    back, and a within-(source, bucket) row_number finishes the rank.
+    The widest window task is ~1/rank_buckets of the largest source."""
+    from pyspark.sql import Window
+
+    buckets = max(1, min(int(rank_buckets), 65536))
+    key = F.md5(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    )
+    bkt = F.floor(
+        F.conv(F.substring("_k", 1, 4), 16, 10).cast("long")
+        * buckets
+        / F.lit(65536)
+    ).cast("int")
+    bucketed = docs.withColumn("_k", key).withColumn("_bkt", bkt)
+    counts = (
+        bucketed.groupBy(source_col, "_bkt").agg(F.count("*").alias("_c")).collect()
+    )  # bounded: n_sources x rank_buckets rows
+    bases, acc = [], {}
+    for r in sorted(counts, key=lambda r: (r[source_col], r["_bkt"])):
+        src = r[source_col]
+        bases.append((src, r["_bkt"], acc.get(src, 0)))
+        acc[src] = acc.get(src, 0) + r["_c"]
+    if not bases:
+        return docs.withColumn("sample_rank", F.lit(0).cast("long")).limit(0)
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(
+        bases, f"{source_col} string, _bkt int, _base long"
+    )
+    w = Window.partitionBy(source_col, "_bkt").orderBy("_k", id_col)
+    ranked = bucketed.join(F.broadcast(base_df), [source_col, "_bkt"]).withColumn(
+        "sample_rank",
+        (F.col("_base") + F.row_number().over(w) - 1).cast("long"),
+    )
+    return ranked.filter(F.col("sample_rank") < int(n_per_source)).select(
+        *docs.columns, "sample_rank"
+    )
 
 
 def report_stats(

@@ -511,6 +511,7 @@ def _corpus(
     chunk_size: int = 128,
     chunk_overlap: int = 0,
     history: str | None = None,
+    n_per_source: int = 100,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -558,6 +559,7 @@ def _corpus(
         min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
         target=tgt, n_select=n_select, seed=seed,
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
+        n_per_source=n_per_source,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -930,3 +930,24 @@ def test_cli_corpus_shuffle(tmp_path, capsys):
     assert set(got.columns) == {"id", "shuffle_key", "shuffle_rank"}
     ranks = sorted(r["shuffle_rank"] for r in got.collect())
     assert ranks == list(range(20))
+
+
+def test_cli_corpus_sample_exact_budget(tmp_path, capsys):
+    """`corpus sample --per-source N` keeps exactly N docs per source."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc {i}", f"s{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    dst = str(tmp_path / "sampled.parquet")
+    assert main(["corpus", "sample", "--input", src, "--per-source", "3",
+                 "--output", dst]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(dst)
+    counts = {r["source"]: r["count"] for r in
+              got.groupBy("source").count().collect()}
+    assert counts == {"s0": 3, "s1": 3}

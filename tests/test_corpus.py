@@ -476,3 +476,79 @@ def test_training_shuffle_empty_input(spark):
     out = corpus_ops.training_shuffle(docs)
     assert out.columns == ["id", "shuffle_key", "shuffle_rank"]
     assert out.count() == 0
+
+
+def test_stratified_sample_matches_naive_per_source_rank(spark):
+    """Distributed per-(source, bucket) rank == naive per-source
+    ROW_NUMBER, under different partitionings and bucket counts, with
+    EXACT per-source counts."""
+    import hashlib
+    from collections import defaultdict
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    rows = [(i, f"d{i}", ["web", "books", "code"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    by_src = defaultdict(list)
+    for i, _, src in rows:
+        by_src[src].append(i)
+    expect = {}
+    for src, ids in by_src.items():
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"{i}\x1f3".encode()).hexdigest(), i)
+        )
+        for r, i in enumerate(order[:7]):
+            expect[i] = r
+    for df, buckets in [(docs, 64), (docs.repartition(13), 4), (docs, 1)]:
+        got = {
+            r["doc_id"]: r["sample_rank"]
+            for r in corpus_ops.stratified_sample(
+                df, 7, seed=3, rank_buckets=buckets
+            ).collect()
+        }
+        assert got == expect, buckets
+
+
+def test_stratified_sample_schema_rides_through_and_counts_exact(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", "only", i * 2) for i in range(50)],
+        "doc_id long, text string, source string, extra long",
+    )
+    out = corpus_ops.stratified_sample(docs, 5)
+    assert out.columns == ["doc_id", "text", "source", "extra", "sample_rank"]
+    assert out.count() == 5
+    # asking for more than a source has keeps everything
+    assert corpus_ops.stratified_sample(docs, 500).count() == 50
+
+
+def test_stratified_sample_plan_no_per_source_global_window(spark):
+    """The window must partition by (source, _bkt) and the base offsets
+    must arrive via a broadcast join — never one task per source."""
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x", f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_ops.stratified_sample(docs, 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    assert "_bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_stratified_sample_empty_input(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    out = corpus_ops.stratified_sample(docs, 5)
+    assert out.count() == 0
+    assert "sample_rank" in out.columns

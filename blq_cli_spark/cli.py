@@ -1142,6 +1142,18 @@ def cmd_corpus(args) -> int:
     spark = get_spark(app_name="blq-spark-corpus")
     docs = _read_corpus_input(spark, args)
     rates = None
+    if args.corpus_action == "upsample":
+        try:
+            rates = _json.loads(args.rates or "")
+        except ValueError:
+            rates = None
+        if not isinstance(rates, dict) or not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in rates.values()
+        ):
+            print("corpus upsample: --rates must be a JSON object of numbers",
+                  file=sys.stderr)
+            return 2
     if args.corpus_action == "mix":
         if args.temperature is not None:
             if args.rates:
@@ -2399,7 +2411,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
-                 "chunk", "shuffle", "sample"],
+                 "chunk", "shuffle", "sample", "upsample"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

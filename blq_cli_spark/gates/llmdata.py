@@ -1461,3 +1461,42 @@ def x_source_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.stratified_sample(
         table(spark, sf_dir, "documents"), 10, seed=7
     ).select("doc_id", "source", "sample_rank")
+
+
+@gate(
+    "x_upsample_sources",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES
+        ('src0', 2, '80'), ('src1', 1, '00'), ('src2', 0, '80')
+      ) d(source, n_full, t)
+    ),
+    j AS (
+      SELECT doc_id, d.source,
+             coalesce(dim.n_full, 0) AS n_full,
+             coalesce(dim.t, '40') AS t
+      FROM documents d LEFT JOIN dim ON d.source = dim.source
+    ),
+    e AS (
+      SELECT doc_id, source, n_full, t,
+             unnest(range(0, CAST(n_full + 1 AS BIGINT))) AS epoch
+      FROM j
+    )
+    SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM e
+    WHERE epoch < n_full
+       OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < t
+    """,
+)
+def x_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (src0 at 2.5 epochs, src1 at 1.0,
+    src2 at 0.5, everything else at 0.25): every src0 doc appears twice
+    plus a deterministic half-probability third copy. The oracle replays
+    the same floor+threshold arithmetic with unnest(range(...))."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.upsample_sources(
+        table(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 1.0, "src2": 0.5},
+        default_rate=0.25,
+    ).select("doc_id", "source", "epoch")

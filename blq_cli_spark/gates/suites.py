@@ -176,6 +176,8 @@ _SPECS = {
          [("id", "s"), ("shuffle_key", "s"), ("shuffle_rank", "s")]),
         ("sample", llmdata.x_source_budget_sample,
          [("doc_id", "s"), ("source", "s"), ("sample_rank", "s")]),
+        ("upsample", llmdata.x_upsample_sources,
+         [("doc_id", "s"), ("source", "s"), ("epoch", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -255,6 +257,7 @@ _MEMBER_GATE = {
     "chunk": "x_chunk_documents",
     "shuffle": "x_training_shuffle",
     "sample": "x_source_budget_sample",
+    "upsample": "x_upsample_sources",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -245,6 +245,55 @@ def mix_sources(
     )
 
 
+def upsample_sources(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch source mixing with rates ABOVE 1.0: a source at
+    rate 2.6 contributes every document twice plus a deterministic
+    0.6-probability third copy — the "epochs per source" mixture
+    training recipes publish (e.g. Wikipedia at 2.45 epochs while web
+    stays below 1). Rates under 1.0 degrade to mix_sources' thresholded
+    downsample, so one table of rates drives the whole mixture.
+
+    Output rows carry `epoch` (0-based copy index); a training-order
+    shuffle downstream (training_shuffle on (id, epoch)) interleaves the
+    copies. The fractional copy keeps the SAME md5(id) 2-hex key as
+    mix_sources, so rate r < 1 here selects exactly the rows
+    mix_sources(r) selects.
+
+    Scale shape: broadcast the dimension-sized rate table, explode a
+    sequence of floor(rate)+1 epoch indices (bounded fan-out, known at
+    plan time per source), filter with a pure column predicate. The
+    corpus never shuffles; output size = sum(rate_s * |source_s|) by
+    construction."""
+    def split(rate: float) -> tuple[int, str]:
+        n_full = max(int(rate), 0)
+        q = int((rate - n_full) * 256)
+        return n_full, ("g" if q >= 256 else format(max(q, 0), "02x"))
+
+    spark = docs.sparkSession
+    rows = [(s, *split(r)) for s, r in rates.items()]
+    dim = spark.createDataFrame(
+        rows, f"{source_col} string, _nfull int, _fthresh string"
+    )
+    d_nfull, d_fthresh = split(default_rate)
+    nfull = F.coalesce(F.col("_nfull"), F.lit(d_nfull))
+    fthresh = F.coalesce(F.col("_fthresh"), F.lit(d_fthresh))
+    keep_frac = (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < fthresh
+    )
+    return (
+        docs.join(F.broadcast(dim), source_col, "left")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), nfull)))
+        .filter((F.col("epoch") < nfull) | keep_frac)
+        .select(*docs.columns, "epoch")
+    )
+
+
 def dedup_against_signatures(
     docs: DataFrame,
     signatures: str,
@@ -478,6 +527,13 @@ def run_action(
     if action == "sample":
         return stratified_sample(
             docs, n_per_source, source_col=source_col, id_col=id_col, seed=seed
+        )
+    if action == "upsample":
+        # default_rate semantics match mix: unlisted sources drop unless
+        # --default-rate raises them
+        return upsample_sources(
+            docs, rates or {}, source_col=source_col, id_col=id_col,
+            default_rate=default_rate,
         )
     if action == "tokens":
         return docs.select(

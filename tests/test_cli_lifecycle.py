@@ -951,3 +951,27 @@ def test_cli_corpus_sample_exact_budget(tmp_path, capsys):
     counts = {r["source"]: r["count"] for r in
               got.groupBy("source").count().collect()}
     assert counts == {"s0": 3, "s1": 3}
+
+
+def test_cli_corpus_upsample(tmp_path, capsys):
+    """`corpus upsample` duplicates high-rate sources with an epoch
+    column; bad --rates is a usage error."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"d{i}", "wiki") for i in range(10)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    assert main(["corpus", "upsample", "--input", src,
+                 "--rates", "[2.0]"]) == 2
+    capsys.readouterr()
+    dst = str(tmp_path / "up.parquet")
+    assert main(["corpus", "upsample", "--input", src,
+                 "--rates", '{"wiki": 2.0}', "--output", dst]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(dst)
+    assert got.count() == 20
+    assert set(r["epoch"] for r in got.collect()) == {0, 1}

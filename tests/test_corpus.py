@@ -552,3 +552,53 @@ def test_stratified_sample_empty_input(spark):
     out = corpus_ops.stratified_sample(docs, 5)
     assert out.count() == 0
     assert "sample_rank" in out.columns
+
+
+def test_upsample_sources_fractional_epochs(spark):
+    """rate 2.5 -> two guaranteed copies + ~half get a third; rate < 1
+    selects exactly the same rows mix_sources(rate) selects; epoch is a
+    dense 0-based copy index."""
+    import hashlib
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    rows = [(i, f"d{i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus_ops.upsample_sources(
+        docs, {"a": 2.5, "b": 1.0, "c": 0.5}, default_rate=0.0
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    frac = lambda i, t: hashlib.md5(str(i).encode()).hexdigest()[:2] < t
+    for i, _, src in rows:
+        epochs = sorted(by_doc.get(i, []))
+        if src == "a":
+            assert epochs == ([0, 1, 2] if frac(i, "80") else [0, 1]), i
+        elif src == "b":
+            assert epochs == [0], i
+        else:
+            assert epochs == ([0] if frac(i, "80") else []), i
+    # rate<1 agrees with mix_sources row-for-row
+    mixed = {r["doc_id"] for r in corpus_ops.mix_sources(
+        docs.filter("source = 'c'"), {"c": 0.5}).collect()}
+    assert {i for i, eps in by_doc.items() if i % 3 == 2 and eps} == mixed
+
+
+def test_upsample_sources_plan_no_corpus_shuffle(spark):
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x", "a") for i in range(20)], "doc_id long, text string, source string"
+    )
+    out = corpus_ops.upsample_sources(docs, {"a": 3.0})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchange is the broadcast of the rate dim
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert out.columns == ["doc_id", "text", "source", "epoch"]

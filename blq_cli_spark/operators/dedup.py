@@ -84,22 +84,6 @@ def jaccard_pairs(
     )
 
 
-def _minhash_cols(num_hashes: int) -> list[Column]:
-    """k portable minhash aggregates via hash-once-split-bits: each group
-    of 4 hash functions shares one md5 (32 hex chars -> 4 disjoint 8-hex
-    slices), so a shingle pays ceil(k/4) digests instead of k.
-    Lexicographic min over the slices — identical in any engine with md5
-    and 1-based substr."""
-    cols = []
-    for i in range(num_hashes):
-        digest_idx, slice_idx = divmod(i, 4)
-        digest = F.md5(F.concat(F.lit(f"{digest_idx}|"), F.col("sh")))
-        cols.append(
-            F.min(F.substring(digest, 1 + 8 * slice_idx, 8)).alias(f"h{i}")
-        )
-    return cols
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -107,9 +91,34 @@ def minhash_signatures(
     n: int = 1,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signature (h0..h{k-1}) over word n-gram shingles."""
+    """Per-doc MinHash signature (h0..h{k-1}) over word n-gram shingles.
+
+    Portable hash-once-split-bits: each group of 4 hash functions shares
+    one md5 (32 hex chars -> 4 disjoint 8-hex slices), so a shingle pays
+    ceil(k/4) digests instead of k. The digests are PROJECTED before the
+    groupBy — inside the k min() agg expressions Catalyst's
+    subexpression elimination across aggregates isn't guaranteed, and a
+    re-evaluated md5 per aggregate quadruples the dominant CPU cost.
+    Lexicographic min over the slices — identical in any engine with md5
+    and 1-based substr."""
     sh = _exploded_shingles(df, text_col, id_col, n)
-    return sh.groupBy("id").agg(*_minhash_cols(num_hashes))
+    n_digests = -(-num_hashes // 4)
+    projected = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))).alias(f"_d{j}")
+            for j in range(n_digests)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        digest_idx, slice_idx = divmod(i, 4)
+        aggs.append(
+            F.min(
+                F.substring(F.col(f"_d{digest_idx}"), 1 + 8 * slice_idx, 8)
+            ).alias(f"h{i}")
+        )
+    return projected.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(

@@ -568,6 +568,8 @@ def pipeline(
        "ngram": 4}                                   drop benchmark overlap
       {"op": "mix", "rates": {...},
        "default_rate": 0.0, "source_col": "source"}  source-weighted sample
+      {"op": "sample", "n": 100, "seed": 0,
+       "source_col": "source"}                       exact per-source budget
       {"op": "select", "target": DF, "n": 100,
        "buckets": 256, "seed": 0}                    DSIR importance resample
 
@@ -649,6 +651,11 @@ def pipeline(
             out = mix_sources(
                 out, spec.pop("rates", {}), id_col=id_col, **spec
             )
+        elif op == "sample":
+            picked = stratified_sample(
+                out, spec.pop("n", 100), id_col=id_col, **spec
+            ).select(id_col)
+            out = out.join(picked, id_col, "left_semi")
         elif op == "select":
             from blq_cli_spark.operators import selection
 

@@ -602,3 +602,17 @@ def test_upsample_sources_plan_no_corpus_shuffle(spark):
     # the only exchange is the broadcast of the rate dim
     assert "Exchange hashpartitioning" not in plan, plan
     assert out.columns == ["doc_id", "text", "source", "epoch"]
+
+
+def test_pipeline_sample_stage_exact_budget_keeps_schema(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", f"s{i % 2}", i) for i in range(40)],
+        "doc_id long, text string, source string, extra long",
+    )
+    out = corpus_ops.pipeline(docs, [{"op": "sample", "n": 3}])
+    assert out.columns == docs.columns  # semi-join: schema rides through
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts == {"s0": 3, "s1": 3}

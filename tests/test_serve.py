@@ -498,3 +498,38 @@ def test_corpus_tool_select_dispatch(tmp_path, spark):
     assert all("log_weight" in r for r in got)
     resp = serve.dispatch(st, "corpus", {"action": "select", "input": src})
     assert not resp["ok"]
+
+
+def test_corpus_tool_shuffle_sample_upsample_dispatch(tmp_path, spark):
+    """The serve corpus tool reaches the round-5 ordering/budget ops with
+    the same semantics as the CLI verbs."""
+    st = LogStore(spark, str(tmp_path / "ordstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"d{i}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+
+    resp = serve.dispatch(
+        st, "corpus", {"action": "shuffle", "input": src, "seed": 2, "limit": 50}
+    )
+    assert resp["ok"], resp
+    ranks = sorted(r["shuffle_rank"] for r in resp["result"]["rows"])
+    assert ranks == list(range(20))
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "sample", "input": src, "n_per_source": 4, "limit": 50},
+    )
+    assert resp["ok"], resp
+    assert len(resp["result"]["rows"]) == 8
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "upsample", "input": src, "rates": {"s0": 2.0},
+         "limit": 100},
+    )
+    assert resp["ok"], resp
+    rows = resp["result"]["rows"]
+    assert len(rows) == 20  # s0 doubled, s1 dropped (default_rate 0)
+    assert {r["source"] for r in rows} == {"s0"}

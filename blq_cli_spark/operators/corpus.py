@@ -842,23 +842,28 @@ def stratified_sample(
         * buckets
         / F.lit(65536)
     ).cast("int")
-    bucketed = docs.withColumn("_k", key).withColumn("_bkt", bkt)
+    # null sources form their own stratum: coalesce to a sentinel for
+    # grouping/joining (a plain equi-join would silently drop null keys)
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    bucketed = (
+        docs.withColumn("_k", key)
+        .withColumn("_bkt", bkt)
+        .withColumn("_src", src_key)
+    )
     counts = (
-        bucketed.groupBy(source_col, "_bkt").agg(F.count("*").alias("_c")).collect()
+        bucketed.groupBy("_src", "_bkt").agg(F.count("*").alias("_c")).collect()
     )  # bounded: n_sources x rank_buckets rows
     bases, acc = [], {}
-    for r in sorted(counts, key=lambda r: (r[source_col], r["_bkt"])):
-        src = r[source_col]
+    for r in sorted(counts, key=lambda r: (r["_src"], r["_bkt"])):
+        src = r["_src"]
         bases.append((src, r["_bkt"], acc.get(src, 0)))
         acc[src] = acc.get(src, 0) + r["_c"]
     if not bases:
         return docs.withColumn("sample_rank", F.lit(0).cast("long")).limit(0)
     spark = docs.sparkSession
-    base_df = spark.createDataFrame(
-        bases, f"{source_col} string, _bkt int, _base long"
-    )
-    w = Window.partitionBy(source_col, "_bkt").orderBy("_k", id_col)
-    ranked = bucketed.join(F.broadcast(base_df), [source_col, "_bkt"]).withColumn(
+    base_df = spark.createDataFrame(bases, "_src string, _bkt int, _base long")
+    w = Window.partitionBy("_src", "_bkt").orderBy("_k", id_col)
+    ranked = bucketed.join(F.broadcast(base_df), ["_src", "_bkt"]).withColumn(
         "sample_rank",
         (F.col("_base") + F.row_number().over(w) - 1).cast("long"),
     )

@@ -616,3 +616,16 @@ def test_pipeline_sample_stage_exact_budget_keeps_schema(spark):
     counts = {r["source"]: r["count"]
               for r in out.groupBy("source").count().collect()}
     assert counts == {"s0": 3, "s1": 3}
+
+
+def test_stratified_sample_null_source_is_its_own_stratum(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x", "a" if i < 10 else None) for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_ops.stratified_sample(docs, 4)
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts == {"a": 4, None: 4}

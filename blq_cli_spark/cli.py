@@ -1141,18 +1141,33 @@ def cmd_corpus(args) -> int:
         return 2
     spark = get_spark(app_name="blq-spark-corpus")
     docs = _read_corpus_input(spark, args)
+
+    def _parse_rates(raw: str | None) -> dict | None:
+        """JSON object of FINITE numbers, or None if invalid/missing
+        (json.loads accepts Infinity/NaN, which int() downstream does
+        not — reject them here so bad input is an exit-2 usage error,
+        not a traceback)."""
+        import math
+
+        try:
+            parsed = _json.loads(raw or "")
+        except ValueError:
+            return None
+        if not isinstance(parsed, dict) or not all(
+            isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and math.isfinite(v)
+            for v in parsed.values()
+        ):
+            return None
+        return parsed
+
     rates = None
     if args.corpus_action == "upsample":
-        try:
-            rates = _json.loads(args.rates or "")
-        except ValueError:
-            rates = None
-        if not isinstance(rates, dict) or not all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in rates.values()
-        ):
-            print("corpus upsample: --rates must be a JSON object of numbers",
-                  file=sys.stderr)
+        rates = _parse_rates(args.rates)
+        if rates is None:
+            print("corpus upsample: --rates must be a JSON object of "
+                  "finite numbers", file=sys.stderr)
             return 2
     if args.corpus_action == "mix":
         if args.temperature is not None:
@@ -1167,18 +1182,10 @@ def cmd_corpus(args) -> int:
                   + ", ".join(f"{s}={r:.3f}" for s, r in sorted(rates.items())),
                   file=sys.stderr)
         else:
-            try:
-                rates = _json.loads(args.rates or "")
-            except ValueError:
-                rates = None
-            if not isinstance(rates, dict) or not all(
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                for v in rates.values()
-            ):
-                print(
-                    "corpus mix: --rates must be a JSON object of numbers",
-                    file=sys.stderr,
-                )
+            rates = _parse_rates(args.rates)
+            if rates is None:
+                print("corpus mix: --rates must be a JSON object of "
+                      "finite numbers", file=sys.stderr)
                 return 2
     target = None
     if args.corpus_action == "select":
@@ -2418,7 +2425,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--source-col", default="source", help="mix: source column")
-    sp.add_argument("--rates", help='mix: JSON rates, e.g. \'{"web": 0.25}\'')
+    sp.add_argument("--rates",
+                    help='mix/upsample: JSON rates, e.g. \'{"web": 0.25}\' '
+                         '(upsample accepts rates above 1.0 = epochs)')
     sp.add_argument("--temperature", type=float, default=None,
                     help="mix: derive rates from source shares^alpha "
                          "(XLM-style rebalancing) instead of --rates")
@@ -2467,7 +2476,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-select", type=int, default=100, dest="n_select",
                     help="select: documents to resample (Gumbel top-k)")
     sp.add_argument("--seed", type=int, default=0,
-                    help="select: resampling seed")
+                    help="select/shuffle/sample: deterministic seed "
+                         "(changes the permutation / which docs win)")
     sp.add_argument("--history",
                     help="exact-dedup: persisted content-hash state dir "
                          "(hashes.parquet + bloom.json); dedup this batch "

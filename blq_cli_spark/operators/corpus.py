@@ -250,14 +250,16 @@ def upsample_sources(
     rates: dict[str, float],
     source_col: str = "source",
     id_col: str = "doc_id",
-    default_rate: float = 1.0,
+    default_rate: float = 0.0,
 ) -> DataFrame:
     """Fractional-epoch source mixing with rates ABOVE 1.0: a source at
     rate 2.6 contributes every document twice plus a deterministic
     0.6-probability third copy — the "epochs per source" mixture
     training recipes publish (e.g. Wikipedia at 2.45 epochs while web
     stays below 1). Rates under 1.0 degrade to mix_sources' thresholded
-    downsample, so one table of rates drives the whole mixture.
+    downsample, so one table of rates drives the whole mixture, and
+    default_rate matches mix_sources' 0.0 (unlisted sources drop unless
+    raised).
 
     Output rows carry `epoch` (0-based copy index); a training-order
     shuffle downstream (training_shuffle on (id, epoch)) interleaves the
@@ -570,6 +572,8 @@ def pipeline(
        "default_rate": 0.0, "source_col": "source"}  source-weighted sample
       {"op": "sample", "n": 100, "seed": 0,
        "source_col": "source"}                       exact per-source budget
+                                                     (materializes the prefix
+                                                     once: rank needs counts)
       {"op": "select", "target": DF, "n": 100,
        "buckets": 256, "seed": 0}                    DSIR importance resample
 
@@ -652,6 +656,12 @@ def pipeline(
                 out, spec.pop("rates", {}), id_col=id_col, **spec
             )
         elif op == "sample":
+            # stratified_sample's bounded counts collect() executes the
+            # pipeline prefix at construction time, and the semi-join's
+            # two subtrees would re-run it twice more; materialize the
+            # prefix ONCE (the audit branch's discipline) so every
+            # consumer reads it instead of recomputing gopher/dedup/...
+            out = out.localCheckpoint(eager=True)
             picked = stratified_sample(
                 out, spec.pop("n", 100), id_col=id_col, **spec
             ).select(id_col)
@@ -749,6 +759,28 @@ def pack_sequences(
     )
 
 
+def _rank_key(id_col: str, seed: int) -> Column:
+    """Deterministic engine-portable shuffle key: md5 over (id, seed)
+    joined by the 0x1f unit separator. Hex ordering == 128-bit numeric
+    ordering, so sorting/bucketing by this string is a uniform random
+    permutation reproducible in any md5-capable engine."""
+    return F.md5(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    )
+
+
+def _hex_prefix_bucket(key_col: str, buckets: int) -> Column:
+    """Ordered uniform bucket id from the key's first 4 hex chars:
+    monotone in the full key (prefix order == key order for equal-length
+    hex) and balanced by md5 uniformity — the split that lets a global
+    or per-group rank run as parallel within-bucket windows."""
+    return F.floor(
+        F.conv(F.substring(key_col, 1, 4), 16, 10).cast("long")
+        * buckets
+        / F.lit(65536)
+    ).cast("int")
+
+
 def training_shuffle(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -776,16 +808,10 @@ def training_shuffle(
     from pyspark.sql import Window
 
     buckets = max(1, min(int(rank_buckets), 65536))
-    key = F.md5(
-        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(int(seed))))
+    base = docs.select(
+        F.col(id_col).alias("id"), _rank_key(id_col, seed).alias("shuffle_key")
     )
-    base = docs.select(F.col(id_col).alias("id"), key.alias("shuffle_key"))
-    bkt = F.floor(
-        F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("long")
-        * buckets
-        / F.lit(65536)
-    ).cast("int")
-    bucketed = base.withColumn("_bkt", bkt)
+    bucketed = base.withColumn("_bkt", _hex_prefix_bucket("shuffle_key", buckets))
     counts = {
         r["_bkt"]: r["_c"]
         for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("_c")).collect()
@@ -834,20 +860,12 @@ def stratified_sample(
     from pyspark.sql import Window
 
     buckets = max(1, min(int(rank_buckets), 65536))
-    key = F.md5(
-        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(int(seed))))
-    )
-    bkt = F.floor(
-        F.conv(F.substring("_k", 1, 4), 16, 10).cast("long")
-        * buckets
-        / F.lit(65536)
-    ).cast("int")
     # null sources form their own stratum: coalesce to a sentinel for
     # grouping/joining (a plain equi-join would silently drop null keys)
     src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
     bucketed = (
-        docs.withColumn("_k", key)
-        .withColumn("_bkt", bkt)
+        docs.withColumn("_k", _rank_key(id_col, seed))
+        .withColumn("_bkt", _hex_prefix_bucket("_k", buckets))
         .withColumn("_src", src_key)
     )
     counts = (

@@ -484,8 +484,10 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
 
 
 @tool("corpus", "Training-data curation ops over a parquet corpus "
-      "(profile/quality/redact/funnel/dedup/exact-dedup/mix/decontaminate/"
-      "clean-spans/select/pack/report)")
+      "(profile/quality/redact/funnel/dedup/exact-dedup/mix/upsample/"
+      "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
+      "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
+      "gopher/classify/passages/materialize)")
 def _corpus(
     store: LogStore,
     action: str,

@@ -551,7 +551,8 @@ def test_cli_corpus_mix_rejects_non_object_rates(tmp_path, capsys):
     spark.createDataFrame(
         [(1, "a", "web")], "doc_id long, text string, source string"
     ).write.parquet(src)
-    for bad in ("[0.5]", '"web"', '{"web": "high"}', '{"web": true}'):
+    for bad in ("[0.5]", '"web"', '{"web": "high"}', '{"web": true}',
+                '{"web": Infinity}', '{"web": NaN}'):
         assert main(["corpus", "mix", "--input", src, "--rates", bad]) == 2
         assert "JSON object" in capsys.readouterr().err
 
@@ -965,9 +966,10 @@ def test_cli_corpus_upsample(tmp_path, capsys):
         [(i, f"d{i}", "wiki") for i in range(10)],
         "doc_id long, text string, source string",
     ).write.parquet(src)
-    assert main(["corpus", "upsample", "--input", src,
-                 "--rates", "[2.0]"]) == 2
-    capsys.readouterr()
+    for bad in ("[2.0]", '{"wiki": Infinity}', '{"wiki": NaN}'):
+        assert main(["corpus", "upsample", "--input", src,
+                     "--rates", bad]) == 2
+        capsys.readouterr()
     dst = str(tmp_path / "up.parquet")
     assert main(["corpus", "upsample", "--input", src,
                  "--rates", '{"wiki": 2.0}', "--output", dst]) == 0

@@ -2418,7 +2418,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
-                 "chunk", "shuffle", "sample", "upsample"],
+                 "chunk", "shuffle", "sample", "upsample", "fertility"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

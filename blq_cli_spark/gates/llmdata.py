@@ -1464,6 +1464,28 @@ def x_source_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len({_TOK})) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_subwords,
+           round(CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+             / greatest(sum(len({_TOK})), 1), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per whitespace
+    word) — the sequence-cost multiple a multilingual corpus pays per
+    language. Pure column expressions; one projection + one groupBy on
+    the dimension-sized lang key (text.tokenizer_fertility)."""
+    return text.tokenizer_fertility(table(spark, sf_dir, "documents"))
+
+
+@gate(
     "x_upsample_sources",
     oracle="""
     WITH dim AS (

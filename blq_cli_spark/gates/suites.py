@@ -178,6 +178,9 @@ _SPECS = {
          [("doc_id", "s"), ("source", "s"), ("sample_rank", "s")]),
         ("upsample", llmdata.x_upsample_sources,
          [("doc_id", "s"), ("source", "s"), ("epoch", "s")]),
+        ("fertility", llmdata.x_tokenizer_fertility,
+         [("lang", "s"), ("n_docs", "s"), ("n_words", "s"),
+          ("n_subwords", "s"), ("fertility", "d")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -258,6 +261,7 @@ _MEMBER_GATE = {
     "shuffle": "x_training_shuffle",
     "sample": "x_source_budget_sample",
     "upsample": "x_upsample_sources",
+    "fertility": "x_tokenizer_fertility",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -537,6 +537,8 @@ def run_action(
             docs, rates or {}, source_col=source_col, id_col=id_col,
             default_rate=default_rate,
         )
+    if action == "fertility":
+        return text_ops.tokenizer_fertility(docs, text_col=text_col)
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),

@@ -338,3 +338,39 @@ def chunk_documents(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility: subword tokens per whitespace
+    word — the standard tokenizer-health metric for multilingual
+    corpora (a language whose fertility is 2-3x English's pays that
+    multiple in sequence length and training cost; the usual signal to
+    rebalance the tokenizer's training mix).
+
+    Returns (lang, n_docs, n_words, n_subwords, fertility), fertility
+    rounded to 6 decimals.
+
+    Scale shape: both counts are pure regexp/split column expressions
+    (codegen, zero Python), so the whole metric is one projection and
+    one groupBy on the dimension-sized language key."""
+    words = token_count(F.col(text_col))
+    subwords = subword_token_count(F.col(text_col))
+    return (
+        df.select(F.col(lang_col).alias("lang"), words.alias("_w"), subwords.alias("_s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_s").alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_subwords") / F.greatest(F.col("n_words"), F.lit(1)), 6
+            ),
+        )
+    )

@@ -629,3 +629,22 @@ def test_stratified_sample_null_source_is_its_own_stratum(spark):
     counts = {r["source"]: r["count"]
               for r in out.groupBy("source").count().collect()}
     assert counts == {"a": 4, None: 4}
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from blq_cli_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en"),        # 2 words, 2 subwords
+            (2, "don't stop", "en"),         # 2 words, 4 subwords (don ' t stop)
+            (3, "a1b2", "de"),               # 1 word, 4 subwords (a 1 b 2)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in text_ops.tokenizer_fertility(docs).collect()}
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["n_words"] == 4 and out["en"]["n_subwords"] == 6
+    assert out["en"]["fertility"] == 1.5
+    assert out["de"]["n_words"] == 1 and out["de"]["n_subwords"] == 4
+    assert out["de"]["fertility"] == 4.0

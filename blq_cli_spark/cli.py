@@ -1263,6 +1263,20 @@ def cmd_corpus(args) -> int:
             return 2
         with open(args.weights) as fh:
             weights = _json.load(fh)
+    if args.corpus_action == "shuffle" and args.shards:
+        # materialize the FULL corpus as ordered shards (the data-loader
+        # layout) instead of emitting the rank table
+        if not args.output:
+            print("corpus shuffle: --shards requires --output DIR",
+                  file=sys.stderr)
+            return 2
+        corpus_ops.write_training_shards(
+            docs, args.output, shards=args.shards, id_col=args.id_col,
+            seed=args.seed,
+        )
+        n = spark.read.parquet(args.output).count()
+        print(f"wrote {n} rows to {args.output} ({args.shards} ordered shards)")
+        return 0
     out = corpus_ops.run_action(
         docs,
         args.corpus_action,
@@ -2490,6 +2504,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="chunk: tokens shared between adjacent windows")
     sp.add_argument("--per-source", type=int, default=100, dest="n_per_source",
                     help="sample: exact documents to keep per source")
+    sp.add_argument("--shards", type=int, default=0,
+                    help="shuffle: write the FULL corpus as this many "
+                         "globally-ordered shard files (requires --output)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

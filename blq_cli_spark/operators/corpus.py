@@ -834,6 +834,38 @@ def training_shuffle(
     return bucketed.select("id", "shuffle_key", rank.alias("shuffle_rank"))
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize the corpus as `shards` parquet files in GLOBAL
+    training-shuffle order — the layout a sequential data loader
+    consumes: file k holds ranks [k*n/shards, (k+1)*n/shards), each file
+    internally rank-ordered, so reading shard 0..N-1 in filename order
+    replays the whole permutation.
+
+    Scale shape: training_shuffle's distributed rank (no global window)
+    joins back to the full rows on id — a plain equi-join Catalyst
+    shuffles on the id key (or broadcasts at small sizes) — then
+    repartitionByRange on the rank splits into contiguous ordered ranges
+    (one range shuffle; Spark samples rank boundaries, which are dense
+    0..n-1 so sampling is exact enough) and sortWithinPartitions orders
+    within each shard without any single-task sort."""
+    ranks = training_shuffle(docs, id_col=id_col, seed=seed).select(
+        F.col("id").alias(id_col), "shuffle_rank"
+    )
+    (
+        docs.join(ranks, id_col)
+        .repartitionByRange(max(1, int(shards)), "shuffle_rank")
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     n_per_source: int,

@@ -977,3 +977,29 @@ def test_cli_corpus_upsample(tmp_path, capsys):
     got = spark.read.parquet(dst)
     assert got.count() == 20
     assert set(r["epoch"] for r in got.collect()) == {0, 1}
+
+
+def test_cli_corpus_shuffle_shards(tmp_path, capsys):
+    """`corpus shuffle --shards N --output DIR` writes the full corpus as
+    N globally-ordered shard files; --shards without --output is a
+    usage error."""
+    import glob
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-tests")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    ).write.parquet(src)
+    assert main(["corpus", "shuffle", "--input", src, "--shards", "3"]) == 2
+    capsys.readouterr()
+    dst = str(tmp_path / "shards")
+    assert main(["corpus", "shuffle", "--input", src, "--shards", "3",
+                 "--output", dst]) == 0
+    assert "3 ordered shards" in capsys.readouterr().out
+    assert len(glob.glob(dst + "/part-*.parquet")) == 3
+    got = spark.read.parquet(dst)
+    assert got.count() == 30
+    assert "shuffle_rank" in got.columns and "text" in got.columns

@@ -648,3 +648,36 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert out["en"]["fertility"] == 1.5
     assert out["de"]["n_words"] == 1 and out["de"]["n_subwords"] == 4
     assert out["de"]["fertility"] == 4.0
+
+
+def test_write_training_shards_global_order_replayed(spark, tmp_path):
+    """Reading shard files in filename order replays the exact global
+    permutation: each file is internally rank-ordered and file ranges
+    are contiguous."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    corpus_ops.write_training_shards(docs, path, shards=4, seed=3)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    replayed = []
+    for f in files:
+        t = pq.read_table(f).to_pylist()
+        ranks = [r["shuffle_rank"] for r in t]
+        assert ranks == sorted(ranks)  # internally ordered
+        replayed.extend(t)
+    assert [r["shuffle_rank"] for r in replayed] == list(range(200))
+    # and the permutation is the md5(id, seed) order
+    naive = sorted(
+        range(200),
+        key=lambda i: (hashlib.md5(f"{i}\x1f3".encode()).hexdigest(), i),
+    )
+    assert [r["doc_id"] for r in replayed] == naive

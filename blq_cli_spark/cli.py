@@ -1300,6 +1300,7 @@ def cmd_corpus(args) -> int:
         chunk_overlap=args.chunk_overlap,
         history=args.history,
         n_per_source=args.n_per_source,
+        n_buckets=args.n_buckets,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2432,7 +2433,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "materialize", "score", "source-kl", "clean-spans",
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
-                 "chunk", "shuffle", "sample", "upsample", "fertility"],
+                 "chunk", "shuffle", "sample", "upsample", "fertility",
+                 "buckets"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2507,6 +2509,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--shards", type=int, default=0,
                     help="shuffle: write the FULL corpus as this many "
                          "globally-ordered shard files (requires --output)")
+    sp.add_argument("--buckets", type=int, default=3, dest="n_buckets",
+                    help="buckets: per-language perplexity quantile "
+                         "buckets (3 = CCNet head/middle/tail)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

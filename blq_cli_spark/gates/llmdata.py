@@ -837,6 +837,48 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scores AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
+      FROM tok JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    ths AS (
+      SELECT lang,
+             quantile_cont(avg_logprob,
+               [{", ".join(str(i / 3) for i in (1, 2))}]) AS t
+      FROM scored GROUP BY lang
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CAST(len(list_filter(t, x -> avg_logprob > x)) AS INT)
+             AS ppl_bucket
+    FROM scored JOIN ths USING (lang)
+    """,
+)
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek
+    et al., arXiv:1911.00359) — quality.perplexity_buckets. The oracle
+    replays the unigram score and DuckDB's quantile_cont, whose linear
+    interpolation matches Spark's exact percentile() (the a_percentiles
+    parity precedent)."""
+    from blq_cli_spark.operators import quality
+
+    return quality.perplexity_buckets(
+        table(spark, sf_dir, "documents"), n_buckets=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+@gate(
     "x_source_kl",
     oracle=f"""
     WITH tok AS (SELECT source, unnest({_TOK}) AS w FROM documents),

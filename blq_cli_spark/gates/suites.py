@@ -181,6 +181,9 @@ _SPECS = {
         ("fertility", llmdata.x_tokenizer_fertility,
          [("lang", "s"), ("n_docs", "s"), ("n_words", "s"),
           ("n_subwords", "s"), ("fertility", "d")]),
+        ("ccnet", llmdata.x_ccnet_buckets,
+         [("doc_id", "s"), ("lang", "s"), ("n_tokens", "s"),
+          ("avg_logprob", "d"), ("ppl_bucket", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -262,6 +265,7 @@ _MEMBER_GATE = {
     "sample": "x_source_budget_sample",
     "upsample": "x_upsample_sources",
     "fertility": "x_tokenizer_fertility",
+    "ccnet": "x_ccnet_buckets",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",
     "langid": "x_langid_eval",

@@ -430,6 +430,7 @@ def run_action(
     chunk_overlap: int = 0,
     history: str | None = None,
     n_per_source: int = 100,
+    n_buckets: int = 3,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -539,6 +540,10 @@ def run_action(
         )
     if action == "fertility":
         return text_ops.tokenizer_fertility(docs, text_col=text_col)
+    if action == "buckets":
+        return quality.perplexity_buckets(
+            docs, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+        )
     if action == "tokens":
         return docs.select(
             F.col(id_col).alias("id"),

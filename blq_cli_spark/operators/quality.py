@@ -215,6 +215,54 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    §4): split each language's documents into `n_buckets` quantile
+    buckets of the LM score — CCNet's head/middle/tail thirds, where
+    "head" (the highest bucket index here) is the best-scoring slice a
+    pipeline keeps or upweights. The score is the unigram_logprob
+    perplexity proxy; higher avg_logprob = less perplexing = better.
+
+    Returns (id, lang, n_tokens, avg_logprob, ppl_bucket) with
+    ppl_bucket in [0, n_buckets) = how many within-language quantile
+    thresholds the doc's score exceeds (n_buckets-1 = head).
+
+    Scale shape: scores are checkpointed once (two consumers: the
+    threshold aggregate and the final join — without the cut the whole
+    LM-score pipeline runs twice); the per-language threshold table is
+    DIMENSION-sized (one row per language, exact interpolated
+    percentiles) so its broadcast is legitimate, unlike the corpus
+    vocabulary. Bucket assignment is a pure column expression."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scores = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    scored = scores.join(langs, "id").localCheckpoint(eager=False)
+    ps = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    ths = scored.groupBy("lang").agg(
+        F.expr(f"percentile(avg_logprob, array({ps}))").alias("_ths")
+    )
+    bucket = F.aggregate(
+        F.col("_ths"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.col("avg_logprob") > t, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return scored.join(F.broadcast(ths), "lang").select(
+        "id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        bucket.cast("int").alias("ppl_bucket"),
+    )
+
+
 def source_kl(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

@@ -487,7 +487,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "(profile/quality/redact/funnel/dedup/exact-dedup/mix/upsample/"
       "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
-      "gopher/classify/passages/materialize)")
+      "gopher/classify/passages/materialize/fertility/buckets)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -514,6 +514,7 @@ def _corpus(
     chunk_overlap: int = 0,
     history: str | None = None,
     n_per_source: int = 100,
+    n_buckets: int = 3,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -561,7 +562,7 @@ def _corpus(
         min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
         target=tgt, n_select=n_select, seed=seed,
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
-        n_per_source=n_per_source,
+        n_per_source=n_per_source, n_buckets=n_buckets,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -389,3 +389,31 @@ def test_chunk_documents_matches_python_model_grid(spark):
         for n in range(0, 25):
             expect = model(n, size, overlap)
             assert sorted(got.get(n, [])) == expect, (n, size, overlap)
+
+
+def test_perplexity_buckets_ccnet_terciles(spark):
+    """Per-language terciles of the unigram score: common-token docs
+    score high (head = bucket 2), rare-token docs low (tail = 0);
+    buckets are per-language and near-equal-sized."""
+    from blq_cli_spark.operators.quality import perplexity_buckets
+
+    # 9 docs in one lang: three made of very common tokens, three mixed,
+    # three of unique tokens -> clean tercile separation
+    common = "the the the the"
+    rows = []
+    for i in range(3):
+        rows.append((i, common, "en"))
+    for i in range(3, 6):
+        rows.append((i, f"the the u{i} u{i}x", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"q{i}a q{i}b q{i}c q{i}d", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r["ppl_bucket"] for r in perplexity_buckets(docs).collect()}
+    assert all(out[i] == 2 for i in range(3)), out        # head
+    assert all(out[i] == 1 for i in range(3, 6)), out     # middle
+    assert all(out[i] == 0 for i in range(6, 9)), out     # tail
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(docs, n_buckets=1)

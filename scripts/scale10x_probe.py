@@ -123,6 +123,8 @@ def main() -> None:
                 "blq_cli_spark.operators.selection", fromlist=["x"]
             ).dsir_logweights(docs, docs.filter(F.col("source") == "wiki")),
             "training_shuffle": lambda: corpus_ops.training_shuffle(docs),
+            "tokenizer_fertility": lambda: text_ops.tokenizer_fertility(docs),
+            "perplexity_buckets": lambda: quality.perplexity_buckets(docs),
             "stratified_sample": lambda: corpus_ops.stratified_sample(docs, 500),
             "upsample_sources": lambda: corpus_ops.upsample_sources(
                 docs, {"wiki": 2.5, "books": 1.5}, default_rate=0.5

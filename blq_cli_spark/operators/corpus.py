@@ -581,6 +581,10 @@ def pipeline(
        "source_col": "source"}                       exact per-source budget
                                                      (materializes the prefix
                                                      once: rank needs counts)
+      {"op": "buckets", "min_bucket": 1,
+       "n_buckets": 3, "lang_col": "lang"}           CCNet keep: drop buckets
+                                                     below min_bucket (also
+                                                     materializes the prefix)
       {"op": "select", "target": DF, "n": 100,
        "buckets": 256, "seed": 0}                    DSIR importance resample
 
@@ -662,6 +666,22 @@ def pipeline(
             out = mix_sources(
                 out, spec.pop("rates", {}), id_col=id_col, **spec
             )
+        elif op == "buckets":
+            # CCNet-style keep: drop documents below min_bucket (0=tail;
+            # n_buckets-1=head). Like 'sample', the quantile thresholds
+            # need the score distribution, so materialize the prefix once.
+            from blq_cli_spark.operators import quality as quality_ops
+
+            min_bucket = spec.pop("min_bucket", 1)
+            out = out.localCheckpoint(eager=True)
+            kept = (
+                quality_ops.perplexity_buckets(
+                    out, text_col=tc, id_col=id_col, **spec
+                )
+                .filter(F.col("ppl_bucket") >= min_bucket)
+                .select(F.col("id").alias(id_col))
+            )
+            out = out.join(kept, id_col, "left_semi")
         elif op == "sample":
             # stratified_sample's bounded counts collect() executes the
             # pipeline prefix at construction time, and the semi-join's

@@ -681,3 +681,22 @@ def test_write_training_shards_global_order_replayed(spark, tmp_path):
         key=lambda i: (hashlib.md5(f"{i}\x1f3".encode()).hexdigest(), i),
     )
     assert [r["doc_id"] for r in replayed] == naive
+
+
+def test_pipeline_buckets_stage_drops_tail(spark):
+    """CCNet keep stage: tail-bucket (gibberish-scored) docs fall out,
+    schema rides through."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common, "en", "web") for i in range(6)]
+    # three gibberish docs: all-unique tokens -> lowest unigram scores
+    rows += [(i, f"zq{i}a zq{i}b zq{i}c zq{i}d zq{i}e zq{i}f zq{i}g zq{i}h zq{i}i",
+              "en", "web") for i in range(6, 9)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = corpus_ops.pipeline(docs, [{"op": "buckets", "min_bucket": 1}])
+    assert out.columns == docs.columns
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == set(range(6))  # gibberish tail dropped

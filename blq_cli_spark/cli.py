@@ -1263,6 +1263,10 @@ def cmd_corpus(args) -> int:
             return 2
         with open(args.weights) as fh:
             weights = _json.load(fh)
+    if args.shards and args.corpus_action != "shuffle":
+        print("corpus: --shards only applies to the shuffle action",
+              file=sys.stderr)
+        return 2
     if args.corpus_action == "shuffle" and args.shards:
         # materialize the FULL corpus as ordered shards (the data-loader
         # layout) instead of emitting the rank table
@@ -1301,6 +1305,7 @@ def cmd_corpus(args) -> int:
         history=args.history,
         n_per_source=args.n_per_source,
         n_buckets=args.n_buckets,
+        lang_col=args.lang_col,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2512,6 +2517,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--buckets", type=int, default=3, dest="n_buckets",
                     help="buckets: per-language perplexity quantile "
                          "buckets (3 = CCNet head/middle/tail)")
+    sp.add_argument("--lang-col", default="lang", dest="lang_col",
+                    help="fertility/buckets: language column name")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

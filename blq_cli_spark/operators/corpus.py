@@ -431,6 +431,7 @@ def run_action(
     history: str | None = None,
     n_per_source: int = 100,
     n_buckets: int = 3,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -539,10 +540,13 @@ def run_action(
             default_rate=default_rate,
         )
     if action == "fertility":
-        return text_ops.tokenizer_fertility(docs, text_col=text_col)
+        return text_ops.tokenizer_fertility(
+            docs, text_col=text_col, lang_col=lang_col
+        )
     if action == "buckets":
         return quality.perplexity_buckets(
-            docs, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+            docs, n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+            lang_col=lang_col,
         )
     if action == "tokens":
         return docs.select(
@@ -879,6 +883,15 @@ def write_training_shards(
     (one range shuffle; Spark samples rank boundaries, which are dense
     0..n-1 so sampling is exact enough) and sortWithinPartitions orders
     within each shard without any single-task sort."""
+    if "shuffle_rank" in docs.columns:
+        raise ValueError(
+            "input already has a shuffle_rank column (a prior shuffle "
+            "output?) — drop or rename it before resharding"
+        )
+    # materialize the input once: training_shuffle's construction-time
+    # counts collect() plus BOTH join sides would otherwise run the
+    # upstream plan (often a whole curation pipeline) three times
+    docs = docs.localCheckpoint(eager=True)
     ranks = training_shuffle(docs, id_col=id_col, seed=seed).select(
         F.col("id").alias(id_col), "shuffle_rank"
     )

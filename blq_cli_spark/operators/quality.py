@@ -231,7 +231,11 @@ def perplexity_buckets(
 
     Returns (id, lang, n_tokens, avg_logprob, ppl_bucket) with
     ppl_bucket in [0, n_buckets) = how many within-language quantile
-    thresholds the doc's score exceeds (n_buckets-1 = head).
+    thresholds the doc's score exceeds (n_buckets-1 = head). Every
+    input doc gets a row: token-less docs score NULL and land in the
+    tail (bucket 0 — empty text IS maximal gibberish), and a NULL
+    language is its own stratum (the stratified_sample precedent), so
+    a downstream keep-filter never silently loses rows.
 
     Scale shape: scores are checkpointed once (two consumers: the
     threshold aggregate and the final join — without the cut the whole
@@ -242,21 +246,38 @@ def perplexity_buckets(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     scores = unigram_logprob(df, text_col=text_col, id_col=id_col)
-    langs = df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
-    scored = scores.join(langs, "id").localCheckpoint(eager=False)
+    langs = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null")).alias(
+            "_lang"
+        ),
+    )
+    scored = (
+        langs.join(scores, "id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .localCheckpoint(eager=False)
+    )
     ps = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    ths = scored.groupBy("lang").agg(
+    # percentile() ignores NULL scores; an all-null language yields a
+    # NULL threshold array and the coalesce below sends those docs to 0
+    ths = scored.groupBy("_lang").agg(
         F.expr(f"percentile(avg_logprob, array({ps}))").alias("_ths")
     )
-    bucket = F.aggregate(
-        F.col("_ths"),
+    bucket = F.coalesce(
+        F.aggregate(
+            F.col("_ths"),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.col("avg_logprob") > t, F.lit(1)).otherwise(F.lit(0)),
+        ),
         F.lit(0),
-        lambda acc, t: acc
-        + F.when(F.col("avg_logprob") > t, F.lit(1)).otherwise(F.lit(0)),
     )
-    return scored.join(F.broadcast(ths), "lang").select(
+    lang_out = F.when(F.col("_lang") == "\x00null", F.lit(None)).otherwise(
+        F.col("_lang")
+    )
+    return scored.join(F.broadcast(ths), "_lang").select(
         "id",
-        "lang",
+        lang_out.alias("lang"),
         "n_tokens",
         "avg_logprob",
         bucket.cast("int").alias("ppl_bucket"),

@@ -515,6 +515,7 @@ def _corpus(
     history: str | None = None,
     n_per_source: int = 100,
     n_buckets: int = 3,
+    lang_col: str = "lang",
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -562,7 +563,7 @@ def _corpus(
         min_docs=min_docs, weights=weights, capacity_tokens=capacity_tokens,
         target=tgt, n_select=n_select, seed=seed,
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
-        n_per_source=n_per_source, n_buckets=n_buckets,
+        n_per_source=n_per_source, n_buckets=n_buckets, lang_col=lang_col,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -49,7 +49,8 @@ def main() -> None:
 
     t0 = time.time()
     packed = corpus_ops.pack_sequences(survivors, capacity_tokens=2048)
-    n_bins = packed.agg({"bin": "max"}).collect()[0][0] + 1
+    max_bin = packed.agg({"bin": "max"}).collect()[0][0]
+    n_bins = 0 if max_bin is None else max_bin + 1
     t_pack = time.time() - t0
     print(f"pack: {n_out} docs -> {n_bins} bins of 2048 tokens ({t_pack:.1f}s)")
 

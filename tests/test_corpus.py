@@ -700,3 +700,26 @@ def test_pipeline_buckets_stage_drops_tail(spark):
     assert out.columns == docs.columns
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == set(range(6))  # gibberish tail dropped
+
+
+def test_write_training_shards_rejects_rank_collision(spark, tmp_path):
+    import pytest as _pytest
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, shuffle_rank long"
+    )
+    with _pytest.raises(ValueError, match="shuffle_rank"):
+        corpus_ops.write_training_shards(docs, str(tmp_path / "s"))
+
+
+def test_pipeline_buckets_stage_min_bucket_zero_keeps_everything(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(1, "the the the", "en"), (2, "", None), (3, "zq zr zs", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus_ops.pipeline(docs, [{"op": "buckets", "min_bucket": 0}])
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}

@@ -417,3 +417,29 @@ def test_perplexity_buckets_ccnet_terciles(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         perplexity_buckets(docs, n_buckets=1)
+
+
+def test_perplexity_buckets_null_lang_and_empty_text_survive(spark):
+    """min_bucket=0 semantics: token-less docs land in the tail (bucket
+    0, NULL score) and NULL lang is its own stratum — no row silently
+    disappears."""
+    from blq_cli_spark.operators.quality import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the", "en"),
+            (2, "the the zq zqx", "en"),
+            (3, "", "en"),                     # token-less -> tail
+            (4, "the the the the", None),      # null lang stratum
+            (5, "ab cd ef gh", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["id"]: r for r in perplexity_buckets(docs, n_buckets=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc has a row
+    assert out[3]["ppl_bucket"] == 0 and out[3]["avg_logprob"] is None
+    assert out[3]["n_tokens"] == 0
+    assert out[4]["lang"] is None and out[5]["lang"] is None
+    # the null-lang stratum buckets among itself: common-token doc 4
+    # above unique-token doc 5
+    assert out[4]["ppl_bucket"] == 1 and out[5]["ppl_bucket"] == 0

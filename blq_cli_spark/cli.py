@@ -2439,7 +2439,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
                  "chunk", "shuffle", "sample", "upsample", "fertility",
-                 "buckets"],
+                 "buckets", "pack-report"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -1528,6 +1528,43 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_packing_report",
+    oracle=f"""
+    WITH t AS (SELECT doc_id AS id, len({_TOK}) AS n_tokens FROM documents),
+    c AS (
+      SELECT id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM t
+    ),
+    bins AS (
+      SELECT CAST(floor(off / 512.0) AS BIGINT) AS bin,
+             sum(n_tokens) AS fill, count(*) AS docs
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(docs) AS BIGINT) AS n_docs,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           round(avg(fill / 512.0), 6) AS mean_fill_ratio,
+           round(min(fill / 512.0), 6) AS min_fill_ratio,
+           round(avg(CASE WHEN fill >= 0.95 * 512 THEN 1.0 ELSE 0.0 END), 6)
+             AS full_bin_share
+    FROM bins
+    """,
+)
+def x_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-utilization report over the 512-token packing (fill ratios,
+    full-bin share) — corpus.packing_report; the oracle replays the
+    naive cumulative-sum packing and the same two aggregates."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.packing_report(
+        table(spark, sf_dir, "documents"), capacity_tokens=512
+    )
+
+
+@gate(
     "x_upsample_sources",
     oracle="""
     WITH dim AS (

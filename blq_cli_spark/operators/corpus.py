@@ -539,6 +539,11 @@ def run_action(
             docs, rates or {}, source_col=source_col, id_col=id_col,
             default_rate=default_rate,
         )
+    if action == "pack-report":
+        return packing_report(
+            docs, capacity_tokens=capacity_tokens, text_col=text_col,
+            id_col=id_col,
+        )
     if action == "fertility":
         return text_ops.tokenizer_fertility(
             docs, text_col=text_col, lang_col=lang_col
@@ -959,6 +964,41 @@ def stratified_sample(
     )
     return ranked.filter(F.col("sample_rank") < int(n_per_source)).select(
         *docs.columns, "sample_rank"
+    )
+
+
+def packing_report(
+    docs: DataFrame,
+    capacity_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Bin-utilization report for a pack_sequences run: how full the
+    training sequences actually are. One row: n_bins, n_docs,
+    total_tokens, mean/min fill ratio, and the share of bins filled to
+    >= 95% of capacity — the numbers that decide whether the capacity
+    (or the greedy id-order policy) wastes compute at tokenization.
+
+    Scale shape: pack_sequences' distributed prefix sum, then one
+    groupBy on bin and one singleton aggregate."""
+    packed = pack_sequences(
+        docs, capacity_tokens=capacity_tokens, text_col=text_col,
+        id_col=id_col, tokens_col=tokens_col,
+    )
+    cap = float(capacity_tokens)
+    bins = packed.groupBy("bin").agg(
+        F.sum("n_tokens").alias("_fill"), F.count(F.lit(1)).alias("_docs")
+    )
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("_docs").alias("n_docs"),
+        F.sum("_fill").alias("total_tokens"),
+        F.round(F.avg(F.col("_fill") / cap), 6).alias("mean_fill_ratio"),
+        F.round(F.min(F.col("_fill") / cap), 6).alias("min_fill_ratio"),
+        F.round(
+            F.avg(F.when(F.col("_fill") >= 0.95 * cap, 1.0).otherwise(0.0)), 6
+        ).alias("full_bin_share"),
     )
 
 

@@ -487,7 +487,8 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "(profile/quality/redact/funnel/dedup/exact-dedup/mix/upsample/"
       "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
-      "gopher/classify/passages/materialize/fertility/buckets)")
+      "gopher/classify/passages/materialize/fertility/buckets/"
+      "pack-report)")
 def _corpus(
     store: LogStore,
     action: str,

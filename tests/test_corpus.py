@@ -723,3 +723,18 @@ def test_pipeline_buckets_stage_min_bucket_zero_keeps_everything(spark):
     )
     out = corpus_ops.pipeline(docs, [{"op": "buckets", "min_bucket": 0}])
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_packing_report_hand_computed(spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    # ids in order, 6 tokens each, capacity 10: offsets 0,6,12,18 ->
+    # bins 0,0,1,1; fills: bin0=12, bin1=12 (greedy overflow counts
+    # toward the bin the offset lands in)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(4)], "doc_id long, text string"
+    )
+    r = corpus_ops.packing_report(docs, capacity_tokens=10).collect()[0]
+    assert r["n_bins"] == 2 and r["n_docs"] == 4 and r["total_tokens"] == 24
+    assert r["mean_fill_ratio"] == 1.2 and r["min_fill_ratio"] == 1.2
+    assert r["full_bin_share"] == 1.0

@@ -1306,6 +1306,7 @@ def cmd_corpus(args) -> int:
         n_per_source=args.n_per_source,
         n_buckets=args.n_buckets,
         lang_col=args.lang_col,
+        tokens_per_source=args.tokens_per_source,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2439,7 +2440,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
                  "chunk", "shuffle", "sample", "upsample", "fertility",
-                 "buckets", "pack-report"],
+                 "buckets", "pack-report", "token-sample"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2519,6 +2520,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "buckets (3 = CCNet head/middle/tail)")
     sp.add_argument("--lang-col", default="lang", dest="lang_col",
                     help="fertility/buckets: language column name")
+    sp.add_argument("--tokens-per-source", type=int, default=100_000,
+                    dest="tokens_per_source",
+                    help="token-sample: token budget per source")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

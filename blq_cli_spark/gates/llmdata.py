@@ -1528,6 +1528,38 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_token_budget_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, source,
+             len({_TOK}) AS n_tokens,
+             md5(cast(doc_id AS VARCHAR) || chr(31) || '7') AS k
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, tokens_before FROM (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tokens_before
+      FROM k
+    ) WHERE tokens_before < 300
+    """,
+)
+def x_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (300 tokens per source, seed 7): keep docs
+    in md5 order until each source's cumulative tokens hit the budget —
+    the unit real mixtures are specified in. The oracle is the naive
+    per-source cumulative window; the distributed per-(source, bucket)
+    prefix sum (corpus.token_budget_sample) must reproduce it."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.token_budget_sample(
+        table(spark, sf_dir, "documents"), 300, seed=7
+    ).select("doc_id", "source", "n_tokens", "tokens_before")
+
+
+@gate(
     "x_packing_report",
     oracle=f"""
     WITH t AS (SELECT doc_id AS id, len({_TOK}) AS n_tokens FROM documents),

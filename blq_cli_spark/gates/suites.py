@@ -176,6 +176,9 @@ _SPECS = {
          [("id", "s"), ("shuffle_key", "s"), ("shuffle_rank", "s")]),
         ("sample", llmdata.x_source_budget_sample,
          [("doc_id", "s"), ("source", "s"), ("sample_rank", "s")]),
+        ("token_sample", llmdata.x_token_budget_sample,
+         [("doc_id", "s"), ("source", "s"), ("n_tokens", "s"),
+          ("tokens_before", "s")]),
         ("upsample", llmdata.x_upsample_sources,
          [("doc_id", "s"), ("source", "s"), ("epoch", "s")]),
         ("fertility", llmdata.x_tokenizer_fertility,
@@ -263,6 +266,7 @@ _MEMBER_GATE = {
     "chunk": "x_chunk_documents",
     "shuffle": "x_training_shuffle",
     "sample": "x_source_budget_sample",
+    "token_sample": "x_token_budget_sample",
     "upsample": "x_upsample_sources",
     "fertility": "x_tokenizer_fertility",
     "ccnet": "x_ccnet_buckets",

@@ -432,6 +432,7 @@ def run_action(
     n_per_source: int = 100,
     n_buckets: int = 3,
     lang_col: str = "lang",
+    tokens_per_source: int = 100_000,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -538,6 +539,11 @@ def run_action(
         return upsample_sources(
             docs, rates or {}, source_col=source_col, id_col=id_col,
             default_rate=default_rate,
+        )
+    if action == "token-sample":
+        return token_budget_sample(
+            docs, tokens_per_source, source_col=source_col, id_col=id_col,
+            text_col=text_col, seed=seed,
         )
     if action == "pack-report":
         return packing_report(
@@ -964,6 +970,82 @@ def stratified_sample(
     )
     return ranked.filter(F.col("sample_rank") < int(n_per_source)).select(
         *docs.columns, "sample_rank"
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    tokens_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    rank_buckets: int = 64,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Token-budget sampling: keep documents in deterministic md5(id,
+    seed) order until each source's cumulative token count reaches
+    `tokens_per_source` — the unit mixtures are actually specified in
+    (a 100 B-token mix cares about tokens, not document counts; doc
+    budgets over-weight short-doc sources). A document is kept iff its
+    EXCLUSIVE prefix of tokens (in key order, within its source) is
+    below the budget, so the budget overshoots by at most one document
+    and every earlier-keyed document of a kept document is also kept.
+
+    Returns the surviving input rows plus (n_tokens, tokens_before).
+
+    Scale shape: the stratified_sample rank machinery carrying SUMS
+    instead of counts — per-(source, hex-prefix bucket) token totals
+    (bounded: sources x rank_buckets rows) become exclusive base
+    offsets on the driver and broadcast-join back; a within-(source,
+    bucket) cumulative window (ordered by the same key the bucket is a
+    prefix of) finishes each doc's exact global token prefix. No
+    per-source single-task window; pass `tokens_col` to reuse a
+    precomputed count instead of re-tokenizing."""
+    from pyspark.sql import Window
+
+    buckets = max(1, min(int(rank_buckets), 65536))
+    nt = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else text_ops.token_count(F.col(text_col))
+    )
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    bucketed = (
+        docs.withColumn("_k", _rank_key(id_col, seed))
+        .withColumn("_bkt", _hex_prefix_bucket("_k", buckets))
+        .withColumn("_src", src_key)
+        .withColumn("n_tokens", nt)
+    )
+    totals = (
+        bucketed.groupBy("_src", "_bkt").agg(F.sum("n_tokens").alias("_t")).collect()
+    )  # bounded: n_sources x rank_buckets rows
+    bases, acc = [], {}
+    for r in sorted(totals, key=lambda r: (r["_src"], r["_bkt"])):
+        src = r["_src"]
+        bases.append((src, r["_bkt"], acc.get(src, 0)))
+        acc[src] = acc.get(src, 0) + r["_t"]
+    if not bases:
+        return (
+            docs.withColumn("n_tokens", F.lit(0).cast("long"))
+            .withColumn("tokens_before", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(bases, "_src string, _bkt int, _base long")
+    w = (
+        Window.partitionBy("_src", "_bkt")
+        .orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = (
+        F.col("_base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).cast("long")
+    return (
+        bucketed.join(F.broadcast(base_df), ["_src", "_bkt"])
+        .withColumn("tokens_before", before)
+        .filter(F.col("tokens_before") < int(tokens_per_source))
+        .select(*docs.columns, "n_tokens", "tokens_before")
     )
 
 

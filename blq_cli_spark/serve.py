@@ -488,7 +488,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
-      "pack-report)")
+      "pack-report/token-sample)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -517,6 +517,7 @@ def _corpus(
     n_per_source: int = 100,
     n_buckets: int = 3,
     lang_col: str = "lang",
+    tokens_per_source: int = 100_000,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -565,6 +566,7 @@ def _corpus(
         target=tgt, n_select=n_select, seed=seed,
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
         n_per_source=n_per_source, n_buckets=n_buckets, lang_col=lang_col,
+        tokens_per_source=tokens_per_source,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -738,3 +738,63 @@ def test_packing_report_hand_computed(spark):
     assert r["n_bins"] == 2 and r["n_docs"] == 4 and r["total_tokens"] == 24
     assert r["mean_fill_ratio"] == 1.2 and r["min_fill_ratio"] == 1.2
     assert r["full_bin_share"] == 1.0
+
+
+def test_token_budget_sample_matches_naive_cumsum(spark):
+    """Distributed per-(source, bucket) token prefix == naive per-source
+    cumulative window; budgets bind per source; partitioning-invariant."""
+    import hashlib
+    from collections import defaultdict
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (i, " ".join("w" for _ in range((i % 7) + 1)), ["a", "b"][i % 2])
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    by_src = defaultdict(list)
+    for i, text, src in rows:
+        by_src[src].append((i, len(text.split())))
+    expect = {}
+    for src, members in by_src.items():
+        order = sorted(
+            members,
+            key=lambda m: (hashlib.md5(f"{m[0]}\x1f5".encode()).hexdigest(), m[0]),
+        )
+        acc = 0
+        for i, n in order:
+            if acc < 40:
+                expect[i] = (n, acc)
+            acc += n
+    for df, buckets in [(docs, 64), (docs.repartition(11), 3)]:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["tokens_before"])
+            for r in corpus_ops.token_budget_sample(
+                df, 40, seed=5, rank_buckets=buckets
+            ).collect()
+        }
+        assert got == expect, buckets
+    # budget larger than any source keeps everything
+    assert corpus_ops.token_budget_sample(docs, 10**9).count() == 200
+
+
+def test_token_budget_sample_plan_and_schema(spark):
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", f"s{i % 2}", i) for i in range(40)],
+        "doc_id long, text string, source string, extra long",
+    )
+    out = corpus_ops.token_budget_sample(docs, 20)
+    assert out.columns == ["doc_id", "text", "source", "extra",
+                           "n_tokens", "tokens_before"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan and "_bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan

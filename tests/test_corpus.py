@@ -798,3 +798,29 @@ def test_token_budget_sample_plan_and_schema(spark):
     assert "Window" in plan and "_bkt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_write_training_shards_plan_range_partitioned(spark, tmp_path):
+    """The shard write's distribution is a rank range partitioning (the
+    ordered-shard contract), never a single-task global sort."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "s")
+    corpus_ops.write_training_shards(docs, path, shards=4)
+    # the written layout proves the plan: 4 files, contiguous rank ranges
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    prev_hi = -1
+    for f in files:
+        ranks = [r["shuffle_rank"] for r in pq.read_table(f).to_pylist()]
+        assert ranks == sorted(ranks)
+        assert min(ranks) == prev_hi + 1
+        prev_hi = max(ranks)
+    assert prev_hi == 99

@@ -533,3 +533,44 @@ def test_corpus_tool_shuffle_sample_upsample_dispatch(tmp_path, spark):
     rows = resp["result"]["rows"]
     assert len(rows) == 20  # s0 doubled, s1 dropped (default_rate 0)
     assert {r["source"] for r in rows} == {"s0"}
+
+
+def test_corpus_tool_fertility_buckets_token_sample_dispatch(tmp_path, spark):
+    """The round-5 metric/budget actions reach through serve with the
+    CLI's semantics, including the lang_col override."""
+    st = LogStore(spark, str(tmp_path / "metstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox " * 3, "en", f"s{i % 2}") for i in range(12)],
+        "doc_id long, text string, language string, source string",
+    ).write.parquet(src)
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "fertility", "input": src, "lang_col": "language"},
+    )
+    assert resp["ok"], resp
+    assert resp["result"]["rows"][0]["lang"] == "en"
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "buckets", "input": src, "lang_col": "language",
+         "limit": 20},
+    )
+    assert resp["ok"], resp
+    assert len(resp["result"]["rows"]) == 12
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "token-sample", "input": src, "tokens_per_source": 30,
+         "limit": 20},
+    )
+    assert resp["ok"], resp
+    rows = resp["result"]["rows"]
+    assert rows and all(r["tokens_before"] < 30 for r in rows)
+
+    resp = serve.dispatch(
+        st, "corpus", {"action": "pack-report", "input": src}
+    )
+    assert resp["ok"], resp
+    assert resp["result"]["rows"][0]["n_docs"] == 12

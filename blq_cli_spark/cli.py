@@ -2440,7 +2440,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
                  "chunk", "shuffle", "sample", "upsample", "fertility",
-                 "buckets", "pack-report", "token-sample"],
+                 "buckets", "pack-report", "token-sample", "split"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -1528,6 +1528,60 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_leakage_safe_split",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             generate_subscripts(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1) AS pos,
+             substr(md5(unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))), 1, 16) AS h
+      FROM tok
+    ),
+    winnowed AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ),
+    split AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+               AS iv
+      FROM documents
+    ),
+    valid_fp AS (
+      SELECT DISTINCT fp FROM winnowed JOIN split USING (doc_id) WHERE iv
+    ),
+    leaky AS (
+      SELECT DISTINCT w.doc_id
+      FROM winnowed w JOIN split s USING (doc_id)
+      JOIN valid_fp v ON w.fp = v.fp
+      WHERE NOT s.iv
+    )
+    SELECT d.doc_id,
+           CASE WHEN s.iv THEN 'valid'
+                WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+                ELSE 'train' END AS split
+    FROM documents d
+    JOIN split s USING (doc_id)
+    LEFT JOIN leaky l ON d.doc_id = l.doc_id
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/valid split (valid = md5 nibble in {0,1};
+    train docs sharing a winnowing fingerprint with any valid doc are
+    quarantined) — corpus.leakage_safe_split; the oracle replays the
+    winnow CTE (the x_winnow_tokens precedent) plus the same joins."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.leakage_safe_split(
+        table(spark, sf_dir, "documents")
+    ).select("doc_id", "split")
+
+
+@gate(
     "x_token_budget_sample",
     oracle=f"""
     WITH k AS (

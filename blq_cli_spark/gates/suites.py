@@ -212,6 +212,8 @@ _SPECS = {
          [("id", "s"), ("cluster_id", "s"), ("kept", "s")]),
         ("semdecon", llmdata.x_semantic_decontaminate,
          [("id", "s"), ("max_bench_cos", "d"), ("contaminated", "s")]),
+        ("leakage_split", llmdata.x_leakage_safe_split,
+         [("doc_id", "s"), ("split", "s")]),
     ],
 }
 
@@ -279,6 +281,7 @@ _MEMBER_GATE = {
     "passages": "x_duplicate_passages",
     "semdedup": "x_semantic_dedup",
     "semdecon": "x_semantic_decontaminate",
+    "leakage_split": "x_leakage_safe_split",
 }
 
 

@@ -540,6 +540,8 @@ def run_action(
             docs, rates or {}, source_col=source_col, id_col=id_col,
             default_rate=default_rate,
         )
+    if action == "split":
+        return leakage_safe_split(docs, text_col=text_col, id_col=id_col)
     if action == "token-sample":
         return token_budget_sample(
             docs, tokens_per_source, source_col=source_col, id_col=id_col,
@@ -971,6 +973,59 @@ def stratified_sample(
     return ranked.filter(F.col("sample_rank") < int(n_per_source)).select(
         *docs.columns, "sample_rank"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    valid_nibbles: tuple[str, ...] = ("0", "1"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/validation split with a test-set-leakage guard (the Lee et
+    al. arXiv:2107.06499 finding: near-duplicates of eval data inside
+    the training set corrupt evaluation): documents whose first md5(id)
+    hex nibble is in `valid_nibbles` form the validation split
+    (deterministic, engine/partitioning-independent, ~len/16 of the
+    corpus); any TRAIN document sharing a winnowing fingerprint with
+    ANY validation document — i.e. sharing a run of >= k+w-1 tokens,
+    the SIGMOD'03 guarantee — is marked 'quarantined' rather than
+    silently dropped, so the caller decides whether to exclude or
+    inspect. Docs too short to fingerprint can never quarantine.
+
+    Returns the input rows plus `split` in ('valid', 'train',
+    'quarantined').
+
+    Scale shape: fingerprints compute once (checkpointed — two
+    consumers); the fingerprint equi-join shuffles on the md5-prefix fp
+    key (well distributed), with the validation side a small fraction
+    by construction. No broadcasts of corpus-derived sets."""
+    is_valid = F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 1
+    ).isin(*valid_nibbles)
+    fps = text_ops.winnow_fingerprints(
+        docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
+    flags = docs.select(F.col(id_col).alias("id"), is_valid.alias("_iv"))
+    tagged = fps.join(flags, "id")
+    valid_fp = tagged.filter(F.col("_iv")).select("fp").distinct()
+    leaky = (
+        tagged.filter(~F.col("_iv"))
+        .join(valid_fp, "fp", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("_leaky", F.lit(True))
+    )
+    joined = docs.withColumn("_iv", is_valid).join(
+        leaky.withColumnRenamed("id", "_leak_id"),
+        F.col(id_col) == F.col("_leak_id"),
+        "left",
+    )
+    split = (
+        F.when(F.col("_iv"), F.lit("valid"))
+        .when(F.col("_leaky"), F.lit("quarantined"))
+        .otherwise(F.lit("train"))
+    )
+    return joined.select(*docs.columns, split.alias("split"))
 
 
 def token_budget_sample(

@@ -488,7 +488,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
-      "pack-report/token-sample)")
+      "pack-report/token-sample/split)")
 def _corpus(
     store: LogStore,
     action: str,

@@ -824,3 +824,35 @@ def test_write_training_shards_plan_range_partitioned(spark, tmp_path):
         assert min(ranks) == prev_hi + 1
         prev_hi = max(ranks)
     assert prev_hi == 99
+
+
+def test_leakage_safe_split_quarantines_shared_runs(spark):
+    """A train doc sharing a >= k+w-1 token run with a valid doc is
+    quarantined; unrelated train docs stay 'train'; short docs never
+    quarantine."""
+    import hashlib
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    # find ids whose md5 nibble puts them in valid vs train
+    valid_ids = [i for i in range(100)
+                 if hashlib.md5(str(i).encode()).hexdigest()[0] in "01"]
+    train_ids = [i for i in range(100)
+                 if hashlib.md5(str(i).encode()).hexdigest()[0] not in "01"]
+    v, t1, t2, t3 = valid_ids[0], train_ids[0], train_ids[1], train_ids[2]
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (v, f"intro words here {shared} outro tail"),
+            (t1, f"totally different prefix {shared} and more text"),  # leaks
+            (t2, "no overlap at all with anything else in this corpus today"),
+            (t3, "tiny doc"),  # too short to fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["split"]
+           for r in corpus_ops.leakage_safe_split(docs).collect()}
+    assert out[v] == "valid"
+    assert out[t1] == "quarantined"
+    assert out[t2] == "train"
+    assert out[t3] == "train"

@@ -763,11 +763,7 @@ def pack_sequences(
     column instead of re-tokenizing text."""
     from pyspark.sql import Window
 
-    nt = (
-        F.col(tokens_col).cast("long")
-        if tokens_col
-        else text_ops.token_count(F.col(text_col))
-    )
+    nt = _n_tokens_expr(text_col, tokens_col)
     base = docs.select(F.col(id_col).alias("id"), nt.alias("n_tokens"))
     lo, hi = base.agg(F.min("id"), F.max("id")).collect()[0]
     if lo is None:
@@ -801,6 +797,19 @@ def pack_sequences(
         offset.alias("offset"),
         F.floor(offset / F.lit(float(capacity_tokens))).cast("long").alias("bin"),
     )
+
+
+def _n_tokens_expr(text_col: str, tokens_col: str | None) -> Column:
+    """Per-doc token count for the budget/packing operators, null-safe:
+    a null text (or a null precomputed count) costs 0 tokens rather than
+    propagating null into the per-bucket SUMs — a null group total would
+    TypeError the driver-side prefix scan."""
+    nt = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else text_ops.token_count(F.col(text_col)).cast("long")
+    )
+    return F.coalesce(nt, F.lit(0).cast("long"))
 
 
 def _rank_key(id_col: str, seed: int) -> Column:
@@ -1060,11 +1069,7 @@ def token_budget_sample(
     from pyspark.sql import Window
 
     buckets = max(1, min(int(rank_buckets), 65536))
-    nt = (
-        F.col(tokens_col).cast("long")
-        if tokens_col
-        else text_ops.token_count(F.col(text_col))
-    )
+    nt = _n_tokens_expr(text_col, tokens_col)
     src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
     bucketed = (
         docs.withColumn("_k", _rank_key(id_col, seed))

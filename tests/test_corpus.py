@@ -856,3 +856,25 @@ def test_leakage_safe_split_quarantines_shared_runs(spark):
     assert out[t1] == "quarantined"
     assert out[t2] == "train"
     assert out[t3] == "train"
+
+
+def test_token_budget_and_pack_null_text_costs_zero(spark):
+    """Null-text docs cost 0 tokens instead of poisoning the per-bucket
+    SUM with null (an all-null group total would TypeError the
+    driver-side prefix scan)."""
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, "x y z", "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["tokens_before"])
+           for r in corpus_ops.token_budget_sample(docs, 10, rank_buckets=2)
+           .collect()}
+    assert got[1] == (0, got[1][1]) and got[2][0] == 0 and got[3][0] == 3
+    assert len(got) == 3  # zero-cost docs never exhaust the budget
+
+    packed = {r["id"]: (r["n_tokens"], r["bin"])
+              for r in corpus_ops.pack_sequences(docs, capacity_tokens=2)
+              .collect()}
+    assert packed[1][0] == 0 and packed[2][0] == 0 and packed[3][0] == 3

@@ -1263,6 +1263,10 @@ def cmd_corpus(args) -> int:
             return 2
         with open(args.weights) as fh:
             weights = _json.load(fh)
+    if args.corpus_action in ("encode", "bpe-fertility") and not args.merges:
+        print(f"corpus {args.corpus_action}: --merges JSON required "
+              "(write one with train-tokenizer)", file=sys.stderr)
+        return 2
     if args.shards and args.corpus_action != "shuffle":
         print("corpus: --shards only applies to the shuffle action",
               file=sys.stderr)
@@ -1307,6 +1311,9 @@ def cmd_corpus(args) -> int:
         n_buckets=args.n_buckets,
         lang_col=args.lang_col,
         tokens_per_source=args.tokens_per_source,
+        merges=args.merges,
+        n_merges=args.n_merges,
+        top_k_words=args.top_k_words,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2440,7 +2447,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "train-classifier", "classify", "gopher", "passages",
                  "score-bigram", "pipeline", "pack", "report", "select",
                  "chunk", "shuffle", "sample", "upsample", "fertility",
-                 "buckets", "pack-report", "token-sample", "split"],
+                 "buckets", "pack-report", "token-sample", "split",
+                 "train-tokenizer", "encode", "bpe-fertility"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2523,6 +2531,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tokens-per-source", type=int, default=100_000,
                     dest="tokens_per_source",
                     help="token-sample: token budget per source")
+    sp.add_argument("--merges", help="BPE merge-list json: written by "
+                    "train-tokenizer, read by encode/bpe-fertility")
+    sp.add_argument("--n-merges", type=int, default=1000, dest="n_merges",
+                    help="train-tokenizer: number of BPE merges to learn")
+    sp.add_argument("--top-k-words", type=int, default=100_000,
+                    dest="top_k_words",
+                    help="train-tokenizer: word-dictionary cap (the bounded "
+                         "table the merge loop runs on)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1528,6 +1528,29 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_bpe_word_frequencies",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOK}) AS word FROM documents)
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 200
+    """,
+)
+def x_bpe_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 word-frequency dictionary — the ONLY corpus-sized phase
+    of BPE tokenizer induction (tokenizer.word_frequencies; the merge
+    loop then runs on this bounded table driver-side, the same
+    word-dictionary compression SentencePiece/HF trainers use). One
+    map-side-combinable shuffle + TakeOrderedAndProject; deterministic
+    tie-break (count desc, word asc) makes the LIMIT boundary exact."""
+    from blq_cli_spark.operators import tokenizer as tok
+
+    return tok.word_frequencies(table(spark, sf_dir, "documents"), top_k=200)
+
+
+@gate(
     "x_leakage_safe_split",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),

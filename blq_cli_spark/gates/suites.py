@@ -184,6 +184,8 @@ _SPECS = {
         ("fertility", llmdata.x_tokenizer_fertility,
          [("lang", "s"), ("n_docs", "s"), ("n_words", "s"),
           ("n_subwords", "s"), ("fertility", "d")]),
+        ("bpe_wordfreq", llmdata.x_bpe_word_frequencies,
+         [("word", "s"), ("n", "s")]),
         ("ccnet", llmdata.x_ccnet_buckets,
          [("doc_id", "s"), ("lang", "s"), ("n_tokens", "s"),
           ("avg_logprob", "d"), ("ppl_bucket", "s")]),
@@ -271,6 +273,7 @@ _MEMBER_GATE = {
     "token_sample": "x_token_budget_sample",
     "upsample": "x_upsample_sources",
     "fertility": "x_tokenizer_fertility",
+    "bpe_wordfreq": "x_bpe_word_frequencies",
     "ccnet": "x_ccnet_buckets",
     "repetition": "x_repetition_profile",
     "pii": "x_pii_redaction",

@@ -433,6 +433,9 @@ def run_action(
     n_buckets: int = 3,
     lang_col: str = "lang",
     tokens_per_source: int = 100_000,
+    merges: str | None = None,
+    n_merges: int = 1000,
+    top_k_words: int = 100_000,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -442,7 +445,11 @@ def run_action(
     dedup.banded_signatures state. If present, the batch dedups
     incrementally against it (incremental_neardup_dedup) instead of
     recomputing the whole corpus; either way the survivors' signatures
-    are appended so the next batch sees everything kept so far."""
+    are appended so the next batch sees everything kept so far.
+
+    `merges` (tokenizer family): json path of the learned BPE merge
+    list — written by `train-tokenizer`, read by `encode` and
+    `bpe-fertility`."""
     from blq_cli_spark.operators import dedup as dedup_ops
     from blq_cli_spark.operators import quality
 
@@ -566,6 +573,37 @@ def run_action(
             F.col(id_col).alias("id"),
             text_ops.token_count(F.col(text_col)).alias("n_tokens"),
             text_ops.subword_token_count(F.col(text_col)).alias("n_subword_tokens"),
+        )
+    if action == "train-tokenizer":
+        from blq_cli_spark.operators import tokenizer as tok
+
+        learned = tok.train_tokenizer(
+            docs, n_merges=n_merges, top_k_words=top_k_words, text_col=text_col
+        )
+        if merges:
+            tok.save_merges(learned, merges)
+        return docs.sparkSession.createDataFrame(
+            [(i, p[0], p[1]) for i, p in enumerate(learned)],
+            "rank int, left string, right string",
+        )
+    if action == "encode":
+        from blq_cli_spark.operators import tokenizer as tok
+
+        if not merges:
+            raise ValueError("encode requires --merges (from train-tokenizer)")
+        return tok.bpe_encode(
+            docs, tok.load_merges(merges), text_col=text_col, id_col=id_col
+        )
+    if action == "bpe-fertility":
+        from blq_cli_spark.operators import tokenizer as tok
+
+        if not merges:
+            raise ValueError(
+                "bpe-fertility requires --merges (from train-tokenizer)"
+            )
+        return tok.bpe_fertility(
+            docs, tok.load_merges(merges), text_col=text_col, id_col=id_col,
+            lang_col=lang_col,
         )
     raise ValueError(f"unknown corpus action: {action}")
 

@@ -488,7 +488,8 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "decontaminate/clean-spans/select/sample/shuffle/chunk/pack/"
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
-      "pack-report/token-sample/split)")
+      "pack-report/token-sample/split/train-tokenizer/encode/"
+      "bpe-fertility)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -518,6 +519,9 @@ def _corpus(
     n_buckets: int = 3,
     lang_col: str = "lang",
     tokens_per_source: int = 100_000,
+    merges: str | None = None,
+    n_merges: int = 1000,
+    top_k_words: int = 100_000,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -566,7 +570,8 @@ def _corpus(
         target=tgt, n_select=n_select, seed=seed,
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
         n_per_source=n_per_source, n_buckets=n_buckets, lang_col=lang_col,
-        tokens_per_source=tokens_per_source,
+        tokens_per_source=tokens_per_source, merges=merges,
+        n_merges=n_merges, top_k_words=top_k_words,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -129,6 +129,11 @@ def main() -> None:
             "upsample_sources": lambda: corpus_ops.upsample_sources(
                 docs, {"wiki": 2.5, "books": 1.5}, default_rate=0.5
             ),
+            "token_budget_sample": lambda: corpus_ops.token_budget_sample(
+                docs, 20_000
+            ),
+            "leakage_safe_split": lambda: corpus_ops.leakage_safe_split(docs),
+            "packing_report": lambda: corpus_ops.packing_report(docs),
         }
 
     # warm codegen/python workers on 1x (not timed)

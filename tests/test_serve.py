@@ -574,3 +574,31 @@ def test_corpus_tool_fertility_buckets_token_sample_dispatch(tmp_path, spark):
     )
     assert resp["ok"], resp
     assert resp["result"]["rows"][0]["n_docs"] == 12
+
+
+def test_corpus_tool_tokenizer_actions_dispatch(tmp_path, spark):
+    """train-tokenizer -> encode reach through serve: the merge file
+    written by train is consumed by encode, matching the CLI."""
+    st = LogStore(spark, str(tmp_path / "tokstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "low lower newest widest", "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    mpath = str(tmp_path / "merges.json")
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "train-tokenizer", "input": src, "merges": mpath,
+         "n_merges": 5, "limit": 10},
+    )
+    assert resp["ok"], resp
+    assert resp["result"]["rows"][0] == {"rank": 0, "left": "e", "right": "s"}
+
+    resp = serve.dispatch(
+        st, "corpus",
+        {"action": "encode", "input": src, "merges": mpath, "limit": 10},
+    )
+    assert resp["ok"], resp
+    # low=2, lower=4, newest=4, widest=4 pieces under the 5 merges
+    assert resp["result"]["rows"][0]["n_bpe_tokens"] == 14

@@ -1140,6 +1140,16 @@ def cmd_corpus(args) -> int:
               file=sys.stderr)
         return 2
     spark = get_spark(app_name="blq-spark-corpus")
+    if args.corpus_action == "shard-manifest":
+        # operates on a write_training_shards DIRECTORY, not a corpus
+        out = corpus_ops.shard_manifest(
+            spark, args.input, id_col=args.id_col, text_col=args.text_col
+        )
+        if args.output:
+            _write_corpus_result(spark, out, args)
+        else:
+            _emit(out.limit(args.limit), args)
+        return 0
     docs = _read_corpus_input(spark, args)
 
     def _parse_rates(raw: str | None) -> dict | None:
@@ -2448,7 +2458,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "score-bigram", "pipeline", "pack", "report", "select",
                  "chunk", "shuffle", "sample", "upsample", "fertility",
                  "buckets", "pack-report", "token-sample", "split",
-                 "train-tokenizer", "encode", "bpe-fertility"],
+                 "train-tokenizer", "encode", "bpe-fertility",
+                 "shard-manifest"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -964,6 +964,55 @@ def write_training_shards(
     )
 
 
+def shard_manifest(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-shard manifest of a write_training_shards directory: one row
+    per parquet file with (shard, n_rows, rank_lo, rank_hi, n_tokens,
+    content_checksum) — the sidecar a data loader checks before (and a
+    re-run after) a transfer. Shard-contiguity is auditable directly:
+    rank ranges must tile 0..n-1 in filename order.
+
+    The checksum is the sum of a 60-bit md5 prefix of each row's id,
+    accumulated in DECIMAL(38,0) so it cannot overflow at any row count
+    — order-insensitive and engine-portable, so ANY engine can
+    recompute it from the data without replaying the shuffle (unlike a
+    file-level sha, which ties the check to one parquet encoding).
+
+    Scale shape: everything aggregates DISTRIBUTED per input file
+    (input_file_name groupBy — one map-side-combined shuffle on the
+    shards-sized key); the driver never reads data, only the
+    shards-bounded result."""
+    df = spark.read.parquet(path)
+    if "shuffle_rank" not in df.columns:
+        raise ValueError(f"{path} has no shuffle_rank column — not a "
+                         "write_training_shards output")
+    row_sum = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("shuffle_rank").alias("rank_lo"),
+        F.max("shuffle_rank").alias("rank_hi"),
+        F.sum(row_sum).alias("content_checksum"),
+    ]
+    if text_col and text_col in df.columns:
+        aggs.insert(3, F.sum(
+            F.coalesce(text_ops.token_count(F.col(text_col)), F.lit(0))
+        ).alias("n_tokens"))
+    return (
+        df.withColumn(
+            "shard", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("shard")
+        .agg(*aggs)
+        .orderBy("shard")
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     n_per_source: int,

@@ -489,7 +489,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
-      "bpe-fertility)")
+      "bpe-fertility/shard-manifest)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -532,6 +532,16 @@ def _corpus(
 
     import pyspark.sql.functions as F
 
+    if action == "shard-manifest":
+        # operates on a write_training_shards DIRECTORY, not a corpus
+        out = corpus_ops.shard_manifest(
+            store.spark, input, id_col=id_col, text_col=text_col
+        )
+        if output:
+            out.write.mode("overwrite").parquet(output)
+            return {"written": output,
+                    "rows": store.spark.read.parquet(output).count()}
+        return {"rows": _rows(out, limit)}
     docs = store.spark.read.parquet(input)
     bench = store.spark.read.parquet(benchmark) if benchmark else None
     tgt = None

@@ -878,3 +878,59 @@ def test_token_budget_and_pack_null_text_costs_zero(spark):
               for r in corpus_ops.pack_sequences(docs, capacity_tokens=2)
               .collect()}
     assert packed[1][0] == 0 and packed[2][0] == 0 and packed[3][0] == 3
+
+
+def test_shard_manifest_tiles_and_checksums(spark, tmp_path):
+    """Manifest rows tile ranks 0..n-1 in filename order; the
+    order-insensitive checksum is recomputable from ids alone; token
+    totals ride along when a text column exists."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    corpus_ops.write_training_shards(docs, path, shards=4)
+    man = corpus_ops.shard_manifest(spark, path).collect()
+    assert len(man) == 4
+    prev = -1
+    for r in man:  # ordered by shard filename == rank order by contract
+        assert r["rank_lo"] == prev + 1
+        assert r["n_rows"] == r["rank_hi"] - r["rank_lo"] + 1
+        assert r["n_tokens"] == 3 * r["n_rows"]
+        prev = r["rank_hi"]
+    assert prev == 99
+    # checksum: engine-portable sum of 60-bit md5(id) prefixes
+    expect = docs.select(
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("decimal(38,0)")
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["content_checksum"] for r in man) == expect
+    # not-a-shard-dir is a clear error
+    plain = str(tmp_path / "plain")
+    docs.write.parquet(plain)
+    try:
+        corpus_ops.shard_manifest(spark, plain)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "shuffle_rank" in str(e)
+
+
+def test_cli_shard_manifest(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.operators import corpus as corpus_ops
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-manifest")
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(40)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    corpus_ops.write_training_shards(docs, path, shards=2)
+    assert main(["corpus", "shard-manifest", "--input", path]) == 0
+    out = capsys.readouterr().out
+    assert "content_checksum" in out and "rank_lo" in out

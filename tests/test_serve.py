@@ -602,3 +602,20 @@ def test_corpus_tool_tokenizer_actions_dispatch(tmp_path, spark):
     assert resp["ok"], resp
     # low=2, lower=4, newest=4, widest=4 pieces under the 5 merges
     assert resp["result"]["rows"][0]["n_bpe_tokens"] == 14
+
+
+def test_corpus_tool_shard_manifest_dispatch(tmp_path, spark):
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    st = LogStore(spark, str(tmp_path / "manstore"))
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(30)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    corpus_ops.write_training_shards(docs, path, shards=3)
+    resp = serve.dispatch(
+        st, "corpus", {"action": "shard-manifest", "input": path}
+    )
+    assert resp["ok"], resp
+    rows = resp["result"]["rows"]
+    assert len(rows) == 3 and sum(r["n_rows"] for r in rows) == 30

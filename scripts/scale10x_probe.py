@@ -78,6 +78,13 @@ def main() -> None:
     )
     # fixed weights: scoring is the scale path, training is bounded-state
     clf_weights = [0.01 * ((i % 7) - 3) for i in range(64)] + [0.0]
+    # train merges once on 1x: encode is the per-row scale path, the
+    # merge loop is bounded-dictionary driver work
+    from blq_cli_spark.operators import tokenizer as tok_ops
+
+    bpe_merges = tok_ops.train_tokenizer(
+        spark.read.parquet(f"{tmp}/docs_1x"), n_merges=200, top_k_words=5_000
+    )
 
     def probes(tag: str):
         docs = spark.read.parquet(f"{tmp}/docs_{tag}")
@@ -134,6 +141,7 @@ def main() -> None:
             ),
             "leakage_safe_split": lambda: corpus_ops.leakage_safe_split(docs),
             "packing_report": lambda: corpus_ops.packing_report(docs),
+            "bpe_encode": lambda: tok_ops.bpe_encode(docs, bpe_merges),
         }
 
     # warm codegen/python workers on 1x (not timed)

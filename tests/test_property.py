@@ -340,3 +340,31 @@ def test_semantic_dedup_partition_property(spark, docs):
         assert cid in {m["id"] for m in members}
         assert sum(m["kept"] for m in members) == 1
         assert min(m["id"] for m in members) == cid
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_roundtrip_any_dictionary(word_counts, n_merges):
+    """For ANY word dictionary and merge budget: training terminates,
+    merges are unique, and greedy encoding of any word (trained or not)
+    concatenates back to the word + end marker — BPE never loses or
+    invents characters."""
+    from blq_cli_spark.operators import tokenizer as tok
+
+    merges = tok.bpe_train(word_counts, n_merges=n_merges)
+    assert len(merges) == len(set(merges))
+    assert len(merges) <= n_merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in word_counts + [("fedcba", 1), ("zzz", 1)]:
+        pieces = tok.encode_word(w, ranks)
+        assert "".join(pieces) == w + tok.END

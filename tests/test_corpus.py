@@ -934,3 +934,19 @@ def test_cli_shard_manifest(tmp_path, capsys):
     assert main(["corpus", "shard-manifest", "--input", path]) == 0
     out = capsys.readouterr().out
     assert "content_checksum" in out and "rank_lo" in out
+
+
+def test_leakage_safe_split_plan_no_single_partition(spark):
+    import contextlib, io
+
+    from blq_cli_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(50)],
+        "doc_id long, text string",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus_ops.leakage_safe_split(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan, plan

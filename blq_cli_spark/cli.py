@@ -1324,6 +1324,7 @@ def cmd_corpus(args) -> int:
         merges=args.merges,
         n_merges=args.n_merges,
         top_k_words=args.top_k_words,
+        with_tokens=args.with_tokens,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2550,6 +2551,9 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="top_k_words",
                     help="train-tokenizer: word-dictionary cap (the bounded "
                          "table the merge loop runs on)")
+    sp.add_argument("--with-tokens", action="store_true", dest="with_tokens",
+                    help="encode: include the bpe_tokens array column "
+                         "(the materialized tokenization), not just counts")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -436,6 +436,7 @@ def run_action(
     merges: str | None = None,
     n_merges: int = 1000,
     top_k_words: int = 100_000,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -592,7 +593,8 @@ def run_action(
         if not merges:
             raise ValueError("encode requires --merges (from train-tokenizer)")
         return tok.bpe_encode(
-            docs, tok.load_merges(merges), text_col=text_col, id_col=id_col
+            docs, tok.load_merges(merges), text_col=text_col, id_col=id_col,
+            with_tokens=with_tokens,
         )
     if action == "bpe-fertility":
         from blq_cli_spark.operators import tokenizer as tok

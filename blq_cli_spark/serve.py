@@ -522,6 +522,7 @@ def _corpus(
     merges: str | None = None,
     n_merges: int = 1000,
     top_k_words: int = 100_000,
+    with_tokens: bool = False,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -581,7 +582,7 @@ def _corpus(
         chunk_size=chunk_size, chunk_overlap=chunk_overlap, history=history,
         n_per_source=n_per_source, n_buckets=n_buckets, lang_col=lang_col,
         tokens_per_source=tokens_per_source, merges=merges,
-        n_merges=n_merges, top_k_words=top_k_words,
+        n_merges=n_merges, top_k_words=top_k_words, with_tokens=with_tokens,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -141,3 +141,21 @@ def test_cli_train_encode_roundtrip(tmp_path, capsys):
 
     # encode without --merges is an exit-code-2 usage error
     assert main(["corpus", "encode", "--input", src]) == 2
+
+
+def test_cli_encode_with_tokens(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-tok2")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "low low")], "doc_id long, text string"
+    ).write.parquet(src)
+    mpath = str(tmp_path / "m.json")
+    assert main(["corpus", "train-tokenizer", "--input", src,
+                 "--merges", mpath, "--n-merges", "3"]) == 0
+    capsys.readouterr()
+    assert main(["corpus", "encode", "--input", src, "--merges", mpath,
+                 "--with-tokens"]) == 0
+    assert "bpe_tokens" in capsys.readouterr().out

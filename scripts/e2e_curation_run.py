@@ -2,8 +2,9 @@
 """End-to-end curation -> training-handoff run (the flagship composed
 workload): declarative pipeline (gopher -> exact dedup -> MinHash-LSH
 fuzzy dedup -> CCNet perplexity keep -> 50% web mix) over the sf
-documents table, then sequence packing and the ordered-shard shuffle
-write — i.e. raw crawl in, loader-ready shards out.
+documents table, then sequence packing, the ordered-shard shuffle
+write + manifest, and BPE vocabulary induction + encode over the
+survivors — i.e. raw crawl in, loader-ready tokenized shards out.
 
 Run from the repo root: python scripts/e2e_curation_run.py
 Uses $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); writes only to
@@ -61,8 +62,24 @@ def main() -> None:
         )
         n_written = spark.read.parquet(os.path.join(td, "shards")).count()
         t_shards = time.time() - t0
-    print(f"shards: {n_written} docs -> 8 ordered files ({t_shards:.1f}s)")
-    print(f"total: {t_pipeline + t_pack + t_shards:.1f}s")
+        man = corpus_ops.shard_manifest(spark, os.path.join(td, "shards"))
+        n_shards = man.count()
+    print(f"shards: {n_written} docs -> {n_shards} ordered files + manifest "
+          f"({t_shards:.1f}s)")
+
+    from blq_cli_spark.operators import tokenizer as tok_ops
+
+    t0 = time.time()
+    merges = tok_ops.train_tokenizer(survivors, n_merges=500, top_k_words=20_000)
+    t_train = time.time() - t0
+    t0 = time.time()
+    enc = tok_ops.bpe_encode(survivors, merges).agg(
+        {"n_bpe_tokens": "sum"}
+    ).collect()[0][0]
+    t_enc = time.time() - t0
+    print(f"tokenizer: {len(merges)} merges learned ({t_train:.1f}s), "
+          f"{enc} BPE tokens encoded ({t_enc:.1f}s)")
+    print(f"total: {t_pipeline + t_pack + t_shards + t_train + t_enc:.1f}s")
 
 
 if __name__ == "__main__":

@@ -1273,6 +1273,19 @@ def cmd_corpus(args) -> int:
             return 2
         with open(args.weights) as fh:
             weights = _json.load(fh)
+    thresholds = None
+    if args.corpus_action == "sweep" and args.thresholds:
+        try:
+            thresholds = _json.loads(args.thresholds)
+        except ValueError:
+            thresholds = None
+        if not isinstance(thresholds, list) or not thresholds or not all(
+            isinstance(t, (int, float)) and not isinstance(t, bool)
+            for t in thresholds
+        ):
+            print("corpus sweep: --thresholds must be a JSON list of numbers",
+                  file=sys.stderr)
+            return 2
     if args.corpus_action in ("encode", "bpe-fertility") and not args.merges:
         print(f"corpus {args.corpus_action}: --merges JSON required "
               "(write one with train-tokenizer)", file=sys.stderr)
@@ -1325,6 +1338,9 @@ def cmd_corpus(args) -> int:
         n_merges=args.n_merges,
         top_k_words=args.top_k_words,
         with_tokens=args.with_tokens,
+        score_col=args.score_col,
+        label_col=args.label_col,
+        thresholds=thresholds,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2460,7 +2476,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "chunk", "shuffle", "sample", "upsample", "fertility",
                  "buckets", "pack-report", "token-sample", "split",
                  "train-tokenizer", "encode", "bpe-fertility",
-                 "shard-manifest"],
+                 "shard-manifest", "sweep"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2554,6 +2570,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--with-tokens", action="store_true", dest="with_tokens",
                     help="encode: include the bpe_tokens array column "
                          "(the materialized tokenization), not just counts")
+    sp.add_argument("--score-col", default="score", dest="score_col",
+                    help="sweep: classifier-score column of the input")
+    sp.add_argument("--label-col", default="label", dest="label_col",
+                    help="sweep: boolean label column (null = negative)")
+    sp.add_argument("--thresholds",
+                    help="sweep: JSON list of cutoffs (default 0.1..0.9)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_corpus)
 

@@ -1528,6 +1528,54 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "x_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, lang, {_TOK} AS t FROM documents),
+    s AS (
+      SELECT round((
+          (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+           + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+             / greatest(length(text), 1))
+          + len(list_filter(t, w -> lower(w) IN {_STOPLIST_SQL}))
+            / greatest(len(t), 1)
+        ) / 3.0, 6) AS score,
+        coalesce(lang = 'en', FALSE) AS lab
+      FROM tok
+    ),
+    th AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                       AS DOUBLE) AS threshold)
+    SELECT threshold,
+           CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN score >= threshold THEN 1.0 ELSE 0.0 END), 6)
+             AS keep_rate,
+           round(sum(CASE WHEN score >= threshold AND lab THEN 1 ELSE 0 END)
+                 / nullif(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END),
+                          0), 6) AS "precision",
+           round(sum(CASE WHEN score >= threshold AND lab THEN 1 ELSE 0 END)
+                 / nullif(sum(CASE WHEN lab THEN 1 ELSE 0 END), 0), 6)
+             AS recall
+    FROM s CROSS JOIN th
+    GROUP BY threshold
+    """,
+)
+def x_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier operating-point sweep (classifier.threshold_sweep):
+    per candidate cutoff, keep rate + precision/recall against labels —
+    here score = the quality heuristic, label = lang-is-en. One bounded
+    |thresholds|-times fan-out into a groupBy on the thresholds-sized
+    key; no joins, no corpus broadcasts."""
+    from blq_cli_spark.operators import classifier as classifier_ops
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        text.quality_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return classifier_ops.threshold_sweep(scored)
+
+
+@gate(
     "x_bpe_word_frequencies",
     oracle=f"""
     WITH w AS (SELECT unnest({_TOK}) AS word FROM documents)

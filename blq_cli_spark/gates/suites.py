@@ -216,6 +216,9 @@ _SPECS = {
          [("id", "s"), ("max_bench_cos", "d"), ("contaminated", "s")]),
         ("leakage_split", llmdata.x_leakage_safe_split,
          [("doc_id", "s"), ("split", "s")]),
+        ("sweep", llmdata.x_threshold_sweep,
+         [("threshold", "d"), ("n_kept", "s"), ("keep_rate", "d"),
+          ("precision", "d"), ("recall", "d")]),
     ],
 }
 
@@ -285,6 +288,7 @@ _MEMBER_GATE = {
     "semdedup": "x_semantic_dedup",
     "semdecon": "x_semantic_decontaminate",
     "leakage_split": "x_leakage_safe_split",
+    "sweep": "x_threshold_sweep",
 }
 
 

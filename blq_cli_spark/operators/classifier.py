@@ -144,3 +144,51 @@ def quality_filter(
         F.col("score") >= threshold
     )
     return df.join(keep.select(F.col("id").alias(id_col)), id_col, "left_semi")
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    thresholds: list[float] | None = None,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Operating-point sweep for a quality classifier: per candidate
+    threshold, the keep rate and (against a labeled holdout) precision
+    and recall — the table that decides a corpus filter's cutoff before
+    it burns a training run. Null labels count as negative (an unlabeled
+    doc cannot claim credit).
+
+    Returns (threshold, n_kept, keep_rate, precision, recall), rounded
+    to 6 decimals; precision is NULL when nothing is kept and recall is
+    NULL when there are no positives.
+
+    Scale shape: ONE pass — a bounded |thresholds|-times fan-out of the
+    scored table (explode of a literal array, the repetition_profile 3x
+    precedent) into a groupBy on the |thresholds|-sized key. No joins,
+    no corpus-derived broadcasts; the scored input is (id, score, label),
+    not the text."""
+    ths = sorted(set(float(t) for t in (thresholds or
+                                        [i / 10 for i in range(1, 10)])))
+    lab = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    kept = F.col(score_col) >= F.col("threshold")
+    return (
+        scored.select(
+            F.col(score_col),
+            lab.alias("_lab"),
+            F.explode(F.array(*[F.lit(t) for t in ths])).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(F.avg(kept.cast("double")), 6).alias("keep_rate"),
+            F.round(
+                F.sum((kept & F.col("_lab")).cast("long"))
+                / F.nullif(F.sum(kept.cast("long")), F.lit(0)), 6
+            ).alias("precision"),
+            F.round(
+                F.sum((kept & F.col("_lab")).cast("long"))
+                / F.nullif(F.sum(F.col("_lab").cast("long")), F.lit(0)), 6
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

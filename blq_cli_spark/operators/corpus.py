@@ -437,6 +437,9 @@ def run_action(
     n_merges: int = 1000,
     top_k_words: int = 100_000,
     with_tokens: bool = False,
+    score_col: str = "score",
+    label_col: str = "label",
+    thresholds: list[float] | None = None,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -574,6 +577,13 @@ def run_action(
             F.col(id_col).alias("id"),
             text_ops.token_count(F.col(text_col)).alias("n_tokens"),
             text_ops.subword_token_count(F.col(text_col)).alias("n_subword_tokens"),
+        )
+    if action == "sweep":
+        from blq_cli_spark.operators import classifier as classifier_ops
+
+        return classifier_ops.threshold_sweep(
+            docs, thresholds=thresholds, score_col=score_col,
+            label_col=label_col,
         )
     if action == "train-tokenizer":
         from blq_cli_spark.operators import tokenizer as tok

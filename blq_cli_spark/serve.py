@@ -489,7 +489,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
-      "bpe-fertility/shard-manifest)")
+      "bpe-fertility/shard-manifest/sweep)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -523,6 +523,9 @@ def _corpus(
     n_merges: int = 1000,
     top_k_words: int = 100_000,
     with_tokens: bool = False,
+    score_col: str = "score",
+    label_col: str = "label",
+    thresholds: list | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -583,6 +586,7 @@ def _corpus(
         n_per_source=n_per_source, n_buckets=n_buckets, lang_col=lang_col,
         tokens_per_source=tokens_per_source, merges=merges,
         n_merges=n_merges, top_k_words=top_k_words, with_tokens=with_tokens,
+        score_col=score_col, label_col=label_col, thresholds=thresholds,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -83,3 +83,57 @@ def test_score_plan_is_projection_only(spark, corpus):
     plan = buf.getvalue()
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree, tree
+
+
+def test_threshold_sweep_hand_computed(spark):
+    """4 docs, 2 positive: at 0.5 keep {0.9+, 0.5} -> precision 1/2,
+    recall 1/2; null label counts as negative."""
+    from blq_cli_spark.operators import classifier as classifier_ops
+
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.5, None), (0.4, True), (0.1, False)],
+        "score double, label boolean",
+    )
+    rows = {r["threshold"]: r
+            for r in classifier_ops.threshold_sweep(
+                scored, thresholds=[0.5, 0.95]).collect()}
+    r5 = rows[0.5]
+    assert r5["n_kept"] == 2 and r5["keep_rate"] == 0.5
+    assert r5["precision"] == 0.5 and r5["recall"] == 0.5
+    r95 = rows[0.95]
+    assert r95["n_kept"] == 0 and r95["precision"] is None
+    assert r95["recall"] == 0.0
+
+
+def test_threshold_sweep_plan_single_pass(spark):
+    import contextlib, io
+
+    from blq_cli_spark.operators import classifier as classifier_ops
+
+    scored = spark.createDataFrame([(0.5, True)], "score double, label boolean")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        classifier_ops.threshold_sweep(scored).explain("formatted")
+    plan = buf.getvalue()
+    # one generate + one aggregate; no joins anywhere
+    assert "Join" not in plan, plan
+
+
+def test_cli_sweep(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-sweep")
+    src = str(tmp_path / "scored.parquet")
+    spark.createDataFrame(
+        [(i, i / 10.0, i % 2 == 0) for i in range(10)],
+        "doc_id long, score double, label boolean",
+    ).write.parquet(src)
+    assert main(["corpus", "sweep", "--input", src,
+                 "--thresholds", "[0.3, 0.7]"]) == 0
+    out = capsys.readouterr().out
+    assert "precision" in out and "recall" in out
+    assert main(["corpus", "sweep", "--input", src,
+                 "--thresholds", "notjson"]) == 2
+    assert main(["corpus", "sweep", "--input", src,
+                 "--thresholds", "[]"]) == 2

@@ -1398,6 +1398,20 @@ def cmd_embeddings(args) -> int:
         out = clustering.kmeans_assign(emb, cents, id_col=ic, vec_col=vc)
     elif act == "report":
         out = similarity.embeddings_report(emb, id_col=ic, vec_col=vc)
+    elif act == "pca":
+        import json as _json
+
+        model = similarity.pca_fit(
+            emb, n_components=args.n_components, vec_col=vc
+        )
+        if args.model_out:
+            with open(args.model_out, "w") as fh:
+                _json.dump(model, fh)
+            print(f"# wrote {len(model['components'])}-component model -> "
+                  f"{args.model_out}", file=sys.stderr)
+        out = similarity.pca_project(
+            emb, model, id_col=ic, vec_col=vc, whiten=args.whiten
+        )
     elif act == "decontaminate":
         if not args.benchmark:
             print("embeddings decontaminate: --benchmark PARQUET required",
@@ -2582,7 +2596,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
                     choices=["topk", "quantize", "neardup", "semantic-dedup",
-                             "cluster", "decontaminate", "report"])
+                             "cluster", "decontaminate", "report", "pca"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")
@@ -2597,6 +2611,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cluster: number of k-means centroids")
     sp.add_argument("--iters", type=int, default=10,
                     help="cluster: Lloyd's iterations")
+    sp.add_argument("--n-components", type=int, default=16,
+                    dest="n_components", help="pca: output dimensionality")
+    sp.add_argument("--whiten", action="store_true",
+                    help="pca: scale projections to unit variance")
+    sp.add_argument("--model-out", dest="model_out",
+                    help="pca: also write the fitted model json here")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],

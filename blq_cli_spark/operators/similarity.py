@@ -799,3 +799,102 @@ def embeddings_report(
     )
     stacked = ", ".join(f"'{c}', `_m{i}`" for i, c in enumerate(names))
     return g2.selectExpr(f"stack({len(names)}, {stacked}) as (metric, value)")
+
+
+def pca_fit(
+    corpus: DataFrame,
+    n_components: int = 16,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA model over an embedding column: {mean, components,
+    explained_variance} with components the top-`n_components`
+    eigenvectors of the covariance matrix (rows, descending variance;
+    sign fixed so each component's largest-|x| coordinate is positive —
+    deterministic across hosts).
+
+    Scale shape — the k-means precedent (bounded driver state, one
+    corpus pass): each Arrow batch reduces to (n, sum, X^T X) partial
+    sums, ONE (1 + dim + dim^2)-double row per batch; the driver sums
+    the per-batch rows and eigendecomposes the dim x dim covariance
+    (model-sized: dim <= a few thousand, independent of corpus size).
+    The corpus is never collected and never shuffled."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _to_matrix(pdf[vec_col])
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "m": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(partials, "n double, s array<double>, m array<double>")
+        .collect()
+    )  # bounded: one row per Arrow batch, (1 + d + d^2) doubles each
+    if not rows:
+        raise ValueError("pca_fit: empty corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    m = np.sum([np.asarray(r["m"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][: int(n_components)]
+    comps = eigvec[:, order].T
+    # deterministic sign: largest-|x| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(max(eigval[k], 0.0)) for k in order],
+    }
+
+
+def pca_project(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA model: (id_col, out_col)
+    with out_col = (x - mean) @ components^T, optionally whitened
+    (divided by sqrt(explained_variance)) so every output coordinate
+    has unit variance — the usual prep before cosine ANN on reduced
+    vectors.
+
+    Scale shape: the model is (k+1) x dim — dimension-sized, ships in
+    the closure (legitimate broadcast); one Arrow-batched GEMM pass,
+    no shuffle."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    scale = None
+    if whiten:
+        ev = np.asarray(model["explained_variance"], dtype=np.float64)
+        scale = 1.0 / np.sqrt(np.maximum(ev, 1e-12))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _to_matrix(pdf[vec_col])
+            Y = (X - mean) @ comps.T
+            if scale is not None:
+                Y = Y * scale
+            yield pd.DataFrame({"id": pdf[id_col], "v": list(map(list, Y))})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        project, f"id {id_type}, v array<double>"
+    ).select(F.col("id").alias(id_col), F.col("v").alias(out_col))

@@ -595,7 +595,8 @@ def _corpus(
 
 
 @tool("embeddings", "Similarity/ANN ops over an embedding parquet "
-      "(topk exact|lsh|ivf|quantized, quantize, neardup)")
+      "(topk exact|lsh|ivf|quantized, quantize, neardup, semantic-dedup, "
+      "cluster, report, decontaminate, pca)")
 def _embeddings(
     store: LogStore,
     action: str,
@@ -608,6 +609,8 @@ def _embeddings(
     k_cells: int = 16,
     iters: int = 10,
     benchmark: str | None = None,
+    n_components: int = 16,
+    whiten: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     output: str | None = None,
@@ -654,6 +657,11 @@ def _embeddings(
         out = clustering.kmeans_assign(emb, cents, id_col=id_col, vec_col=vec_col)
     elif action == "report":
         out = similarity.embeddings_report(emb, id_col=id_col, vec_col=vec_col)
+    elif action == "pca":
+        model = similarity.pca_fit(emb, n_components=n_components, vec_col=vec_col)
+        out = similarity.pca_project(
+            emb, model, id_col=id_col, vec_col=vec_col, whiten=whiten
+        )
     elif action == "decontaminate":
         if not benchmark:
             raise ValueError("decontaminate requires a benchmark parquet path")

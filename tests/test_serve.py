@@ -619,3 +619,19 @@ def test_corpus_tool_shard_manifest_dispatch(tmp_path, spark):
     assert resp["ok"], resp
     rows = resp["result"]["rows"]
     assert len(rows) == 3 and sum(r["n_rows"] for r in rows) == 30
+
+
+def test_embeddings_tool_pca_dispatch(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "pcastore"))
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    resp = serve.dispatch(
+        st, "embeddings",
+        {"action": "pca", "input": src, "n_components": 2, "limit": 25},
+    )
+    assert resp["ok"], resp
+    rows = resp["result"]["rows"]
+    assert len(rows) == 20 and len(rows[0]["pca"]) == 2

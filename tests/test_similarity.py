@@ -280,3 +280,98 @@ def test_semantic_decontaminate_flags_near_benchmark(spark):
     assert out[1]["contaminated"] and abs(out[1]["max_bench_cos"] - 1.0) < 1e-9
     assert out[2]["contaminated"]
     assert not out[3]["contaminated"] and out[3]["max_bench_cos"] < 0.1
+
+
+def test_pca_fit_matches_numpy_exact(spark):
+    """Distributed partial-sum covariance == numpy covariance on the
+    collected data: same eigenvalues, same subspace (components match
+    up to the fixed sign convention), regardless of partitioning."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.normal(size=(300, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from blq_cli_spark.operators import similarity
+
+    for d in (df, df.repartition(7)):
+        model = similarity.pca_fit(d, n_components=3)
+        X = base
+        mean = X.mean(axis=0)
+        cov = (X - mean).T @ (X - mean) / len(X)
+        ev, evec = np.linalg.eigh(cov)
+        order = np.argsort(ev)[::-1][:3]
+        np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+        np.testing.assert_allclose(
+            model["explained_variance"], ev[order], atol=1e-9
+        )
+        for i, k in enumerate(order):
+            v = evec[:, k]
+            got = np.asarray(model["components"][i])
+            j = int(np.argmax(np.abs(got)))
+            if v[j] < 0:
+                v = -v
+            np.testing.assert_allclose(got, v, atol=1e-8)
+
+
+def test_pca_project_and_whiten(spark):
+    import numpy as np
+
+    from blq_cli_spark.operators import similarity
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(200, 5)) * np.array([4.0, 2.0, 1.0, 0.3, 0.1])
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(len(base))],
+        "vec_id long, embedding array<double>",
+    )
+    model = similarity.pca_fit(df, n_components=2)
+    out = {r["vec_id"]: r["pca"]
+           for r in similarity.pca_project(df, model).collect()}
+    assert len(out) == 200 and len(out[0]) == 2
+    Y = np.array([out[i] for i in range(200)])
+    # projected coordinates are uncorrelated with variance = eigenvalue
+    np.testing.assert_allclose(Y.mean(axis=0), 0.0, atol=1e-9)
+    np.testing.assert_allclose(
+        (Y.T @ Y) / len(Y),
+        np.diag(model["explained_variance"]),
+        atol=1e-8,
+    )
+    # whitening: unit variance per coordinate
+    W = {r["vec_id"]: r["pca"]
+         for r in similarity.pca_project(df, model, whiten=True).collect()}
+    Z = np.array([W[i] for i in range(200)])
+    np.testing.assert_allclose((Z * Z).mean(axis=0), 1.0, atol=1e-8)
+    # plan: projection is one Arrow pass, no shuffle
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.pca_project(df, model).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_cli_embeddings_pca(tmp_path, capsys):
+    import json
+    import numpy as np
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-pca")
+    rng = np.random.default_rng(5)
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, (rng.normal(size=4) * [3, 1, 0.3, 0.1]).tolist())
+         for i in range(50)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    mpath = str(tmp_path / "pca.json")
+    assert main(["embeddings", "pca", "--input", src, "--n-components", "2",
+                 "--model-out", mpath]) == 0
+    model = json.loads(open(mpath).read())
+    assert len(model["components"]) == 2
+    assert model["explained_variance"][0] >= model["explained_variance"][1]
+    assert "pca" in capsys.readouterr().out

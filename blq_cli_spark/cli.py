@@ -1421,6 +1421,33 @@ def cmd_embeddings(args) -> int:
         out = similarity.semantic_decontaminate(
             emb, bench, threshold=args.threshold, id_col=ic, vec_col=vc
         )
+    elif act in ("index-build", "index-append", "index-search"):
+        from blq_cli_spark.operators import ann_index
+
+        if not args.index:
+            print(f"embeddings {act}: --index DIR required", file=sys.stderr)
+            return 2
+        if act == "index-build":
+            meta = ann_index.ivf_build_index(
+                emb, args.index, k_cells=args.k_cells, iters=args.iters,
+                id_col=ic, vec_col=vc,
+            )
+            print(f"# built {meta['k_cells']}-cell index ({meta['dim']}d) "
+                  f"-> {args.index}", file=sys.stderr)
+            return 0
+        if act == "index-append":
+            ann_index.ivf_append_index(emb, args.index, id_col=ic, vec_col=vc)
+            print(f"# appended batch into {args.index}", file=sys.stderr)
+            return 0
+        queries = (
+            spark.read.parquet(args.queries)
+            if args.queries
+            else emb.orderBy(ic).limit(args.n_queries)
+        )
+        out = ann_index.ivf_search_index(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe,
+            id_col=ic, vec_col=vc,
+        )
     else:  # pragma: no cover - argparse restricts choices
         return 2
     if args.output:
@@ -2596,7 +2623,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
                     choices=["topk", "quantize", "neardup", "semantic-dedup",
-                             "cluster", "decontaminate", "report", "pca"])
+                             "cluster", "decontaminate", "report", "pca",
+                             "index-build", "index-append", "index-search"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")
@@ -2617,6 +2645,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pca: scale projections to unit variance")
     sp.add_argument("--model-out", dest="model_out",
                     help="pca: also write the fitted model json here")
+    sp.add_argument("--index", help="index-*: persisted IVF index directory")
+    sp.add_argument("--nprobe", type=int, default=2,
+                    help="index-search: cells probed per query")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp.add_argument("--output-format", choices=["parquet", "jsonl"],

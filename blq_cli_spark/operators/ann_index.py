@@ -1,0 +1,204 @@
+"""Persisted IVF ANN index: build once, append increments, search many.
+
+The production shape of similarity.ivf_topk — a 100 TB embedding corpus
+is not re-assigned on every query batch. Centroids are trained once on
+a bounded sample, every vector's cell assignment is materialized as a
+parquet table PARTITIONED BY cell, and each query batch reads ONLY the
+probed cells' partitions (disk-level partition pruning — the
+text.build_inverted_index discipline applied to vectors). This is the
+same state-persistence move as dedup.banded_signatures /
+corpus.exact_dedup_against_history: hash/assign each document exactly
+once, ever.
+
+Reference parity: the reference has no ANN index; this extends the
+SURVEY §2.12 extension family (embedding ops beyond the reference).
+
+Layout at `path`:
+    meta.json              model-sized: centroid matrix + dims + the
+                           vec dtype (atomic tmp+rename write, the
+                           bloom.json precedent)
+    cells/cell=N/*.parquet (id, vec) rows assigned to cell N
+
+Scale shape:
+- build: constant-size driver k-means (bounded sample, the
+  ivf_train_centroids contract) + ONE distributed assignment pass +
+  one partitioned write. No corpus collect, no corpus broadcast.
+- append: assignment pass over the NEW batch only, parquet append into
+  the same partition dirs — O(batch) however large the stored index is;
+  the stored side is never re-read or re-hashed.
+- search: queries are broadcast-sized by contract (the cosine_topk
+  contract); the probed-cell set is bounded by k_cells BY CONSTRUCTION,
+  so collecting it is dimension-sized driver traffic; the index scan
+  carries `cell IN (probed)` which Spark turns into PartitionFilters —
+  unprobed cells are never listed, opened, or read (plan-asserted in
+  tests/test_ann_index.py). Scoring is the exact-cosine Arrow GEMM +
+  per-query top-k window from ivf_topk.
+
+Iterative k-means + filesystem state -> pytest verification (the
+clustering/kmeans convention), with search-vs-ivf_topk equivalence and
+append-vs-full-rebuild equivalence as the oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from blq_cli_spark.operators.similarity import (
+    _ivf_assign,
+    _prime_gemm,
+    _to_matrix,
+    ivf_train_centroids,
+)
+
+_META = "meta.json"
+_CELLS = "cells"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    # atomic swap so a concurrent reader never sees a torn model
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def load_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    k_cells: int = 16,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train centroids on a bounded sample, assign every corpus vector to
+    its nearest cell, and materialize the index at `path`. Returns the
+    meta dict (centroids + dims) that search/append reload."""
+    centroids = ivf_train_centroids(
+        corpus,
+        n_cells=k_cells,
+        iters=iters,
+        sample_rows=sample_rows,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    os.makedirs(path, exist_ok=True)
+    assigned = _ivf_assign(corpus, centroids, id_col, vec_col, "id", nprobe=1)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, _CELLS))
+    )
+    meta = {
+        "k_cells": k_cells,
+        "dim": len(centroids[0]),
+        "centroids": centroids,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ivf_append_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assign a NEW batch with the STORED centroids and append it into
+    the cell partitions — O(batch) regardless of index size; existing
+    rows are never re-read. (Centroids intentionally do not drift:
+    stability of cell membership is what makes the append cheap — the
+    incremental-LSH argument, dedup.lsh_candidates_against.)"""
+    meta = load_meta(path)
+    assigned = _ivf_assign(
+        corpus, meta["centroids"], id_col, vec_col, "id", nprobe=1
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, _CELLS))
+    )
+    return meta
+
+
+def ivf_search_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine top-k within the probed cells of a stored index:
+    (qid, nid, cos, rn) — the same output contract as similarity.ivf_topk
+    and bit-identical to it for the same centroids (test-asserted).
+
+    The probed-cell set is <= k_cells values however many queries there
+    are, so collecting it is bounded; the `cell IN (...)` filter prunes
+    the index scan at file-listing time (PartitionFilters)."""
+    meta = load_meta(path)
+    q = _ivf_assign(
+        queries, meta["centroids"], id_col, vec_col, "qid", nprobe=nprobe
+    ).withColumnRenamed("vec", "qv")
+    # bounded by construction: at most k_cells distinct values
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    stored = (
+        spark.read.parquet(os.path.join(path, _CELLS))
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("id").alias("nid"), F.col("vec").alias("nv"), "cell")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(stored, ["cell"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "qv", "nv")
+    )
+
+    # exact-cosine Arrow kernel — same contract as ivf_topk's scorer
+    # (kept local: the stored side arrives pre-assigned with its vector
+    # materialized, which is the whole point of the index)
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _prime_gemm()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["qv"])
+            B = _to_matrix(pdf["nv"])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(),
+                    "nid": pdf["nid"].to_numpy(),
+                    "cos": num / den,
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "qid long, nid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )

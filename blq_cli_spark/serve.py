@@ -596,7 +596,7 @@ def _corpus(
 
 @tool("embeddings", "Similarity/ANN ops over an embedding parquet "
       "(topk exact|lsh|ivf|quantized, quantize, neardup, semantic-dedup, "
-      "cluster, report, decontaminate, pca)")
+      "cluster, report, decontaminate, pca, index-build/append/search)")
 def _embeddings(
     store: LogStore,
     action: str,
@@ -611,6 +611,8 @@ def _embeddings(
     benchmark: str | None = None,
     n_components: int = 16,
     whiten: bool = False,
+    index: str | None = None,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     output: str | None = None,
@@ -667,6 +669,33 @@ def _embeddings(
             raise ValueError("decontaminate requires a benchmark parquet path")
         out = similarity.semantic_decontaminate(
             emb, spark.read.parquet(benchmark), threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif action in ("index-build", "index-append", "index-search"):
+        from blq_cli_spark.operators import ann_index
+
+        if not index:
+            raise ValueError(f"{action} requires an index directory path")
+        if action == "index-build":
+            meta = ann_index.ivf_build_index(
+                emb, index, k_cells=k_cells, iters=iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            return {"index": index, "k_cells": meta["k_cells"],
+                    "dim": meta["dim"]}
+        if action == "index-append":
+            meta = ann_index.ivf_append_index(
+                emb, index, id_col=id_col, vec_col=vec_col
+            )
+            return {"index": index, "appended": True,
+                    "k_cells": meta["k_cells"]}
+        qdf = (
+            spark.read.parquet(queries)
+            if queries
+            else emb.orderBy(id_col).limit(n_queries)
+        )
+        out = ann_index.ivf_search_index(
+            spark, index, qdf, k=k, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
         )
     else:

@@ -1,0 +1,122 @@
+"""Persisted IVF ANN index (operators/ann_index.py): search over a
+stored index must equal the in-memory ivf_topk for the same centroids,
+appends must be equivalent to indexing everything up front, and the
+search scan must prune unprobed cell partitions at file-listing time."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from blq_cli_spark.operators import ann_index, similarity
+from tests.test_plan_quality import plan_of
+
+
+def _vectors(n, dim=6, seed=1):
+    rng = np.random.default_rng(seed)
+    # a few loose clusters so cells are meaningful
+    centers = rng.normal(size=(4, dim)) * 3
+    return [
+        (i, (centers[i % 4] + rng.normal(size=dim) * 0.3).tolist())
+        for i in range(n)
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _key(rows):
+    return sorted((r["qid"], r["rn"], r["nid"], round(r["cos"], 9)) for r in rows)
+
+
+def test_index_search_matches_ivf_topk(spark, tmp_path):
+    corpus = _df(spark, _vectors(80))
+    queries = _df(spark, _vectors(5, seed=2))
+    idx = str(tmp_path / "ivf_idx")
+
+    meta = ann_index.ivf_build_index(corpus, idx, k_cells=4, iters=4)
+    got = ann_index.ivf_search_index(
+        spark, idx, queries, k=3, nprobe=2
+    ).collect()
+    want = similarity.ivf_topk(
+        corpus, queries, meta["centroids"], k=3, nprobe=2
+    ).collect()
+    assert _key(got) == _key(want) and len(got) == 15
+
+
+def test_index_append_equals_full_index(spark, tmp_path):
+    rows = _vectors(60, seed=3)
+    batch1, batch2 = rows[:40], rows[40:]
+    queries = _df(spark, _vectors(4, seed=4))
+
+    inc = str(tmp_path / "inc_idx")
+    ann_index.ivf_build_index(_df(spark, batch1), inc, k_cells=4, iters=4)
+    ann_index.ivf_append_index(_df(spark, batch2), inc)
+    got = ann_index.ivf_search_index(spark, inc, queries, k=3, nprobe=2).collect()
+
+    # reference: the SAME centroids (trained on batch1's sample) applied
+    # to the full corpus in one shot — append must not change results
+    meta = ann_index.load_meta(inc)
+    want = similarity.ivf_topk(
+        _df(spark, rows), queries, meta["centroids"], k=3, nprobe=2
+    ).collect()
+    assert _key(got) == _key(want)
+    # results actually include appended-batch neighbors
+    assert any(r["nid"] >= 40 for r in got)
+
+
+def test_index_search_prunes_cell_partitions(spark, tmp_path):
+    corpus = _df(spark, _vectors(80, seed=5))
+    idx = str(tmp_path / "prune_idx")
+    ann_index.ivf_build_index(corpus, idx, k_cells=4, iters=4)
+    queries = _df(spark, _vectors(1, seed=6))
+    out = ann_index.ivf_search_index(spark, idx, queries, k=3, nprobe=1)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # nprobe=1 with one query probes exactly one of the 4 cells; the
+    # executed scan must not read the other three partitions
+    probed = out.select(F.countDistinct("nid")).first()[0]
+    per_cell = (
+        spark.read.parquet(f"{idx}/cells").groupBy("cell").count().collect()
+    )
+    assert probed <= max(r["count"] for r in per_cell)
+
+
+def test_cli_index_roundtrip(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-annindex")
+    src = str(tmp_path / "emb.parquet")
+    _df(spark, _vectors(50, seed=7)).write.parquet(src)
+    idx = str(tmp_path / "idx")
+
+    assert main(["embeddings", "index-build", "--input", src,
+                 "--index", idx, "--k-cells", "4"]) == 0
+    assert main(["embeddings", "index-search", "--input", src,
+                 "--index", idx, "-k", "3", "--nprobe", "2",
+                 "--n-queries", "2"]) == 0
+    assert "qid" in capsys.readouterr().out
+    # usage error: no --index
+    assert main(["embeddings", "index-search", "--input", src]) == 2
+
+
+def test_serve_index_dispatch(tmp_path, spark):
+    from blq_cli_spark import serve
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "annstore"))
+    src = str(tmp_path / "emb.parquet")
+    _df(spark, _vectors(40, seed=8)).write.parquet(src)
+    idx = str(tmp_path / "sidx")
+
+    r1 = serve.dispatch(st, "embeddings", {
+        "action": "index-build", "input": src, "index": idx, "k_cells": 4,
+    })
+    assert r1["ok"] and r1["result"]["k_cells"] == 4
+    r2 = serve.dispatch(st, "embeddings", {
+        "action": "index-search", "input": src, "index": idx,
+        "k": 3, "n_queries": 2,
+    })
+    assert r2["ok"] and len(r2["result"]["rows"]) == 6

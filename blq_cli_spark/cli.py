@@ -2517,7 +2517,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "chunk", "shuffle", "sample", "upsample", "fertility",
                  "buckets", "pack-report", "token-sample", "split",
                  "train-tokenizer", "encode", "bpe-fertility",
-                 "shard-manifest", "sweep"],
+                 "shard-manifest", "sweep", "extract", "normalize"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -1758,3 +1758,73 @@ def x_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 2.5, "src1": 1.0, "src2": 0.5},
         default_rate=0.25,
     ).select("doc_id", "source", "epoch")
+
+
+_HTML_PRE = ('<html><head><title>t</title><style>p {color: red}</style>'
+             '</head><body><h1>Head &amp;amp; tail &lt;x&gt;</h1><p class="x">')
+_HTML_POST = ('</p><!-- trailing\ncomment -->'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              '</body></html>')
+
+
+@gate(
+    "x_html_extract",
+    oracle=f"""
+    WITH wrapped AS (
+      SELECT doc_id, '{_HTML_PRE}' || text || '{_HTML_POST}' AS w
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(w,
+            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '[ \t\n\r\f]+', ' ', 'g')) AS clean_text
+    FROM wrapped
+    """,
+)
+def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction (text.strip_html) over every document
+    wrapped in a fixed HTML shell exercising script/style payload drops,
+    multi-line comments, entity decoding (incl. the &amp;amp; no-double-
+    decode case), and whitespace collapse. Pure RE2/Java-portable
+    regexp+replace column expressions — zero Python, zero shuffle; the
+    oracle runs the character-identical pipeline in DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", text.strip_html(wrapped).alias("clean_text"))
+
+
+@gate(
+    "x_normalize_text",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' ' || chr(7) || 'tab'
+                  || chr(9) || 'here' AS r
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(regexp_replace(nfc_normalize(r),
+        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+        '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+    FROM raw
+    """,
+)
+def x_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip + whitespace collapse
+    (text.normalize_text) with a planted decomposed sequence (e +
+    combining acute U+0301 -> composed é), a BEL control byte, and a tab
+    appended to every document. Spark has no JVM NFC builtin, so the
+    compose step is the documented Arrow-batched mapInPandas kernel
+    (zero shuffle); DuckDB's nfc_normalize() is the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" café \x07tab\there"))
+    return text.normalize_text(
+        docs.select("doc_id", raw.alias("raw")), text_col="raw"
+    )

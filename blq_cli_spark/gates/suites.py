@@ -219,6 +219,10 @@ _SPECS = {
         ("sweep", llmdata.x_threshold_sweep,
          [("threshold", "d"), ("n_kept", "s"), ("keep_rate", "d"),
           ("precision", "d"), ("recall", "d")]),
+        ("html", llmdata.x_html_extract,
+         [("doc_id", "s"), ("clean_text", "s")]),
+        ("normalize", llmdata.x_normalize_text,
+         [("doc_id", "s"), ("norm_text", "s")]),
     ],
 }
 
@@ -289,6 +293,8 @@ _MEMBER_GATE = {
     "semdecon": "x_semantic_decontaminate",
     "leakage_split": "x_leakage_safe_split",
     "sweep": "x_threshold_sweep",
+    "html": "x_html_extract",
+    "normalize": "x_normalize_text",
 }
 
 

@@ -578,6 +578,17 @@ def run_action(
             text_ops.token_count(F.col(text_col)).alias("n_tokens"),
             text_ops.subword_token_count(F.col(text_col)).alias("n_subword_tokens"),
         )
+    if action == "extract":
+        # markup-to-text ingest prep: every non-text column rides along
+        return docs.withColumn(
+            text_col, text_ops.strip_html(F.col(text_col))
+        )
+    if action == "normalize":
+        # inplace: the kernel rewrites text and passes every other
+        # column through — no join-back shuffle
+        return text_ops.normalize_text(
+            docs, text_col=text_col, id_col=id_col, inplace=True
+        )
     if action == "sweep":
         from blq_cli_spark.operators import classifier as classifier_ops
 
@@ -654,6 +665,8 @@ def pipeline(
                                                      materializes the prefix)
       {"op": "select", "target": DF, "n": 100,
        "buckets": 256, "seed": 0}                    DSIR importance resample
+      {"op": "extract"}                              strip HTML markup in place
+      {"op": "normalize", "form": "NFC"}             Unicode-normalize in place
 
     Every stage keeps the input schema (clean-spans rewrites `text_col`
     in place), so stages compose in any order. With audit=True also
@@ -768,6 +781,13 @@ def pipeline(
                 text_col=tc, id_col=id_col, **spec
             ).select(id_col)
             out = out.join(picked, id_col, "left_semi")
+        elif op == "extract":
+            # markup-to-text rewrite, pure column expressions in place
+            out = out.withColumn(tc, text_ops.strip_html(F.col(tc)))
+        elif op == "normalize":
+            out = text_ops.normalize_text(
+                out, text_col=tc, id_col=id_col, inplace=True, **spec
+            )
         else:
             raise ValueError(f"pipeline stage {i}: unknown op {op!r}")
         if audit:

@@ -374,3 +374,99 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+# --- raw-text extraction / normalization (web-crawl ingest prep) -------------
+
+# explicit whitespace class: Java \s and RE2 \s disagree on \x0B, so the
+# collapse pattern spells its members out — identical in Spark, DuckDB,
+# and the Python normalize kernel
+_WS_CLASS = "[ \t\n\r\f]+"
+# C0 controls except \t \n \r (kept for the whitespace collapse) + DEL
+_CTRL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def strip_html(text: Column) -> Column:
+    """Markup-to-text extraction for HTML-ish crawl input: drop
+    script/style payloads and comments, strip every remaining tag,
+    decode the six ubiquitous entities, collapse whitespace. The
+    CommonCrawl WET-style ingest step before any quality/dedup operator
+    sees the text.
+
+    Pure regexp/replace column expressions (whole-stage codegen, zero
+    Python, zero shuffle). Every pattern is RE2-compatible — no
+    backreferences (script and style get separate passes), so the DuckDB
+    oracle runs the character-identical pipeline. `&amp;` decodes LAST:
+    `&amp;lt;` must yield the literal text `&lt;`, not `<`."""
+    t = F.regexp_replace(text, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, _WS_CLASS, " "))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    out_col: str = "norm_text",
+    inplace: bool = False,
+) -> DataFrame:
+    """Unicode normalization for crawl text: NFC-compose (é as one
+    codepoint, not e + combining acute — exact-dedup hashes and n-gram
+    shingles otherwise treat the two spellings as different documents),
+    strip C0/DEL control characters, collapse whitespace runs.
+
+    Spark's JVM function set has no Unicode-normalization builtin, so
+    the compose step is the documented legitimate Python path: an
+    Arrow-batched mapInPandas kernel (vectorized str ops around
+    unicodedata.normalize), zero shuffle, no driver traffic. The DuckDB
+    oracle is nfc_normalize() + the identical regexp pipeline
+    (gate x_normalize_text).
+
+    With inplace=True the kernel rewrites `text_col` and passes every
+    other column through unchanged — the corpus-pipeline form (no
+    join-back shuffle; the row never leaves its partition)."""
+    import re
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ctrl = re.compile(_CTRL_CLASS)
+    ws = re.compile(_WS_CLASS)
+
+    def _norm(s):
+        if s is None:
+            return None
+        return ws.sub(" ", ctrl.sub("", unicodedata.normalize(form, s))).strip(" ")
+
+    if inplace:
+        schema = df.schema
+
+        def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.copy()
+                pdf[text_col] = pdf[text_col].map(_norm)
+                yield pdf
+
+        return df.mapInPandas(rewrite, schema)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "v": pdf[text_col].map(_norm)}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"id {id_type}, v string"
+    ).select(F.col("id").alias(id_col), F.col("v").alias(out_col))

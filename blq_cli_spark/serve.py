@@ -489,7 +489,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
-      "bpe-fertility/shard-manifest/sweep)")
+      "bpe-fertility/shard-manifest/sweep/extract/normalize)")
 def _corpus(
     store: LogStore,
     action: str,

@@ -37,6 +37,11 @@ Scale shape:
 Iterative k-means + filesystem state -> pytest verification (the
 clustering/kmeans convention), with search-vs-ivf_topk equivalence and
 append-vs-full-rebuild equivalence as the oracles.
+
+Contract (shared with the similarity module's ANN family): id_col must
+be integral (the assignment kernel emits it as long); single writer per
+index directory (the store's locking convention applies if callers need
+concurrent appends).
 """
 
 from __future__ import annotations

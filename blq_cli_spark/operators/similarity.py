@@ -470,6 +470,8 @@ def ivf_train_centroids(
         .limit(sample_rows)
         .toPandas()
     )
+    if not len(pdf):
+        raise ValueError("ivf_train_centroids: empty corpus")
     X = _to_matrix(pdf[vec_col])
     rng = np.random.RandomState(seed)
     # k-means++-lite init: first centroid seeded, then farthest points

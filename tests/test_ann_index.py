@@ -120,3 +120,15 @@ def test_serve_index_dispatch(tmp_path, spark):
         "k": 3, "n_queries": 2,
     })
     assert r2["ok"] and len(r2["result"]["rows"]) == 6
+
+
+def test_index_search_no_queries_and_empty_build_guard(spark, tmp_path):
+    corpus = _df(spark, _vectors(30, seed=9))
+    idx = str(tmp_path / "edge_idx")
+    ann_index.ivf_build_index(corpus, idx, k_cells=4, iters=2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann_index.ivf_search_index(spark, idx, empty, k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        ann_index.ivf_build_index(empty, str(tmp_path / "e2"), k_cells=2)

@@ -1341,6 +1341,7 @@ def cmd_corpus(args) -> int:
         score_col=args.score_col,
         label_col=args.label_col,
         thresholds=thresholds,
+        norm_form=args.norm_form,
     )
     if args.output:
         _write_corpus_result(spark, out, args)
@@ -2597,6 +2598,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "buckets (3 = CCNet head/middle/tail)")
     sp.add_argument("--lang-col", default="lang", dest="lang_col",
                     help="fertility/buckets: language column name")
+    sp.add_argument("--form", default="NFC", dest="norm_form",
+                    choices=["NFC", "NFKC", "NFD", "NFKD"],
+                    help="normalize: Unicode normalization form")
     sp.add_argument("--tokens-per-source", type=int, default=100_000,
                     dest="tokens_per_source",
                     help="token-sample: token budget per source")

@@ -440,6 +440,7 @@ def run_action(
     score_col: str = "score",
     label_col: str = "label",
     thresholds: list[float] | None = None,
+    norm_form: str = "NFC",
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -587,7 +588,8 @@ def run_action(
         # inplace: the kernel rewrites text and passes every other
         # column through — no join-back shuffle
         return text_ops.normalize_text(
-            docs, text_col=text_col, id_col=id_col, inplace=True
+            docs, text_col=text_col, id_col=id_col, inplace=True,
+            form=norm_form,
         )
     if action == "sweep":
         from blq_cli_spark.operators import classifier as classifier_ops

@@ -526,6 +526,7 @@ def _corpus(
     score_col: str = "score",
     label_col: str = "label",
     thresholds: list | None = None,
+    norm_form: str = "NFC",
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -587,6 +588,7 @@ def _corpus(
         tokens_per_source=tokens_per_source, merges=merges,
         n_merges=n_merges, top_k_words=top_k_words, with_tokens=with_tokens,
         score_col=score_col, label_col=label_col, thresholds=thresholds,
+        norm_form=norm_form,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -103,3 +103,34 @@ def test_cli_corpus_extract(tmp_path, capsys):
     assert main(["corpus", "extract", "--input", src, "--output", outp]) == 0
     got = spark.read.parquet(outp).first()["text"]
     assert got == "alpha <tag>"
+
+
+def test_cli_corpus_normalize_nfkc(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-normalize")
+    src = str(tmp_path / "docs.parquet")
+    # NFKC folds the ligature U+FB01 to 'fi'; NFC leaves it alone
+    spark.createDataFrame(
+        [(1, "ﬁle", "web")], "doc_id long, text string, source string",
+    ).write.parquet(src)
+    outp = str(tmp_path / "norm.parquet")
+    assert main(["corpus", "normalize", "--input", src, "--output", outp,
+                 "--form", "NFKC"]) == 0
+    assert spark.read.parquet(outp).first()["text"] == "file"
+
+
+def test_serve_corpus_extract_dispatch(tmp_path, spark):
+    from blq_cli_spark import serve
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "exstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "<p>hi &amp; bye</p>", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    resp = serve.dispatch(st, "corpus", {"action": "extract", "input": src})
+    assert resp["ok"], resp
+    assert resp["result"]["rows"][0]["text"] == "hi & bye"

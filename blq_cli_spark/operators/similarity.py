@@ -814,37 +814,42 @@ def pca_fit(
     sign fixed so each component's largest-|x| coordinate is positive —
     deterministic across hosts).
 
-    Scale shape — the k-means precedent (bounded driver state, one
-    corpus pass): each Arrow batch reduces to (n, sum, X^T X) partial
-    sums, ONE (1 + dim + dim^2)-double row per batch; the driver sums
-    the per-batch rows and eigendecomposes the dim x dim covariance
-    (model-sized: dim <= a few thousand, independent of corpus size).
-    The corpus is never collected and never shuffled."""
+    Scale shape — the classifier-gradient precedent (bounded driver
+    state, one corpus pass): each Arrow batch reduces to one
+    [n, Σx, vec(XᵀX)] partial-sum array, the per-batch arrays reduce
+    DISTRIBUTED with one posexplode/groupBy on the (1 + dim + dim²)-
+    sized index key, and only that many scalar sums reach the driver —
+    model-sized however many batches the corpus has. The driver then
+    eigendecomposes the dim x dim covariance. The corpus itself is
+    never collected; the only shuffle is the bounded partial-sum
+    reduction."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             X = _to_matrix(pdf[vec_col])
-            yield pd.DataFrame(
-                {
-                    "n": [float(len(X))],
-                    "s": [X.sum(axis=0).tolist()],
-                    "m": [(X.T @ X).ravel().tolist()],
-                }
-            )
+            flat = np.concatenate([[float(len(X))], X.sum(axis=0),
+                                   (X.T @ X).ravel()])
+            yield pd.DataFrame({"g": [flat.tolist()]})
 
-    rows = (
+    sums = (
         corpus.select(vec_col)
-        .mapInPandas(partials, "n double, s array<double>, m array<double>")
+        .mapInPandas(partials, "g array<double>")
+        .select(F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("s"))
         .collect()
-    )  # bounded: one row per Arrow batch, (1 + d + d^2) doubles each
-    if not rows:
+    )  # bounded: 1 + d + d^2 rows regardless of corpus/batch count
+    if not sums:
         raise ValueError("pca_fit: empty corpus")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    d = s.shape[0]
-    m = np.sum([np.asarray(r["m"]).reshape(d, d) for r in rows], axis=0)
+    flat = np.zeros(len(sums))
+    for r in sums:
+        flat[r["idx"]] = r["s"]
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))
+    n = flat[0]
+    s = flat[1 : 1 + d]
+    m = flat[1 + d :].reshape(d, d)
     mean = s / n
     cov = m / n - np.outer(mean, mean)
     eigval, eigvec = np.linalg.eigh(cov)  # ascending

@@ -85,6 +85,20 @@ def main() -> None:
     bpe_merges = tok_ops.train_tokenizer(
         spark.read.parquet(f"{tmp}/docs_1x"), n_merges=200, top_k_words=5_000
     )
+    # fit once on 1x: projection is the per-row scale path, the fit is
+    # one bounded-partials pass (probed separately as pca_fit)
+    pca_model = similarity.pca_fit(
+        spark.read.parquet(f"{tmp}/emb_1x"), n_components=16
+    )
+    # build the persisted IVF index per size once (timed as _build);
+    # search then probes the stored, cell-pruned form
+    from blq_cli_spark.operators import ann_index as ann_ops
+
+    for tag in ("1x", "10x"):
+        ann_ops.ivf_build_index(
+            spark.read.parquet(f"{tmp}/emb_{tag}"), f"{tmp}/ivfidx_{tag}",
+            k_cells=16, iters=3,
+        )
 
     def probes(tag: str):
         docs = spark.read.parquet(f"{tmp}/docs_{tag}")
@@ -142,6 +156,19 @@ def main() -> None:
             "leakage_safe_split": lambda: corpus_ops.leakage_safe_split(docs),
             "packing_report": lambda: corpus_ops.packing_report(docs),
             "bpe_encode": lambda: tok_ops.bpe_encode(docs, bpe_merges),
+            "strip_html": lambda: docs.select(
+                "doc_id", text_ops.strip_html(F.col("text")).alias("t")
+            ),
+            "normalize_text": lambda: text_ops.normalize_text(
+                docs, inplace=True
+            ),
+            "pca_fit": lambda: similarity.pca_project(
+                emb, similarity.pca_fit(emb, n_components=16)
+            ).limit(1),
+            "pca_project": lambda: similarity.pca_project(emb, pca_model),
+            "ivf_index_search": lambda: ann_ops.ivf_search_index(
+                spark, f"{tmp}/ivfidx_{tag}", queries, k=5, nprobe=2
+            ),
         }
 
     # warm codegen/python workers on 1x (not timed)

@@ -1150,6 +1150,50 @@ def cmd_corpus(args) -> int:
         else:
             _emit(out.limit(args.limit), args)
         return 0
+    if args.corpus_action == "stream":
+        # continuous curation ingest (streaming/curation.py): watch a
+        # directory, run the stateless pipeline stages per micro-batch,
+        # append survivors + per-batch audit rows effectively-once
+        from blq_cli_spark.streaming import curation
+
+        if not (args.output and args.stats_path and args.checkpoint):
+            print("corpus stream: --output, --stats and --checkpoint "
+                  "DIRs required", file=sys.stderr)
+            return 2
+        stages = [{"op": "extract"}, {"op": "normalize"}, {"op": "gopher"}]
+        if args.stages:
+            with open(args.stages) as fh:
+                stages = _json.load(fh)
+            if not isinstance(stages, list):
+                print("corpus stream: --stages must be a JSON list",
+                      file=sys.stderr)
+                return 2
+        # schema comes from a one-shot batch read of the files already
+        # present (driver-side, bounded: schema inference only)
+        fmt = args.input_format if args.input_format != "auto" else "jsonl"
+        static = (spark.read.json(args.input) if fmt == "jsonl"
+                  else spark.read.parquet(args.input))
+        reader = spark.readStream.schema(static.schema)
+        stream = (reader.json(args.input) if fmt == "jsonl"
+                  else reader.parquet(args.input))
+        try:
+            q = curation.stream_curation_ingest(
+                stream, args.output, args.stats_path, args.checkpoint,
+                stages, text_col=args.text_col, id_col=args.id_col,
+            )
+        except ValueError as e:
+            print(f"corpus stream: {e}", file=sys.stderr)
+            return 2
+        if args.follow:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+            q.stop()
+        for r in (spark.read.parquet(args.stats_path)
+                  .orderBy("batch_id").collect()):
+            print(f"# batch {r['batch_id']}: {r['n_in']} in, "
+                  f"{r['n_kept']} kept", file=sys.stderr)
+        return 0
     docs = _read_corpus_input(spark, args)
 
     def _parse_rates(raw: str | None) -> dict | None:
@@ -2518,7 +2562,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "chunk", "shuffle", "sample", "upsample", "fertility",
                  "buckets", "pack-report", "token-sample", "split",
                  "train-tokenizer", "encode", "bpe-fertility",
-                 "shard-manifest", "sweep", "extract", "normalize"],
+                 "shard-manifest", "sweep", "extract", "normalize",
+                 "stream"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2563,6 +2608,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-audit", action="store_true", dest="no_audit",
                     help="pipeline: run as one lazy plan with no per-stage "
                          "counts/materialization (the production mode)")
+    sp.add_argument("--stats", dest="stats_path",
+                    help="stream: per-batch audit-row parquet DIR")
+    sp.add_argument("--checkpoint",
+                    help="stream: structured-streaming checkpoint DIR")
+    sp.add_argument("--follow", action="store_true",
+                    help="stream: keep running (default: process what's "
+                         "there, print the audit, exit)")
     sp.add_argument("--capacity-tokens", type=int, default=512,
                     dest="capacity_tokens",
                     help="pack: tokens per training sequence bin")

@@ -78,3 +78,26 @@ def test_curation_sink_rejects_stateful_stages(tmp_path):
         curation.curation_sink(
             "o", "s", [{"op": "exact-dedup", "history": "h"}]
         )
+
+
+def test_cli_corpus_stream_once(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-stream")
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": f"<p>{GOOD}</p>"}) + "\n"
+        + _json.dumps({"doc_id": 2, "text": BAD})
+    )
+    outp = str(tmp_path / "curated")
+    stats = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["corpus", "stream", "--input", str(d), "--output", outp,
+                 "--stats", stats, "--checkpoint", ckpt]) == 0
+    err = capsys.readouterr().err
+    assert "2 in, 1 kept" in err
+    assert spark.read.parquet(outp).first()["text"] == GOOD
+    # usage errors
+    assert main(["corpus", "stream", "--input", str(d)]) == 2

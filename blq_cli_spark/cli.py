@@ -1446,9 +1446,14 @@ def cmd_embeddings(args) -> int:
     elif act == "pca":
         import json as _json
 
-        model = similarity.pca_fit(
-            emb, n_components=args.n_components, vec_col=vc
-        )
+        if args.model:
+            # train-once-apply-many: project with an existing model
+            with open(args.model) as fh:
+                model = _json.load(fh)
+        else:
+            model = similarity.pca_fit(
+                emb, n_components=args.n_components, vec_col=vc
+            )
         if args.model_out:
             with open(args.model_out, "w") as fh:
                 _json.dump(model, fh)
@@ -2701,6 +2706,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pca: scale projections to unit variance")
     sp.add_argument("--model-out", dest="model_out",
                     help="pca: also write the fitted model json here")
+    sp.add_argument("--model",
+                    help="pca: project with this existing model json "
+                         "instead of refitting")
     sp.add_argument("--index", help="index-*: persisted IVF index directory")
     sp.add_argument("--nprobe", type=int, default=2,
                     help="index-search: cells probed per query")

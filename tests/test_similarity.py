@@ -375,3 +375,34 @@ def test_cli_embeddings_pca(tmp_path, capsys):
     assert len(model["components"]) == 2
     assert model["explained_variance"][0] >= model["explained_variance"][1]
     assert "pca" in capsys.readouterr().out
+
+
+def test_cli_embeddings_pca_with_existing_model(tmp_path, capsys):
+    """--model projects with a saved model instead of refitting: a new
+    batch projected with batch-1's model gives batch-1's axes."""
+    import json
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-pca-model")
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    mpath = str(tmp_path / "m.json")
+    assert main(["embeddings", "pca", "--input", src, "--n-components", "1",
+                 "--model-out", mpath]) == 0
+    # second corpus, projected with the saved model
+    src2 = str(tmp_path / "emb2.parquet")
+    spark.createDataFrame(
+        [(100, [7.0, 0.0, 0.0])], "vec_id long, embedding array<double>",
+    ).write.parquet(src2)
+    capsys.readouterr()
+    assert main(["embeddings", "pca", "--input", src2, "--model", mpath]) == 0
+    out = capsys.readouterr().out
+    model = json.loads(open(mpath).read())
+    # x-axis is the only variance axis; projection = 7 - mean_x (sign-fixed)
+    expect = 7.0 - model["mean"][0]
+    assert f"{expect:.1f}" in out or f"{expect:.2f}" in out.replace("[", " ")

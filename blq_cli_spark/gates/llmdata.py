@@ -1828,3 +1828,58 @@ def x_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.normalize_text(
         docs.select("doc_id", raw.alias("raw")), text_col="raw"
     )
+
+
+@gate(
+    "x_dedup_paragraphs",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, text || chr(10) || 'shared boilerplate paragraph'
+                  || chr(10) || 'doc-' || doc_id || ' unique tail' AS t
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, generate_subscripts(ps, 1) AS pos, unnest(ps) AS para
+      FROM (SELECT doc_id, regexp_split_to_array(t, '\\n+') AS ps FROM raw)
+    ),
+    np AS (
+      SELECT doc_id, pos, para,
+             md5(trim(regexp_replace(para, '[ \t\n\r\f]+', ' ', 'g'))) AS fp
+      FROM paras WHERE trim(para) <> ''
+    ),
+    tagged AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM np
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(count(t.pos), 0) AS BIGINT) AS n_paragraphs,
+           CAST(coalesce(sum(CASE WHEN t.keep THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN t.keep THEN t.para END, chr(10)
+                               ORDER BY t.pos), '') AS clean_text
+    FROM documents d LEFT JOIN tagged t USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style first-occurrence paragraph dedup
+    (quality.dedup_paragraphs) with a planted shared paragraph appended
+    to every document plus a per-doc unique tail: exactly one document
+    keeps the shared paragraph, every document keeps its tail. The
+    first-occurrence table is a map-side-combinable min(struct)
+    aggregate — no skewed window — and joins back plain."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nshared boilerplate paragraph\ndoc-"),
+            F.col("doc_id").cast("string"), F.lit(" unique tail"),
+        ).alias("t"),
+    )
+    return quality.dedup_paragraphs(raw, text_col="t").withColumnRenamed(
+        "id", "doc_id"
+    )

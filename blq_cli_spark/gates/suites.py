@@ -223,6 +223,9 @@ _SPECS = {
          [("doc_id", "s"), ("clean_text", "s")]),
         ("normalize", llmdata.x_normalize_text,
          [("doc_id", "s"), ("norm_text", "s")]),
+        ("para_dedup", llmdata.x_dedup_paragraphs,
+         [("doc_id", "s"), ("n_paragraphs", "s"), ("n_kept", "s"),
+          ("clean_text", "s")]),
     ],
 }
 
@@ -295,6 +298,7 @@ _MEMBER_GATE = {
     "sweep": "x_threshold_sweep",
     "html": "x_html_extract",
     "normalize": "x_normalize_text",
+    "para_dedup": "x_dedup_paragraphs",
 }
 
 

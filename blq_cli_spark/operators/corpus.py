@@ -508,6 +508,8 @@ def run_action(
             docs, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
             min_docs=min_docs,
         )
+    if action == "dedup-paragraphs":
+        return quality.dedup_paragraphs(docs, text_col=text_col, id_col=id_col)
     if action == "report":
         return report_stats(docs, text_col=text_col, id_col=id_col)
     if action == "pack":
@@ -700,6 +702,20 @@ def pipeline(
         elif op == "clean-spans":
             drop_empty = spec.pop("drop_empty", True)
             cleaned = quality.remove_repeated_spans(
+                out, text_col=tc, id_col=id_col, **spec
+            ).select(F.col("id").alias(id_col), "clean_text")
+            out = (
+                out.drop(tc)
+                .join(cleaned, id_col)
+                .withColumnRenamed("clean_text", tc)
+            )
+            if drop_empty:
+                out = out.filter(F.col(tc) != "")
+        elif op == "dedup-paragraphs":
+            # first-occurrence paragraph dedup (Dolma rule): rewrite the
+            # text column in place, same join-back shape as clean-spans
+            drop_empty = spec.pop("drop_empty", True)
+            cleaned = quality.dedup_paragraphs(
                 out, text_col=tc, id_col=id_col, **spec
             ).select(F.col("id").alias(id_col), "clean_text")
             out = (

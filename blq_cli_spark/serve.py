@@ -489,7 +489,8 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "report/pipeline/score/score-bigram/source-kl/winnow/tokens/"
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
-      "bpe-fertility/shard-manifest/sweep/extract/normalize)")
+      "bpe-fertility/shard-manifest/sweep/extract/normalize/"
+      "dedup-paragraphs)")
 def _corpus(
     store: LogStore,
     action: str,

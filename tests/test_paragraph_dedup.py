@@ -1,0 +1,79 @@
+"""Dolma-style first-occurrence paragraph dedup
+(quality.dedup_paragraphs) — DuckDB hash parity runs via the registered
+gate x_dedup_paragraphs (tests/test_gate_parity.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from blq_cli_spark.operators import corpus as corpus_ops
+from blq_cli_spark.operators import quality
+from tests.test_plan_quality import plan_of
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha one\nshared para\nbeta one"),
+        (2, "shared para\ngamma two"),        # loses 'shared para' to doc 1
+        (3, "  shared   para \ndelta three"),  # ws-normalized copy also drops
+        (4, "shared para"),                    # nothing left
+        (5, ""),                               # empty doc
+        (6, None),                             # null doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_occurrence_wins(spark):
+    got = {
+        r["id"]: r for r in quality.dedup_paragraphs(_docs(spark)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1]["clean_text"] == "alpha one\nshared para\nbeta one"
+    assert (got[1]["n_paragraphs"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["clean_text"] == "gamma two"
+    assert (got[2]["n_paragraphs"], got[2]["n_kept"]) == (2, 1)
+    assert got[3]["clean_text"] == "delta three"
+    assert got[4] and (got[4]["n_kept"], got[4]["clean_text"]) == (0, "")
+    assert (got[5]["n_paragraphs"], got[5]["clean_text"]) == (0, "")
+    assert (got[6]["n_paragraphs"], got[6]["clean_text"]) == (0, "")
+
+
+def test_partitioning_invariance(spark):
+    base = quality.dedup_paragraphs(_docs(spark)).collect()
+    rep = quality.dedup_paragraphs(_docs(spark).repartition(7)).collect()
+    key = lambda rows: sorted((r["id"], r["n_kept"], r["clean_text"]) for r in rows)
+    assert key(base) == key(rep)
+
+
+def test_no_window_in_plan(spark):
+    """The first-occurrence table must be a map-side-combinable
+    aggregate, NOT a window over the paragraph hash — a million-copy
+    boilerplate paragraph would pile into one window partition."""
+    plan = plan_of(quality.dedup_paragraphs(_docs(spark)))
+    assert "Window" not in plan
+
+
+def test_pipeline_stage_and_action(spark):
+    df = spark.createDataFrame(
+        [(1, "keep me\ndup para", "web"), (2, "dup para\nmine two", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_ops.pipeline(df, [{"op": "dedup-paragraphs"}])
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert rows == {1: "keep me\ndup para", 2: "mine two"}
+    act = corpus_ops.run_action(df, "dedup-paragraphs")
+    assert act.filter(F.col("id") == 2).first()["n_kept"] == 1
+
+
+def test_cli_dedup_paragraphs(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-paradedup")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a\nb", "web"), (2, "b\nc", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    assert main(["corpus", "dedup-paragraphs", "--input", src]) == 0
+    assert "n_kept" in capsys.readouterr().out

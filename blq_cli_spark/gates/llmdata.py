@@ -1883,3 +1883,40 @@ def x_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.dedup_paragraphs(raw, text_col="t").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@gate(
+    "x_pmi_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t, CAST(unnest(range(1, len(t))) AS INT) AS i
+      FROM tok WHERE len(t) >= 2
+    ),
+    big AS (SELECT t[i] AS v, t[i+1] AS w FROM pos),
+    uni AS (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    totu AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+    bc AS (SELECT v, w, count(*) AS cvw FROM big GROUP BY v, w),
+    totb AS (SELECT CAST(sum(cvw) AS DOUBLE) AS nb FROM bc)
+    SELECT bc.v AS w1, bc.w AS w2, CAST(bc.cvw AS BIGINT) AS n_pair,
+           round(ln((bc.cvw * n * n) / ((nb * u1.cw) * u2.cw)), 6) AS pmi
+    FROM bc
+    JOIN uni u1 ON bc.v = u1.w
+    JOIN uni u2 ON bc.w = u2.w
+    CROSS JOIN totu CROSS JOIN totb
+    WHERE bc.cvw >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by PMI (text.pmi_pairs, Church &
+    Hanks 1990) with min_count=5. Map-side-combinable count tables, the
+    min_count prune BEFORE the joins, plain equi-joins on the
+    corpus-derived unigram table, single-row total broadcasts, and a
+    TakeOrderedAndProject top-K with a deterministic tie-break."""
+    return text.pmi_pairs(table(spark, sf_dir, "documents"), top_k=100,
+                          min_count=5)

@@ -189,6 +189,8 @@ _SPECS = {
         ("ccnet", llmdata.x_ccnet_buckets,
          [("doc_id", "s"), ("lang", "s"), ("n_tokens", "s"),
           ("avg_logprob", "d"), ("ppl_bucket", "s")]),
+        ("pmi", llmdata.x_pmi_pairs,
+         [("w1", "s"), ("w2", "s"), ("n_pair", "s"), ("pmi", "d")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -299,6 +301,7 @@ _MEMBER_GATE = {
     "html": "x_html_extract",
     "normalize": "x_normalize_text",
     "para_dedup": "x_dedup_paragraphs",
+    "pmi": "x_pmi_pairs",
 }
 
 

@@ -510,6 +510,10 @@ def run_action(
         )
     if action == "dedup-paragraphs":
         return quality.dedup_paragraphs(docs, text_col=text_col, id_col=id_col)
+    if action == "pmi":
+        return text_ops.pmi_pairs(
+            docs, top_k=top_k_words, text_col=text_col, id_col=id_col
+        )
     if action == "report":
         return report_stats(docs, text_col=text_col, id_col=id_col)
     if action == "pack":

@@ -470,3 +470,73 @@ def normalize_text(
     return df.select(id_col, text_col).mapInPandas(
         kernel, f"id {id_type}, v string"
     ).select(F.col("id").alias(id_col), F.col("v").alias(out_col))
+
+
+def pmi_pairs(
+    df: DataFrame,
+    top_k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-K bigram collocations by pointwise mutual information:
+    PMI(v, w) = ln(P(v,w) / (P(v) P(w))) over adjacent token pairs —
+    the standard collocation/multi-word-expression extractor (Church &
+    Hanks 1990), the corpus-analysis view behind tokenizer-vocabulary
+    and stopword decisions. Pairs rarer than `min_count` are dropped
+    first (rare-pair PMI explodes toward ln N and is pure noise).
+
+    Returns (w1, w2, n_pair, pmi) ordered by rounded PMI desc then
+    (w1, w2) — a deterministic LIMIT boundary.
+
+    Scale shape: bigram and unigram count tables are map-side-combinable
+    aggregates; the min_count filter prunes the heavy bigram tail BEFORE
+    any join; both unigram joins are plain equi-joins (corpus-derived,
+    unbounded — AQE may broadcast, we don't hint); the two grand totals
+    are single-row broadcasts; the final top-K is TakeOrderedAndProject."""
+    toks = df.select(tokens(F.col(text_col)).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("v"),
+                    F.element_at(F.col("t"), i + 1).alias("w"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot_uni = uni.agg(F.sum("cw").cast("double").alias("n"))
+    bc = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    tot_big = bc.agg(F.sum("cvw").cast("double").alias("nb"))
+    j = (
+        bc.filter(F.col("cvw") >= min_count)
+        .join(uni.select(F.col("w").alias("v"), F.col("cw").alias("cv")), "v")
+        .join(uni.select("w", F.col("cw").alias("cw2")), "w")
+        .join(F.broadcast(tot_uni))
+        .join(F.broadcast(tot_big))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cvw") * F.col("n") * F.col("n"))
+            / (F.col("nb") * F.col("cv") * F.col("cw2"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("v").alias("w1"),
+            F.col("w").alias("w2"),
+            F.col("cvw").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -1920,3 +1920,39 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-K with a deterministic tie-break."""
     return text.pmi_pairs(table(spark, sf_dir, "documents"), top_k=100,
                           min_count=5)
+
+
+@gate(
+    "x_zipf_fit",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOK}) AS word FROM documents),
+    c AS (
+      SELECT word, count(*) AS n FROM w WHERE word <> ''
+      GROUP BY word ORDER BY n DESC, word ASC LIMIT 1000
+    ),
+    pts AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word ASC)
+                     AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_types,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                 / k, 6) AS intercept,
+           round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent OLS over the top-1000 vocabulary (text.zipf_fit):
+    ONE map-side-combinable word-count shuffle + TakeOrderedAndProject,
+    then explicit-sum OLS on the bounded table — arithmetic spelled
+    identically in the DuckDB oracle."""
+    return text.zipf_fit(table(spark, sf_dir, "documents"), top_k=1000)

@@ -191,6 +191,8 @@ _SPECS = {
           ("avg_logprob", "d"), ("ppl_bucket", "s")]),
         ("pmi", llmdata.x_pmi_pairs,
          [("w1", "s"), ("w2", "s"), ("n_pair", "s"), ("pmi", "d")]),
+        ("zipf", llmdata.x_zipf_fit,
+         [("n_types", "s"), ("slope", "d"), ("intercept", "d"), ("r2", "d")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -302,6 +304,7 @@ _MEMBER_GATE = {
     "normalize": "x_normalize_text",
     "para_dedup": "x_dedup_paragraphs",
     "pmi": "x_pmi_pairs",
+    "zipf": "x_zipf_fit",
 }
 
 

@@ -514,6 +514,10 @@ def run_action(
         return text_ops.pmi_pairs(
             docs, top_k=top_k_words, text_col=text_col, id_col=id_col
         )
+    if action == "zipf":
+        return text_ops.zipf_fit(
+            docs, top_k=top_k_words, text_col=text_col, id_col=id_col
+        )
     if action == "report":
         return report_stats(docs, text_col=text_col, id_col=id_col)
     if action == "pack":

@@ -540,3 +540,54 @@ def pmi_pairs(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf-law fit over the top-K vocabulary: OLS of ln(frequency) on
+    ln(rank). Natural text lands near slope -1; a corpus drifting toward
+    boilerplate/template mass shows a flatter head (slope > -0.8) and
+    machine-generated spam a steeper tail — the one-row vocabulary
+    health check next to tokenizer_fertility.
+
+    Returns one row (n_types, slope, intercept, r2), rounded to 6.
+
+    Scale shape: ONE map-side-combinable corpus shuffle for word counts
+    + TakeOrderedAndProject top-K (the word_frequencies shape); the
+    rank window and the OLS sums run on the top_k-BOUNDED table (the
+    documented q11/q15 bounded-window pattern). The OLS is spelled as
+    explicit sums — slope = (kΣxy - ΣxΣy) / (kΣxx - (Σx)²) — so the
+    DuckDB oracle computes the character-identical arithmetic."""
+    from pyspark.sql import Window
+
+    from blq_cli_spark.operators.tokenizer import word_frequencies
+
+    top = word_frequencies(df, top_k=top_k, text_col=text_col)
+    w = Window.orderBy(F.desc("n"), "word")  # bounded: <= top_k rows
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = k * sxy - sx * sy
+    varx = k * sxx - sx * sx
+    vary = k * syy - sy * sy
+    return s.select(
+        k.cast("bigint").alias("n_types"),
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / k, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -62,3 +62,35 @@ def test_cli_corpus_pmi(tmp_path, capsys):
     ).write.parquet(src)
     assert main(["corpus", "pmi", "--input", src]) == 0
     assert "pmi" in capsys.readouterr().out
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus synthesized with freq(rank) = C * rank^-1.2 must fit
+    slope ~= -1.2 with r2 ~= 1."""
+    rows = []
+    doc = 0
+    for r in range(1, 101):
+        n = max(1, int(round(1000 * r ** -1.2)))
+        for _ in range(n):
+            rows.append((doc, f"w{r:03d}"))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text_ops.zipf_fit(df, top_k=100).first()
+    assert got["n_types"] == 100
+    assert abs(got["slope"] + 1.2) < 0.02
+    assert got["r2"] > 0.99  # integer-rounded counts flatten the tail
+    assert got["intercept"] > 0
+
+
+def test_cli_corpus_zipf(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-zipf")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "the the the quick fox", "web") for i in range(4)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    assert main(["corpus", "zipf", "--input", src]) == 0
+    assert "slope" in capsys.readouterr().out

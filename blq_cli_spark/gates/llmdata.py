@@ -1956,3 +1956,58 @@ def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     then explicit-sum OLS on the bounded table — arithmetic spelled
     identically in the DuckDB oracle."""
     return text.zipf_fit(table(spark, sf_dir, "documents"), top_k=1000)
+
+
+_C4_TAIL = ("\nThis synthetic line carries enough words to pass."
+            "\nshort punct."
+            "\nA javascript flavored line that would otherwise pass fine."
+            "\nthis long line has no terminal punctuation at all here")
+
+
+@gate(
+    "x_c4_line_rules",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || chr(10) ||
+             'This synthetic line carries enough words to pass.' || chr(10) ||
+             'short punct.' || chr(10) ||
+             'A javascript flavored line that would otherwise pass fine.'
+             || chr(10) ||
+             'this long line has no terminal punctuation at all here' AS t
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw),
+    f AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x ->
+               regexp_matches(trim(x), '[.!?"'']$')
+               AND len(string_split_regex(trim(x), '[ \t]+')) >= 5
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), '{')) AS kept
+      FROM l
+    )
+    SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM f
+    """,
+)
+def x_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (quality.c4_line_rules, Raffel et al.
+    arXiv:1910.10683 §2.2) with four planted lines per document covering
+    each rule: terminal punctuation + word floor passes, a short
+    punctuated line fails the word floor, a javascript marker drops, and
+    a punctuation-less line drops. ONE zero-shuffle projection — the
+    line array splits once, every rule is a codegen'd higher-order
+    filter."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_C4_TAIL)).alias("t")
+    )
+    return quality.c4_line_rules(raw, text_col="t").withColumnRenamed(
+        "id", "doc_id"
+    )

@@ -230,6 +230,9 @@ _SPECS = {
         ("para_dedup", llmdata.x_dedup_paragraphs,
          [("doc_id", "s"), ("n_paragraphs", "s"), ("n_kept", "s"),
           ("clean_text", "s")]),
+        ("c4_lines", llmdata.x_c4_line_rules,
+         [("doc_id", "s"), ("n_lines", "s"), ("n_kept", "s"),
+          ("clean_text", "s")]),
     ],
 }
 
@@ -303,6 +306,7 @@ _MEMBER_GATE = {
     "html": "x_html_extract",
     "normalize": "x_normalize_text",
     "para_dedup": "x_dedup_paragraphs",
+    "c4_lines": "x_c4_line_rules",
     "pmi": "x_pmi_pairs",
     "zipf": "x_zipf_fit",
 }

@@ -510,6 +510,8 @@ def run_action(
         )
     if action == "dedup-paragraphs":
         return quality.dedup_paragraphs(docs, text_col=text_col, id_col=id_col)
+    if action == "c4-lines":
+        return quality.c4_line_rules(docs, text_col=text_col, id_col=id_col)
     if action == "pmi":
         return text_ops.pmi_pairs(
             docs, top_k=top_k_words, text_col=text_col, id_col=id_col
@@ -716,6 +718,15 @@ def pipeline(
                 out.drop(tc)
                 .join(cleaned, id_col)
                 .withColumnRenamed("clean_text", tc)
+            )
+            if drop_empty:
+                out = out.filter(F.col(tc) != "")
+        elif op == "c4-lines":
+            # line-level rewrite in place — a pure column expression,
+            # no join: the rule depends only on the row itself
+            drop_empty = spec.pop("drop_empty", True)
+            out = out.withColumn(
+                tc, quality.c4_clean_text(F.col(tc), **spec)
             )
             if drop_empty:
                 out = out.filter(F.col(tc) != "")

@@ -602,3 +602,56 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+def c4_line_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. arXiv:1910.10683 §2.2):
+    keep only lines that (a) end in a terminal punctuation mark
+    (period / ! / ? / closing quote), (b) carry at least
+    `min_words_per_line` words, and (c) contain none of the fixed
+    drop markers ('javascript', 'lorem ipsum', '{' — the boilerplate
+    tells from the paper); survivors reassemble in order.
+
+    Returns (id, n_lines, n_kept, clean_text).
+
+    Scale shape: ONE projection — the line array splits once and every
+    rule is a higher-order filter over it (whole-stage codegen, zero
+    Python, zero explode, zero shuffle). The line never leaves its row,
+    so this composes with gopher/classifier filters at scan speed (the
+    pipeline stage rewrites in place via c4_clean_text — no join)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = _c4_kept_lines(lines, min_words_per_line)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def _c4_kept_lines(lines: Column, min_words_per_line: int) -> Column:
+    def _keep(line):
+        t = F.trim(line)
+        low = F.lower(line)
+        return (
+            t.rlike('[.!?"\']$')
+            & (F.size(F.split(t, "[ \t]+")) >= min_words_per_line)
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("{")
+        )
+
+    return F.filter(lines, _keep)
+
+
+def c4_clean_text(text: Column, min_words_per_line: int = 5) -> Column:
+    """The C4 line rules as a pure text->text column rewrite (the
+    pipeline-stage form: no id, no join, the row never moves)."""
+    return F.array_join(
+        _c4_kept_lines(F.split(text, "\n"), min_words_per_line), "\n"
+    )

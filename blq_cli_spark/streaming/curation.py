@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 # replay-safe (no persistent state folded) pipeline ops
 STATELESS_OPS = {
     "extract", "normalize", "gopher", "classify", "clean-spans",
-    "exact-dedup", "mix", "buckets",
+    "c4-lines", "exact-dedup", "mix", "buckets",
 }
 
 

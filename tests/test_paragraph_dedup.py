@@ -77,3 +77,51 @@ def test_cli_dedup_paragraphs(tmp_path, capsys):
     ).write.parquet(src)
     assert main(["corpus", "dedup-paragraphs", "--input", src]) == 0
     assert "n_kept" in capsys.readouterr().out
+
+
+GOOD_LINE = "This synthetic line carries enough words to pass."
+
+
+def test_c4_line_rules_hand_case(spark):
+    text = "\n".join([
+        GOOD_LINE,
+        "short punct.",                                  # word floor
+        "A javascript flavored line would pass if not dropped.",
+        "this long line has no terminal punctuation at all",
+        'He said "come back tomorrow" and left quietly."',  # quote end ok
+        "curly { brace template line with enough words here.",
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = quality.c4_line_rules(df).first()
+    assert (r["n_lines"], r["n_kept"]) == (6, 2)
+    assert r["clean_text"].splitlines() == [
+        GOOD_LINE, 'He said "come back tomorrow" and left quietly."',
+    ]
+
+
+def test_c4_pipeline_stage_no_join_and_stream_allowed(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD_LINE + "\nnoise line no punct", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_ops.pipeline(df, [{"op": "c4-lines"}])
+    assert out.first()["text"] == GOOD_LINE
+    assert "Join" not in plan_of(out)
+    from blq_cli_spark.streaming import curation
+
+    # pure projection -> replay-safe in the streaming sink
+    assert curation.curation_sink("o", "s", [{"op": "c4-lines"}])
+
+
+def test_cli_c4_lines(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-c4")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, GOOD_LINE + "\nbad line", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    assert main(["corpus", "c4-lines", "--input", src]) == 0
+    assert "n_kept" in capsys.readouterr().out

@@ -122,15 +122,18 @@ def ivf_build_index(
 def ivf_append_index(
     corpus: DataFrame,
     path: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> dict:
     """Assign a NEW batch with the STORED centroids and append it into
     the cell partitions — O(batch) regardless of index size; existing
     rows are never re-read. (Centroids intentionally do not drift:
     stability of cell membership is what makes the append cheap — the
-    incremental-LSH argument, dedup.lsh_candidates_against.)"""
+    incremental-LSH argument, dedup.lsh_candidates_against.) Column
+    names default to the ones the index was built with (meta.json)."""
     meta = load_meta(path)
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = vec_col or meta.get("vec_col", "embedding")
     assigned = _ivf_assign(
         corpus, meta["centroids"], id_col, vec_col, "id", nprobe=1
     )
@@ -148,20 +151,27 @@ def ivf_search_index(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> DataFrame:
     """Exact-cosine top-k within the probed cells of a stored index:
     (qid, nid, cos, rn) — the same output contract as similarity.ivf_topk
     and bit-identical to it for the same centroids (test-asserted).
+    Query column names default to the index's own (meta.json).
 
     The probed-cell set is <= k_cells values however many queries there
     are, so collecting it is bounded; the `cell IN (...)` filter prunes
     the index scan at file-listing time (PartitionFilters)."""
     meta = load_meta(path)
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = vec_col or meta.get("vec_col", "embedding")
     q = _ivf_assign(
         queries, meta["centroids"], id_col, vec_col, "qid", nprobe=nprobe
     ).withColumnRenamed("vec", "qv")
+    # materialize the (broadcast-sized) assigned queries once: the
+    # probed-cell collect and the join would otherwise run the
+    # assignment kernel twice
+    q = q.localCheckpoint(eager=True)
     # bounded by construction: at most k_cells distinct values
     probed = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()

@@ -32,6 +32,10 @@ def main() -> None:
     n_raw = docs.count()
 
     stages = [
+        # ingest prep (markup strip + NFC normalize — near-identity on
+        # the synthetic text, but the cost is measured in the audit)
+        {"op": "extract"},
+        {"op": "normalize"},
         {"op": "gopher"},
         {"op": "exact-dedup"},
         {"op": "dedup", "method": "minhash"},

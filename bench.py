@@ -40,6 +40,11 @@ HEADLINE = [
     "x_lsh_ann",
     "x_ivf_ann",
     "x_embedding_neardup",
+    # round-5 additions: scan-bound codegen rewrite, shuffle+join dedup,
+    # and a multi-join aggregation top-k
+    "x_html_extract",
+    "x_dedup_paragraphs",
+    "x_pmi_pairs",
 ]
 
 

@@ -1521,9 +1521,23 @@ def _read_corpus_input(spark, args):
 def _write_corpus_result(spark, out, args) -> None:
     """Distributed result write for the corpus/embeddings verbs: parquet
     by default, or sharded JSONL (the training-data interchange format)
-    with --output-format jsonl."""
+    with --output-format jsonl. --cluster-by COL range-clusters the
+    files so later scans filtering on COL skip whole files via parquet
+    min/max stats (corpus.write_clustered)."""
     fmt = getattr(args, "output_format", "parquet") or "parquet"
     nparts = getattr(args, "output_partitions", None)
+    cluster_by = getattr(args, "cluster_by", None)
+    if cluster_by:
+        from blq_cli_spark.operators import corpus as corpus_ops
+
+        if fmt != "parquet":
+            print("--cluster-by implies parquet output", file=sys.stderr)
+        corpus_ops.write_clustered(out, args.output, cluster_by,
+                                   n_files=nparts)
+        n = spark.read.parquet(args.output).count()
+        print(f"wrote {n} rows to {args.output} "
+              f"(parquet, range-clustered by {cluster_by})")
+        return
     if nparts:
         # control output file count/size: one shuffle, then each task
         # writes one file (at 100 TB pick ~target_bytes/file_size tasks)
@@ -2596,6 +2610,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output-partitions", type=int, default=None,
                     dest="output_partitions",
                     help="repartition before writing (file-count control)")
+    sp.add_argument("--cluster-by", dest="cluster_by", default=None,
+                    help="range-cluster output files on this column "
+                         "(parquet min/max file skipping)")
     sp.add_argument("--method", choices=["minhash", "simhash"],
                     default="minhash", dest="dedup_method",
                     help="dedup: candidate-generation strategy")
@@ -2722,6 +2739,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output-partitions", type=int, default=None,
                     dest="output_partitions",
                     help="repartition before writing (file-count control)")
+    sp.add_argument("--cluster-by", dest="cluster_by", default=None,
+                    help="range-cluster output files on this column "
+                         "(parquet min/max file skipping)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_embeddings)
 

@@ -1394,3 +1394,33 @@ def temperature_rates(
     raw = {s: (target[s] / z) / shares[s] for s in counts}
     mx = max(raw.values())
     return {s: r / mx for s, r in raw.items()}
+
+
+def write_clustered(
+    docs: DataFrame,
+    path: str,
+    by: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: repartitionByRange on `by` +
+    sortWithinPartitions, so every output file covers a narrow,
+    mostly-disjoint range of the cluster column. Later scans filtering
+    on `by` (range or equality) skip whole files and row groups via
+    parquet min/max statistics — the single-column clustering index a
+    100 TB corpus needs for id-lookup/range workloads without a
+    metastore. (The ordered-shard writer is this same move specialized
+    to the shuffle rank; text.build_inverted_index partitions by term
+    for the categorical analog.)
+
+    Scale shape: ONE range-partitioning shuffle (sampled range bounds,
+    the repartitionByRange contract) + a per-partition sort that feeds
+    the parquet writer's stats; no driver materialization. `n_files`
+    defaults to the session's shuffle parallelism."""
+    n = int(n_files) if n_files else docs.sparkSession.sparkContext.defaultParallelism
+    (
+        docs.repartitionByRange(n, F.col(by))
+        .sortWithinPartitions(by)
+        .write.mode(mode)
+        .parquet(path)
+    )

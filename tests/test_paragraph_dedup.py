@@ -125,3 +125,50 @@ def test_cli_c4_lines(tmp_path, capsys):
     ).write.parquet(src)
     assert main(["corpus", "c4-lines", "--input", src]) == 0
     assert "n_kept" in capsys.readouterr().out
+
+
+def test_write_clustered_file_ranges_disjoint(spark, tmp_path):
+    """Range clustering must give each parquet file a narrow doc_id
+    range (parquet min/max footer stats -> file-level skipping)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)], "doc_id long, text string"
+    ).repartition(13)  # scrambled input
+    out = str(tmp_path / "clustered")
+    corpus_ops.write_clustered(df, out, "doc_id", n_files=4)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 3
+    # each file covers a narrow slice, and slices don't interleave
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # read-back with a range filter is correct
+    got = spark.read.parquet(out).filter("doc_id < 100").count()
+    assert got == 100
+
+
+def test_cli_cluster_by(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-cluster")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "some text value here", "web") for i in range(50)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    outp = str(tmp_path / "scored")
+    assert main(["corpus", "tokens", "--input", src, "--output", outp,
+                 "--cluster-by", "id", "--output-partitions", "2"]) == 0
+    assert "range-clustered by id" in capsys.readouterr().out
+    assert spark.read.parquet(outp).count() == 50

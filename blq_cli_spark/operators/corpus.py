@@ -458,6 +458,14 @@ def run_action(
     from blq_cli_spark.operators import dedup as dedup_ops
     from blq_cli_spark.operators import quality
 
+    # fail with the actual column inventory instead of a deep
+    # AnalysisException: every action below needs the text column except
+    # the shard/score-table ones, which validate their own inputs
+    if action not in ("sweep",) and text_col not in docs.columns:
+        raise ValueError(
+            f"corpus {action}: column {text_col!r} not in input "
+            f"(columns: {', '.join(docs.columns)}; use --text-col)"
+        )
     if action == "profile":
         return text_ops.profile(docs, text_col=text_col, id_col=id_col)
     if action == "quality":

@@ -635,3 +635,31 @@ def test_embeddings_tool_pca_dispatch(tmp_path, spark):
     assert resp["ok"], resp
     rows = resp["result"]["rows"]
     assert len(rows) == 20 and len(rows[0]["pca"]) == 2
+
+
+def test_corpus_tool_round5_actions_dispatch(tmp_path, spark):
+    """The late round-5 actions reach run_action through the generic
+    serve path: dedup-paragraphs, pmi, zipf, c4-lines."""
+    st = LogStore(spark, str(tmp_path / "r5store"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta.\nshared paragraph line", "web") for i in range(6)]
+        + [(9, "shared paragraph line\ngamma delta.", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    for action, col in (("dedup-paragraphs", "n_kept"), ("pmi", "pmi"),
+                        ("zipf", "slope"), ("c4-lines", "n_lines")):
+        resp = serve.dispatch(st, "corpus", {"action": action, "input": src})
+        assert resp["ok"], (action, resp)
+        assert col in resp["result"]["rows"][0], action
+
+
+def test_corpus_tool_bad_text_col_is_clear_error(tmp_path, spark):
+    st = LogStore(spark, str(tmp_path / "badcolstore"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "x", "web")], "doc_id long, body string, source string",
+    ).write.parquet(src)
+    resp = serve.dispatch(st, "corpus", {"action": "profile", "input": src})
+    assert not resp["ok"]
+    assert "use --text-col" in resp["error"] and "body" in resp["error"]

@@ -459,9 +459,10 @@ def run_action(
     from blq_cli_spark.operators import quality
 
     # fail with the actual column inventory instead of a deep
-    # AnalysisException: every action below needs the text column except
-    # the shard/score-table ones, which validate their own inputs
-    if action not in ("sweep",) and text_col not in docs.columns:
+    # AnalysisException. Exemptions: actions that never read the text
+    # column (id/source-keyed membership + the scored-table sweep)
+    _NO_TEXT = ("sweep", "mix", "upsample", "shuffle", "sample")
+    if action not in _NO_TEXT and text_col not in docs.columns:
         raise ValueError(
             f"corpus {action}: column {text_col!r} not in input "
             f"(columns: {', '.join(docs.columns)}; use --text-col)"

@@ -172,3 +172,19 @@ def test_cli_cluster_by(tmp_path, capsys):
                  "--cluster-by", "id", "--output-partitions", "2"]) == 0
     assert "range-clustered by id" in capsys.readouterr().out
     assert spark.read.parquet(outp).count() == 50
+
+
+def test_run_action_text_validation_exempts_membership_ops(spark):
+    import pytest as _pytest
+
+    no_text = spark.createDataFrame(
+        [(1, "web"), (2, "books")], "doc_id long, source string"
+    )
+    # membership ops work without a text column
+    assert corpus_ops.run_action(
+        no_text, "mix", rates={"web": 1.0}
+    ).count() == 1
+    assert corpus_ops.run_action(no_text, "shuffle").count() == 2
+    # text ops fail with the column inventory
+    with _pytest.raises(ValueError, match="use --text-col"):
+        corpus_ops.run_action(no_text, "profile")

@@ -91,6 +91,9 @@ _PYTHON_KERNEL_GATES = {
     # round 5: benchmark-matrix GEMM kernel, and the quality suite row
     # that carries it (plus the semantic-dedup member's block kernels)
     "x_semantic_decontaminate", "x_quality_suite",
+    # round 5 late: Unicode NFC compose — Spark has no JVM normalization
+    # builtin, so the kernel is the documented Arrow path
+    "x_normalize_text",
 }
 
 

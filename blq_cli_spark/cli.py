@@ -1409,6 +1409,8 @@ def cmd_embeddings(args) -> int:
     act = args.emb_action
     if act == "quantize":
         out = similarity.quantize_embeddings(emb, vec_col=vc, id_col=ic)
+    elif act == "normalize":
+        out = similarity.l2_normalize(emb, id_col=ic, vec_col=vc)
     elif act == "topk":
         queries = (
             spark.read.parquet(args.queries)
@@ -2701,8 +2703,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("embeddings")
     sp.add_argument("emb_action",
-                    choices=["topk", "quantize", "neardup", "semantic-dedup",
-                             "cluster", "decontaminate", "report", "pca",
+                    choices=["topk", "quantize", "normalize", "neardup",
+                             "semantic-dedup", "cluster", "decontaminate",
+                             "report", "pca",
                              "index-build", "index-append", "index-search"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -2011,3 +2011,39 @@ def x_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.c4_line_rules(raw, text_col="t").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@gate(
+    "x_l2_normalize",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / greatest(sqrt(list_aggregate(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')),
+                 1e-12)) AS u
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(u[1], 6) AS c0,
+           round(sqrt(list_aggregate(list_transform(u, x -> x * x),
+                                     'sum')), 6) AS unit_norm
+    FROM unit
+    """,
+)
+def x_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (similarity.l2_normalize): every vector scaled to
+    unit length by a pure aggregate()+transform() column expression —
+    zero Python, zero shuffle. The gate projects the first unit
+    component and the resulting norm (1.0 except zero vectors), scalar
+    columns so the value hash is float-repr-robust."""
+    from blq_cli_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    unit = similarity.l2_normalize(emb).select("vec_id", F.col("embedding").alias("u"))
+    nrm = F.sqrt(F.aggregate(F.col("u"), F.lit(0.0), lambda a, x: a + x * x))
+    return unit.select(
+        "vec_id",
+        F.round(F.element_at("u", 1), 6).alias("c0"),
+        F.round(nrm, 6).alias("unit_norm"),
+    )

@@ -233,6 +233,8 @@ _SPECS = {
         ("c4_lines", llmdata.x_c4_line_rules,
          [("doc_id", "s"), ("n_lines", "s"), ("n_kept", "s"),
           ("clean_text", "s")]),
+        ("l2norm", llmdata.x_l2_normalize,
+         [("vec_id", "s"), ("c0", "d"), ("unit_norm", "d")]),
     ],
 }
 
@@ -307,6 +309,7 @@ _MEMBER_GATE = {
     "normalize": "x_normalize_text",
     "para_dedup": "x_dedup_paragraphs",
     "c4_lines": "x_c4_line_rules",
+    "l2norm": "x_l2_normalize",
     "pmi": "x_pmi_pairs",
     "zipf": "x_zipf_fit",
 }

@@ -905,3 +905,33 @@ def pca_project(
     return corpus.select(id_col, vec_col).mapInPandas(
         project, f"id {id_type}, v array<double>"
     ).select(F.col("id").alias(id_col), F.col("v").alias(out_col))
+
+
+def l2_normalize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Unit-length embeddings: v / max(||v||, eps) — the prep that turns
+    every cosine downstream (ANN, near-dup, decontamination) into a pure
+    dot product and makes int8 quantization scale-free. Zero-vector rows
+    come back unchanged (norm clamped to eps keeps them zero instead of
+    NULL/Inf).
+
+    Scale shape: ONE pure column expression — aggregate() for the
+    squared norm + transform() for the scale, whole-stage codegen, no
+    Python, no shuffle; the DuckDB oracle (list_transform/list_sum) is
+    arithmetic-identical."""
+    out = out_col or vec_col
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    scaled = F.transform(
+        v, lambda x: x.cast("double") / F.greatest(norm, F.lit(eps))
+    )
+    return df.withColumn(out, scaled.alias(out)) if out != vec_col else (
+        df.withColumn(vec_col, scaled)
+    )

@@ -598,8 +598,9 @@ def _corpus(
 
 
 @tool("embeddings", "Similarity/ANN ops over an embedding parquet "
-      "(topk exact|lsh|ivf|quantized, quantize, neardup, semantic-dedup, "
-      "cluster, report, decontaminate, pca, index-build/append/search)")
+      "(topk exact|lsh|ivf|quantized, quantize, normalize, neardup, "
+      "semantic-dedup, cluster, report, decontaminate, pca, "
+      "index-build/append/search)")
 def _embeddings(
     store: LogStore,
     action: str,
@@ -628,6 +629,8 @@ def _embeddings(
     emb = spark.read.parquet(input)
     if action == "quantize":
         out = similarity.quantize_embeddings(emb, vec_col=vec_col, id_col=id_col)
+    elif action == "normalize":
+        out = similarity.l2_normalize(emb, id_col=id_col, vec_col=vec_col)
     elif action == "topk":
         qdf = (
             spark.read.parquet(queries)

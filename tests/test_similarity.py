@@ -406,3 +406,41 @@ def test_cli_embeddings_pca_with_existing_model(tmp_path, capsys):
     # x-axis is the only variance axis; projection = 7 - mean_x (sign-fixed)
     expect = 7.0 - model["mean"][0]
     assert f"{expect:.1f}" in out or f"{expect:.2f}" in out.replace("[", " ")
+
+
+def test_l2_normalize_units_and_zero_vector(spark):
+    import math
+
+    from blq_cli_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [0.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["embedding"]
+           for r in similarity.l2_normalize(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]          # zero vector stays zero, no NaN
+    assert got[3] == [0.0, -1.0]
+    # norms are 1 (except the zero vector)
+    assert abs(math.hypot(*got[1]) - 1.0) < 1e-12
+    # plan: pure projection
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(similarity.l2_normalize(df))
+    assert "Exchange" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_cli_embeddings_normalize(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-l2norm")
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(1, [2.0, 0.0])], "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    outp = str(tmp_path / "unit.parquet")
+    assert main(["embeddings", "normalize", "--input", src,
+                 "--output", outp]) == 0
+    assert spark.read.parquet(outp).first()["embedding"] == [1.0, 0.0]

@@ -1473,12 +1473,21 @@ def cmd_embeddings(args) -> int:
         out = similarity.semantic_decontaminate(
             emb, bench, threshold=args.threshold, id_col=ic, vec_col=vc
         )
-    elif act in ("index-build", "index-append", "index-search"):
+    elif act in ("index-build", "index-append", "index-search",
+                 "index-info", "index-compact"):
         from blq_cli_spark.operators import ann_index
 
         if not args.index:
             print(f"embeddings {act}: --index DIR required", file=sys.stderr)
             return 2
+        if act == "index-info":
+            _emit(ann_index.ivf_index_info(spark, args.index), args)
+            return 0
+        if act == "index-compact":
+            res = ann_index.ivf_compact_index(spark, args.index)
+            print(f"# compacted index ({res['rows']} vectors) "
+                  f"-> {args.index}", file=sys.stderr)
+            return 0
         if act == "index-build":
             meta = ann_index.ivf_build_index(
                 emb, args.index, k_cells=args.k_cells, iters=args.iters,
@@ -2706,7 +2715,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["topk", "quantize", "normalize", "neardup",
                              "semantic-dedup", "cluster", "decontaminate",
                              "report", "pca",
-                             "index-build", "index-append", "index-search"])
+                             "index-build", "index-append", "index-search",
+                             "index-info", "index-compact"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")

@@ -217,3 +217,59 @@ def ivf_search_index(
         .filter(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+def ivf_index_info(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell occupancy of a stored index: (cell, n_vectors, n_files).
+    The balance check that decides nprobe and flags centroid drift (one
+    hot cell = recall and probe-cost skew) — k_cells rows, one
+    partition-column groupBy; the vectors themselves are never read
+    (column pruning keeps the scan to the id column)."""
+    cells = spark.read.parquet(os.path.join(path, _CELLS)).select(
+        "cell", F.input_file_name().alias("_f")
+    )  # project the file name first: non-deterministic exprs can't
+    # appear inside aggregate arguments
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("_f").alias("n_files"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_compact_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the cell partitions with one file per cell-partition
+    task — the maintenance pass after many incremental appends (each
+    append adds a file per touched cell; thousands of appends mean
+    thousands of tiny files and a file-listing-bound search). Contract:
+    single writer per index directory (the module contract) — readers
+    racing the swap may see the index briefly rebuilt.
+
+    Scale shape: one shuffle keyed on cell (each task writes one
+    coalesced file), then a directory swap; meta.json is untouched so
+    searches before/after return identical results (test-asserted)."""
+    import shutil
+
+    cells_dir = os.path.join(path, _CELLS)
+    tmp_dir = os.path.join(path, _CELLS + ".compact.tmp")
+    df = spark.read.parquet(cells_dir)
+    n_before = df.count()
+    (
+        df.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_dir)
+    )
+    n_after = spark.read.parquet(tmp_dir).count()
+    if n_after != n_before:  # pragma: no cover - defensive
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compact row-count mismatch: {n_before} -> {n_after}"
+        )
+    old_dir = os.path.join(path, _CELLS + ".old")
+    os.rename(cells_dir, old_dir)
+    os.rename(tmp_dir, cells_dir)
+    shutil.rmtree(old_dir)
+    return {"rows": n_after}

@@ -677,11 +677,18 @@ def _embeddings(
             emb, spark.read.parquet(benchmark), threshold=threshold,
             id_col=id_col, vec_col=vec_col,
         )
-    elif action in ("index-build", "index-append", "index-search"):
+    elif action in ("index-build", "index-append", "index-search",
+                    "index-info", "index-compact"):
         from blq_cli_spark.operators import ann_index
 
         if not index:
             raise ValueError(f"{action} requires an index directory path")
+        if action == "index-info":
+            return {"rows": _rows(ann_index.ivf_index_info(spark, index),
+                                  limit)}
+        if action == "index-compact":
+            return {"index": index,
+                    **ann_index.ivf_compact_index(spark, index)}
         if action == "index-build":
             meta = ann_index.ivf_build_index(
                 emb, index, k_cells=k_cells, iters=iters,

@@ -132,3 +132,47 @@ def test_index_search_no_queries_and_empty_build_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="empty corpus"):
         ann_index.ivf_build_index(empty, str(tmp_path / "e2"), k_cells=2)
+
+
+def test_index_info_and_compact_preserve_search(spark, tmp_path):
+    """Three appends fragment the cell files; compact coalesces to one
+    file per cell and search results are identical before/after."""
+    import glob
+
+    rows = _vectors(90, seed=10)
+    idx = str(tmp_path / "frag_idx")
+    ann_index.ivf_build_index(_df(spark, rows[:30]), idx, k_cells=4, iters=3)
+    ann_index.ivf_append_index(_df(spark, rows[30:60]), idx)
+    ann_index.ivf_append_index(_df(spark, rows[60:]), idx)
+
+    info = {r["cell"]: r for r in ann_index.ivf_index_info(spark, idx).collect()}
+    assert sum(r["n_vectors"] for r in info.values()) == 90
+    assert any(r["n_files"] > 1 for r in info.values())  # fragmented
+
+    queries = _df(spark, _vectors(4, seed=11))
+    before = _key(ann_index.ivf_search_index(spark, idx, queries, k=3).collect())
+    res = ann_index.ivf_compact_index(spark, idx)
+    assert res["rows"] == 90
+    after_info = ann_index.ivf_index_info(spark, idx).collect()
+    assert all(r["n_files"] == 1 for r in after_info)
+    assert not glob.glob(f"{idx}/cells.old") and not glob.glob(f"{idx}/cells.compact.tmp")
+    after = _key(ann_index.ivf_search_index(spark, idx, queries, k=3).collect())
+    assert before == after
+
+
+def test_cli_index_info_and_compact(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-idxinfo")
+    src = str(tmp_path / "emb.parquet")
+    _df(spark, _vectors(40, seed=12)).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["embeddings", "index-build", "--input", src,
+                 "--index", idx, "--k-cells", "4"]) == 0
+    assert main(["embeddings", "index-info", "--input", src,
+                 "--index", idx]) == 0
+    assert "n_vectors" in capsys.readouterr().out
+    assert main(["embeddings", "index-compact", "--input", src,
+                 "--index", idx]) == 0
+    assert "compacted index (40 vectors)" in capsys.readouterr().err

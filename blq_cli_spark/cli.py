@@ -1168,6 +1168,12 @@ def cmd_corpus(args) -> int:
                 print("corpus stream: --stages must be a JSON list",
                       file=sys.stderr)
                 return 2
+            for st_spec in stages:
+                # same path resolution as the batch pipeline verb:
+                # classify stages name their weights json by path
+                if isinstance(st_spec.get("weights"), str):
+                    with open(st_spec["weights"]) as fh:
+                        st_spec["weights"] = _json.load(fh)
         # schema comes from a one-shot batch read of the files already
         # present (driver-side, bounded: schema inference only)
         fmt = args.input_format if args.input_format != "auto" else "jsonl"

@@ -101,3 +101,27 @@ def test_cli_corpus_stream_once(tmp_path, capsys):
     assert spark.read.parquet(outp).first()["text"] == GOOD
     # usage errors
     assert main(["corpus", "stream", "--input", str(d)]) == 2
+
+
+def test_cli_corpus_stream_with_classify_stage(tmp_path, capsys):
+    """--stages resolves classify weights json paths like the batch
+    pipeline verb does."""
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-stream-classify")
+    d = tmp_path / "feed2"
+    d.mkdir()
+    (d / "b.jsonl").write_text(_json.dumps({"doc_id": 1, "text": GOOD}))
+    # all-zero weights -> sigmoid 0.5 everywhere; threshold 0.4 keeps all
+    wpath = tmp_path / "w.json"
+    wpath.write_text(_json.dumps([0.0] * 65))
+    spath = tmp_path / "stages.json"
+    spath.write_text(_json.dumps(
+        [{"op": "classify", "weights": str(wpath), "threshold": 0.4}]
+    ))
+    outp, stats, ckpt = (str(tmp_path / x) for x in ("o", "s", "c"))
+    assert main(["corpus", "stream", "--input", str(d), "--output", outp,
+                 "--stats", stats, "--checkpoint", ckpt,
+                 "--stages", str(spath)]) == 0
+    assert "1 in, 1 kept" in capsys.readouterr().err

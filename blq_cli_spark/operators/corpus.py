@@ -690,6 +690,10 @@ def pipeline(
        "buckets": 256, "seed": 0}                    DSIR importance resample
       {"op": "extract"}                              strip HTML markup in place
       {"op": "normalize", "form": "NFC"}             Unicode-normalize in place
+      {"op": "c4-lines", "min_words_per_line": 5,
+       "drop_empty": true}                           C4 line rules in place
+      {"op": "dedup-paragraphs", "drop_empty": true} first-occurrence paragraph
+                                                     dedup (rewrites text)
 
     Every stage keeps the input schema (clean-spans rewrites `text_col`
     in place), so stages compose in any order. With audit=True also

@@ -1417,6 +1417,16 @@ def cmd_embeddings(args) -> int:
         out = similarity.quantize_embeddings(emb, vec_col=vc, id_col=ic)
     elif act == "normalize":
         out = similarity.l2_normalize(emb, id_col=ic, vec_col=vc)
+    elif act == "eval":
+        queries = (
+            spark.read.parquet(args.queries)
+            if args.queries
+            else emb.orderBy(ic).limit(args.n_queries)
+        )
+        method = args.method if args.method != "exact" else "ivf"
+        out = similarity.ann_recall(
+            emb, queries, method=method, k=args.k, id_col=ic, vec_col=vc
+        )
     elif act == "topk":
         queries = (
             spark.read.parquet(args.queries)
@@ -2720,7 +2730,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("emb_action",
                     choices=["topk", "quantize", "normalize", "neardup",
                              "semantic-dedup", "cluster", "decontaminate",
-                             "report", "pca",
+                             "report", "pca", "eval",
                              "index-build", "index-append", "index-search",
                              "index-info", "index-compact"])
     sp.add_argument("--input", required=True, help="embedding parquet path")

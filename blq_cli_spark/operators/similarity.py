@@ -375,7 +375,7 @@ def _with_bucket(
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -387,7 +387,14 @@ def lsh_bucket_topk(
     recall knob mirroring IVF's nprobe. The bucket join shuffles on a
     2^planes key — partitionable, unlike a cross join; at real scale
     planes grows with the corpus so buckets stay bounded and join
-    parallelism stays high."""
+    parallelism stays high.
+
+    planes=None derives 8 seeded hyperplanes from the vector dimension
+    (one bounded first() peek) — the CLI/serve default; pass explicit
+    planes for reproducible cross-engine gates."""
+    if planes is None:
+        dim = len(queries.select(vec_col).first()[0])
+        planes = random_planes(n_planes=8, dim=dim)
     q = _with_bucket(
         queries, planes, id_col, vec_col, "qid", probes=probes
     ).withColumnRenamed("vec", "qv")
@@ -934,4 +941,68 @@ def l2_normalize(
     )
     return df.withColumn(out, scaled.alias(out)) if out != vec_col else (
         df.withColumn(vec_col, scaled)
+    )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    method: str = "ivf",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Recall of an approximate ANN path against the exact brute-force
+    truth on the SAME inputs: one row (method, k, n_queries, n_truth,
+    n_hit, recall) — the acceptance check a pipeline runs before
+    trusting an index at scale (rounded to 6 decimals; deterministic
+    given the seeded planes/centroids).
+
+    Scale shape: both sides are the existing scale-shaped operators
+    (broadcast queries, bucket/cell equi-joins); the comparison is a
+    left-semi join of the approximate pairs against the truth pairs —
+    k * |queries| rows on each side, broadcast-sized by the queries
+    contract. The corpus is scanned twice (truth + approximate), which
+    is the point of the measurement."""
+    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        approx = lsh_bucket_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    elif method == "ivf":
+        approx = ivf_topk(
+            corpus, queries,
+            kwargs.pop("centroids", None)
+            or ivf_train_centroids(
+                corpus, n_cells=kwargs.pop("k_cells", 16),
+                id_col=id_col, vec_col=vec_col,
+            ),
+            k=k, id_col=id_col, vec_col=vec_col, **kwargs,
+        )
+    elif method == "quantized":
+        approx = cosine_topk_quantized(
+            quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col),
+            queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs,
+        )
+    else:
+        raise ValueError(f"unknown ann method: {method}")
+    t = truth.select("qid", "nid")
+    hits = approx.select("qid", "nid").join(t, ["qid", "nid"], "left_semi")
+    return (
+        t.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(
+            queries.agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+        .select(
+            F.lit(method).alias("method"),
+            F.lit(k).alias("k"),
+            "n_queries",
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
     )

@@ -631,6 +631,16 @@ def _embeddings(
         out = similarity.quantize_embeddings(emb, vec_col=vec_col, id_col=id_col)
     elif action == "normalize":
         out = similarity.l2_normalize(emb, id_col=id_col, vec_col=vec_col)
+    elif action == "eval":
+        qdf = (
+            spark.read.parquet(queries)
+            if queries
+            else emb.orderBy(id_col).limit(n_queries)
+        )
+        out = similarity.ann_recall(
+            emb, qdf, method=method if method != "exact" else "ivf",
+            k=k, id_col=id_col, vec_col=vec_col,
+        )
     elif action == "topk":
         qdf = (
             spark.read.parquet(queries)

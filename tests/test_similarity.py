@@ -444,3 +444,74 @@ def test_cli_embeddings_normalize(tmp_path, capsys):
     assert main(["embeddings", "normalize", "--input", src,
                  "--output", outp]) == 0
     assert spark.read.parquet(outp).first()["embedding"] == [1.0, 0.0]
+
+
+def test_ann_recall_evaluator(spark):
+    """ann_recall equals the hand-computed set intersection and is 1.0
+    when the 'approximate' path degenerates to exhaustive probing."""
+    import numpy as np
+
+    from blq_cli_spark.operators import similarity
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(4, 8)) * 3
+    rows = [(i, (centers[i % 4] + rng.normal(size=8) * 0.2).tolist())
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+
+    cents = similarity.ivf_train_centroids(emb, n_cells=4, iters=3)
+    r = similarity.ann_recall(
+        emb, qs, method="ivf", k=3, centroids=cents, nprobe=2
+    ).first()
+    truth = {(x["qid"], x["nid"])
+             for x in similarity.cosine_topk(emb, qs, k=3).collect()}
+    approx = {(x["qid"], x["nid"])
+              for x in similarity.ivf_topk(emb, qs, cents, k=3, nprobe=2).collect()}
+    assert r["n_truth"] == len(truth) == 15
+    assert r["n_hit"] == len(truth & approx)
+    assert abs(r["recall"] - round(len(truth & approx) / len(truth), 6)) < 1e-12
+    # exhaustive probing -> perfect recall
+    full = similarity.ann_recall(
+        emb, qs, method="ivf", k=3, centroids=cents, nprobe=4
+    ).first()
+    assert full["recall"] == 1.0
+
+
+def test_cli_embeddings_eval(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-anneval")
+    src = str(tmp_path / "emb.parquet")
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    spark.createDataFrame(
+        [(i, rng.normal(size=6).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    assert main(["embeddings", "eval", "--input", src, "--method", "lsh",
+                 "-k", "3", "--n-queries", "4"]) == 0
+    assert "recall" in capsys.readouterr().out
+
+
+def test_cli_embeddings_topk_lsh_default_planes(tmp_path, capsys):
+    """Regression: the CLI lsh topk path passed no planes and crashed
+    with a TypeError (latent until round 5 — only the gate path, which
+    passes explicit planes, was exercised)."""
+    import numpy as np
+
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-lsh-topk")
+    src = str(tmp_path / "emb.parquet")
+    rng = np.random.default_rng(9)
+    spark.createDataFrame(
+        [(i, rng.normal(size=6).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    assert main(["embeddings", "topk", "--input", src, "--method", "lsh",
+                 "-k", "3", "--n-queries", "3"]) == 0
+    assert "qid" in capsys.readouterr().out

@@ -169,6 +169,12 @@ def main() -> None:
             "ivf_index_search": lambda: ann_ops.ivf_search_index(
                 spark, f"{tmp}/ivfidx_{tag}", queries, k=5, nprobe=2
             ),
+            "dedup_paragraphs": lambda: quality.dedup_paragraphs(docs),
+            "c4_line_rules": lambda: quality.c4_line_rules(docs),
+            "pmi_pairs": lambda: text_ops.pmi_pairs(docs, top_k=100,
+                                                    min_count=3),
+            "zipf_fit": lambda: text_ops.zipf_fit(docs, top_k=1000),
+            "l2_normalize": lambda: similarity.l2_normalize(emb),
         }
 
     # warm codegen/python workers on 1x (not timed)

@@ -971,14 +971,15 @@ def ann_recall(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **kwargs
         )
     elif method == "ivf":
+        cents = kwargs.pop("centroids", None)
+        k_cells = kwargs.pop("k_cells", 16)  # unused when centroids given
+        if cents is None:
+            cents = ivf_train_centroids(
+                corpus, n_cells=k_cells, id_col=id_col, vec_col=vec_col
+            )
         approx = ivf_topk(
-            corpus, queries,
-            kwargs.pop("centroids", None)
-            or ivf_train_centroids(
-                corpus, n_cells=kwargs.pop("k_cells", 16),
-                id_col=id_col, vec_col=vec_col,
-            ),
-            k=k, id_col=id_col, vec_col=vec_col, **kwargs,
+            corpus, queries, cents, k=k, id_col=id_col, vec_col=vec_col,
+            **kwargs,
         )
     elif method == "quantized":
         approx = cosine_topk_quantized(

@@ -2610,7 +2610,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "buckets", "pack-report", "token-sample", "split",
                  "train-tokenizer", "encode", "bpe-fertility",
                  "shard-manifest", "sweep", "extract", "normalize",
-                 "stream", "pmi", "zipf", "c4-lines"],
+                 "stream", "pmi", "zipf", "c4-lines", "gopher-lines"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")

@@ -2047,3 +2047,55 @@ def x_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("u", 1), 6).alias("c0"),
         F.round(nrm, 6).alias("unit_norm"),
     )
+
+
+_GOPHER_LINES_TAIL = ("\n- bullet item one"
+                      "\n* bullet item two"
+                      "\nthis preview line trails off...")
+
+
+@gate(
+    "x_gopher_line_rules",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || chr(10) || '- bullet item one'
+                  || chr(10) || '* bullet item two'
+                  || chr(10) || 'this preview line trails off...' AS t
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw),
+    m AS (
+      SELECT doc_id, len(ls) AS n,
+             len(list_filter(ls, x ->
+                 regexp_matches(trim(x), '^[-*•]'))) AS nb,
+             len(list_filter(ls, x ->
+                 regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ne
+      FROM l
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+           round(nb / greatest(n, 1), 6) AS bullet_ratio,
+           round(ne / greatest(n, 1), 6) AS ellipsis_ratio,
+           round(nb / greatest(n, 1), 6) <= 0.9 AS bullet_ok,
+           round(ne / greatest(n, 1), 6) <= 0.3 AS ellipsis_ok,
+           (round(nb / greatest(n, 1), 6) <= 0.9
+            AND round(ne / greatest(n, 1), 6) <= 0.3) AS passes
+    FROM m
+    """,
+)
+def x_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINE-level Gopher rules (quality.gopher_line_rules, Rae et
+    al. arXiv:2112.11446 §A1.1 — bullet-line and ellipsis-line caps)
+    with two planted bullets and one planted ellipsis line per document.
+    One zero-shuffle projection, rules as codegen'd higher-order
+    filters."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_GOPHER_LINES_TAIL)).alias("t"),
+    )
+    return quality.gopher_line_rules(raw, text_col="t").withColumnRenamed(
+        "id", "doc_id"
+    )

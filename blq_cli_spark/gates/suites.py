@@ -235,6 +235,10 @@ _SPECS = {
           ("clean_text", "s")]),
         ("l2norm", llmdata.x_l2_normalize,
          [("vec_id", "s"), ("c0", "d"), ("unit_norm", "d")]),
+        ("gopher_lines", llmdata.x_gopher_line_rules,
+         [("doc_id", "s"), ("n_lines", "s"), ("bullet_ratio", "d"),
+          ("ellipsis_ratio", "d"), ("bullet_ok", "s"),
+          ("ellipsis_ok", "s"), ("passes", "s")]),
     ],
 }
 
@@ -310,6 +314,7 @@ _MEMBER_GATE = {
     "para_dedup": "x_dedup_paragraphs",
     "c4_lines": "x_c4_line_rules",
     "l2norm": "x_l2_normalize",
+    "gopher_lines": "x_gopher_line_rules",
     "pmi": "x_pmi_pairs",
     "zipf": "x_zipf_fit",
 }

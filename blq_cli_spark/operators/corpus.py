@@ -539,6 +539,8 @@ def run_action(
         return dedup_ops.duplicate_passages(docs, text_col=text_col, id_col=id_col)
     if action == "gopher":
         return quality.gopher_rules(docs, text_col=text_col, id_col=id_col)
+    if action == "gopher-lines":
+        return quality.gopher_line_rules(docs, text_col=text_col, id_col=id_col)
     if action == "classify":
         if not weights:
             raise ValueError("classify requires trained classifier weights")
@@ -715,6 +717,12 @@ def pipeline(
         op = spec.pop("op", None)
         if op == "gopher":
             flags = quality.gopher_rules(out, text_col=tc, id_col=id_col, **spec)
+            keep = flags.filter(F.col("passes")).select(F.col("id").alias(id_col))
+            out = out.join(keep, id_col, "left_semi")
+        elif op == "gopher-lines":
+            flags = quality.gopher_line_rules(
+                out, text_col=tc, id_col=id_col, **spec
+            )
             keep = flags.filter(F.col("passes")).select(F.col("id").alias(id_col))
             out = out.join(keep, id_col, "left_semi")
         elif op == "classify":

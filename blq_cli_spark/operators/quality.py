@@ -655,3 +655,45 @@ def c4_clean_text(text: Column, min_words_per_line: int = 5) -> Column:
     return F.array_join(
         _c4_kept_lines(F.split(text, "\n"), min_words_per_line), "\n"
     )
+
+
+def gopher_line_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+) -> DataFrame:
+    """The two LINE-level Gopher rules (Rae et al. arXiv:2112.11446
+    §A1.1) that complete gopher_rules' token-level set: drop documents
+    where more than 90% of lines start with a bullet character or more
+    than 30% end with an ellipsis — the list-page and truncated-preview
+    tells. Returns (id, n_lines, bullet_ratio, ellipsis_ratio,
+    bullet_ok, ellipsis_ok, passes); ratios round to 6.
+
+    Scale shape: ONE zero-shuffle projection — the line array splits
+    once, each rule is a codegen'd higher-order filter (the
+    c4_line_rules shape)."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    ellipses = F.size(
+        F.filter(
+            lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+        )
+    )
+    bullet_ratio = F.round(bullets / F.greatest(n, F.lit(1)), 6)
+    ellipsis_ratio = F.round(ellipses / F.greatest(n, F.lit(1)), 6)
+    bullet_ok = bullet_ratio <= max_bullet_ratio
+    ellipsis_ok = ellipsis_ratio <= max_ellipsis_ratio
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_lines"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        (bullet_ok & ellipsis_ok).alias("passes"),
+    )

@@ -490,7 +490,7 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
       "bpe-fertility/shard-manifest/sweep/extract/normalize/"
-      "dedup-paragraphs/pmi/zipf/c4-lines)")
+      "dedup-paragraphs/pmi/zipf/c4-lines/gopher-lines)")
 def _corpus(
     store: LogStore,
     action: str,

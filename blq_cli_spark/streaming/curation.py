@@ -34,8 +34,8 @@ from pyspark.sql import DataFrame
 
 # replay-safe (no persistent state folded) pipeline ops
 STATELESS_OPS = {
-    "extract", "normalize", "gopher", "classify", "clean-spans",
-    "c4-lines", "exact-dedup", "mix", "buckets",
+    "extract", "normalize", "gopher", "gopher-lines", "classify",
+    "clean-spans", "c4-lines", "exact-dedup", "mix", "buckets",
 }
 
 

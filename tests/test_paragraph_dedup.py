@@ -188,3 +188,30 @@ def test_run_action_text_validation_exempts_membership_ops(spark):
     # text ops fail with the column inventory
     with _pytest.raises(ValueError, match="use --text-col"):
         corpus_ops.run_action(no_text, "profile")
+
+
+def test_gopher_line_rules_hand_case(spark):
+    bullet_doc = "\n".join(["- a"] * 19 + ["text line"])      # 95% bullets
+    ellipsis_doc = "\n".join(["cut off..."] * 2 + ["ok", "…"])  # 75% ellipsis
+    clean_doc = "regular line\nanother regular line."
+    df = spark.createDataFrame(
+        [(1, bullet_doc), (2, ellipsis_doc), (3, clean_doc)],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in quality.gopher_line_rules(df).collect()}
+    assert not got[1]["bullet_ok"] and got[1]["ellipsis_ok"]
+    assert got[2]["bullet_ok"] and not got[2]["ellipsis_ok"]
+    assert got[3]["passes"]
+    assert got[1]["bullet_ratio"] == 0.95
+    assert got[2]["ellipsis_ratio"] == 0.75
+    assert not got[1]["passes"] and not got[2]["passes"]
+    assert "Exchange" not in plan_of(quality.gopher_line_rules(df))
+
+
+def test_pipeline_gopher_lines_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "\n".join(["- x"] * 10), "web"), (2, "fine line.", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = corpus_ops.pipeline(df, [{"op": "gopher-lines"}])
+    assert [r["doc_id"] for r in out.collect()] == [2]

@@ -489,11 +489,18 @@ def pmi_pairs(
     Returns (w1, w2, n_pair, pmi) ordered by rounded PMI desc then
     (w1, w2) — a deterministic LIMIT boundary.
 
-    Scale shape: bigram and unigram count tables are map-side-combinable
-    aggregates; the min_count filter prunes the heavy bigram tail BEFORE
-    any join; both unigram joins are plain equi-joins (corpus-derived,
-    unbounded — AQE may broadcast, we don't hint); the two grand totals
-    are single-row broadcasts; the final top-K is TakeOrderedAndProject."""
+    Scale shape — exactly THREE corpus scans, none repeated (the naive
+    form re-scans five times: the unigram table twice for its two join
+    roles plus once per grand total; measured via executedPlan):
+    one projection computes BOTH grand totals (Σ tokens, Σ bigrams) as
+    a single broadcast row; the unigram count table (vocabulary-sized,
+    far smaller than the corpus) materializes once via localCheckpoint
+    and serves both join roles; the bigram count table is built once
+    and consumed once. All count aggregates are map-side combinable;
+    the min_count filter prunes the heavy bigram tail BEFORE any join;
+    the unigram joins stay plain equi-joins (corpus-derived — AQE may
+    broadcast, we don't hint); the final top-K is
+    TakeOrderedAndProject."""
     toks = df.select(tokens(F.col(text_col)).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -508,20 +515,29 @@ def pmi_pairs(
             )
         ).alias("bg")
     ).select(F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    # scan 1: both grand totals in one singleton aggregate
+    t_all = df.select(tokens(F.col(text_col)).alias("t"))
+    totals = t_all.agg(
+        F.sum(F.size("t")).cast("double").alias("n"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+        .cast("double")
+        .alias("nb"),
+    )
+    # scan 2: the vocabulary table, materialized ONCE for its two join
+    # roles (without the cut it re-scans the corpus per role)
     uni = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
     )
-    tot_uni = uni.agg(F.sum("cw").cast("double").alias("n"))
+    # scan 3: the bigram count table, consumed once
     bc = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
-    tot_big = bc.agg(F.sum("cvw").cast("double").alias("nb"))
     j = (
         bc.filter(F.col("cvw") >= min_count)
         .join(uni.select(F.col("w").alias("v"), F.col("cw").alias("cv")), "v")
         .join(uni.select("w", F.col("cw").alias("cw2")), "w")
-        .join(F.broadcast(tot_uni))
-        .join(F.broadcast(tot_big))
+        .join(F.broadcast(totals))
     )
     pmi = F.round(
         F.log(

@@ -94,3 +94,21 @@ def test_cli_corpus_zipf(tmp_path, capsys):
     ).write.parquet(src)
     assert main(["corpus", "zipf", "--input", src]) == 0
     assert "slope" in capsys.readouterr().out
+
+
+def test_pmi_scan_count_bounded(spark, tmp_path):
+    """Regression: the naive form scanned the corpus FIVE times (unigram
+    table re-derived per join role + per grand total). The restructured
+    plan reads the input at most 3 times (totals, vocabulary, bigrams)."""
+    import re
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "w%d w%d w%d" % (i % 7, (i + 1) % 7, (i + 2) % 7))
+         for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = text_ops.pmi_pairs(spark.read.parquet(src), top_k=20, min_count=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) <= 3

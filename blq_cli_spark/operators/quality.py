@@ -202,7 +202,14 @@ def unigram_logprob(
         .repartition(parallelism, "id")
         .select("id", F.explode("t").alias("w"))
     )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # the frequency table materializes once (localCheckpoint): its two
+    # consumers (grand total + the token join) would otherwise each
+    # re-derive it with another full corpus scan
+    freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("c").alias("n"))
     return (
         toks.join(freq, "w")
@@ -303,10 +310,18 @@ def source_kl(
         .repartition(parallelism, "source")
         .select("source", F.explode("t").alias("w"))
     )
-    src = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # ONE corpus scan: the (source, token) counts materialize once and
+    # every other table is a rollup of them — per-source totals, the
+    # corpus token distribution, and the grand total (the naive form
+    # re-scanned the corpus for each: four reads)
+    src = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
-    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
-    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
+    corpus = src.groupBy("w").agg(F.sum("c").alias("cc"))
+    corpus_tot = src.agg(F.sum("c").alias("nn"))
     p = F.col("c") / F.col("n")
     q = F.col("cc") / F.col("nn")
     return (
@@ -580,13 +595,24 @@ def bigram_logprob(
             )
         ).alias("bg"),
     ).select("id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+    # the count tables materialize ONCE (localCheckpoint) so their
+    # multiple consumers don't each re-scan the corpus — the naive form
+    # read the input five times (per join role + per rollup); now the
+    # corpus is scanned three times (per-doc bigrams, unigram counts,
+    # bigram counts) and every derived table (context rollup, grand
+    # total) reads the checkpointed counts instead
     uni = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
     )
     total = uni.agg(F.sum("cw").alias("n"))
-    bcounts = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    bcounts = (
+        big.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cvw"))
+        .localCheckpoint(eager=False)
+    )
     ccounts = bcounts.groupBy("v").agg(F.sum("cvw").alias("cv"))
     p = F.lit(lam) * (F.col("cvw") / F.col("cv")) + F.lit(1.0 - lam) * (
         F.col("cw") / F.col("n")

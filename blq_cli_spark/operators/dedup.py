@@ -61,8 +61,13 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard). Quadratic in
     docs-per-shingle — use as oracle / verifier after LSH candidate
-    generation at scale."""
-    sh = _exploded_shingles(df, text_col, id_col, n)
+    generation at scale. The shingle table materializes ONCE
+    (localCheckpoint) for its four consumers (both self-join sides +
+    both size rollups) — the naive plan re-tokenized the corpus four
+    times."""
+    sh = _exploded_shingles(df, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1263,6 +1263,25 @@ def cmd_corpus(args) -> int:
         if not args.benchmark:
             print("corpus decontaminate: --benchmark PARQUET required", file=sys.stderr)
             return 2
+        paths = [p for p in args.benchmark.split(",") if p]
+        if len(paths) > 1:
+            # benchmark-suite form: per-benchmark attribution in one pass
+            from blq_cli_spark.operators import quality as quality_ops
+
+            benches = {
+                os.path.splitext(os.path.basename(p.rstrip("/")))[0]:
+                    spark.read.parquet(p)
+                for p in paths
+            }
+            out = quality_ops.decontaminate_multi(
+                docs, benches, text_col=args.text_col,
+                id_col=args.id_col, n=args.ngram,
+            )
+            if args.output:
+                _write_corpus_result(spark, out, args)
+            else:
+                _emit(out.limit(args.limit), args)
+            return 0
         bench = spark.read.parquet(args.benchmark)
     if args.corpus_action == "train-classifier":
         from blq_cli_spark.operators import classifier as classifier_ops

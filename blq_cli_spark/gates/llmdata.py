@@ -2099,3 +2099,50 @@ def x_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_line_rules(raw, text_col="t").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@gate(
+    "x_decontaminate_multi",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             ))) AS g
+      FROM tok WHERE len(t) >= 4
+    ),
+    corp AS (SELECT doc_id AS id, g FROM grams WHERE doc_id % 53 <> 0),
+    bench AS (
+      SELECT doc_id AS bench_id, g,
+             CASE WHEN doc_id % 2 = 0 THEN 'mmlu_like'
+                  ELSE 'gsm_like' END AS benchmark
+      FROM grams WHERE doc_id % 53 = 0
+    )
+    SELECT c.id AS id, b.benchmark,
+           CAST(count(DISTINCT c.g) AS BIGINT) AS n_gram_hits,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY c.id, b.benchmark
+    HAVING count(DISTINCT c.g) >= 1
+    """,
+)
+def x_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-suite decontamination (quality.decontaminate_multi):
+    every doc_id % 53 == 0 document becomes benchmark material, split
+    into two named benchmarks by parity — contaminated corpus docs are
+    attributed per benchmark. One corpus read; the union of tagged
+    benchmark shingles broadcasts."""
+    from blq_cli_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return quality.decontaminate_multi(
+        corpus,
+        {
+            "mmlu_like": bench.filter(F.col("doc_id") % 2 == 0),
+            "gsm_like": bench.filter(F.col("doc_id") % 2 != 0),
+        },
+        n=4,
+    )

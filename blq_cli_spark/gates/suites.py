@@ -235,6 +235,9 @@ _SPECS = {
           ("clean_text", "s")]),
         ("l2norm", llmdata.x_l2_normalize,
          [("vec_id", "s"), ("c0", "d"), ("unit_norm", "d")]),
+        ("decon_multi", llmdata.x_decontaminate_multi,
+         [("id", "s"), ("benchmark", "s"), ("n_gram_hits", "s"),
+          ("n_bench_docs", "s")]),
         ("gopher_lines", llmdata.x_gopher_line_rules,
          [("doc_id", "s"), ("n_lines", "s"), ("bullet_ratio", "d"),
           ("ellipsis_ratio", "d"), ("bullet_ok", "s"),
@@ -315,6 +318,7 @@ _MEMBER_GATE = {
     "c4_lines": "x_c4_line_rules",
     "l2norm": "x_l2_normalize",
     "gopher_lines": "x_gopher_line_rules",
+    "decon_multi": "x_decontaminate_multi",
     "pmi": "x_pmi_pairs",
     "zipf": "x_zipf_fit",
 }

@@ -723,3 +723,54 @@ def gopher_line_rules(
         ellipsis_ok.alias("ellipsis_ok"),
         (bullet_ok & ellipsis_ok).alias("passes"),
     )
+
+
+def decontaminate_multi(
+    corpus: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-suite decontamination: one pass flags overlap against
+    EVERY benchmark at once and reports which — real pipelines screen
+    dozens of eval sets, and per-benchmark attribution decides whether
+    to drop a document or an entire source. Returns (id, benchmark,
+    n_gram_hits, n_bench_docs), one row per contaminated (doc,
+    benchmark) pair with >= min_overlap distinct shared n-gram shingles.
+
+    Scale shape — identical to decontaminate: the union of all
+    benchmark shingle sets (still MBs next to a TB corpus) broadcasts
+    with a benchmark-name tag, the corpus scan joins map-side with NO
+    shuffle, and only matched rows reach the (id, benchmark)
+    aggregation. One corpus read regardless of benchmark count."""
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("t")
+        )
+        return toks.select(
+            out_id,
+            F.explode(F.array_distinct(_raw_ngrams(F.col("t"), n))).alias("g"),
+        )
+
+    tagged = None
+    for name, bench in benchmarks.items():
+        part = shingles(bench, "bench_id").withColumn(
+            "benchmark", F.lit(name)
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        raise ValueError("decontaminate_multi: no benchmarks given")
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    corp_g = shingles(corpus.repartition(parallelism, id_col), "id")
+    return (
+        corp_g.join(F.broadcast(tagged), "g")
+        .groupBy("id", "benchmark")
+        .agg(
+            F.countDistinct("g").alias("n_gram_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_gram_hits") >= min_overlap)
+    )

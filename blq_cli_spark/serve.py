@@ -549,6 +549,26 @@ def _corpus(
                     "rows": store.spark.read.parquet(output).count()}
         return {"rows": _rows(out, limit)}
     docs = store.spark.read.parquet(input)
+    if action == "decontaminate" and benchmark and "," in benchmark:
+        # benchmark-suite form: comma-separated paths, one pass,
+        # per-benchmark attribution (quality.decontaminate_multi)
+        import os as _os
+
+        from blq_cli_spark.operators import quality as quality_ops
+
+        benches = {
+            _os.path.splitext(_os.path.basename(p.rstrip("/")))[0]:
+                store.spark.read.parquet(p)
+            for p in benchmark.split(",") if p
+        }
+        out = quality_ops.decontaminate_multi(
+            docs, benches, text_col=text_col, id_col=id_col, n=ngram
+        )
+        if output:
+            out.write.mode("overwrite").parquet(output)
+            return {"written": output,
+                    "rows": store.spark.read.parquet(output).count()}
+        return {"rows": _rows(out, limit)}
     bench = store.spark.read.parquet(benchmark) if benchmark else None
     tgt = None
     if action == "select":

@@ -443,3 +443,57 @@ def test_perplexity_buckets_null_lang_and_empty_text_survive(spark):
     # the null-lang stratum buckets among itself: common-token doc 4
     # above unique-token doc 5
     assert out[4]["ppl_bucket"] == 1 and out[5]["ppl_bucket"] == 0
+
+
+def test_decontaminate_multi_attributes_benchmarks(spark):
+    from blq_cli_spark.operators import quality
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five"),
+         (3, "totally clean words here now")],
+        "doc_id long, text string",
+    )
+    benches = {
+        "bench_a": spark.createDataFrame(
+            [(100, "alpha beta gamma delta zeta")], "doc_id long, text string"
+        ),
+        "bench_b": spark.createDataFrame(
+            [(200, "one two three four nine")], "doc_id long, text string"
+        ),
+    }
+    got = {
+        (r["id"], r["benchmark"]): r["n_gram_hits"]
+        for r in quality.decontaminate_multi(corpus, benches, n=4).collect()
+    }
+    assert got == {(1, "bench_a"): 1, (2, "bench_b"): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no benchmarks"):
+        quality.decontaminate_multi(corpus, {})
+
+
+def test_cli_decontaminate_multi(tmp_path, capsys):
+    from blq_cli_spark.cli import main
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="test-cli-deconmulti")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    b1 = str(tmp_path / "mmlu.parquet")
+    spark.createDataFrame(
+        [(9, "alpha beta gamma delta", "b")],
+        "doc_id long, text string, source string",
+    ).write.parquet(b1)
+    b2 = str(tmp_path / "gsm.parquet")
+    spark.createDataFrame(
+        [(8, "unrelated benchmark words entirely", "b")],
+        "doc_id long, text string, source string",
+    ).write.parquet(b2)
+    assert main(["corpus", "decontaminate", "--input", src,
+                 "--benchmark", f"{b1},{b2}"]) == 0
+    out = capsys.readouterr().out
+    assert "mmlu" in out and "benchmark" in out

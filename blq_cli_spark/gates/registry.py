@@ -67,7 +67,10 @@ DRIVER_ORDER = [
     "q12_priority_by_status",
     "q14_promo_revenue",
     "q19_brand_size_quantity",
-    "q15_top_supplier",
+    # round 6: q_deep_suite hash-checks the 9 deepest TPC-H shapes
+    # (q2/q8/q9/q11/q13/q16/q17/q20/q21) + q15 in one driver row
+    # (VERDICT r5 ask #2); q15's individual slot funds the suite row.
+    "q_deep_suite",
     "q22_dormant_customers",
     "w_serial_latest_suite",
     "w_analytics_suite",

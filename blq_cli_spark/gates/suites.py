@@ -31,6 +31,7 @@ from blq_cli_spark.gates import (
     llmdata,
     relational,
     scalar_fns,
+    tpch,
     windows,
 )
 from blq_cli_spark.gates.registry import gate, oracle_of
@@ -153,6 +154,33 @@ _SPECS = {
          [("event_type", "s"), ("p50", "d"), ("p95", "d"), ("p99", "d")]),
         ("group_by_all", context_ops.a8_group_by_all,
          [("event_type", "s"), ("day", "s"), ("n", "s"), ("total", "d")]),
+    ],
+    # round 6: rotate the 9 previously-local-only deep TPC-H shapes
+    # (VERDICT r5 ask #2) into the driver window as one union gate;
+    # q15 folds in too, freeing its individual slot for the suite row.
+    # These are the most complex relational plans in the repo (deepest
+    # join tree, correlated scalar subqueries, NOT EXISTS + EXISTS pair,
+    # two-level aggregation, min-cost correlated join).
+    "q_deep_suite": [
+        ("q2", tpch.q2_min_cost_supplier,
+         [("s_acctbal", "d"), ("s_name", "s"), ("n_name", "s"),
+          ("p_partkey", "s"), ("p_name", "s"), ("supplycost", "d")]),
+        ("q8", tpch.q8_market_share, [("o_year", "s"), ("mkt_share", "d")]),
+        ("q9", tpch.q9_product_type_profit,
+         [("nation", "s"), ("o_year", "s"), ("sum_profit", "d")]),
+        ("q11", tpch.q11_important_stock, [("partkey", "s"), ("val", "d")]),
+        ("q13", tpch.q13_customer_distribution,
+         [("c_count", "s"), ("custdist", "s")]),
+        ("q16", tpch.q16_supplier_relationship,
+         [("p_brand", "s"), ("p_type", "s"), ("p_size", "s"),
+          ("supplier_cnt", "s")]),
+        ("q17", tpch.q17_small_quantity_revenue, [("avg_yearly", "d")]),
+        ("q20", tpch.q20_promotion_suppliers,
+         [("s_name", "s"), ("s_acctbal", "d")]),
+        ("q21", tpch.q21_waiting_suppliers,
+         [("s_name", "s"), ("numwait", "s")]),
+        ("q15", tpch.q15_top_supplier,
+         [("s_suppkey", "s"), ("s_name", "s"), ("total_revenue", "d")]),
     ],
     "x_lm_suite": [
         ("winnow", llmdata.x_winnow_tokens,
@@ -321,6 +349,16 @@ _MEMBER_GATE = {
     "decon_multi": "x_decontaminate_multi",
     "pmi": "x_pmi_pairs",
     "zipf": "x_zipf_fit",
+    "q2": "q2_min_cost_supplier",
+    "q8": "q8_market_share",
+    "q9": "q9_product_type_profit",
+    "q11": "q11_important_stock",
+    "q13": "q13_customer_distribution",
+    "q16": "q16_supplier_relationship",
+    "q17": "q17_small_quantity_revenue",
+    "q20": "q20_promotion_suppliers",
+    "q21": "q21_waiting_suppliers",
+    "q15": "q15_top_supplier",
 }
 
 

@@ -3220,10 +3220,26 @@ PARSED_EVENT_DDL = (
 )
 
 
-def parse_df(df, fmt: str = "auto", id_col: str = "source_id", content_col: str = "content"):
+def parse_df(
+    df,
+    fmt: str = "auto",
+    id_col: str = "source_id",
+    content_col: str = "content",
+    use_jvm: bool = True,
+):
     """Distributed parse: each row is one log document; yields event rows.
-    Arrow-batched via mapInPandas — per-document parallelism (runs are
-    independent units; a 100 TB corpus is millions of documents)."""
+
+    The hottest formats take the JVM fast path (logparse_fast: pure
+    regexp_extract column pipelines, zero Python execution); the long
+    tail and fmt='auto' (per-document detection needs the full rule
+    table) stay on the Arrow-batched mapInPandas path — per-document
+    parallelism either way (runs are independent units; a 100 TB corpus
+    is millions of documents)."""
+    if use_jvm and fmt != "auto":
+        from blq_cli_spark.sources import logparse_fast
+
+        if fmt in logparse_fast.FAST_FORMATS:
+            return logparse_fast.fast_parse_df(df, fmt, id_col, content_col)
     import pandas as pd
 
     cols = PARSED_EVENT_DDL  # closure-safe copies

@@ -1,0 +1,483 @@
+"""JVM-side fast path for the hottest log formats (S3 bulk re-parse).
+
+`logparse.parse_df` routes every format through Arrow-batched Python
+regex (mapInPandas). For the twelve highest-volume formats this module
+compiles the same rule tables to pure-column Spark expressions:
+posexplode lines -> regexp_extract rule structs -> explode(array_compact)
+-> md5 fingerprint -> per-document row_number. Zero Python execution:
+the whole plan stays inside WholeStageCodegen / JVM regex, which is the
+Spark-first answer to the reference's compiled duck_hunt C++ extension
+(consumed at src/blq/query.py:139-229).
+
+Semantics contract: row-identical output to `logparse.parse_content`
+for each supported format, including the per-document fallback to the
+'generic' rules when a document yields no events for the requested
+format (reference fallback chain: src/blq/commands/core.py:2037-2102).
+tests/test_logparse_fast.py sweeps every fixture through both paths.
+Caveat: Java regex \\s/\\d/\\w are ASCII while Python's are
+Unicode-aware, so a message containing non-ASCII digits/whitespace can
+fingerprint differently; build-tool output is ASCII in practice and the
+Python path stays available via parse_df(..., use_jvm=False).
+
+100 TB shape: one scan of the (source_id, content) corpus, one explode,
+and per-document windows partitioned by source_id (never global) for
+the stateful formats + the event_index row_number. rustc's
+pending-error/location attachment is a per-(source_id, error-serial)
+groupBy — one map-side-combinable shuffle, no self-join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from blq_cli_spark.sources.logparse import _SEVERITY_ALIASES
+
+# splitlines() approximation: the three common line endings. (Python
+# splitlines also splits on \v/\f/\x85/U+2028...; tool output never
+# contains those as line separators in practice.) A trailing separator
+# yields a trailing '' element, which matches no rule — harmless.
+_LINE_SEP = "\r\n|\r|\n"
+
+# struct field order — fixed so rule structs union cleanly inside array()
+_FIELDS = [
+    ("event_type", "string"),
+    ("severity", "string"),
+    ("ref_file", "string"),
+    ("ref_line", "int"),
+    ("ref_column", "int"),
+    ("message", "string"),
+    ("code", "string"),
+    ("rule", "string"),
+    ("tool_name", "string"),
+    ("category", "string"),
+    ("test_name", "string"),
+    ("fingerprint", "string"),
+    ("log_line_start", "int"),
+    ("log_line_end", "int"),
+]
+
+def _line() -> Column:
+    return F.col("line")
+
+
+def _null(t: str) -> Column:
+    return F.lit(None).cast(t)
+
+
+def _strip(c: Column) -> Column:
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _x(pattern: str, idx: int, col: Column | None = None) -> Column:
+    return F.regexp_extract(col if col is not None else _line(), pattern, idx)
+
+
+def _opt(c: Column) -> Column:
+    """'' -> null: regexp_extract returns '' for an unmatched optional group."""
+    return F.nullif(c, F.lit(""))
+
+
+def _sev(c: Column) -> Column:
+    """JVM twin of logparse._norm_severity (alias map, default 'info')."""
+    key = F.lower(_strip(c))
+    expr = None
+    for k, v in _SEVERITY_ALIASES.items():
+        expr = (F.when if expr is None else expr.when)(key == k, F.lit(v))
+    return expr.otherwise(F.lit("info"))
+
+
+def _fingerprint(tool: str, key: Column, message: Column) -> Column:
+    """JVM twin of logparse.fingerprint_of: md5('tool|key|norm(message))'
+    with hex literals -> H, digit runs -> N, whitespace collapsed."""
+    n = F.regexp_replace(message, "0x[0-9a-fA-F]+", "H")
+    n = F.regexp_replace(n, "[0-9]+", "N")
+    n = F.regexp_replace(n, r"\s+", " ")
+    norm = F.lower(F.trim(n))
+    return F.md5(F.concat(F.lit(tool + "|"), F.coalesce(key, F.lit("")), F.lit("|"), norm))
+
+
+def _ev(
+    tool: str,
+    category: str,
+    severity: Column,
+    message: Column,
+    line_no: Column | None = None,
+    *,
+    file: Column | None = None,
+    line: Column | None = None,
+    col: Column | None = None,
+    code: Column | None = None,
+    rule: Column | None = None,
+    test_name: Column | None = None,
+    end_line_no: Column | None = None,
+    event_type: str = "diagnostic",
+) -> Column:
+    """Build one typed event struct (JVM twin of logparse._event)."""
+    if line_no is None:
+        line_no = F.col("line_no")
+    code_c = code if code is not None else _null("string")
+    rule_c = rule if rule is not None else _null("string")
+    vals = {
+        "event_type": F.lit(event_type),
+        "severity": severity,
+        "ref_file": file if file is not None else _null("string"),
+        "ref_line": (line if line is not None else _null("int")).cast("int"),
+        "ref_column": (col if col is not None else _null("int")).cast("int"),
+        "message": _strip(message),
+        "code": code_c,
+        "rule": rule_c,
+        "tool_name": F.lit(tool),
+        "category": F.lit(category),
+        "test_name": test_name if test_name is not None else _null("string"),
+        "fingerprint": _fingerprint(tool, F.coalesce(code_c, rule_c), message),
+        "log_line_start": line_no.cast("int"),
+        "log_line_end": (end_line_no if end_line_no is not None else line_no).cast("int"),
+    }
+    return F.struct(*[vals[n].cast(t).alias(n) for n, t in _FIELDS])
+
+
+def _lines(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("source_id"),
+        F.posexplode(F.split(F.coalesce(F.col(content_col), F.lit("")), _LINE_SEP)).alias(
+            "pos", "line"
+        ),
+    ).select("source_id", (F.col("pos") + 1).alias("line_no"), "line")
+
+
+def _explode_rules(lines: DataFrame, rules: list[tuple[Column, Column]]) -> DataFrame:
+    """One pass over the lines: evaluate every (condition, event-struct)
+    rule, keep the matches. Rules within a format match disjoint lines
+    (asserted by the Python parsers' control flow), so per-line order is
+    immaterial."""
+    arr = F.array(*[F.when(cond, ev) for cond, ev in rules])
+    return lines.select("source_id", F.explode(F.array_compact(arr)).alias("ev"))
+
+
+def _doc_window() -> Window:
+    return Window.partitionBy("source_id").orderBy("line_no")
+
+
+def _carry(c: Column) -> Column:
+    """Forward-fill a header value down the document (eslint/jest/go
+    current-file/current-test state)."""
+    return F.last(c, ignorenulls=True).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+# --- per-format builders: lines df -> (source_id, ev struct) ----------------
+
+_GCC = r"^([^\s:][^:]*):(\d+):(?:(\d+):)?\s*(fatal error|error|warning|note):\s*(.*)$"
+
+
+def _f_gcc(lines: DataFrame) -> DataFrame:
+    ev = _ev(
+        "gcc", "compile", _sev(_x(_GCC, 4)), _x(_GCC, 5),
+        file=_x(_GCC, 1), line=_x(_GCC, 2), col=_opt(_x(_GCC, 3)),
+    )
+    return _explode_rules(lines, [(_line().rlike(_GCC), ev)])
+
+
+_MYPY = (
+    r"^([^\s:][^:]*\.pyi?):(\d+)(?::(\d+))?:\s*"
+    r"(error|warning|note):\s*(.*?)(?:\s+\[([a-z0-9-]+)\])?$"
+)
+
+
+def _f_mypy(lines: DataFrame) -> DataFrame:
+    ev = _ev(
+        "mypy", "typecheck", _sev(_x(_MYPY, 4)), _x(_MYPY, 5),
+        file=_x(_MYPY, 1), line=_x(_MYPY, 2), col=_opt(_x(_MYPY, 3)),
+        code=_opt(_x(_MYPY, 6)),
+    )
+    return _explode_rules(lines, [(_line().rlike(_MYPY), ev)])
+
+
+_TSC = (
+    r"^([^\s(][^(]*)\((\d+),(\d+)\):\s*(error|warning)\s+(TS\d+):\s*(.*)$"
+)
+
+
+def _f_tsc(lines: DataFrame) -> DataFrame:
+    ev = _ev(
+        "tsc", "compile", _sev(_x(_TSC, 4)), _x(_TSC, 6),
+        file=_x(_TSC, 1), line=_x(_TSC, 2), col=_x(_TSC, 3), code=_x(_TSC, 5),
+    )
+    return _explode_rules(lines, [(_line().rlike(_TSC), ev)])
+
+
+_MAVEN = r"^\[(ERROR|WARNING)\]\s+(?:([^\s\[]+):\[(\d+),(\d+)\]\s*)?(.+)$"
+
+
+def _f_maven(lines: DataFrame) -> DataFrame:
+    ev = _ev(
+        "maven", "build", _sev(_x(_MAVEN, 1)), _x(_MAVEN, 5),
+        file=_opt(_x(_MAVEN, 2)), line=_opt(_x(_MAVEN, 3)), col=_opt(_x(_MAVEN, 4)),
+    )
+    return _explode_rules(lines, [(_line().rlike(_MAVEN), ev)])
+
+
+_GOLANGCI = (
+    r"^([^\s:][^:]*\.go):(\d+):(?:(\d+):)?\s*(.*?)\s+\(([a-z][\w-]*)\)$"
+)
+
+
+def _f_golangci(lines: DataFrame) -> DataFrame:
+    ev = _ev(
+        "golangci-lint", "lint", F.lit("warning"), _x(_GOLANGCI, 4),
+        file=_x(_GOLANGCI, 1), line=_x(_GOLANGCI, 2), col=_opt(_x(_GOLANGCI, 3)),
+        rule=_x(_GOLANGCI, 5),
+    )
+    return _explode_rules(lines, [(_line().rlike(_GOLANGCI), ev)])
+
+
+_GENERIC = r"(?i)\b(error|warning|fatal)\b[:\s]+(.*)$"
+
+
+def _f_generic(lines: DataFrame) -> DataFrame:
+    # Python uses .search + requires a non-empty message; regexp_extract
+    # is find()-based so unanchored search semantics match.
+    ev = _ev("generic", "log", _sev(_x(_GENERIC, 1)), _x(_GENERIC, 2))
+    return _explode_rules(
+        lines, [(_line().rlike(_GENERIC) & (_x(_GENERIC, 2) != ""), ev)]
+    )
+
+
+_PYTEST_FAILED = r"^(FAILED|ERROR)\s+([^\s:]+)::([^\s]+?)(?:\s+-\s+(.*))?$"
+_PYTEST_ASSERT = r"^E\s+(.+)$"
+
+
+def _f_pytest(lines: DataFrame) -> DataFrame:
+    msg = F.coalesce(
+        _opt(_x(_PYTEST_FAILED, 4)),
+        F.concat(_x(_PYTEST_FAILED, 1), F.lit(" "), _x(_PYTEST_FAILED, 3)),
+    )
+    fail_ev = _ev(
+        "pytest", "test", F.lit("error"), msg,
+        file=_x(_PYTEST_FAILED, 2), test_name=_x(_PYTEST_FAILED, 3),
+        event_type="test_result",
+    )
+    assert_ev = _ev("pytest", "test", F.lit("error"), _x(_PYTEST_ASSERT, 1))
+    return _explode_rules(
+        lines,
+        [(_line().rlike(_PYTEST_FAILED), fail_ev), (_line().rlike(_PYTEST_ASSERT), assert_ev)],
+    )
+
+
+_ESLINT_FILE = r"^([^\s].*\.(?:js|jsx|ts|tsx|mjs|cjs|vue))$"
+_ESLINT_ISSUE = r"^\s+(\d+):(\d+)\s+(error|warning)\s+(.*?)\s{2,}([\w@/-]+)$"
+
+
+def _f_eslint(lines: DataFrame) -> DataFrame:
+    staged = lines.withColumn(
+        "cur_file", _carry(F.when(_line().rlike(_ESLINT_FILE), _x(_ESLINT_FILE, 1)))
+    )
+    ev = _ev(
+        "eslint", "lint", _sev(_x(_ESLINT_ISSUE, 3)), _x(_ESLINT_ISSUE, 4),
+        file=F.col("cur_file"), line=_x(_ESLINT_ISSUE, 1), col=_x(_ESLINT_ISSUE, 2),
+        rule=_x(_ESLINT_ISSUE, 5),
+    )
+    cond = _line().rlike(_ESLINT_ISSUE) & F.col("cur_file").isNotNull()
+    return _explode_rules(staged, [(cond, ev)])
+
+
+_GO_FAIL = r"^--- FAIL: (\S+)"
+_GO_LOC = r"^\s+([\w./-]+\.go):(\d+):\s*(.*)$"
+
+
+def _f_go(lines: DataFrame) -> DataFrame:
+    staged = lines.withColumn(
+        "cur_test", _carry(F.when(_line().rlike(_GO_FAIL), _x(_GO_FAIL, 1)))
+    )
+    fail_ev = _ev(
+        "go", "test", F.lit("error"),
+        F.concat(F.lit("FAIL: "), _x(_GO_FAIL, 1)),
+        test_name=_x(_GO_FAIL, 1), event_type="test_result",
+    )
+    loc_ev = _ev(
+        "go", "test", F.lit("error"), _x(_GO_LOC, 3),
+        file=_x(_GO_LOC, 1), line=_x(_GO_LOC, 2), test_name=F.col("cur_test"),
+    )
+    return _explode_rules(
+        staged,
+        [
+            (_line().rlike(_GO_FAIL), fail_ev),
+            (_line().rlike(_GO_LOC) & F.col("cur_test").isNotNull(), loc_ev),
+        ],
+    )
+
+
+_JEST_HDR = r"^\s*(FAIL|PASS)\s+([^\s]+)\s*$"
+_JEST_TEST = r"^\s*[✕x●]\s+(.+?)(?:\s+\(\d+\s*m?s\))?\s*$"
+
+
+def _f_jest(lines: DataFrame) -> DataFrame:
+    staged = lines.withColumn(
+        "cur_file", _carry(F.when(_line().rlike(_JEST_HDR), _x(_JEST_HDR, 2)))
+    )
+    hdr_ev = _ev(
+        "jest", "test", F.lit("error"),
+        F.concat(F.lit("FAIL "), _x(_JEST_HDR, 2)),
+        file=_x(_JEST_HDR, 2), event_type="test_result",
+    )
+    test_ev = _ev(
+        "jest", "test", F.lit("error"), _x(_JEST_TEST, 1),
+        file=F.col("cur_file"), test_name=_x(_JEST_TEST, 1),
+        event_type="test_result",
+    )
+    return _explode_rules(
+        staged,
+        [
+            (_line().rlike(_JEST_HDR) & (_x(_JEST_HDR, 1) == "FAIL"), hdr_ev),
+            (_line().rlike(_JEST_TEST) & F.col("cur_file").isNotNull(), test_ev),
+        ],
+    )
+
+
+_NPM = r"^npm (ERR!|WARN)\s+(?:([A-Z_]+)\s+)?(.*)$"
+_NPM_CODE = r"^code\s+([A-Z_][A-Z0-9_]*)$"
+
+
+def _f_npm(lines: DataFrame) -> DataFrame:
+    matched = _line().rlike(_NPM)
+    is_err = matched & (_x(_NPM, 1) == "ERR!")
+    staged = lines.withColumn(
+        "prev_err", F.coalesce(F.lag(is_err).over(_doc_window()), F.lit(False))
+    ).withColumn("is_err", is_err)
+    msg0 = _x(_NPM, 3)
+    code0 = _opt(_x(_NPM, 2))
+    has_code_line = msg0.rlike(_NPM_CODE)
+    code = F.when(has_code_line, F.regexp_extract(msg0, _NPM_CODE, 1)).otherwise(code0)
+    msg = F.when(has_code_line, F.concat(F.lit("code "), code)).otherwise(msg0)
+    # Python: `msg or code` — empty message falls back to the code
+    message = F.when(msg == "", code).otherwise(msg)
+    emit = (
+        matched
+        & ~(F.col("is_err") & F.col("prev_err"))  # collapse consecutive ERR! lines
+        & ((_strip(msg) != "") | code.isNotNull())
+    )
+    ev = _ev(
+        "npm", "build",
+        F.when(F.col("is_err"), "error").otherwise("warning"),
+        message, code=code,
+    )
+    return _explode_rules(staged, [(emit, ev)])
+
+
+_RUST_ERR = r"^(error|warning)(?:\[(E\d+)\])?:\s*(.*)$"
+_RUST_LOC = r"^\s*-->\s*([^:]+):(\d+):(\d+)\s*$"
+
+
+def _f_rustc(lines: DataFrame) -> DataFrame:
+    """Each error/warning line opens a pending event; the FIRST `-->`
+    location line before the next error attaches file/line/col (and
+    extends the span); otherwise the event is emitted bare. Expressed as
+    a running error-serial + one groupBy per (source_id, serial) — no
+    self-join, map-side combinable."""
+    err_m = _line().rlike(_RUST_ERR)
+    loc_m = _line().rlike(_RUST_LOC)
+    grp = F.sum(err_m.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        lines.withColumn("is_err", err_m)
+        .withColumn("is_loc", loc_m)
+        .filter(err_m | loc_m)
+        .withColumn("grp", grp)
+    )
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_err"),
+                F.struct(
+                    F.col("line_no"),
+                    _x(_RUST_ERR, 1).alias("sev"),
+                    _opt(_x(_RUST_ERR, 2)).alias("code"),
+                    _x(_RUST_ERR, 3).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_loc"),
+                F.struct(
+                    F.col("line_no"),
+                    _x(_RUST_LOC, 1).alias("file"),
+                    _x(_RUST_LOC, 2).alias("loc_line"),
+                    _x(_RUST_LOC, 3).alias("loc_col"),
+                ),
+            )
+        ).alias("loc"),
+    )
+    ev = _ev(
+        "rustc", "compile",
+        _sev(F.col("err.sev")), F.col("err.msg"),
+        line_no=F.col("err.line_no"),
+        file=F.col("loc.file"), line=F.col("loc.loc_line"), col=F.col("loc.loc_col"),
+        code=F.col("err.code"),
+        end_line_no=F.coalesce(F.col("loc.line_no"), F.col("err.line_no")),
+    )
+    return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+FAST_FORMATS: dict[str, object] = {
+    "gcc": _f_gcc,
+    "mypy": _f_mypy,
+    "tsc": _f_tsc,
+    "maven": _f_maven,
+    "golangci_lint": _f_golangci,
+    "generic": _f_generic,
+    "pytest": _f_pytest,
+    "eslint": _f_eslint,
+    "go_test": _f_go,
+    "jest": _f_jest,
+    "npm": _f_npm,
+    "rustc": _f_rustc,
+}
+
+
+def fast_parse_df(
+    df: DataFrame, fmt: str, id_col: str = "source_id", content_col: str = "content"
+) -> DataFrame:
+    """Pure-column twin of logparse.parse_df for fmt in FAST_FORMATS,
+    including the per-document fallback to 'generic' when the requested
+    format yields no events (parse_content semantics)."""
+    lines = _lines(df, id_col, content_col)
+    ev = FAST_FORMATS[fmt](lines).withColumn("format_used", F.lit(fmt))
+    if fmt != "generic":
+        gen = _f_generic(lines).withColumn("format_used", F.lit("generic"))
+        both = ev.unionByName(gen)
+        n_fmt = F.sum((F.col("format_used") == fmt).cast("int")).over(
+            Window.partitionBy("source_id")
+        )
+        ev = both.withColumn("_n_fmt", n_fmt).filter(
+            F.when(F.col("_n_fmt") > 0, F.col("format_used") == fmt).otherwise(
+                F.col("format_used") == "generic"
+            )
+        )
+    idx = F.row_number().over(
+        Window.partitionBy("source_id").orderBy(
+            F.col("ev.log_line_start"), F.col("ev.log_line_end")
+        )
+    )
+    return ev.select(
+        "source_id",
+        idx.alias("event_index"),
+        F.col("ev.event_type").alias("event_type"),
+        F.col("ev.severity").alias("severity"),
+        F.col("ev.ref_file").alias("ref_file"),
+        F.col("ev.ref_line").alias("ref_line"),
+        F.col("ev.ref_column").alias("ref_column"),
+        F.col("ev.message").alias("message"),
+        F.col("ev.code").alias("code"),
+        F.col("ev.rule").alias("rule"),
+        F.col("ev.tool_name").alias("tool_name"),
+        F.col("ev.category").alias("category"),
+        F.col("ev.test_name").alias("test_name"),
+        F.col("ev.fingerprint").alias("fingerprint"),
+        F.col("ev.log_line_start").alias("log_line_start"),
+        F.col("ev.log_line_end").alias("log_line_end"),
+        "format_used",
+    )

@@ -1,0 +1,147 @@
+"""JVM fast-path parity: logparse_fast.fast_parse_df must be
+row-identical to the Python parse_content path for every supported
+format (including the per-document fallback to 'generic'), and its
+plan must contain zero Python execution."""
+
+from __future__ import annotations
+
+import pytest
+
+from blq_cli_spark.sources import logparse as lp
+from blq_cli_spark.sources import logparse_fast as lpf
+from tests import test_logparse as fx
+
+RUST_TRAILING = """\
+error[E0308]: mismatched types
+ --> src/main.rs:5:9
+error: aborting due to previous error
+"""
+
+RUST_LOC_FIRST = """\
+ --> src/orphan.rs:1:1
+warning: unused variable: `x`
+error[E0599]: no method named `foo`
+ --> src/lib.rs:42:13
+note: some note line that matches nothing
+"""
+
+NPM_EDGE = """\
+npm WARN deprecated pkg@1.0.0: old
+npm ERR! code ELIFECYCLE
+npm ERR! errno 1
+npm ERR! app@1.0.0 build: `webpack`
+other line breaking the block
+npm ERR! Exit status 1
+npm ERR!{SP}
+""".replace("{SP}", " ")
+
+GENERIC_LOG = """\
+2024-01-01 boot ok
+FATAL: disk full at 0xdeadbeef sector 42
+something Error: widget 17 failed
+warning   no colon after keyword
+"""
+
+FALLBACK_LOG = """\
+no compiler lines here
+but one error: fell back to generic
+"""
+
+EMPTY_LOG = ""
+NOMATCH_LOG = "nothing to see\njust logs\n"
+
+CASES = {
+    "gcc": [fx.GCC_LOG, FALLBACK_LOG, EMPTY_LOG, NOMATCH_LOG],
+    "pytest": [fx.PYTEST_LOG, FALLBACK_LOG],
+    "mypy": [fx.MYPY_LOG, FALLBACK_LOG],
+    "eslint": [fx.ESLINT_LOG, FALLBACK_LOG],
+    "rustc": [fx.RUST_LOG, RUST_TRAILING, RUST_LOC_FIRST],
+    "go_test": [fx.GO_LOG, FALLBACK_LOG],
+    "maven": [fx.MAVEN_LOG, FALLBACK_LOG],
+    "tsc": [fx.TSC_LOG, FALLBACK_LOG],
+    "jest": [fx.JEST_LOG, FALLBACK_LOG],
+    "npm": [fx.NPM_LOG, NPM_EDGE, FALLBACK_LOG],
+    "golangci_lint": [fx.GOLANGCI_LOG, FALLBACK_LOG],
+    "generic": [GENERIC_LOG, EMPTY_LOG, NOMATCH_LOG],
+}
+
+_COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]
+
+
+def _python_rows(docs: list[tuple[str, str]], fmt: str) -> list[tuple]:
+    out = []
+    for sid, content in docs:
+        for idx, ev in enumerate(lp.parse_content(content, fmt), start=1):
+            ev = {"source_id": sid, "event_index": idx, **ev}
+            out.append(tuple(ev.get(k) for k in _COLS))
+    return sorted(out)
+
+
+def _spark_rows(spark, docs: list[tuple[str, str]], fmt: str) -> list[tuple]:
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    rows = lpf.fast_parse_df(df, fmt).collect()
+    return sorted(tuple(r[k] for k in _COLS) for r in rows)
+
+
+@pytest.mark.parametrize("fmt", sorted(CASES))
+def test_fast_path_matches_python(spark, fmt):
+    docs = [(f"d{i}", c) for i, c in enumerate(CASES[fmt])]
+    assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt)
+
+
+def test_fast_formats_all_registered():
+    missing = set(lpf.FAST_FORMATS) - set(lp.FORMATS)
+    assert not missing, f"fast formats not in the Python rule table: {missing}"
+
+
+def test_parse_df_routes_to_jvm(spark):
+    """parse_df with an explicit fast format must produce a plan with
+    zero Python execution; use_jvm=False keeps the mapInPandas path."""
+    df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
+    fast_plan = lp.parse_df(df, fmt="gcc")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "EvalPython", "ArrowEval"):
+        assert marker not in fast_plan
+    slow_plan = (
+        lp.parse_df(df, fmt="gcc", use_jvm=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in slow_plan
+    # and both paths agree on the result
+    fast = sorted(tuple(r) for r in lp.parse_df(df, fmt="gcc").collect())
+    slow = sorted(tuple(r) for r in lp.parse_df(df, fmt="gcc", use_jvm=False).collect())
+    assert fast == slow
+
+
+def test_auto_stays_python(spark):
+    """fmt='auto' needs per-document detection over the full rule table —
+    it must keep the Python path (and still parse correctly)."""
+    df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
+    plan = lp.parse_df(df, fmt="auto")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_fast_path_schema_matches_ddl(spark):
+    df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
+    fast = lp.parse_df(df, fmt="gcc")
+    slow = lp.parse_df(df, fmt="gcc", use_jvm=False)
+    assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+        (f.name, f.dataType) for f in slow.schema.fields
+    ]
+
+
+def test_mixed_corpus_event_index_and_fallback(spark):
+    """Event numbering restarts per document; a document that matches
+    nothing for the requested format falls back to generic rules with
+    format_used='generic' (parse_content semantics)."""
+    docs = [("a", fx.GCC_LOG), ("b", FALLBACK_LOG), ("c", EMPTY_LOG)]
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    rows = lp.parse_df(df, fmt="gcc").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_id"], []).append(r)
+    assert [r["event_index"] for r in sorted(by_src["a"], key=lambda r: r["event_index"])] == [1, 2]
+    assert {r["format_used"] for r in by_src["a"]} == {"gcc"}
+    assert {r["format_used"] for r in by_src["b"]} == {"generic"}
+    assert "c" not in by_src

@@ -45,6 +45,13 @@ HEADLINE = [
     "x_html_extract",
     "x_dedup_paragraphs",
     "x_pmi_pairs",
+    # round-6 additions (VERDICT r5 ask #8): deepest join tree, semantic
+    # dedup, the distributed-rank training shuffle, and the JVM log-parse
+    # fast path get round-over-round tracking
+    "q8_market_share",
+    "x_semantic_dedup",
+    "x_training_shuffle",
+    "x_parse_suite",
 ]
 
 

@@ -1,0 +1,206 @@
+"""Driver gate for the JVM log-parse fast path (S3 bulk re-parse).
+
+Synthesizes log documents deterministically from the `events` table —
+one gcc-style doc, one eslint-style doc (forward-fill file-header
+state), one rustc-style doc (error/location attachment) per user —
+parses them with logparse_fast's pure-column pipelines, and returns the
+extracted fields + fingerprints. The DuckDB oracle computes the SAME
+result analytically from the event rows (it knows the construction), so
+a hash match proves the whole parse pipeline: line splitting, per-rule
+regex extraction, severity normalization, stateful carry, span
+attachment, fingerprint normalization (hex->H, digits->N), and
+per-document event numbering. Zero Python execution on the Spark side
+(plan-asserted in tests/test_plan_quality.py).
+
+Reference capability: duck_hunt parse of captured logs, consumed at
+src/blq/query.py:139-229; fixture style mirrors tests/test_query_api.py.
+
+100 TB shape: the corpus (events) is scanned once per document family;
+doc assembly is one groupBy(user_id); parsing adds only per-document
+windows / one (source_id, serial) groupBy. Nothing global.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark.gates.registry import gate
+from blq_cli_spark.sources import logparse as lp
+from blq_cli_spark.sources.tables import table
+
+_OUT_COLS = [
+    "part", "source_id", "event_index", "severity", "ref_file", "ref_line",
+    "ref_column", "message", "code", "rule", "fingerprint",
+    "log_line_start", "log_line_end",
+]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+
+
+def _docs(per_event_lines: DataFrame, header: F.Column | None = None) -> DataFrame:
+    """(user_id, event_id, line) -> one document per user, lines in
+    event_id order (array_sort on the leading struct field), optional
+    header line prepended."""
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "line"))),
+            lambda x: x["line"],
+        ),
+    )
+    docs = per_event_lines.groupBy("user_id").agg(body.alias("body"))
+    content = F.col("body") if header is None else F.concat(header, F.lit("\n"), F.col("body"))
+    return docs.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("source_id"),
+        content.alias("content"),
+    )
+
+
+def _out(parsed: DataFrame, part: str) -> DataFrame:
+    return parsed.select(
+        F.lit(part).alias("part"),
+        "source_id",
+        F.col("event_index").cast("long").alias("event_index"),
+        "severity",
+        "ref_file",
+        F.col("ref_line").cast("long").alias("ref_line"),
+        F.col("ref_column").cast("long").alias("ref_column"),
+        "message",
+        "code",
+        "rule",
+        "fingerprint",
+        F.col("log_line_start").cast("long").alias("log_line_start"),
+        F.col("log_line_end").cast("long").alias("log_line_end"),
+    )
+
+
+@gate(
+    "x_parse_suite",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    gcc AS (
+      SELECT 'gcc' AS part,
+             'u' || CAST(user_id AS VARCHAR) AS source_id,
+             CAST(rn AS BIGINT) AS event_index,
+             CASE CAST(event_id % 4 AS INT)
+               WHEN 2 THEN 'warning' WHEN 3 THEN 'note' ELSE 'error'
+             END AS severity,
+             'src/' || event_type || '.c' AS ref_file,
+             CAST(event_id % 997 + 1 AS BIGINT) AS ref_line,
+             CAST(event_id % 31 + 1 AS BIGINT) AS ref_column,
+             'op ' || event_type || ' failed with status '
+               || CAST(event_id % 7 AS VARCHAR) || ' at 0xbeef' AS message,
+             CAST(NULL AS VARCHAR) AS code,
+             CAST(NULL AS VARCHAR) AS rule,
+             -- fingerprint normalization lowercases AFTER the
+             -- hex->H / digits->N substitution, hence 'n' / 'h'
+             md5('gcc||' || 'op ' || event_type
+                 || ' failed with status n at h') AS fingerprint,
+             CAST(rn AS BIGINT) AS log_line_start,
+             CAST(rn AS BIGINT) AS log_line_end
+      FROM base
+    ),
+    eslint AS (
+      SELECT 'eslint' AS part,
+             'u' || CAST(user_id AS VARCHAR) AS source_id,
+             CAST(rn AS BIGINT) AS event_index,
+             CASE WHEN event_id % 2 = 0 THEN 'error' ELSE 'warning' END AS severity,
+             'app_u' || CAST(user_id AS VARCHAR) || '.js' AS ref_file,
+             CAST(event_id % 500 + 1 AS BIGINT) AS ref_line,
+             CAST(event_id % 80 + 1 AS BIGINT) AS ref_column,
+             'unexpected token in ' || event_type || ' handler '
+               || CAST(event_id % 9 AS VARCHAR) AS message,
+             CAST(NULL AS VARCHAR) AS code,
+             CASE WHEN event_id % 2 = 0 THEN 'no-unused-vars' ELSE 'semi' END AS rule,
+             md5('eslint|'
+                 || CASE WHEN event_id % 2 = 0 THEN 'no-unused-vars' ELSE 'semi' END
+                 || '|' || 'unexpected token in ' || event_type
+                 || ' handler n') AS fingerprint,
+             CAST(rn + 1 AS BIGINT) AS log_line_start,
+             CAST(rn + 1 AS BIGINT) AS log_line_end
+      FROM base
+    ),
+    rustc AS (
+      SELECT 'rustc' AS part,
+             'u' || CAST(user_id AS VARCHAR) AS source_id,
+             CAST(rn AS BIGINT) AS event_index,
+             CASE WHEN event_id % 2 = 0 THEN 'error' ELSE 'warning' END AS severity,
+             'src/' || event_type || '.rs' AS ref_file,
+             CAST(event_id % 200 + 1 AS BIGINT) AS ref_line,
+             CAST(event_id % 40 + 1 AS BIGINT) AS ref_column,
+             CASE WHEN event_id % 2 = 0
+               THEN 'mismatched types in ' || event_type || ' '
+                    || CAST(event_id % 5 AS VARCHAR)
+               ELSE 'unused import ' || event_type || ' '
+                    || CAST(event_id % 5 AS VARCHAR)
+             END AS message,
+             CASE WHEN event_id % 2 = 0 THEN 'E0308' ELSE NULL END AS code,
+             CAST(NULL AS VARCHAR) AS rule,
+             md5('rustc|'
+                 || CASE WHEN event_id % 2 = 0 THEN 'E0308' ELSE '' END || '|'
+                 || CASE WHEN event_id % 2 = 0
+                      THEN 'mismatched types in ' || event_type || ' n'
+                      ELSE 'unused import ' || event_type || ' n'
+                    END) AS fingerprint,
+             CAST(2 * rn - 1 AS BIGINT) AS log_line_start,
+             CAST(2 * rn AS BIGINT) AS log_line_end
+      FROM base
+    )
+    SELECT * FROM gcc
+    UNION ALL SELECT * FROM eslint
+    UNION ALL SELECT * FROM rustc
+    """,
+)
+def x_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    eid, etype = F.col("event_id"), F.col("event_type")
+
+    gcc_sev = F.element_at(
+        F.array(F.lit("fatal error"), F.lit("error"), F.lit("warning"), F.lit("note")),
+        (eid % 4 + 1).cast("int"),
+    )
+    gcc_line = F.concat(
+        F.lit("src/"), etype, F.lit(".c:"), (eid % 997 + 1).cast("string"),
+        F.lit(":"), (eid % 31 + 1).cast("string"), F.lit(": "), gcc_sev,
+        F.lit(": op "), etype, F.lit(" failed with status "),
+        (eid % 7).cast("string"), F.lit(" at 0xbeef"),
+    )
+    gcc_docs = _docs(ev.select("user_id", "event_id", gcc_line.alias("line")))
+    gcc_out = _out(lp.parse_df(gcc_docs, fmt="gcc"), "gcc")
+
+    es_sev = F.when(eid % 2 == 0, "error").otherwise("warning")
+    es_rule = F.when(eid % 2 == 0, "no-unused-vars").otherwise("semi")
+    es_line = F.concat(
+        F.lit("  "), (eid % 500 + 1).cast("string"), F.lit(":"),
+        (eid % 80 + 1).cast("string"), F.lit("  "), es_sev,
+        F.lit("  unexpected token in "), etype, F.lit(" handler "),
+        (eid % 9).cast("string"), F.lit("  "), es_rule,
+    )
+    es_header = F.concat(F.lit("app_u"), F.col("user_id").cast("string"), F.lit(".js"))
+    es_docs = _docs(ev.select("user_id", "event_id", es_line.alias("line")), header=es_header)
+    es_out = _out(lp.parse_df(es_docs, fmt="eslint"), "eslint")
+
+    rust_head = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit("error[E0308]: mismatched types in "), etype, F.lit(" "),
+                 (eid % 5).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("warning: unused import "), etype, F.lit(" "),
+                 (eid % 5).cast("string"))
+    )
+    rust_loc = F.concat(
+        F.lit(" --> src/"), etype, F.lit(".rs:"), (eid % 200 + 1).cast("string"),
+        F.lit(":"), (eid % 40 + 1).cast("string"),
+    )
+    rust_line = F.concat(rust_head, F.lit("\n"), rust_loc)
+    rust_docs = _docs(ev.select("user_id", "event_id", rust_line.alias("line")))
+    rust_out = _out(lp.parse_df(rust_docs, fmt="rustc"), "rustc")
+
+    return gcc_out.unionByName(es_out).unionByName(rust_out)

@@ -71,7 +71,9 @@ DRIVER_ORDER = [
     # (q2/q8/q9/q11/q13/q16/q17/q20/q21) + q15 in one driver row
     # (VERDICT r5 ask #2); q15's individual slot funds the suite row.
     "q_deep_suite",
-    "q22_dormant_customers",
+    # round 6: q22 folded into q_deep_suite; its slot funds the JVM
+    # log-parse fast-path gate (VERDICT r5 ask #1)
+    "x_parse_suite",
     "w_serial_latest_suite",
     "w_analytics_suite",
     "o_sort_suite",

@@ -181,6 +181,10 @@ _SPECS = {
          [("s_name", "s"), ("numwait", "s")]),
         ("q15", tpch.q15_top_supplier,
          [("s_suppkey", "s"), ("s_name", "s"), ("total_revenue", "d")]),
+        # round 6 (second rotation): q22 folds in to free a window slot
+        # for x_parse_suite
+        ("q22", tpch.q22_dormant_customers,
+         [("c_nationkey", "s"), ("numcust", "s"), ("totacctbal", "d")]),
     ],
     "x_lm_suite": [
         ("winnow", llmdata.x_winnow_tokens,
@@ -359,6 +363,7 @@ _MEMBER_GATE = {
     "q20": "q20_promotion_suppliers",
     "q21": "q21_waiting_suppliers",
     "q15": "q15_top_supplier",
+    "q22": "q22_dormant_customers",
 }
 
 

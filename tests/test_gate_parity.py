@@ -41,7 +41,9 @@ def test_driver_window_covers_every_family():
     def family(prefix):
         return [n for n in window if n.startswith(prefix)]
 
-    assert len(family("q")) == 13  # all TPC-H shapes incl. q15/q22 (round 5)
+    # all 22 TPC-H shapes: 11 individual + q_deep_suite (q2/q8/q9/q11/
+    # q13/q15/q16/q17/q20/q21/q22 ride the suite since round 6)
+    assert len(family("q")) == 12
     assert family("w")  # windows
     assert family("o")  # sorts/limits
     assert family("j")  # joins
@@ -53,7 +55,7 @@ def test_driver_window_covers_every_family():
     # every LLM-pipeline operator: 11 r1-r3 gates + quality suite,
     # dedup clusters, source mix, quantization (round 4) + the LM suite
     # (winnow/unigram/KL, round 5)
-    assert len(family("x")) == 16
+    assert len(family("x")) == 17  # + x_parse_suite (round 6)
 
 
 def test_entry_smoke(spark):

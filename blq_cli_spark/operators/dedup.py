@@ -613,12 +613,21 @@ def duplicate_passages(
             ).alias("pos", "wfp"),
         )
     )
-    counts = wins.groupBy("wfp").agg(F.count_distinct("id").alias("_nd"))
-    dup = (
-        wins.join(counts, "wfp")  # plain equi-join: corpus-derived side
+    # Keep ONLY duplicated window keys before the join-back (the PMI
+    # min_count discipline): duplicated windows are a small fraction of
+    # the corpus, so the semi join's build side shrinks from |windows|
+    # distinct keys to just the duplicated ones — AQE then turns the
+    # join into a broadcast and the full window table never shuffles a
+    # second time. (Round-6 fix for the 0.63 10x-probe exponent: the
+    # old plan joined the unfiltered count table, carrying every
+    # singleton window key through the join shuffle.)
+    dup_keys = (
+        wins.groupBy("wfp")
+        .agg(F.count_distinct("id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("id", "pos")
+        .select("wfp")
     )
+    dup = wins.join(dup_keys, "wfp", "left_semi").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     islands = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
     return (

@@ -6,6 +6,7 @@ from blq_cli_spark.gates import (  # noqa: F401
     context_ops,
     events_ts,
     llmdata,
+    multimodal_gates,
     parsing,
     relational,
     scalar_fns,

@@ -1,0 +1,119 @@
+"""Driver gates for perceptual image dedup (multimodal binary columns).
+
+Fixture: deterministic 9x8 grayscale PNGs planted per documents-row so
+that each image's dHash equals a closed-form function of doc_id —
+bit b (b < 60; 60..63 forced 0 to stay inside signed-BIGINT range in
+both engines) is
+
+    base(g, b) = ((g*131 + b*17) % 7) % 2          with g = doc_id % 20
+    bit(d, b)  = base XOR [b == (37*d) % 60]
+
+i.e. 20 base patterns (near-dup groups) with exactly one per-doc noise
+bit. The Spark side builds REAL PNG bytes (png_encode), then recovers
+the hash through the full pipeline: pure-Python PNG decode ->
+nearest-neighbor resize -> dHash bit walk (multimodal.binary). The
+DuckDB oracle computes the same numbers analytically, so a hash match
+proves the decode+hash path end to end; the pairs gate additionally
+proves the banded hamming join (dedup.hamming_candidates) — with
+max_hamming=7 < bands=8 the pigeonhole guarantee makes "all pairs with
+hamming <= 7" the exact expected set.
+
+Reference stores image content as opaque blobs (SURVEY §2 S12); this
+closes the multimodal brief with a real pixel path, no image library.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from blq_cli_spark.gates.registry import gate
+from blq_cli_spark.multimodal import binary as mmb
+from blq_cli_spark.sources.tables import table
+
+_N_DOCS = 200
+_N_GROUPS = 20
+
+
+def _planted_bits(d: int) -> list[int]:
+    g = d % _N_GROUPS
+    noise_b = (37 * d) % 60
+    bits = [(((g * 131 + b * 17) % 7) % 2) ^ (1 if b == noise_b else 0) for b in range(60)]
+    return bits + [0, 0, 0, 0]
+
+
+def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id string, content binary) — one 9x8 PNG per documents row whose
+    dHash equals the planted bit pattern (each row is a +/-3 brightness
+    walk: descending step where the bit is set)."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS).select(
+        "doc_id"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bits = _planted_bits(d)
+                px = bytearray()
+                for r in range(8):
+                    row = [128]
+                    for c in range(8):
+                        row.append(row[-1] - 3 if bits[r * 8 + c] else row[-1] + 3)
+                    px.extend(row)
+                rows.append(
+                    {"id": f"d{d:05d}", "content": mmb.png_encode(9, 8, bytes(px))}
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return docs.mapInPandas(_batches, schema="id string, content binary")
+
+
+_HASHES_CTE = """
+    WITH ids AS (
+      SELECT doc_id, 'd' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS id
+      FROM documents WHERE doc_id < 200
+    ),
+    bits AS (
+      SELECT i.id, t.b,
+             CASE WHEN t.b = (37 * i.doc_id) % 60
+                  THEN 1 - ((i.doc_id % 20) * 131 + t.b * 17) % 7 % 2
+                  ELSE ((i.doc_id % 20) * 131 + t.b * 17) % 7 % 2
+             END AS bit
+      FROM ids i CROSS JOIN range(60) t(b)
+    ),
+    hashes AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM bits GROUP BY id
+    )
+"""
+
+
+@gate(
+    "x_image_phash",
+    oracle=_HASHES_CTE + "\n    SELECT id, phash FROM hashes",
+)
+def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _planted_images(spark, sf_dir)
+    return mmb.image_perceptual_hash(imgs, method="dhash").select("id", "phash")
+
+
+@gate(
+    "x_image_dedup_pairs",
+    oracle=_HASHES_CTE
+    + """
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """,
+)
+def x_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _planted_images(spark, sf_dir)
+    pairs = mmb.image_dedup_pairs(imgs, method="dhash", max_hamming=7, bands=8)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

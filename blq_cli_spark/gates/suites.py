@@ -29,6 +29,7 @@ from blq_cli_spark.gates import (
     context_ops,
     events_ts,
     llmdata,
+    multimodal_gates,
     relational,
     scalar_fns,
     tpch,
@@ -274,6 +275,12 @@ _SPECS = {
          [("doc_id", "s"), ("n_lines", "s"), ("bullet_ratio", "d"),
           ("ellipsis_ratio", "d"), ("bullet_ok", "s"),
           ("ellipsis_ok", "s"), ("passes", "s")]),
+        # round 6: perceptual image dedup (real PNG decode -> dHash ->
+        # banded hamming join) rides the same driver row
+        ("img_phash", multimodal_gates.x_image_phash,
+         [("id", "s"), ("phash", "s")]),
+        ("img_pairs", multimodal_gates.x_image_dedup_pairs,
+         [("id_a", "s"), ("id_b", "s"), ("hamming", "s")]),
     ],
 }
 
@@ -364,6 +371,8 @@ _MEMBER_GATE = {
     "q21": "q21_waiting_suppliers",
     "q15": "q15_top_supplier",
     "q22": "q22_dormant_customers",
+    "img_phash": "x_image_phash",
+    "img_pairs": "x_image_dedup_pairs",
 }
 
 

@@ -501,10 +501,40 @@ def simhash_candidates(
     only if another band's cold bucket catches them. Bucket sizes come
     from a window count over the SAME (band_idx, val) key the self-join
     shuffles on, so the guard adds no extra exchange."""
+    sim = simhash_df(df, text_col, id_col, bits)
+    return hamming_candidates(
+        sim,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        hot_bucket_cap=hot_bucket_cap,
+        id_col="id",
+        hash_col="simhash",
+    )
+
+
+def hamming_candidates(
+    hash_df: DataFrame,
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+    hot_bucket_cap: int = 256,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Banded hamming candidate join over ANY integer hash column —
+    the engine behind simhash_candidates (text) and the perceptual
+    image-hash dedup (multimodal.binary.image_dedup_pairs). Same
+    pigeonhole guarantee, hot-bucket star cap, and single-exchange
+    bucket sizing as documented on simhash_candidates; bands covering
+    only the low bands*(bits//bands) bits keeps the guarantee (a
+    differing uncovered bit never breaks block equality)."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     block = bits // bands
-    sim = simhash_df(df, text_col, id_col, bits)
+    sim = hash_df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+    )
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),

@@ -305,3 +305,109 @@ def test_audio_features_sine_wave(spark):
     # non-wav rows yield nothing
     png = spark.createDataFrame([("p", bytearray(png_bytes(4, 4)))], "id string, content binary")
     assert mm.audio_features(png).count() == 0
+
+
+# --- perceptual hash (round 6) -----------------------------------------------
+
+
+def _dhash_image(bits: list[int]) -> bytes:
+    """9x8 grayscale PNG whose dHash is exactly `bits` (bit r*8+c set
+    iff px[r,c] > px[r,c+1] — build each row as a walk)."""
+    px = bytearray()
+    for r in range(8):
+        row = [128]
+        for c in range(8):
+            row.append(row[-1] - 3 if bits[r * 8 + c] else row[-1] + 3)
+        px.extend(row)
+    return mm.png_encode(9, 8, bytes(px))
+
+
+def test_png_encode_decode_roundtrip():
+    gray = bytes((x * 7 + y * 13) % 256 for y in range(5) for x in range(4))
+    w, h, out = mm.png_decode(mm.png_encode(4, 5, gray))
+    assert (w, h) == (4, 5)
+    assert out == gray
+
+
+def test_dhash_recovers_planted_bits(spark):
+    bits = [(i * 37) % 3 % 2 for i in range(64)]
+    expected = sum(1 << b for b, on in enumerate(bits) if on)
+    expected = expected - (1 << 64) if expected >= (1 << 63) else expected
+    df = spark.createDataFrame(
+        [("a", bytearray(_dhash_image(bits)))], "id string, content binary"
+    )
+    rows = mm.image_perceptual_hash(df, method="dhash").collect()
+    assert rows[0]["phash"] == expected
+
+
+def test_phash_properties(spark):
+    # smooth synthetic photos (low-frequency sinusoid mixes) — pHash's
+    # intended regime; white noise would put every low-freq DCT coeff
+    # at the median knife-edge
+    import numpy as np
+
+    n = 32
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    base = (96 + 35 * np.sin(x / 5.0) + 30 * np.cos(y / 7.0)
+            + 15 * np.sin((x + y) / 9.0)).astype(np.uint8)
+    near = base.copy()
+    for f in range(3):
+        near[(f * 7) % n, (f * 13) % n] += 12
+    bright = (base.astype(int) + 40).astype(np.uint8)  # no clipping: base <= 176
+    other = (96 + 35 * np.sin(y / 3.0) + 30 * np.cos(x / 11.0)
+             - 15 * np.sin((2 * x - y) / 6.0)).astype(np.uint8)
+
+    def png(a):
+        return bytearray(mm.png_encode(n, n, a.reshape(-1).tobytes()))
+
+    df = spark.createDataFrame(
+        [("orig", png(base)), ("same", png(base.copy())), ("near", png(near)),
+         ("brightness", png(bright)), ("other", png(other))],
+        "id string, content binary",
+    )
+    h = {r["id"]: r["phash"] for r in mm.image_perceptual_hash(df, method="phash").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert h["orig"] == h["same"]
+    assert ham(h["orig"], h["near"]) <= 8
+    # constant brightness shift only moves the DC coefficient (excluded)
+    assert ham(h["orig"], h["brightness"]) == 0
+    assert ham(h["orig"], h["other"]) > 10
+
+
+def test_image_dedup_pairs_matches_bruteforce(spark):
+    import hashlib as hl
+    from itertools import combinations
+
+    # 24 images in 6 groups of 4: same base pattern + tiny per-member
+    # noise -> low intra-group hamming, high cross-group hamming
+    rows = []
+    for i in range(24):
+        g = i % 6
+        base = hl.md5(b"group-%d" % g).digest() * 4  # 64 bytes -> 8x8
+        px = bytearray(base)
+        px[(i * 13) % 64] ^= 0x80
+        rows.append((f"img{i:02d}", bytearray(mm.png_encode(8, 8, bytes(px)))))
+    df = spark.createDataFrame(rows, "id string, content binary")
+
+    hashes = {r["id"]: r["phash"] for r in mm.image_perceptual_hash(df, method="dhash").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    max_h = 7
+    expected = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.image_dedup_pairs(df, method="dhash", max_hamming=max_h).collect()
+    }
+    # completeness: hamming <= max_h < bands guarantees a shared block,
+    # so the banded join finds EVERY qualifying pair, and nothing else
+    assert got == expected
+    assert expected  # the planted groups actually produce pairs

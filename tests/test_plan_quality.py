@@ -94,6 +94,9 @@ _PYTHON_KERNEL_GATES = {
     # round 5 late: Unicode NFC compose — Spark has no JVM normalization
     # builtin, so the kernel is the documented Arrow path
     "x_normalize_text",
+    # round 6: perceptual image hashing decodes PNG bytes (pure-Python
+    # codec) in the documented Arrow kernel; the pair join itself is JVM
+    "x_image_phash", "x_image_dedup_pairs",
 }
 
 

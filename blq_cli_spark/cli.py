@@ -674,6 +674,11 @@ def cmd_run(args) -> int:
     if not cmd:
         print("blq-spark run: no command given", file=sys.stderr)
         return 2
+    sb = getattr(args, "sandbox", None)
+    if isinstance(sb, str) and sb.strip().startswith("{"):
+        import json as _json
+
+        args.sandbox = _json.loads(sb)
     st = _store(args)
     from blq_cli_spark.sources.locks import LockHeldError
 
@@ -687,6 +692,7 @@ def cmd_run(args) -> int:
             timeout=args.timeout,
             lock_name=getattr(args, "lock_name", None),
             wait_lock=getattr(args, "wait_lock", None),
+            sandbox=getattr(args, "sandbox", None),
         )
     except LockHeldError as exc:
         print(f"blq-spark run: {exc}", file=sys.stderr)
@@ -2467,6 +2473,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source")
     sp.add_argument("--tag")
     sp.add_argument("--timeout", type=float)
+    sp.add_argument(
+        "--sandbox", default=None,
+        help="enforce a sandbox preset (readonly/test/build/integration) "
+        "or JSON spec on the child; registered commands with a stored "
+        "spec enforce it automatically",
+    )
     _lock_args(sp)
     sp.set_defaults(fn=cmd_run)
 

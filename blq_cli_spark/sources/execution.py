@@ -93,6 +93,7 @@ def run_command(
     keep_live: bool = False,
     lock_name: str | None = None,
     wait_lock: float | None = None,
+    sandbox=None,
 ) -> dict:
     """Execute `cmd`, capture combined output, parse, and store the run.
 
@@ -106,7 +107,16 @@ def run_command(
 
     `lock_name` serializes concurrent runs under that name (reference
     execution.py:324-350): raise LockHeldError if a live holder exists,
-    or poll up to `wait_lock` seconds for it to free."""
+    or poll up to `wait_lock` seconds for it to free.
+
+    `sandbox` (preset name | dict | SandboxSpec | None) ENFORCES the
+    spec on the child via sandbox_enforce.wrap_command (bwrap isolation
+    when installed, POSIX rlimits for memory/cpu always, clean degrade
+    otherwise — reference engine ladder, src/blq_sandbox/engines.py:
+    40-60). A registered single-element command with a stored sandbox
+    spec is enforced automatically; the spec's timeout tightens the
+    caller's. The run row records declared-vs-actually-enforced under
+    extension_data.sandbox."""
     from blq_cli_spark.sources import locks as locks_mod
     from blq_cli_spark.sources import store as store_mod
 
@@ -116,8 +126,20 @@ def run_command(
             source_name = source_name or cmd[0]
             fmt = reg.get("fmt") or fmt
             tag = tag or reg.get("tag")
+            if sandbox is None:
+                sandbox = reg.get("sandbox")
             cmd = reg["argv"]
     cwd = cwd or os.getcwd()
+
+    from blq_cli_spark import sandbox_enforce
+
+    spec = None
+    if sandbox is not None:
+        from blq_cli_spark import sandbox as sandbox_mod
+
+        spec = sandbox_mod.resolve(sandbox)
+        if spec is not None and spec.timeout is not None:
+            timeout = spec.timeout if timeout is None else min(timeout, spec.timeout)
 
     # Lock BEFORE persisting the attempt (reference order,
     # execution.py:300-350): a LockHeldError must leave no pending row.
@@ -132,7 +154,8 @@ def run_command(
             locks_mod.acquire_lock(locks_dir, lock_name, attempt_id, " ".join(cmd))
     try:
         return _execute_and_store(
-            store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live
+            store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live,
+            spec=spec,
         )
     finally:
         if lock_name:
@@ -140,7 +163,8 @@ def run_command(
 
 
 def _execute_and_store(
-    store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live
+    store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live,
+    spec=None,
 ) -> dict:
     started = dt.datetime.now()
     attempt = store.start_attempt(
@@ -159,11 +183,20 @@ def _execute_and_store(
     os.makedirs(live_dir, exist_ok=True)
     live_log = os.path.join(live_dir, "combined.log")
 
+    exec_argv, preexec, sandbox_info = list(cmd), None, None
+    if spec is not None:
+        from blq_cli_spark import sandbox_enforce
+
+        exec_argv, preexec, sandbox_info = sandbox_enforce.wrap_command(
+            cmd, spec, workspace=cwd, cwd=cwd
+        )
+
     timed_out = False
     ru_before = _child_rusage()
     with open(live_log, "wb") as sink:
         proc = subprocess.Popen(
-            cmd, cwd=cwd, stdout=sink, stderr=subprocess.STDOUT
+            exec_argv, cwd=cwd, stdout=sink, stderr=subprocess.STDOUT,
+            preexec_fn=preexec,
         )
         attempt_pid = proc.pid
         try:
@@ -218,7 +251,7 @@ def _execute_and_store(
             "source_type": "run",
             "platform": _platform.system().lower(),
             "arch": _platform.machine(),
-            "extension_data": json.dumps({"metrics": metrics}) if metrics else None,
+            "extension_data": _ext_data(metrics, sandbox_info),
             **_git_context(cwd),
         },
         events=events,
@@ -227,6 +260,15 @@ def _execute_and_store(
     if not keep_live:
         shutil.rmtree(live_dir, ignore_errors=True)
     return run
+
+
+def _ext_data(metrics, sandbox_info) -> str | None:
+    ext = {}
+    if metrics:
+        ext["metrics"] = metrics
+    if sandbox_info:
+        ext["sandbox"] = sandbox_info
+    return json.dumps(ext) if ext else None
 
 
 def migrate_from_export(store: LogStore, export_root: str) -> int:

@@ -1410,6 +1410,7 @@ def cmd_corpus(args) -> int:
         lang_col=args.lang_col,
         tokens_per_source=args.tokens_per_source,
         merges=args.merges,
+        model=getattr(args, "model", None),
         n_merges=args.n_merges,
         top_k_words=args.top_k_words,
         with_tokens=args.with_tokens,
@@ -2641,7 +2642,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "buckets", "pack-report", "token-sample", "split",
                  "train-tokenizer", "encode", "bpe-fertility",
                  "shard-manifest", "sweep", "extract", "normalize",
-                 "stream", "pmi", "zipf", "c4-lines", "gopher-lines"],
+                 "stream", "pmi", "zipf", "c4-lines", "gopher-lines",
+                 "langid-train", "langid"],
     )
     sp.add_argument("--input", required=True, help="corpus parquet path")
     sp.add_argument("--output", help="write full result parquet here")
@@ -2739,6 +2741,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token-sample: token budget per source")
     sp.add_argument("--merges", help="BPE merge-list json: written by "
                     "train-tokenizer, read by encode/bpe-fertility")
+    sp.add_argument("--model", help="langid model parquet: written by "
+                    "langid-train, read by langid (omit to train on the "
+                    "labeled input directly)")
     sp.add_argument("--n-merges", type=int, default=1000, dest="n_merges",
                     help="train-tokenizer: number of BPE merges to learn")
     sp.add_argument("--top-k-words", type=int, default=100_000,

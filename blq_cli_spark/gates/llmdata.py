@@ -2146,3 +2146,97 @@ def x_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n=4,
     )
+
+
+_LANGID_GRAMS_CTE = """
+    WITH grams AS (
+      SELECT lang, doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(length(text) - 1, 0)),
+               i -> substr(lower(text), CAST(i AS INT), 2)
+             )) AS gram
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, gram, count(*) AS c FROM grams GROUP BY lang, gram
+    ),
+    totals AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM counts GROUP BY lang
+    ),
+    top AS (
+      SELECT lang, gram, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rk
+      FROM counts
+    ),
+    model AS (
+      SELECT t.lang, t.gram,
+             round(ln((t.c + 1.0) / (o.total + 201.0)), 6) AS logp
+      FROM top t JOIN totals o ON t.lang = o.lang
+      WHERE t.rk <= 200
+    ),
+    floors AS (
+      SELECT lang, round(ln(1.0 / (total + 201.0)), 6) AS floor_logp
+      FROM totals
+    )
+"""
+
+
+@gate(
+    "x_langid_model",
+    oracle=_LANGID_GRAMS_CTE + """
+    SELECT lang, gram, logp FROM model
+    UNION ALL
+    SELECT lang, CAST(NULL AS VARCHAR) AS gram, floor_logp AS logp FROM floors
+    """,
+)
+def x_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-bigram language-ID model (VERDICT r5 ask #6): the
+    distributed naive-Bayes training pass, oracle-checked gram-by-gram —
+    top-200 per language with deterministic tie-break, add-one-smoothed
+    log probabilities, per-language unseen-gram floor rows."""
+    from blq_cli_spark.operators import classifier as clf
+
+    docs = table(spark, sf_dir, "documents")
+    return clf.langid_train(docs, top_k=200)
+
+
+@gate(
+    "x_langid_scores",
+    oracle=_LANGID_GRAMS_CTE + """
+    , doc_grams AS (
+      SELECT doc_id AS id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+    ),
+    doc_totals AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_grams FROM doc_grams GROUP BY id
+    ),
+    matched AS (
+      SELECT g.id, m.lang, sum(g.c * m.logp) AS s, CAST(sum(g.c) AS BIGINT) AS m
+      FROM doc_grams g JOIN model m ON g.gram = m.gram
+      GROUP BY g.id, m.lang
+    )
+    SELECT CAST(t.id AS VARCHAR) AS id, f.lang,
+           round(coalesce(mt.s, 0.0)
+                 + (t.n_grams - coalesce(mt.m, 0)) * f.floor_logp, 6) AS score,
+           t.n_grams,
+           coalesce(mt.m, 0) AS n_matched
+    FROM doc_totals t
+    CROSS JOIN floors f
+    LEFT JOIN matched mt ON mt.id = t.id AND mt.lang = f.lang
+    """,
+)
+def x_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document per-language trained-model scores — the scoring
+    projection of the x_langid_model pass (matched-gram logp sums plus
+    floor penalties), oracle-checked before any argmax so float-tie
+    ambiguity can't hide a computation error. The argmax itself
+    (classifier.langid_predict) is one max_by on top of this table;
+    tests/test_classifier.py asserts its accuracy floor on a real
+    multilingual fixture."""
+    from blq_cli_spark.operators import classifier as clf
+
+    docs = table(spark, sf_dir, "documents")
+    model = clf.langid_train(docs, top_k=200)
+    return clf.langid_score(docs, model).select(
+        F.col("id").cast("string").alias("id"),
+        "lang", "score", "n_grams", "n_matched",
+    )

@@ -226,6 +226,12 @@ _SPECS = {
          [("w1", "s"), ("w2", "s"), ("n_pair", "s"), ("pmi", "d")]),
         ("zipf", llmdata.x_zipf_fit,
          [("n_types", "s"), ("slope", "d"), ("intercept", "d"), ("r2", "d")]),
+        # round 6: trained char-bigram language-ID (model + scoring pass)
+        ("langid_model", llmdata.x_langid_model,
+         [("lang", "s"), ("gram", "s"), ("logp", "d")]),
+        ("langid_scores", llmdata.x_langid_scores,
+         [("id", "s"), ("lang", "s"), ("score", "d"), ("n_grams", "s"),
+          ("n_matched", "s")]),
     ],
     "x_quality_suite": [
         ("repetition", llmdata.x_repetition_profile,
@@ -373,6 +379,8 @@ _MEMBER_GATE = {
     "q22": "q22_dormant_customers",
     "img_phash": "x_image_phash",
     "img_pairs": "x_image_dedup_pairs",
+    "langid_model": "x_langid_model",
+    "langid_scores": "x_langid_scores",
 }
 
 

@@ -35,7 +35,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from blq_cli_spark.operators.text import text_embeddings
 
@@ -191,4 +191,144 @@ def threshold_sweep(
             ).alias("recall"),
         )
         .orderBy("threshold")
+    )
+
+
+# --- trained language-ID (round 6) -------------------------------------------
+
+
+def langid_train(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 2,
+    top_k: int = 200,
+) -> DataFrame:
+    """Train a char-n-gram naive-Bayes language profile, fully
+    distributed (the trained twin of text.language_id's stopword
+    heuristic — VERDICT r5 ask #6).
+
+    Model = one row per (lang, gram) for each language's top_k most
+    frequent lowercase character n-grams with add-one-smoothed log
+    probability, plus one floor row per language (gram NULL) carrying
+    the unseen-gram log probability. The model is BOUNDED BY CONSTRUCTION at
+    n_langs x (top_k + 1) rows — the classifier.py discipline — so
+    broadcasting it at scoring time is legitimate (this is not a
+    corpus-sized corpus-derived broadcast).
+
+    Scale shape: explode n-grams (bounded fan-out: one per character),
+    one (lang, gram) count shuffle (map-side combinable), top-K per
+    language via a window over lang partitions whose input is already
+    aggregated counts. Ties at the top-K boundary break on gram text so
+    the model is deterministic and engine-portable."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),"
+                f" i -> substring(lower({text_col}), i, {n}))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    top = counts.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= top_k
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("_total"))
+    model = (
+        top.join(totals, "lang")
+        .select(
+            "lang",
+            "gram",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("_total") + F.lit(float(top_k + 1)))),
+                6,
+            ).alias("logp"),
+        )
+    )
+    floors = (
+        totals.select(
+            "lang",
+            F.lit(None).cast("string").alias("gram"),
+            F.round(
+                F.log(1.0 / (F.col("_total") + F.lit(float(top_k + 1)))), 6
+            ).alias("logp"),
+        )
+    )
+    return model.unionByName(floors)
+
+
+def langid_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document per-language naive-Bayes log score against a
+    langid_train model: sum of matched-gram log probabilities plus the
+    language floor for every unmatched gram occurrence. Returns
+    (id, lang, score, n_grams, n_matched) — argmax/confusion is the
+    caller's one extra max_by (langid_predict).
+
+    Scale shape: doc-gram counts shuffle once on (id, gram); the model
+    side broadcasts (bounded langs x (top_k+1) rows); the per-(id,lang)
+    rollup is map-side combinable. No corpus-sized broadcast, no
+    driver traffic."""
+    doc_grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),"
+                    f" i -> substring(lower({text_col}), i, {n}))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gram_rows = model.filter(F.col("gram").isNotNull())
+    floor_rows = model.filter(F.col("gram").isNull()).select(
+        "lang", F.col("logp").alias("_floor")
+    )
+    totals = doc_grams.groupBy("id").agg(F.sum("c").alias("_g"))
+    matched = (
+        doc_grams.join(F.broadcast(gram_rows), "gram")
+        .groupBy("id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("logp")).alias("_s"),
+            F.sum("c").alias("_m"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(floor_rows)).join(
+        matched, ["id", "lang"], "left_outer"
+    ).select(
+        "id",
+        "lang",
+        F.round(
+            F.coalesce(F.col("_s"), F.lit(0.0))
+            + (F.col("_g") - F.coalesce(F.col("_m"), F.lit(0))) * F.col("_floor"),
+            6,
+        ).alias("score"),
+        F.col("_g").alias("n_grams"),
+        F.coalesce(F.col("_m"), F.lit(0)).alias("n_matched"),
+    )
+
+
+def langid_predict(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(id, lang_pred): argmax language per document, ties broken on
+    language name for determinism."""
+    scores = langid_score(df, model, text_col, id_col, n)
+    return scores.groupBy("id").agg(
+        F.max_by(
+            "lang", F.struct(F.col("score"), F.col("lang"))
+        ).alias("lang_pred")
     )

@@ -441,6 +441,7 @@ def run_action(
     label_col: str = "label",
     thresholds: list[float] | None = None,
     norm_form: str = "NFC",
+    model: str | None = None,
 ) -> DataFrame:
     """Uniform dispatch for the curation-operator surface — shared by the
     `corpus` CLI verb and the serve `corpus` tool so both fronts expose
@@ -621,6 +622,22 @@ def run_action(
             docs, thresholds=thresholds, score_col=score_col,
             label_col=label_col,
         )
+    if action == "langid-train":
+        from blq_cli_spark.operators import classifier as classifier_ops
+
+        out = classifier_ops.langid_train(docs, text_col=text_col, lang_col=lang_col)
+        if model:
+            out.write.mode("overwrite").parquet(model)
+        return out
+    if action == "langid":
+        from blq_cli_spark.operators import classifier as classifier_ops
+
+        m = (
+            docs.sparkSession.read.parquet(model)
+            if model
+            else classifier_ops.langid_train(docs, text_col=text_col, lang_col=lang_col)
+        )
+        return classifier_ops.langid_predict(docs, m, text_col=text_col, id_col=id_col)
     if action == "train-tokenizer":
         from blq_cli_spark.operators import tokenizer as tok
 

@@ -490,7 +490,8 @@ def _sandbox_suggest(store: LogStore, command: str) -> dict:
       "gopher/classify/passages/materialize/fertility/buckets/"
       "pack-report/token-sample/split/train-tokenizer/encode/"
       "bpe-fertility/shard-manifest/sweep/extract/normalize/"
-      "dedup-paragraphs/pmi/zipf/c4-lines/gopher-lines)")
+      "dedup-paragraphs/pmi/zipf/c4-lines/gopher-lines/"
+      "langid-train/langid)")
 def _corpus(
     store: LogStore,
     action: str,
@@ -528,6 +529,7 @@ def _corpus(
     label_col: str = "label",
     thresholds: list | None = None,
     norm_form: str = "NFC",
+    model: str | None = None,
     output: str | None = None,
     limit: int = 50,
 ) -> dict:
@@ -609,7 +611,7 @@ def _corpus(
         tokens_per_source=tokens_per_source, merges=merges,
         n_merges=n_merges, top_k_words=top_k_words, with_tokens=with_tokens,
         score_col=score_col, label_col=label_col, thresholds=thresholds,
-        norm_form=norm_form,
+        norm_form=norm_form, model=model,
     )
     if output:
         out.write.mode("overwrite").parquet(output)

@@ -137,3 +137,113 @@ def test_cli_sweep(tmp_path, capsys):
                  "--thresholds", "notjson"]) == 2
     assert main(["corpus", "sweep", "--input", src,
                  "--thresholds", "[]"]) == 2
+
+
+# --- trained language-ID (round 6) -------------------------------------------
+
+_LANG_SENTENCES = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she said that the weather would be fine for the whole weekend",
+        "a small library of useful functions makes every project easier",
+        "they walked through the old town and talked about their plans",
+        "reading books in the evening is one of my favourite things",
+        "the committee will discuss the proposal during the next meeting",
+        "there is nothing better than a warm cup of tea in winter",
+        "the students finished their homework before the lecture started",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt ueber den faulen hund am fluss",
+        "sie sagte dass das wetter am ganzen wochenende schoen sein wuerde",
+        "eine kleine bibliothek nuetzlicher funktionen erleichtert jedes projekt",
+        "sie gingen durch die altstadt und sprachen ueber ihre plaene",
+        "abends buecher zu lesen ist eine meiner liebsten beschaeftigungen",
+        "der ausschuss wird den vorschlag in der naechsten sitzung besprechen",
+        "es gibt nichts besseres als eine warme tasse tee im winter",
+        "die studenten beendeten ihre hausaufgaben vor beginn der vorlesung",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux pres de la riviere",
+        "elle a dit que le temps serait beau pendant tout le weekend",
+        "une petite bibliotheque de fonctions utiles facilite chaque projet",
+        "ils ont marche dans la vieille ville et parle de leurs projets",
+        "lire des livres le soir est une de mes activites preferees",
+        "le comite discutera de la proposition lors de la prochaine reunion",
+        "il n y a rien de mieux qu une tasse de the chaud en hiver",
+        "les etudiants ont termine leurs devoirs avant le debut du cours",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+        "ella dijo que el tiempo seria bueno durante todo el fin de semana",
+        "una pequena biblioteca de funciones utiles facilita cada proyecto",
+        "caminaron por el casco antiguo y hablaron de sus planes",
+        "leer libros por la noche es una de mis actividades favoritas",
+        "el comite discutira la propuesta en la proxima reunion",
+        "no hay nada mejor que una taza de te caliente en invierno",
+        "los estudiantes terminaron sus deberes antes de empezar la clase",
+    ],
+}
+
+
+def _langid_fixture(spark):
+    train_rows, test_rows = [], []
+    for lang, sents in _LANG_SENTENCES.items():
+        for i, s in enumerate(sents):
+            (train_rows if i < 6 else test_rows).append((f"{lang}{i}", s, lang))
+    schema = "doc_id string, text string, lang string"
+    return (
+        spark.createDataFrame(train_rows, schema),
+        spark.createDataFrame(test_rows, schema),
+    )
+
+
+def test_langid_trained_accuracy_floor(spark):
+    """Char-bigram naive Bayes on REAL multilingual text: held-out
+    accuracy must clear 7/8 (distinct European languages are an easy
+    regime for character bigrams — a regression here means the model or
+    scoring math broke, not that the task got hard)."""
+    from blq_cli_spark.operators import classifier as clf
+
+    train, test = _langid_fixture(spark)
+    model = clf.langid_train(train, top_k=150)
+    pred = {r["id"]: r["lang_pred"] for r in clf.langid_predict(test, model).collect()}
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    acc = sum(pred[k] == truth[k] for k in truth) / len(truth)
+    assert acc >= 7 / 8, (acc, pred, truth)
+
+
+def test_langid_model_bounded_and_deterministic(spark):
+    from blq_cli_spark.operators import classifier as clf
+
+    train, _ = _langid_fixture(spark)
+    m1 = clf.langid_train(train, top_k=50)
+    # bounded by construction: <= n_langs * (top_k + 1) rows
+    assert m1.count() <= 4 * 51
+    # exactly one floor row per language
+    floors = m1.filter(m1.gram.isNull()).groupBy("lang").count().collect()
+    assert len(floors) == 4 and all(r["count"] == 1 for r in floors)
+    # deterministic under repartitioning (top-K tie-break on gram text)
+    m2 = clf.langid_train(train.repartition(7), top_k=50)
+
+    def rows(m):
+        return sorted((r["lang"], r["gram"] or "", r["logp"]) for r in m.collect())
+
+    assert rows(m1) == rows(m2)
+
+
+def test_langid_score_floor_path(spark):
+    """A document of grams the model has never seen scores exactly
+    n_grams * floor for every language (the unmatched branch)."""
+    from blq_cli_spark.operators import classifier as clf
+
+    train, _ = _langid_fixture(spark)
+    model = clf.langid_train(train, top_k=50)
+    floors = {r["lang"]: r["logp"] for r in model.filter(model.gram.isNull()).collect()}
+    weird = spark.createDataFrame(
+        [("x1", "~~~###@@@", "xx")], "doc_id string, text string, lang string"
+    )
+    rows = clf.langid_score(weird, model).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_matched"] == 0
+        assert abs(r["score"] - r["n_grams"] * floors[r["lang"]]) < 1e-6

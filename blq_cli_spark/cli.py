@@ -1523,7 +1523,12 @@ def cmd_embeddings(args) -> int:
             print(f"embeddings {act}: --index DIR required", file=sys.stderr)
             return 2
         if act == "index-info":
-            _emit(ann_index.ivf_index_info(spark, args.index), args)
+            _emit(
+                ann_index.ivf_index_info(
+                    spark, args.index, drift=getattr(args, "drift", False)
+                ),
+                args,
+            )
             return 0
         if act == "index-compact":
             res = ann_index.ivf_compact_index(spark, args.index)
@@ -2793,6 +2798,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pca: project with this existing model json "
                          "instead of refitting")
     sp.add_argument("--index", help="index-*: persisted IVF index directory")
+    sp.add_argument("--drift", action="store_true",
+                    help="index-info: add centroid-drift columns "
+                    "(mean_dist/centroid_shift/drift_ratio; re-train "
+                    "when any cell's drift_ratio exceeds 0.5)")
     sp.add_argument("--nprobe", type=int, default=2,
                     help="index-search: cells probed per query")
     sp.add_argument("--id-col", default="vec_id")

@@ -88,10 +88,21 @@ def ivf_build_index(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_queries: int = 20,
+    recall_k: int = 5,
+    recall_nprobe: int = 2,
 ) -> dict:
     """Train centroids on a bounded sample, assign every corpus vector to
     its nearest cell, and materialize the index at `path`. Returns the
-    meta dict (centroids + dims) that search/append reload."""
+    meta dict (centroids + dims) that search/append reload.
+
+    Build-time acceptance: with recall_queries > 0 the build also runs
+    the similarity.ann_recall evaluator (recall_queries sampled corpus
+    rows as queries, exact brute force as truth) and persists the
+    result under meta.json's "ann_recall" key — the number a pipeline
+    checks before trusting the index, recorded with the model it
+    measures (VERDICT r5 ask #7). Cost: two extra bounded-query passes
+    over the corpus; pass recall_queries=0 to skip."""
     centroids = ivf_train_centroids(
         corpus,
         n_cells=k_cells,
@@ -115,6 +126,25 @@ def ivf_build_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
+    if recall_queries > 0:
+        from blq_cli_spark.operators.similarity import ann_recall
+
+        row = ann_recall(
+            corpus,
+            corpus.limit(recall_queries),
+            method="ivf",
+            centroids=centroids,
+            k=recall_k,
+            nprobe=recall_nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).collect()[0]
+        meta["ann_recall"] = {
+            "recall": row["recall"],
+            "k": recall_k,
+            "nprobe": recall_nprobe,
+            "n_queries": row["n_queries"],
+        }
     _write_meta(path, meta)
     return meta
 
@@ -219,21 +249,94 @@ def ivf_search_index(
     )
 
 
-def ivf_index_info(spark: SparkSession, path: str) -> DataFrame:
+def ivf_index_info(spark: SparkSession, path: str, drift: bool = False) -> DataFrame:
     """Per-cell occupancy of a stored index: (cell, n_vectors, n_files).
     The balance check that decides nprobe and flags centroid drift (one
     hot cell = recall and probe-cost skew) — k_cells rows, one
     partition-column groupBy; the vectors themselves are never read
-    (column pruning keeps the scan to the id column)."""
+    (column pruning keeps the scan to the id column).
+
+    With drift=True, three more columns measure how far the stored
+    centroids have fallen behind what the cells now CONTAIN (appends
+    assign with frozen centroids by design, so skewed appends
+    accumulate drift). The index's geometry is spherical (centroids are
+    L2-normalized, assignment is by dot product — ivf_train_centroids),
+    so drift is measured in cosine distance: `mean_dist` (mean
+    1 - cos(member, stored centroid)), `centroid_shift`
+    (1 - cos(current member mean direction, stored centroid)) and
+    `drift_ratio` = shift / mean_dist. The documented re-train trigger:
+    ANY cell with drift_ratio > 0.5 means the stored centroid is no
+    longer central to its own members — rebuild (ivf_build_index)
+    rather than keep appending, then compare the fresh meta.json
+    ann_recall row against the old one.
+
+    Drift cost/scale: one extra pass over (cell, vec) — a per-row
+    pure-column distance against the (bounded, literal) centroid matrix
+    plus a posexplode per-dimension mean whose output is k_cells x dim
+    rows (model-sized driver traffic, the pca_fit discipline)."""
     cells = spark.read.parquet(os.path.join(path, _CELLS)).select(
         "cell", F.input_file_name().alias("_f")
     )  # project the file name first: non-deterministic exprs can't
     # appear inside aggregate arguments
-    return (
+    info = (
         cells.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.countDistinct("_f").alias("n_files"),
+        )
+        .orderBy("cell")
+    )
+    if not drift:
+        return info
+    meta = load_meta(path)
+    centroids = meta["centroids"]
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    rows = spark.read.parquet(os.path.join(path, _CELLS)).select("cell", "vec")
+    cvec = F.element_at(cent_arr, F.col("cell").cast("int") + 1)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm_v = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    norm_c = F.sqrt(_dot(cvec, cvec))
+    cos_dist = F.when(
+        (norm_v > 0) & (norm_c > 0),
+        F.lit(1.0) - _dot(F.col("vec"), cvec) / (norm_v * norm_c),
+    ).otherwise(F.lit(1.0))
+    mean_dist = rows.groupBy("cell").agg(F.avg(cos_dist).alias("mean_dist"))
+    # per-dimension member mean, reduced distributed BEFORE collect
+    dim_means = (
+        rows.select("cell", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in dim_means:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+    shift_rows = []
+    for cell, dims in by_cell.items():
+        c = np.asarray(centroids[cell], dtype=np.float64)
+        m = np.asarray([dims.get(i, 0.0) for i in range(len(c))], dtype=np.float64)
+        denom = np.linalg.norm(m) * np.linalg.norm(c)
+        shift = 1.0 if denom <= 0 else float(1.0 - (m @ c) / denom)
+        shift_rows.append((cell, shift))
+    shifts = spark.createDataFrame(shift_rows, "cell int, centroid_shift double")
+    return (
+        info.join(mean_dist, "cell", "left_outer")
+        .join(F.broadcast(shifts), "cell", "left_outer")
+        .withColumn(
+            "drift_ratio",
+            F.when(
+                F.col("mean_dist") > 0,
+                F.col("centroid_shift") / F.col("mean_dist"),
+            ).otherwise(F.lit(0.0)),
         )
         .orderBy("cell")
     )

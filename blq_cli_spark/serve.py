@@ -639,6 +639,7 @@ def _embeddings(
     whiten: bool = False,
     index: str | None = None,
     nprobe: int = 2,
+    drift: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     output: str | None = None,
@@ -716,8 +717,9 @@ def _embeddings(
         if not index:
             raise ValueError(f"{action} requires an index directory path")
         if action == "index-info":
-            return {"rows": _rows(ann_index.ivf_index_info(spark, index),
-                                  limit)}
+            return {"rows": _rows(
+                ann_index.ivf_index_info(spark, index, drift=drift), limit
+            )}
         if action == "index-compact":
             return {"index": index,
                     **ann_index.ivf_compact_index(spark, index)}

@@ -176,3 +176,55 @@ def test_cli_index_info_and_compact(tmp_path, capsys):
     assert main(["embeddings", "index-compact", "--input", src,
                  "--index", idx]) == 0
     assert "compacted index (40 vectors)" in capsys.readouterr().err
+
+
+def test_build_persists_ann_recall_row(spark, tmp_path):
+    corpus = _df(spark, _vectors(80))
+    idx = str(tmp_path / "ivf_recall")
+    meta = ann_index.ivf_build_index(
+        corpus, idx, k_cells=4, iters=4, recall_queries=10, recall_k=3
+    )
+    stored = ann_index.load_meta(idx)
+    for m in (meta, stored):
+        rr = m["ann_recall"]
+        assert rr["n_queries"] == 10 and rr["k"] == 3 and rr["nprobe"] == 2
+        assert 0.0 <= rr["recall"] <= 1.0
+    # opt-out leaves meta without the row
+    idx2 = str(tmp_path / "ivf_norecall")
+    ann_index.ivf_build_index(corpus, idx2, k_cells=4, iters=4, recall_queries=0)
+    assert "ann_recall" not in ann_index.load_meta(idx2)
+
+
+def test_drift_detection_after_skewed_appends(spark, tmp_path):
+    """Appends assign with FROZEN centroids by design; a skewed append
+    (every new vector far from any training cluster) must show up as
+    drift_ratio > 0.5 on the cells that absorbed it, while a fresh
+    index over well-clustered data stays comfortably below — the
+    documented re-train trigger."""
+    corpus = _df(spark, _vectors(80))
+    idx = str(tmp_path / "ivf_drift")
+    ann_index.ivf_build_index(corpus, idx, k_cells=4, iters=4, recall_queries=0)
+
+    healthy = {
+        r["cell"]: r for r in ann_index.ivf_index_info(spark, idx, drift=True).collect()
+    }
+    assert all(r["drift_ratio"] < 0.5 for r in healthy.values()), healthy
+    assert all(r["centroid_shift"] >= 0.0 for r in healthy.values())
+
+    # skewed batch: a tight far-away cluster, 3x the original corpus
+    rng = np.random.default_rng(9)
+    far = [
+        (1000 + i, (np.full(6, 25.0) + rng.normal(size=6) * 0.1).tolist())
+        for i in range(240)
+    ]
+    ann_index.ivf_append_index(_df(spark, far), idx)
+
+    drifted = {
+        r["cell"]: r for r in ann_index.ivf_index_info(spark, idx, drift=True).collect()
+    }
+    assert any(r["drift_ratio"] > 0.5 for r in drifted.values()), drifted
+    # occupancy columns still present and consistent
+    assert sum(r["n_vectors"] for r in drifted.values()) == 320
+    # plain info (drift=False) is unchanged in shape
+    plain = ann_index.ivf_index_info(spark, idx).columns
+    assert plain == ["cell", "n_vectors", "n_files"]

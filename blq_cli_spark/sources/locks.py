@@ -12,15 +12,38 @@ Differences from the reference (deliberate):
   write, so two simultaneous acquirers cannot both think they won;
 - stale reclaim unlinks the dead holder's file and retries the atomic
   create, racing safely against other reclaimers.
+
+Multi-host semantics (round 6): lock files record the holder's
+HOSTNAME. PID liveness is only meaningful on the holder's own host, so
+stale detection is two-tier:
+- same host (or a pre-round-6 lock file without a hostname): reclaim
+  when the PID is dead — immediate, exact;
+- different host: the lock is a LEASE — reclaim only once its
+  acquired_at age exceeds REMOTE_LEASE_TTL_S (default 600 s; a remote
+  run legitimately longer than the TTL should be serialized with
+  --wait-lock rather than relying on reclaim-protection).
+
+Shared-filesystem caveats (documented contract): O_CREAT|O_EXCL and
+same-directory os.replace() are atomic on local POSIX filesystems and
+on NFSv3+; NFSv2 (no atomic exclusive create) is NOT supported. Clock
+skew between hosts shortens/extends remote leases by the skew — keep
+REMOTE_LEASE_TTL_S an order of magnitude above expected skew.
+tests/test_multihost_store.py stress-tests two concurrent writer
+PROCESSES against one store root (unique gapless serials) and the
+remote-lease reclaim ladder.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket
 import time
 from dataclasses import asdict, dataclass
 from pathlib import Path
+
+# remote holders are leases: reclaimable only after this many seconds
+REMOTE_LEASE_TTL_S = 600.0
 
 
 @dataclass
@@ -30,6 +53,7 @@ class CommandLock:
     attempt_id: str
     command: str
     acquired_at: float
+    hostname: str = ""  # "" = pre-round-6 lock file (treated as local)
 
 
 class LockHeldError(RuntimeError):
@@ -60,9 +84,23 @@ def read_lock(locks_dir: str | Path, name: str) -> CommandLock | None:
     """Peek at a lock without acquiring. None if absent/corrupt."""
     try:
         data = json.loads(_lock_path(locks_dir, name).read_text())
-        return CommandLock(**{k: data[k] for k in CommandLock.__dataclass_fields__})
+        kwargs = {
+            k: data[k]
+            for k in CommandLock.__dataclass_fields__
+            if k in data
+        }
+        return CommandLock(**kwargs)
     except (OSError, ValueError, KeyError, TypeError):
         return None
+
+
+def _holder_alive(lock: CommandLock) -> bool:
+    """Same-host holders: exact PID liveness. Remote holders: lease —
+    alive until REMOTE_LEASE_TTL_S after acquisition (PID numbers mean
+    nothing across hosts on a shared filesystem)."""
+    if lock.hostname in ("", socket.gethostname()):
+        return _pid_alive(lock.pid)
+    return (time.time() - lock.acquired_at) < REMOTE_LEASE_TTL_S
 
 
 def acquire_lock(
@@ -72,20 +110,24 @@ def acquire_lock(
     command: str,
     pid: int | None = None,
 ) -> CommandLock:
-    """Atomically acquire `name`; reclaim if the holder PID is dead.
+    """Atomically acquire `name`; reclaim if the holder is stale
+    (same-host dead PID, or remote lease expired — _holder_alive).
 
     Raises LockHeldError when a live process holds it."""
     locks_dir = Path(locks_dir)
     locks_dir.mkdir(parents=True, exist_ok=True)
     path = _lock_path(locks_dir, name)
-    lock = CommandLock(name, pid or os.getpid(), attempt_id, command, time.time())
+    lock = CommandLock(
+        name, pid or os.getpid(), attempt_id, command, time.time(),
+        hostname=socket.gethostname(),
+    )
     payload = json.dumps(asdict(lock))
     for _ in range(8):  # bounded reclaim retries under contention
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             existing = read_lock(locks_dir, name)
-            if existing is not None and _pid_alive(existing.pid):
+            if existing is not None and _holder_alive(existing):
                 raise LockHeldError(existing)
             # stale (dead holder) or corrupt: clear and re-race
             try:
@@ -134,7 +176,7 @@ def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
     cleaned = []
     for path in sorted(locks_dir.glob("*.lock")):
         lock = read_lock(locks_dir, path.stem)
-        if lock is None or not _pid_alive(lock.pid):
+        if lock is None or not _holder_alive(lock):
             try:
                 path.unlink()
                 cleaned.append(path.stem)

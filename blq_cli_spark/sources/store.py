@@ -222,23 +222,14 @@ class LogStore:
 
     def _reserve_serials_locked(self, count: int) -> int:
         """Advance the counter file by `count`, returning the first
-        reserved serial. Caller must hold the store-write lock."""
-        path = os.path.join(self.root, "run_serial")
-        last = None
-        try:
-            with open(path) as fh:
-                last = int(fh.read().strip())
-        except (OSError, ValueError):
-            pass
-        if last is None:
+        reserved serial. Caller must hold the store-write lock. First
+        use on a pre-counter store seeds from max(run_serial)."""
+
+        def _seed() -> int:
             row = self.runs().agg(F.max("run_serial").alias("m")).collect()[0]
-            last = int(row["m"] or 0)
-        os.makedirs(self.root, exist_ok=True)
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(last + count))
-        os.replace(tmp, path)
-        return last + 1
+            return int(row["m"] or 0)
+
+        return _advance_serial_file(self.root, count, _seed)
 
     def schema_version(self) -> str | None:
         """Stored schema version of this store, None if unmarked
@@ -845,3 +836,49 @@ def config_unset(store: "LogStore", key: str) -> bool:
     cfg.get("user", {}).pop(key, None)
     _save_config(store, cfg)
     return existed
+
+
+def _advance_serial_file(root: str, count: int, seed_fn) -> int:
+    """Advance the durable `<root>/run_serial` counter by `count` and
+    return the first reserved serial. Caller must hold the store-write
+    lock. `seed_fn()` supplies the high-water mark when the counter file
+    does not exist yet (LogStore seeds from max(run_serial) — one tiny
+    dimension scan, once per store lifetime). The write is tmp +
+    same-directory os.replace: atomic on local POSIX and NFSv3+ (the
+    locks-module multi-host contract)."""
+    path = os.path.join(root, "run_serial")
+    last = None
+    try:
+        with open(path) as fh:
+            last = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    if last is None:
+        last = int(seed_fn())
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(last + count))
+    os.replace(tmp, path)
+    return last + 1
+
+
+def reserve_serials_standalone(root: str, count: int = 1) -> int:
+    """Cross-process serial reservation WITHOUT a SparkSession: take the
+    store-write file lock and bump the counter. The primitive a
+    non-Spark writer (or another host on a shared filesystem) uses to
+    claim serial ranges; requires a store that has ingested at least
+    once (counter file present) — otherwise seeds from 0. Returns the
+    first reserved serial; tests/test_multihost_store.py stress-drives
+    this from two concurrent processes."""
+    from blq_cli_spark.sources import locks as locks_mod
+
+    locks_dir = os.path.join(root, "locks")
+    locks_mod.acquire_lock_wait(
+        locks_dir, _WRITE_LOCK_NAME, str(uuid.uuid4()), "<serial-reserve>",
+        timeout=_WRITE_LOCK_WAIT_S,
+    )
+    try:
+        return _advance_serial_file(root, count, lambda: 0)
+    finally:
+        locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME)

@@ -54,6 +54,17 @@ HEADLINE = [
     "x_parse_suite",
 ]
 
+# the 18 queries every round since r2 has run — the cross-round
+# comparable subset (r2 recorded 7.99 s; the verdicts compare on this)
+COMPARABLE_18 = [
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_region_revenue",
+    "q6_forecast_revenue", "q10_returned_items", "j2_left_join_counts",
+    "j4_full_outer_diff", "w2_latest_per_group", "o2_global_topk",
+    "ts_tumbling_window", "ts_sessionize", "x_text_profile",
+    "x_exact_dedup", "x_minhash_lsh_candidates", "x_cosine_topk",
+    "x_lsh_ann", "x_ivf_ann", "x_embedding_neardup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +129,11 @@ def main() -> None:
                 "calib_ref_ms": CALIB_REF_MS,
                 "value_calib_normalized": round(total * scale, 3),
                 "queries_calib_normalized": norm,
+                # one-line cross-round comparison: normalized total over
+                # the 18 queries every round since r2 has run
+                "comparable_18_calib_normalized": round(
+                    sum(norm[n] for n in COMPARABLE_18), 3
+                ),
             }
         )
     )

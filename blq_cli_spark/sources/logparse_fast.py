@@ -146,15 +146,6 @@ def _lines(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     ).select("source_id", (F.col("pos") + 1).alias("line_no"), "line")
 
 
-def _explode_rules(lines: DataFrame, rules: list[tuple[Column, Column]]) -> DataFrame:
-    """One pass over the lines: evaluate every (condition, event-struct)
-    rule, keep the matches. Rules within a format match disjoint lines
-    (asserted by the Python parsers' control flow), so per-line order is
-    immaterial."""
-    arr = F.array(*[F.when(cond, ev) for cond, ev in rules])
-    return lines.select("source_id", F.explode(F.array_compact(arr)).alias("ev"))
-
-
 def _doc_window() -> Window:
     return Window.partitionBy("source_id").orderBy("line_no")
 
@@ -172,12 +163,12 @@ def _carry(c: Column) -> Column:
 _GCC = r"^([^\s:][^:]*):(\d+):(?:(\d+):)?\s*(fatal error|error|warning|note):\s*(.*)$"
 
 
-def _f_gcc(lines: DataFrame) -> DataFrame:
+def _r_gcc(lines: DataFrame):
     ev = _ev(
         "gcc", "compile", _sev(_x(_GCC, 4)), _x(_GCC, 5),
         file=_x(_GCC, 1), line=_x(_GCC, 2), col=_opt(_x(_GCC, 3)),
     )
-    return _explode_rules(lines, [(_line().rlike(_GCC), ev)])
+    return lines, [(_line().rlike(_GCC), ev)]
 
 
 _MYPY = (
@@ -186,13 +177,13 @@ _MYPY = (
 )
 
 
-def _f_mypy(lines: DataFrame) -> DataFrame:
+def _r_mypy(lines: DataFrame):
     ev = _ev(
         "mypy", "typecheck", _sev(_x(_MYPY, 4)), _x(_MYPY, 5),
         file=_x(_MYPY, 1), line=_x(_MYPY, 2), col=_opt(_x(_MYPY, 3)),
         code=_opt(_x(_MYPY, 6)),
     )
-    return _explode_rules(lines, [(_line().rlike(_MYPY), ev)])
+    return lines, [(_line().rlike(_MYPY), ev)]
 
 
 _TSC = (
@@ -200,23 +191,23 @@ _TSC = (
 )
 
 
-def _f_tsc(lines: DataFrame) -> DataFrame:
+def _r_tsc(lines: DataFrame):
     ev = _ev(
         "tsc", "compile", _sev(_x(_TSC, 4)), _x(_TSC, 6),
         file=_x(_TSC, 1), line=_x(_TSC, 2), col=_x(_TSC, 3), code=_x(_TSC, 5),
     )
-    return _explode_rules(lines, [(_line().rlike(_TSC), ev)])
+    return lines, [(_line().rlike(_TSC), ev)]
 
 
 _MAVEN = r"^\[(ERROR|WARNING)\]\s+(?:([^\s\[]+):\[(\d+),(\d+)\]\s*)?(.+)$"
 
 
-def _f_maven(lines: DataFrame) -> DataFrame:
+def _r_maven(lines: DataFrame):
     ev = _ev(
         "maven", "build", _sev(_x(_MAVEN, 1)), _x(_MAVEN, 5),
         file=_opt(_x(_MAVEN, 2)), line=_opt(_x(_MAVEN, 3)), col=_opt(_x(_MAVEN, 4)),
     )
-    return _explode_rules(lines, [(_line().rlike(_MAVEN), ev)])
+    return lines, [(_line().rlike(_MAVEN), ev)]
 
 
 _GOLANGCI = (
@@ -224,32 +215,30 @@ _GOLANGCI = (
 )
 
 
-def _f_golangci(lines: DataFrame) -> DataFrame:
+def _r_golangci(lines: DataFrame):
     ev = _ev(
         "golangci-lint", "lint", F.lit("warning"), _x(_GOLANGCI, 4),
         file=_x(_GOLANGCI, 1), line=_x(_GOLANGCI, 2), col=_opt(_x(_GOLANGCI, 3)),
         rule=_x(_GOLANGCI, 5),
     )
-    return _explode_rules(lines, [(_line().rlike(_GOLANGCI), ev)])
+    return lines, [(_line().rlike(_GOLANGCI), ev)]
 
 
 _GENERIC = r"(?i)\b(error|warning|fatal)\b[:\s]+(.*)$"
 
 
-def _f_generic(lines: DataFrame) -> DataFrame:
+def _r_generic(lines: DataFrame):
     # Python uses .search + requires a non-empty message; regexp_extract
     # is find()-based so unanchored search semantics match.
     ev = _ev("generic", "log", _sev(_x(_GENERIC, 1)), _x(_GENERIC, 2))
-    return _explode_rules(
-        lines, [(_line().rlike(_GENERIC) & (_x(_GENERIC, 2) != ""), ev)]
-    )
+    return lines, [(_line().rlike(_GENERIC) & (_x(_GENERIC, 2) != ""), ev)]
 
 
 _PYTEST_FAILED = r"^(FAILED|ERROR)\s+([^\s:]+)::([^\s]+?)(?:\s+-\s+(.*))?$"
 _PYTEST_ASSERT = r"^E\s+(.+)$"
 
 
-def _f_pytest(lines: DataFrame) -> DataFrame:
+def _r_pytest(lines: DataFrame):
     msg = F.coalesce(
         _opt(_x(_PYTEST_FAILED, 4)),
         F.concat(_x(_PYTEST_FAILED, 1), F.lit(" "), _x(_PYTEST_FAILED, 3)),
@@ -260,17 +249,17 @@ def _f_pytest(lines: DataFrame) -> DataFrame:
         event_type="test_result",
     )
     assert_ev = _ev("pytest", "test", F.lit("error"), _x(_PYTEST_ASSERT, 1))
-    return _explode_rules(
-        lines,
-        [(_line().rlike(_PYTEST_FAILED), fail_ev), (_line().rlike(_PYTEST_ASSERT), assert_ev)],
-    )
+    return lines, [
+        (_line().rlike(_PYTEST_FAILED), fail_ev),
+        (_line().rlike(_PYTEST_ASSERT), assert_ev),
+    ]
 
 
 _ESLINT_FILE = r"^([^\s].*\.(?:js|jsx|ts|tsx|mjs|cjs|vue))$"
 _ESLINT_ISSUE = r"^\s+(\d+):(\d+)\s+(error|warning)\s+(.*?)\s{2,}([\w@/-]+)$"
 
 
-def _f_eslint(lines: DataFrame) -> DataFrame:
+def _r_eslint(lines: DataFrame):
     staged = lines.withColumn(
         "cur_file", _carry(F.when(_line().rlike(_ESLINT_FILE), _x(_ESLINT_FILE, 1)))
     )
@@ -280,14 +269,14 @@ def _f_eslint(lines: DataFrame) -> DataFrame:
         rule=_x(_ESLINT_ISSUE, 5),
     )
     cond = _line().rlike(_ESLINT_ISSUE) & F.col("cur_file").isNotNull()
-    return _explode_rules(staged, [(cond, ev)])
+    return staged, [(cond, ev)]
 
 
 _GO_FAIL = r"^--- FAIL: (\S+)"
 _GO_LOC = r"^\s+([\w./-]+\.go):(\d+):\s*(.*)$"
 
 
-def _f_go(lines: DataFrame) -> DataFrame:
+def _r_go(lines: DataFrame):
     staged = lines.withColumn(
         "cur_test", _carry(F.when(_line().rlike(_GO_FAIL), _x(_GO_FAIL, 1)))
     )
@@ -300,20 +289,17 @@ def _f_go(lines: DataFrame) -> DataFrame:
         "go", "test", F.lit("error"), _x(_GO_LOC, 3),
         file=_x(_GO_LOC, 1), line=_x(_GO_LOC, 2), test_name=F.col("cur_test"),
     )
-    return _explode_rules(
-        staged,
-        [
-            (_line().rlike(_GO_FAIL), fail_ev),
-            (_line().rlike(_GO_LOC) & F.col("cur_test").isNotNull(), loc_ev),
-        ],
-    )
+    return staged, [
+        (_line().rlike(_GO_FAIL), fail_ev),
+        (_line().rlike(_GO_LOC) & F.col("cur_test").isNotNull(), loc_ev),
+    ]
 
 
 _JEST_HDR = r"^\s*(FAIL|PASS)\s+([^\s]+)\s*$"
 _JEST_TEST = r"^\s*[✕x●]\s+(.+?)(?:\s+\(\d+\s*m?s\))?\s*$"
 
 
-def _f_jest(lines: DataFrame) -> DataFrame:
+def _r_jest(lines: DataFrame):
     staged = lines.withColumn(
         "cur_file", _carry(F.when(_line().rlike(_JEST_HDR), _x(_JEST_HDR, 2)))
     )
@@ -327,20 +313,17 @@ def _f_jest(lines: DataFrame) -> DataFrame:
         file=F.col("cur_file"), test_name=_x(_JEST_TEST, 1),
         event_type="test_result",
     )
-    return _explode_rules(
-        staged,
-        [
-            (_line().rlike(_JEST_HDR) & (_x(_JEST_HDR, 1) == "FAIL"), hdr_ev),
-            (_line().rlike(_JEST_TEST) & F.col("cur_file").isNotNull(), test_ev),
-        ],
-    )
+    return staged, [
+        (_line().rlike(_JEST_HDR) & (_x(_JEST_HDR, 1) == "FAIL"), hdr_ev),
+        (_line().rlike(_JEST_TEST) & F.col("cur_file").isNotNull(), test_ev),
+    ]
 
 
 _NPM = r"^npm (ERR!|WARN)\s+(?:([A-Z_]+)\s+)?(.*)$"
 _NPM_CODE = r"^code\s+([A-Z_][A-Z0-9_]*)$"
 
 
-def _f_npm(lines: DataFrame) -> DataFrame:
+def _r_npm(lines: DataFrame):
     matched = _line().rlike(_NPM)
     is_err = matched & (_x(_NPM, 1) == "ERR!")
     staged = lines.withColumn(
@@ -363,7 +346,7 @@ def _f_npm(lines: DataFrame) -> DataFrame:
         F.when(F.col("is_err"), "error").otherwise("warning"),
         message, code=code,
     )
-    return _explode_rules(staged, [(emit, ev)])
+    return staged, [(emit, ev)]
 
 
 _RUST_ERR = r"^(error|warning)(?:\[(E\d+)\])?:\s*(.*)$"
@@ -422,20 +405,41 @@ def _f_rustc(lines: DataFrame) -> DataFrame:
     return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
 
 
+# rule builders: lines -> (staged lines df, [(condition, event struct)]).
+# rustc is the one DF-level builder (groupBy attachment can't be a
+# per-line rule).
 FAST_FORMATS: dict[str, object] = {
-    "gcc": _f_gcc,
-    "mypy": _f_mypy,
-    "tsc": _f_tsc,
-    "maven": _f_maven,
-    "golangci_lint": _f_golangci,
-    "generic": _f_generic,
-    "pytest": _f_pytest,
-    "eslint": _f_eslint,
-    "go_test": _f_go,
-    "jest": _f_jest,
-    "npm": _f_npm,
+    "gcc": _r_gcc,
+    "mypy": _r_mypy,
+    "tsc": _r_tsc,
+    "maven": _r_maven,
+    "golangci_lint": _r_golangci,
+    "generic": _r_generic,
+    "pytest": _r_pytest,
+    "eslint": _r_eslint,
+    "go_test": _r_go,
+    "jest": _r_jest,
+    "npm": _r_npm,
     "rustc": _f_rustc,
 }
+
+
+def _explode_tagged(
+    staged: DataFrame, tagged: list[tuple[str, Column, Column]]
+) -> DataFrame:
+    """ONE pass over the (staged) lines evaluating every rule — the
+    requested format's AND the generic fallback's — so the line table
+    (and the document-assembly lineage feeding it) is computed once.
+    Each rule's events carry their format tag for the fallback filter."""
+    arr = F.array(
+        *[
+            F.when(cond, F.struct(F.lit(tag).alias("f"), ev.alias("e")))
+            for tag, cond, ev in tagged
+        ]
+    )
+    return staged.select(
+        "source_id", F.explode(F.array_compact(arr)).alias("t")
+    ).select("source_id", F.col("t.e").alias("ev"), F.col("t.f").alias("format_used"))
 
 
 def fast_parse_df(
@@ -445,14 +449,32 @@ def fast_parse_df(
     including the per-document fallback to 'generic' when the requested
     format yields no events (parse_content semantics)."""
     lines = _lines(df, id_col, content_col)
-    ev = FAST_FORMATS[fmt](lines).withColumn("format_used", F.lit(fmt))
+    if fmt == "generic":
+        staged, rules = _r_generic(lines)
+        ev = _explode_tagged(staged, [("generic", c, e) for c, e in rules])
+    elif fmt == "rustc":
+        # the groupBy-based builder can't merge into the per-line rule
+        # pass; the generic branch re-derives the lines for this one
+        # format (error/location logs are a thin slice of any corpus)
+        fmt_ev = _f_rustc(lines).withColumn("format_used", F.lit("rustc"))
+        g_staged, g_rules = _r_generic(lines)
+        gen = _explode_tagged(g_staged, [("generic", c, e) for c, e in g_rules])
+        ev = fmt_ev.unionByName(gen)
+    else:
+        # single pass: the format's rules and the generic rules evaluate
+        # on the SAME staged line table (staging only adds carry columns)
+        staged, rules = FAST_FORMATS[fmt](lines)
+        _, g_rules = _r_generic(staged)
+        ev = _explode_tagged(
+            staged,
+            [(fmt, c, e) for c, e in rules]
+            + [("generic", c, e) for c, e in g_rules],
+        )
     if fmt != "generic":
-        gen = _f_generic(lines).withColumn("format_used", F.lit("generic"))
-        both = ev.unionByName(gen)
         n_fmt = F.sum((F.col("format_used") == fmt).cast("int")).over(
             Window.partitionBy("source_id")
         )
-        ev = both.withColumn("_n_fmt", n_fmt).filter(
+        ev = ev.withColumn("_n_fmt", n_fmt).filter(
             F.when(F.col("_n_fmt") > 0, F.col("format_used") == fmt).otherwise(
                 F.col("format_used") == "generic"
             )

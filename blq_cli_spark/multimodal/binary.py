@@ -26,6 +26,11 @@ What's real here vs stubbed (container has no image/audio libs):
   (resize_image — numpy index-grid gather over decoded pixels) and
   per-window audio features for PCM-16 (audio_features — RMS /
   zero-crossing rate / peak, vectorized numpy);
+- REAL: perceptual near-dup hashing for BOTH decodable modalities —
+  image_perceptual_hash (dHash / DCT pHash over real decoded pixels)
+  and audio_fingerprint (Haitsma-Kalker band-energy differentials over
+  real PCM) — each pairing through dedup.hamming_candidates' banded
+  join (image_dedup_pairs / audio_dedup_pairs);
 - STUB: non-PNG pixel decode without PIL and non-GIF video containers
   (ffmpeg/av) raise NotImplementedError unless the lib is importable,
   with `fake=True` offering a deterministic byte-derived surrogate so
@@ -727,4 +732,122 @@ def image_dedup_pairs(
         hot_bucket_cap=hot_bucket_cap,
         id_col="id",
         hash_col="phash",
+    )
+
+
+def _wav_mono_samples(data: bytes):
+    """WAV/PCM-16 -> (rate, mono float64 samples) or None (the
+    audio_features parse, shared). Multi-channel mixes down by mean."""
+    import numpy as np
+
+    if sniff_format(data) != "wav" or len(data) < 44:
+        return None
+    channels, rate = struct.unpack("<HI", data[22:28])
+    bits = struct.unpack("<H", data[34:36])[0]
+    data_size = struct.unpack("<I", data[40:44])[0]
+    if bits != 16 or not rate or not channels:
+        return None
+    body = data[44 : 44 + data_size]
+    samples = np.frombuffer(
+        body[: len(body) - (len(body) % 2)], dtype="<i2"
+    ).astype(np.float64)
+    if channels > 1:
+        n = len(samples) - (len(samples) % channels)
+        samples = samples[:n].reshape(-1, channels).mean(axis=1)
+    return rate, samples
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "content",
+    frames: int = 8,
+    bands: int = 9,
+) -> DataFrame:
+    """64-bit perceptual audio fingerprint for WAV/PCM-16 — the
+    Haitsma-Kalker (2002) differential scheme that chromaprint-style
+    systems build on: split the clip into `frames` equal chunks, take
+    each chunk's FFT magnitude spectrum in `bands` equal bands, and set
+    bit (f*(bands-1) + b) iff the band-energy difference E[f,b]-E[f,b+1]
+    grew relative to the previous frame's same difference. frames=8 x
+    (bands-1)=8 differentials = 64 bits -> (id, ahash long).
+
+    Invariances by construction (tested): volume scaling (all energies
+    scale by c^2 > 0, every comparison's sign survives) and anything
+    below band resolution; sensitive to spectral shape over time, which
+    is what near-dup audio shares. Non-WAV / non-16-bit rows yield
+    nothing, like audio_features.
+
+    100 TB shape: one Arrow-batched kernel pass, per-item work bounded
+    by frames x FFT(chunk); pairing rides dedup.hamming_candidates'
+    banded join (audio_dedup_pairs) — never all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    n_diffs = bands - 1
+    if frames * n_diffs > 64:
+        raise ValueError("frames * (bands-1) must be <= 64")
+
+    def _hash_one(data: bytes):
+        parsed = _wav_mono_samples(data)
+        if parsed is None:
+            return None
+        _, samples = parsed
+        if len(samples) < frames * 2 * bands:
+            return None
+        chunk = len(samples) // frames
+        E = np.empty((frames, bands))
+        for f in range(frames):
+            spec = np.abs(np.fft.rfft(samples[f * chunk : (f + 1) * chunk]))
+            usable = spec[1:]  # drop DC: silence/offset robustness
+            band_w = len(usable) // bands
+            if band_w == 0:
+                return None
+            for b in range(bands):
+                seg = usable[b * band_w : (b + 1) * band_w]
+                E[f, b] = float(np.sum(seg * seg))
+        d = E[:, :-1] - E[:, 1:]  # frames x n_diffs
+        prev = np.vstack([np.zeros((1, n_diffs)), d[:-1]])
+        bits = (d - prev) > 0
+        v = 0
+        for i, on in enumerate(bits.reshape(-1)):
+            if on:
+                v |= 1 << i
+        return _to_signed64(v)
+
+    def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(blob) if blob is not None else b""
+                h = _hash_one(data)
+                if h is not None:
+                    rows.append({"id": rid, "ahash": h})
+            yield pd.DataFrame(rows, columns=["id", "ahash"])
+
+    return df.mapInPandas(_batches, schema="id string, ahash long")
+
+
+def audio_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "content",
+    max_hamming: int = 7,
+    bands: int = 8,
+    hot_bucket_cap: int = 256,
+) -> DataFrame:
+    """Perceptual audio near-dup pairs: audio_fingerprint + the banded
+    hamming join (same engine as text simhash and image dHash pairs).
+    Returns (id_a, id_b, hamming)."""
+    from blq_cli_spark.operators.dedup import hamming_candidates
+
+    hashes = audio_fingerprint(df, id_col, bin_col)
+    return hamming_candidates(
+        hashes,
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        hot_bucket_cap=hot_bucket_cap,
+        id_col="id",
+        hash_col="ahash",
     )

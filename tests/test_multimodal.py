@@ -411,3 +411,94 @@ def test_image_dedup_pairs_matches_bruteforce(spark):
     # so the banded join finds EVERY qualifying pair, and nothing else
     assert got == expected
     assert expected  # the planted groups actually produce pairs
+
+
+# --- audio perceptual fingerprint (round 6) -----------------------------------
+
+
+def _wav_pcm16(samples, rate=8000) -> bytes:
+    import numpy as np
+
+    pcm = np.asarray(samples)
+    body = np.clip(pcm, -32768, 32767).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(body))
+    )
+    return hdr + body
+
+
+def _colored_noise(seed, n=8000, member=None):
+    """Broadband deterministic signal (smoothed noise + seed-specific AM
+    envelope): every spectral band carries real energy, so the
+    fingerprint is exercised away from the empty-band knife edge that a
+    pure-tone fixture would sit on. `member` adds small extra noise for
+    near-duplicate variants."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = np.convolve(rng.normal(0, 1, n), np.ones(6) / 6, "same")
+    env = 1 + 0.8 * np.sin(2 * np.pi * np.arange(n) / n * (3 + seed % 5))
+    out = x * env * 9000
+    if member is not None:
+        out = out + np.random.default_rng(1000 + member).normal(0, 400, n)
+    return out
+
+
+def test_audio_fingerprint_invariances(spark):
+    import numpy as np
+
+    base = _colored_noise(1)
+    df = spark.createDataFrame(
+        [
+            ("orig", bytearray(_wav_pcm16(base))),
+            ("same", bytearray(_wav_pcm16(base.copy()))),
+            ("quiet", bytearray(_wav_pcm16(base * 0.25))),  # volume change
+            ("noisy", bytearray(_wav_pcm16(_colored_noise(1, member=7)))),
+            ("other", bytearray(_wav_pcm16(_colored_noise(2)))),
+            ("notaudio", bytearray(b"\x89PNG\r\n\x1a\njunk")),
+        ],
+        "id string, content binary",
+    )
+    h = {r["id"]: r["ahash"] for r in mm.audio_fingerprint(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert "notaudio" not in h  # non-WAV rows yield nothing
+    assert h["orig"] == h["same"]
+    assert h["orig"] == h["quiet"]  # energy-difference signs survive scaling
+    assert ham(h["orig"], h["noisy"]) <= 8
+    assert ham(h["orig"], h["other"]) > 10
+    assert isinstance(h["orig"], int)
+    _ = np  # silence unused-import style in case asserts change
+
+
+def test_audio_dedup_pairs_matches_bruteforce(spark):
+    from itertools import combinations
+
+    rows = []
+    for i in range(18):
+        g = i % 3
+        rows.append(
+            (f"a{i:02d}", bytearray(_wav_pcm16(_colored_noise(g, member=i))))
+        )
+    df = spark.createDataFrame(rows, "id string, content binary")
+    hashes = {r["id"]: r["ahash"] for r in mm.audio_fingerprint(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    max_h = 7
+    expected = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.audio_dedup_pairs(df, max_hamming=max_h).collect()
+    }
+    assert got == expected
+    assert expected  # planted same-spectrum groups do pair up

@@ -31,7 +31,10 @@ What's real here vs stubbed (container has no image/audio libs):
   and audio_fingerprint (Haitsma-Kalker band-energy differentials over
   real PCM) — each pairing through dedup.hamming_candidates' banded
   join (image_dedup_pairs / audio_dedup_pairs);
-- STUB: non-PNG pixel decode without PIL and non-GIF video containers
+- REAL: GIF pixel decode in pure Python too (gif_decode — LZW inflate,
+  de-interlace, palette-to-luma), so BOTH image container formats in
+  this container decode without PIL;
+- STUB: JPEG pixel decode without PIL and non-GIF video containers
   (ffmpeg/av) raise NotImplementedError unless the lib is importable,
   with `fake=True` offering a deterministic byte-derived surrogate so
   pipelines are testable end-to-end.
@@ -275,21 +278,7 @@ def decode_image(
     Image = _require_pil()
 
     def _decode_one(data: bytes):
-        if Image is not None and not fake:
-            import io
-
-            img = Image.open(io.BytesIO(data))
-            return img.width, img.height, img.convert("L").tobytes()
-        if sniff_format(data) == "png" and not fake:
-            return png_decode(data)
-        if fake:
-            digest = hashlib.md5(data).digest()
-            return 4, 4, digest
-        raise NotImplementedError(
-            f"pixel decode for format {sniff_format(data)!r} requires PIL "
-            "(not in this container); PNG decodes natively, or pass "
-            "fake=True for a deterministic surrogate"
-        )
+        return _decode_gray_one(data, fake, Image)
 
     def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -331,20 +320,7 @@ def resize_image(
     Image = _require_pil()
 
     def _decode_gray(data: bytes):
-        if Image is not None and not fake:
-            import io
-
-            img = Image.open(io.BytesIO(data))
-            return img.width, img.height, img.convert("L").tobytes()
-        if sniff_format(data) == "png" and not fake:
-            return png_decode(data)
-        if fake:
-            digest = hashlib.md5(data).digest()
-            return 4, 4, digest
-        raise NotImplementedError(
-            f"resize of format {sniff_format(data)!r} requires PIL (not in "
-            "this container); PNG decodes natively, or pass fake=True"
-        )
+        return _decode_gray_one(data, fake, Image)
 
     def _batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # index grids are input-shape-dependent; memoize per (w, h)
@@ -436,8 +412,8 @@ def audio_features(
 def gif_frames(data: bytes) -> list[dict]:
     """Pure-Python animated-GIF frame index: walk the block structure and
     return one entry per frame with its byte span and timing — REAL frame
-    extraction without any codec library (pixel decode of a frame's LZW
-    stream is the only part that still needs one).
+    extraction without any codec library (gif_decode inflates a frame's
+    pixels when they're needed).
 
     Returns [{frame_index, offset, length, delay_ms, ts_ms}]."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
@@ -618,21 +594,27 @@ def png_encode(width: int, height: int, gray: bytes) -> bytes:
 
 
 def _decode_gray_one(data: bytes, fake: bool, Image) -> tuple[int, int, bytes]:
-    """Shared decode ladder: PIL -> pure-Python png_decode -> fake
-    surrogate -> NotImplementedError (decode_image's contract)."""
+    """Shared decode ladder: PIL -> pure-Python png_decode / gif_decode
+    (first frame) -> fake surrogate -> NotImplementedError
+    (decode_image's contract)."""
     if Image is not None and not fake:
         import io
 
         img = Image.open(io.BytesIO(data))
         return img.width, img.height, img.convert("L").tobytes()
-    if sniff_format(data) == "png" and not fake:
-        return png_decode(data)
+    if not fake:
+        fmt = sniff_format(data)
+        if fmt == "png":
+            return png_decode(data)
+        if fmt == "gif":
+            return gif_decode(data)
     if fake:
         digest = hashlib.md5(data).digest()
         return 4, 4, digest
     raise NotImplementedError(
         f"pixel decode for format {sniff_format(data)!r} requires PIL "
-        "(not in this container); PNG decodes natively, or pass fake=True"
+        "(not in this container); PNG and GIF decode natively, or pass "
+        "fake=True"
     )
 
 
@@ -851,3 +833,102 @@ def audio_dedup_pairs(
         id_col="id",
         hash_col="ahash",
     )
+
+
+def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear/end
+    codes, dict growth to 12 bits) — pure Python, no codec library."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return bytes(out[:expected])
+
+
+def gif_decode(data: bytes, frame_index: int = 0) -> tuple[int, int, bytes]:
+    """REAL pure-Python GIF pixel decode: locate the frame via the
+    gif_frames block walk, inflate its LZW stream, de-interlace when
+    flagged, and map palette indices to luma grayscale. Returns the
+    FRAME's own (width, height, row-major grayscale bytes) — callers
+    wanting logical-screen compositing of animated deltas should
+    iterate frames themselves. Completes the decode ladder: both image
+    container formats in this container now decode without PIL."""
+    frames = gif_frames(data)
+    if frame_index >= len(frames):
+        raise ValueError(f"GIF has {len(frames)} frames, wanted {frame_index}")
+    gflags = data[10]
+    gct = b""
+    if gflags & 0x80:
+        n = 2 ** ((gflags & 0x07) + 1)
+        gct = data[13 : 13 + 3 * n]
+    pos = frames[frame_index]["offset"]
+    left, top, fw, fh = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+    lflags = data[pos + 9]
+    p = pos + 10
+    table = gct
+    if lflags & 0x80:
+        n = 2 ** ((lflags & 0x07) + 1)
+        table = data[p : p + 3 * n]
+        p += 3 * n
+    if not table:
+        raise ValueError("GIF frame has no color table")
+    min_code_size = data[p]
+    p += 1
+    lzw = bytearray()
+    while p < len(data) and data[p] != 0:
+        ln = data[p]
+        lzw.extend(data[p + 1 : p + 1 + ln])
+        p += 1 + ln
+    idx = _lzw_decode(min_code_size, bytes(lzw), fw * fh)
+    if len(idx) < fw * fh:
+        raise ValueError("truncated GIF pixel data")
+    if lflags & 0x40:  # interlaced: rows arrive in 8/8, 8/4, 4/2, 2/1 passes
+        rows = [idx[r * fw : (r + 1) * fw] for r in range(fh)]
+        order = (
+            list(range(0, fh, 8)) + list(range(4, fh, 8))
+            + list(range(2, fh, 4)) + list(range(1, fh, 2))
+        )
+        deinter: list[bytes] = [b""] * fh
+        for src, dst in enumerate(order):
+            deinter[dst] = rows[src]
+        idx = b"".join(deinter)
+    n_colors = len(table) // 3
+    lut = bytes(
+        _luma(table[3 * i], table[3 * i + 1], table[3 * i + 2])
+        for i in range(n_colors)
+    )
+    gray = bytes(lut[i] if i < n_colors else 0 for i in idx)
+    return fw, fh, gray

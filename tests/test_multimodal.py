@@ -502,3 +502,120 @@ def test_audio_dedup_pairs_matches_bruteforce(spark):
     }
     assert got == expected
     assert expected  # planted same-spectrum groups do pair up
+
+
+# --- GIF pixel decode (round 6) ------------------------------------------------
+
+
+def _gif_encode(w, h, indices, palette, interlace=False, min_code_size=8):
+    """Minimal GIF writer for fixtures: global color table + one frame
+    whose LZW stream emits CLEAR before every pixel code (valid, never
+    grows the dictionary — the simplest correct encoder)."""
+    n = len(palette) // 3
+    size_bits = max(1, (n - 1).bit_length())
+    gct_bits = size_bits - 1
+    table = palette + b"\x00" * (3 * ((1 << size_bits) - n))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | gct_bits, 0, 0])
+    out += table
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code_size])
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for px in indices:
+        emit(clear)
+        emit(px)
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_interlace():
+    palette = bytes(v for i in range(256) for v in (i, i, i))  # grayscale
+    idx = bytes((x * 7 + y * 31) % 256 for y in range(6) for x in range(5))
+    w, h, gray = mm.gif_decode(_gif_encode(5, 6, idx, palette))
+    assert (w, h) == (5, 6)
+    assert gray == idx  # grayscale palette: luma == index
+
+    # interlaced: same pixels, rows stored in 8/4/2/1 pass order
+    order = (
+        list(range(0, 6, 8)) + list(range(4, 6, 8))
+        + list(range(2, 6, 4)) + list(range(1, 6, 2))
+    )
+    shuffled = b"".join(idx[r * 5 : (r + 1) * 5] for r in order)
+    w, h, gray = mm.gif_decode(_gif_encode(5, 6, shuffled, palette, interlace=True))
+    assert gray == idx
+
+    # color palette maps through ITU luma
+    pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    w, h, gray = mm.gif_decode(
+        _gif_encode(2, 1, bytes([0, 1]), pal, min_code_size=2)
+    )
+    assert gray == bytes([(255 * 299) // 1000, (255 * 114) // 1000])
+
+    with pytest.raises(ValueError):
+        mm.gif_decode(_gif_encode(2, 1, bytes([0, 1]), pal, min_code_size=2), frame_index=3)
+
+
+def test_gif_real_lzw_stream_from_dictionary_growth():
+    """Decode a hand-built LZW stream that actually grows the dictionary
+    (the clear-per-pixel fixture never does): codes for 'abab' emit
+    a, b, then the grown code for 'ab'."""
+    # min_code_size=2: clear=4, end=5, first dict code=6
+    # stream: CLEAR(4) 'a'(0) 'b'(1) code6('ab'... wait: after a,b the
+    # table holds 6='ab'; emitting 6 yields 'ab') END(5) -> "abab"
+    codes = [(4, 3), (0, 3), (1, 3), (6, 4), (5, 4)]  # (code, width)
+    acc = nbits = 0
+    bits = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+    out = mm._lzw_decode(2, bytes(bits), 4)
+    assert out == bytes([0, 1, 0, 1])
+
+
+def test_image_perceptual_hash_gif_path(spark):
+    """dHash through the REAL GIF decode recovers the planted bits —
+    image near-dup covers both container formats without PIL."""
+    bits = [(i * 37) % 3 % 2 for i in range(64)]
+    expected = sum(1 << b for b, on in enumerate(bits) if on)
+    expected = expected - (1 << 64) if expected >= (1 << 63) else expected
+    px = bytearray()
+    for r in range(8):
+        row = [128]
+        for c in range(8):
+            row.append(row[-1] - 3 if bits[r * 8 + c] else row[-1] + 3)
+        px.extend(row)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    gif = _gif_encode(9, 8, bytes(px), palette)
+    df = spark.createDataFrame([("g", bytearray(gif))], "id string, content binary")
+    rows = mm.image_perceptual_hash(df, method="dhash").collect()
+    assert rows[0]["phash"] == expected

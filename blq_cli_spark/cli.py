@@ -1565,6 +1565,54 @@ def cmd_embeddings(args) -> int:
     return 0
 
 
+def cmd_multimodal(args) -> int:
+    """`blq-spark multimodal ACTION --input X.parquet`: the binary-column
+    operator surface (multimodal/binary.py) — ingest metadata, perceptual
+    image/audio dedup, decode/resize/frame-sample — over a parquet of
+    (id, content binary) rows."""
+    from blq_cli_spark.multimodal import binary as mmb
+    from blq_cli_spark.session import get_spark
+
+    spark = get_spark(app_name="blq-spark-multimodal")
+    df = _read_corpus_input(spark, args)
+    ic, bc = args.id_col, args.bin_col
+    act = args.mm_action
+    if act == "metadata":
+        out = mmb.extract_metadata(df, id_col=ic, bin_col=bc)
+    elif act == "image-hash":
+        out = mmb.image_perceptual_hash(df, id_col=ic, bin_col=bc, method=args.method)
+    elif act == "image-dedup":
+        out = mmb.image_dedup_pairs(
+            df, id_col=ic, bin_col=bc, method=args.method,
+            max_hamming=args.max_hamming,
+        )
+    elif act == "audio-fingerprint":
+        out = mmb.audio_fingerprint(df, id_col=ic, bin_col=bc)
+    elif act == "audio-dedup":
+        out = mmb.audio_dedup_pairs(
+            df, id_col=ic, bin_col=bc, max_hamming=args.max_hamming
+        )
+    elif act == "decode":
+        out = mmb.decode_image(df, id_col=ic, bin_col=bc, fake=args.fake)
+    elif act == "resize":
+        out = mmb.resize_image(
+            df, args.width, args.height, id_col=ic, bin_col=bc, fake=args.fake
+        )
+    elif act == "frames":
+        out = mmb.sample_video_frames(
+            df, every_ms=args.every_ms, id_col=ic, bin_col=bc, fake=args.fake
+        )
+    elif act == "audio-features":
+        out = mmb.audio_features(df, window_ms=args.window_ms, id_col=ic, bin_col=bc)
+    else:  # pragma: no cover - argparse restricts choices
+        return 2
+    if args.output:
+        _write_corpus_result(spark, out, args)
+    else:
+        _emit(out.limit(args.limit), args)
+    return 0
+
+
 def _read_corpus_input(spark, args):
     """Input reader for the corpus/embeddings verbs: parquet by default,
     JSONL when --input-format jsonl or the path looks like JSON lines —
@@ -2818,6 +2866,44 @@ def build_parser() -> argparse.ArgumentParser:
                          "(parquet min/max file skipping)")
     sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
     sp.set_defaults(fn=cmd_embeddings)
+
+    # multimodal binary columns: metadata / perceptual dedup / decode
+    sp = sub.add_parser("multimodal", aliases=["mm"])
+    sp.add_argument(
+        "mm_action",
+        choices=["metadata", "image-hash", "image-dedup",
+                 "audio-fingerprint", "audio-dedup", "decode", "resize",
+                 "frames", "audio-features"],
+    )
+    sp.add_argument("--input", required=True,
+                    help="parquet with (id, content binary) columns")
+    sp.add_argument("--output", help="write full result parquet here")
+    sp.add_argument("--id-col", default="id")
+    sp.add_argument("--bin-col", default="content", dest="bin_col")
+    sp.add_argument("--method", choices=["dhash", "phash"], default="dhash",
+                    help="image-hash/image-dedup: perceptual hash kind")
+    sp.add_argument("--max-hamming", type=int, default=7, dest="max_hamming",
+                    help="image-dedup/audio-dedup: pair distance ceiling")
+    sp.add_argument("--width", type=int, default=32,
+                    help="resize: output width")
+    sp.add_argument("--height", type=int, default=32,
+                    help="resize: output height")
+    sp.add_argument("--every-ms", type=int, default=1000, dest="every_ms",
+                    help="frames: sampling interval")
+    sp.add_argument("--window-ms", type=int, default=1000, dest="window_ms",
+                    help="audio-features: window size")
+    sp.add_argument("--fake", action="store_true",
+                    help="decode/resize/frames: deterministic surrogate "
+                         "for formats whose codec is unavailable")
+    sp.add_argument("--output-format", choices=["parquet", "jsonl"],
+                    default="parquet", dest="output_format")
+    sp.add_argument("--input-format", choices=["auto", "parquet", "jsonl"],
+                    default="auto", dest="input_format")
+    sp.add_argument("--output-partitions", type=int, default=None,
+                    dest="output_partitions")
+    sp.add_argument("--cluster-by", dest="cluster_by", default=None)
+    sp.add_argument("-n", "--limit", type=int, default=20, help="preview rows")
+    sp.set_defaults(fn=cmd_multimodal)
 
     return p
 

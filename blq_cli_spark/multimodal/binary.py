@@ -661,7 +661,13 @@ def image_perceptual_hash(
         xs = (np.arange(ow) * w) // ow
         return np.frombuffer(px, dtype=np.uint8).reshape(h, w)[ys][:, xs]
 
-    def _hash_one(data: bytes) -> int:
+    def _hash_one(data: bytes) -> int | None:
+        # mixed-modality corpora: non-image rows yield nothing (the
+        # audio_features convention); image formats that CAN'T decode
+        # here (jpeg without PIL) still raise — honest stub, filter on
+        # extract_metadata's format column first at scale
+        if sniff_format(data) not in ("png", "gif", "jpeg"):
+            return None
         w, h, px = _decode_gray_one(data, fake, Image)
         if method == "dhash":
             g = _resize(px, w, h, 9, 8).astype(np.int32)
@@ -683,7 +689,9 @@ def image_perceptual_hash(
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 data = bytes(blob) if blob is not None else b""
-                rows.append({"id": rid, "phash": _hash_one(data)})
+                h = _hash_one(data)
+                if h is not None:
+                    rows.append({"id": rid, "phash": h})
             yield pd.DataFrame(rows, columns=["id", "phash"])
 
     return df.mapInPandas(_batches, schema="id string, phash long")

@@ -753,6 +753,61 @@ def _embeddings(
     return {"rows": _rows(out, limit)}
 
 
+@tool("multimodal", "Binary-column ops over a (id, content binary) parquet "
+      "(metadata, image-hash dhash|phash, image-dedup, audio-fingerprint, "
+      "audio-dedup, decode, resize, frames, audio-features)")
+def _multimodal(
+    store: LogStore,
+    action: str,
+    input: str,
+    method: str = "dhash",
+    max_hamming: int = 7,
+    width: int = 32,
+    height: int = 32,
+    every_ms: int = 1000,
+    window_ms: int = 1000,
+    fake: bool = False,
+    id_col: str = "id",
+    bin_col: str = "content",
+    output: str | None = None,
+    limit: int = 50,
+) -> dict:
+    """Same dispatch as the `multimodal` CLI verb (multimodal/binary.py)."""
+    from blq_cli_spark.multimodal import binary as mmb
+
+    df = store.spark.read.parquet(input)
+    if action == "metadata":
+        out = mmb.extract_metadata(df, id_col=id_col, bin_col=bin_col)
+    elif action == "image-hash":
+        out = mmb.image_perceptual_hash(df, id_col=id_col, bin_col=bin_col, method=method)
+    elif action == "image-dedup":
+        out = mmb.image_dedup_pairs(
+            df, id_col=id_col, bin_col=bin_col, method=method, max_hamming=max_hamming
+        )
+    elif action == "audio-fingerprint":
+        out = mmb.audio_fingerprint(df, id_col=id_col, bin_col=bin_col)
+    elif action == "audio-dedup":
+        out = mmb.audio_dedup_pairs(
+            df, id_col=id_col, bin_col=bin_col, max_hamming=max_hamming
+        )
+    elif action == "decode":
+        out = mmb.decode_image(df, id_col=id_col, bin_col=bin_col, fake=fake)
+    elif action == "resize":
+        out = mmb.resize_image(df, width, height, id_col=id_col, bin_col=bin_col, fake=fake)
+    elif action == "frames":
+        out = mmb.sample_video_frames(
+            df, every_ms=every_ms, id_col=id_col, bin_col=bin_col, fake=fake
+        )
+    elif action == "audio-features":
+        out = mmb.audio_features(df, window_ms=window_ms, id_col=id_col, bin_col=bin_col)
+    else:
+        raise ValueError(f"unknown multimodal action: {action}")
+    if output:
+        out.write.mode("overwrite").parquet(output)
+        return {"written": output, "rows": store.spark.read.parquet(output).count()}
+    return {"rows": _rows(out, limit)}
+
+
 # --- prompts (reference serve.py:3825-4016, 4 MCP prompts) -------------------
 
 _PROMPTS: dict[str, tuple[Callable, str]] = {}

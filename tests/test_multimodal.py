@@ -619,3 +619,66 @@ def test_image_perceptual_hash_gif_path(spark):
     df = spark.createDataFrame([("g", bytearray(gif))], "id string, content binary")
     rows = mm.image_perceptual_hash(df, method="dhash").collect()
     assert rows[0]["phash"] == expected
+
+
+def test_cli_multimodal_actions(tmp_path, capsys, spark):
+    from blq_cli_spark.cli import main
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    px = bytes((x * 7 + y * 13) % 200 for y in range(8) for x in range(9))
+    rows = [
+        ("p1", bytearray(mm.png_encode(9, 8, px))),
+        ("p2", bytearray(mm.png_encode(9, 8, px))),  # exact dup -> hamming 0
+        ("g1", bytearray(_gif_encode(9, 8, px, palette))),
+        ("w1", bytearray(_wav_pcm16(_colored_noise(4)))),
+    ]
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, "id string, content binary").write.parquet(src)
+
+    assert main(["multimodal", "metadata", "--input", src]) == 0
+    out = capsys.readouterr().out
+    assert "png" in out and "wav" in out
+
+    assert main(["multimodal", "image-hash", "--input", src.rstrip("/"),
+                 "--method", "dhash"]) == 0
+    assert "phash" in capsys.readouterr().out
+
+    dst = str(tmp_path / "pairs.parquet")
+    assert main(["multimodal", "image-dedup", "--input", src,
+                 "--output", dst]) == 0
+    capsys.readouterr()
+    pairs = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in spark.read.parquet(dst).collect()}
+    # p1/p2 identical; g1 carries the same pixels through the GIF codec
+    assert ("p1", "p2", 0) in pairs and ("g1", "p1", 0) in pairs
+
+    assert main(["multimodal", "audio-fingerprint", "--input", src]) == 0
+    assert "ahash" in capsys.readouterr().out
+
+    assert main(["multimodal", "decode", "--input", src.rstrip("/"),
+                 "--fake"]) == 0
+    assert "pixels" in capsys.readouterr().out
+
+
+def test_serve_multimodal_dispatch(tmp_path, spark):
+    from blq_cli_spark import serve
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    px = bytes((x * 3 + y * 11) % 256 for y in range(8) for x in range(9))
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [("a", bytearray(mm.png_encode(9, 8, px))),
+         ("b", bytearray(mm.png_encode(9, 8, px)))],
+        "id string, content binary",
+    ).write.parquet(src)
+    res = serve.dispatch(st, "multimodal", {"action": "metadata", "input": src})
+    assert res["ok"] and len(res["result"]["rows"]) == 2
+    res = serve.dispatch(
+        st, "multimodal",
+        {"action": "image-dedup", "input": src, "method": "phash"},
+    )
+    assert res["ok"]
+    assert {(r["id_a"], r["id_b"]) for r in res["result"]["rows"]} == {("a", "b")}
+    res = serve.dispatch(st, "multimodal", {"action": "nope", "input": src})
+    assert not res["ok"]

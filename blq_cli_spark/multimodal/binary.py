@@ -940,3 +940,57 @@ def gif_decode(data: bytes, frame_index: int = 0) -> tuple[int, int, bytes]:
     )
     gray = bytes(lut[i] if i < n_colors else 0 for i in idx)
     return fw, fh, gray
+
+
+def gif_encode(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlace: bool = False,
+    min_code_size: int = 8,
+) -> bytes:
+    """Pure-Python single-frame GIF encoder — the fixture-side twin of
+    gif_decode (png_encode's role for the other container). The LZW
+    stream emits CLEAR before every pixel code: maximally naive but
+    fully valid, and it keeps the encoder ~20 lines; gif_decode's
+    dictionary-growth path is exercised separately by a hand-built
+    stream in the tests."""
+    n = len(palette) // 3
+    size_bits = max(1, (n - 1).bit_length())
+    table = palette + b"\x00" * (3 * ((1 << size_bits) - n))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (size_bits - 1), 0, 0])
+    out += table
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code_size])
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for px in indices:
+        emit(clear)
+        emit(px)
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)

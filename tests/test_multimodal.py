@@ -508,48 +508,7 @@ def test_audio_dedup_pairs_matches_bruteforce(spark):
 
 
 def _gif_encode(w, h, indices, palette, interlace=False, min_code_size=8):
-    """Minimal GIF writer for fixtures: global color table + one frame
-    whose LZW stream emits CLEAR before every pixel code (valid, never
-    grows the dictionary — the simplest correct encoder)."""
-    n = len(palette) // 3
-    size_bits = max(1, (n - 1).bit_length())
-    gct_bits = size_bits - 1
-    table = palette + b"\x00" * (3 * ((1 << size_bits) - n))
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | gct_bits, 0, 0])
-    out += table
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
-    out += bytes([0x40 if interlace else 0x00])
-    out += bytes([min_code_size])
-    clear = 1 << min_code_size
-    end = clear + 1
-    code_size = min_code_size + 1
-    bits = bytearray()
-    acc = 0
-    nbits = 0
-
-    def emit(code):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += code_size
-        while nbits >= 8:
-            bits.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    for px in indices:
-        emit(clear)
-        emit(px)
-    emit(end)
-    if nbits:
-        bits.append(acc & 0xFF)
-    data = bytes(bits)
-    for i in range(0, len(data), 255):
-        blk = data[i : i + 255]
-        out += bytes([len(blk)]) + blk
-    out += b"\x00\x3b"
-    return bytes(out)
+    return mm.gif_encode(w, h, indices, palette, interlace, min_code_size)
 
 
 def test_gif_decode_roundtrip_and_interlace():

@@ -1592,6 +1592,13 @@ def cmd_multimodal(args) -> int:
         out = mmb.audio_dedup_pairs(
             df, id_col=ic, bin_col=bc, max_hamming=args.max_hamming
         )
+    elif act == "video-hashes":
+        out = mmb.video_frame_hashes(df, id_col=ic, bin_col=bc)
+    elif act == "video-dedup":
+        out = mmb.video_dedup_pairs(
+            df, id_col=ic, bin_col=bc, max_hamming=args.max_hamming,
+            min_frame_matches=args.min_frame_matches,
+        )
     elif act == "decode":
         out = mmb.decode_image(df, id_col=ic, bin_col=bc, fake=args.fake)
     elif act == "resize":
@@ -2872,8 +2879,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "mm_action",
         choices=["metadata", "image-hash", "image-dedup",
-                 "audio-fingerprint", "audio-dedup", "decode", "resize",
-                 "frames", "audio-features"],
+                 "audio-fingerprint", "audio-dedup", "video-hashes",
+                 "video-dedup", "decode", "resize", "frames",
+                 "audio-features"],
     )
     sp.add_argument("--input", required=True,
                     help="parquet with (id, content binary) columns")
@@ -2883,7 +2891,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--method", choices=["dhash", "phash"], default="dhash",
                     help="image-hash/image-dedup: perceptual hash kind")
     sp.add_argument("--max-hamming", type=int, default=7, dest="max_hamming",
-                    help="image-dedup/audio-dedup: pair distance ceiling")
+                    help="image-dedup/audio-dedup/video-dedup: pair "
+                         "distance ceiling")
+    sp.add_argument("--min-frame-matches", type=int, default=1,
+                    dest="min_frame_matches",
+                    help="video-dedup: frames that must agree per clip pair")
     sp.add_argument("--width", type=int, default=32,
                     help="resize: output width")
     sp.add_argument("--height", type=int, default=32,

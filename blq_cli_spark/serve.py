@@ -755,13 +755,15 @@ def _embeddings(
 
 @tool("multimodal", "Binary-column ops over a (id, content binary) parquet "
       "(metadata, image-hash dhash|phash, image-dedup, audio-fingerprint, "
-      "audio-dedup, decode, resize, frames, audio-features)")
+      "audio-dedup, video-hashes, video-dedup, decode, resize, frames, "
+      "audio-features)")
 def _multimodal(
     store: LogStore,
     action: str,
     input: str,
     method: str = "dhash",
     max_hamming: int = 7,
+    min_frame_matches: int = 1,
     width: int = 32,
     height: int = 32,
     every_ms: int = 1000,
@@ -789,6 +791,13 @@ def _multimodal(
     elif action == "audio-dedup":
         out = mmb.audio_dedup_pairs(
             df, id_col=id_col, bin_col=bin_col, max_hamming=max_hamming
+        )
+    elif action == "video-hashes":
+        out = mmb.video_frame_hashes(df, id_col=id_col, bin_col=bin_col)
+    elif action == "video-dedup":
+        out = mmb.video_dedup_pairs(
+            df, id_col=id_col, bin_col=bin_col, max_hamming=max_hamming,
+            min_frame_matches=min_frame_matches,
         )
     elif action == "decode":
         out = mmb.decode_image(df, id_col=id_col, bin_col=bin_col, fake=fake)

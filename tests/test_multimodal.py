@@ -641,3 +641,57 @@ def test_serve_multimodal_dispatch(tmp_path, spark):
     assert {(r["id_a"], r["id_b"]) for r in res["result"]["rows"]} == {("a", "b")}
     res = serve.dispatch(st, "multimodal", {"action": "nope", "input": src})
     assert not res["ok"]
+
+
+# --- video (animated GIF) near-dup (round 6) -----------------------------------
+
+
+def _anim(seed_frames, palette):
+    return bytearray(mm.gif_encode_animated(8, 8, seed_frames, palette))
+
+
+def test_video_frame_hashes_and_dedup(spark):
+    import hashlib as hl
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def frame(tag):
+        return hl.md5(tag).digest() * 4  # 64 bytes -> 8x8
+
+    a_frames = [frame(b"f0"), frame(b"f1"), frame(b"f2")]
+    # near-dup clip: same frames, one pixel perturbed in one frame
+    b1 = bytearray(frame(b"f1"))
+    b1[5] ^= 0x80
+    b_frames = [frame(b"f0"), bytes(b1), frame(b"f2")]
+    other = [frame(b"x0"), frame(b"x1")]
+
+    df = spark.createDataFrame(
+        [("clipA", _anim(a_frames, palette)),
+         ("clipB", _anim(b_frames, palette)),
+         ("clipC", _anim(other, palette)),
+         ("still", bytearray(mm.png_encode(4, 4, bytes(16))))],
+        "id string, content binary",
+    )
+    fh = mm.video_frame_hashes(df)
+    rows = fh.collect()
+    per_clip = {}
+    for r in rows:
+        per_clip.setdefault(r["id"], []).append(r)
+    assert len(per_clip["clipA"]) == 3 and len(per_clip["clipC"]) == 2
+    assert "still" not in per_clip  # non-GIF rows yield nothing
+    # identical frames hash identically across clips
+    ha = {r["frame_index"]: r["phash"] for r in per_clip["clipA"]}
+    hb = {r["frame_index"]: r["phash"] for r in per_clip["clipB"]}
+    assert ha[0] == hb[0] and ha[2] == hb[2]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in mm.video_dedup_pairs(df, max_hamming=7).collect()
+    }
+    assert ("clipA", "clipB") in pairs
+    ab = pairs[("clipA", "clipB")]
+    assert ab["hamming"] == 0 and ab["n_frame_matches"] >= 2
+    assert not any("clipC" in k for k in pairs)  # different content stays apart
+    # multi-frame agreement knob
+    strict = mm.video_dedup_pairs(df, max_hamming=7, min_frame_matches=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} <= {("clipA", "clipB")}

@@ -3235,7 +3235,10 @@ def parse_df(
     table) stay on the Arrow-batched mapInPandas path — per-document
     parallelism either way (runs are independent units; a 100 TB corpus
     is millions of documents)."""
-    if use_jvm and fmt != "auto":
+    # streaming inputs keep the Python path: the fast path's fallback
+    # count + event_index are per-document windows, which Structured
+    # Streaming rejects (only time windows aggregate on streams)
+    if use_jvm and fmt != "auto" and not df.isStreaming:
         from blq_cli_spark.sources import logparse_fast
 
         if fmt in logparse_fast.FAST_FORMATS:

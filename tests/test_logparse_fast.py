@@ -145,3 +145,29 @@ def test_mixed_corpus_event_index_and_fallback(spark):
     assert {r["format_used"] for r in by_src["a"]} == {"gcc"}
     assert {r["format_used"] for r in by_src["b"]} == {"generic"}
     assert "c" not in by_src
+
+
+def test_streaming_input_keeps_python_path(spark, tmp_path):
+    """Structured Streaming rejects per-document windows, so parse_df
+    must route streaming DataFrames to the mapInPandas path (the round-6
+    regression the full suite caught)."""
+    import os
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        fh.write('{"source_id": "r1", "content": "main.c:1:2: error: boom"}\n')
+    stream = (
+        spark.readStream.schema("source_id string, content string").json(src)
+    )
+    parsed = lp.parse_df(stream, fmt="gcc")
+    assert parsed.isStreaming  # plan built without AnalysisException
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("t_fastpath_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM t_fastpath_stream").collect()
+    assert len(rows) == 1 and rows[0]["tool_name"] == "gcc"

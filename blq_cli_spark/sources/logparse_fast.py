@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For the twelve highest-volume formats this module
+regex (mapInPandas). For the fifteen highest-volume formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -349,6 +349,53 @@ def _r_npm(lines: DataFrame):
     return staged, [(emit, ev)]
 
 
+_RUFF = r"^([^\s:][^:]*):(\d+):(\d+):\s*([A-Z]{1,4}\d{3,4})\s+(?:\[\*\]\s+)?(.*)$"
+
+
+def _r_ruff(lines: DataFrame):
+    code = _x(_RUFF, 4)
+    ev = _ev(
+        "ruff", "lint", F.lit("warning"), _x(_RUFF, 5),
+        file=_x(_RUFF, 1), line=_x(_RUFF, 2), col=_x(_RUFF, 3),
+        code=code, rule=code,
+    )
+    return lines, [(_line().rlike(_RUFF), ev)]
+
+
+_FLAKE8 = r"^([^\s:][^:]*):(\d+):(\d+):\s*([EWFC]\d{3})\s+(.*)$"
+
+
+def _r_flake8(lines: DataFrame):
+    code = _x(_FLAKE8, 4)
+    sev = F.when(
+        code.startswith("E9") | code.startswith("F"), "error"
+    ).otherwise("warning")
+    ev = _ev(
+        "flake8", "lint", sev, _x(_FLAKE8, 5),
+        file=_x(_FLAKE8, 1), line=_x(_FLAKE8, 2), col=_x(_FLAKE8, 3),
+        code=code,
+    )
+    return lines, [(_line().rlike(_FLAKE8), ev)]
+
+
+_PYLINT = (
+    r"^([^\s:][^:]*):(\d+):(\d+):\s*([CRWEF]\d{4}):\s*(.*?)\s*\(([\w-]+)\)$"
+)
+
+
+def _r_pylint(lines: DataFrame):
+    code = _x(_PYLINT, 4)
+    sev = F.when(F.substring(code, 1, 1).isin("E", "F"), "error").otherwise(
+        "warning"
+    )
+    ev = _ev(
+        "pylint", "lint", sev, _x(_PYLINT, 5),
+        file=_x(_PYLINT, 1), line=_x(_PYLINT, 2), col=_x(_PYLINT, 3),
+        code=code, rule=_x(_PYLINT, 6),
+    )
+    return lines, [(_line().rlike(_PYLINT), ev)]
+
+
 _RUST_ERR = r"^(error|warning)(?:\[(E\d+)\])?:\s*(.*)$"
 _RUST_LOC = r"^\s*-->\s*([^:]+):(\d+):(\d+)\s*$"
 
@@ -421,6 +468,10 @@ FAST_FORMATS: dict[str, object] = {
     "jest": _r_jest,
     "npm": _r_npm,
     "rustc": _f_rustc,
+    # round-6 batch 2: the single-line python linters
+    "ruff": _r_ruff,
+    "flake8": _r_flake8,
+    "pylint": _r_pylint,
 }
 
 

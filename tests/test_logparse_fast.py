@@ -50,6 +50,19 @@ but one error: fell back to generic
 EMPTY_LOG = ""
 NOMATCH_LOG = "nothing to see\njust logs\n"
 
+FLAKE8_LOG = """\
+src/a.py:10:5: E501 line too long (82 > 79)
+src/b.py:2:1: F401 'os' imported but unused
+src/c.py:7:30: W291 trailing whitespace
+src/d.py:1:1: E999 SyntaxError: invalid syntax
+"""
+
+PYLINT_LOG = """\
+module.py:10:5: C0301: Line too long (105/100) (line-too-long)
+module.py:22:0: E1101: Instance has no 'foo' member (no-member)
+pkg/util.py:3:4: W0612: Unused variable 'x' (unused-variable)
+"""
+
 CASES = {
     "gcc": [fx.GCC_LOG, FALLBACK_LOG, EMPTY_LOG, NOMATCH_LOG],
     "pytest": [fx.PYTEST_LOG, FALLBACK_LOG],
@@ -63,6 +76,9 @@ CASES = {
     "npm": [fx.NPM_LOG, NPM_EDGE, FALLBACK_LOG],
     "golangci_lint": [fx.GOLANGCI_LOG, FALLBACK_LOG],
     "generic": [GENERIC_LOG, EMPTY_LOG, NOMATCH_LOG],
+    "ruff": [fx.RUFF_LOG, FALLBACK_LOG],
+    "flake8": [FLAKE8_LOG, FALLBACK_LOG],
+    "pylint": [PYLINT_LOG, FALLBACK_LOG],
 }
 
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]

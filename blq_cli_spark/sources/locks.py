@@ -113,7 +113,18 @@ def acquire_lock(
     """Atomically acquire `name`; reclaim if the holder is stale
     (same-host dead PID, or remote lease expired — _holder_alive).
 
+    Acquisition is LINK-BASED: the payload is written to a unique temp
+    file first, then hard-linked to the lock path — the link is the
+    atomic claim, and a visible lock file therefore ALWAYS carries its
+    full payload. (The previous O_CREAT|O_EXCL + write-after protocol
+    had a torn window: a contender reading the not-yet-written file saw
+    it as corrupt and reclaimed a LIVE lock — the two-process serial
+    stress test caught two writers both claiming serial 1. link() is
+    also atomic on NFSv3+, matching the module's multi-host contract.)
+
     Raises LockHeldError when a live process holds it."""
+    import uuid as _uuid
+
     locks_dir = Path(locks_dir)
     locks_dir.mkdir(parents=True, exist_ok=True)
     path = _lock_path(locks_dir, name)
@@ -122,23 +133,30 @@ def acquire_lock(
         hostname=socket.gethostname(),
     )
     payload = json.dumps(asdict(lock))
-    for _ in range(8):  # bounded reclaim retries under contention
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            existing = read_lock(locks_dir, name)
-            if existing is not None and _holder_alive(existing):
-                raise LockHeldError(existing)
-            # stale (dead holder) or corrupt: clear and re-race
+    tmp = locks_dir / f".{name}.{_uuid.uuid4().hex}.tmp"
+    tmp.write_text(payload)
+    try:
+        for _ in range(8):  # bounded reclaim retries under contention
             try:
-                path.unlink()
-            except FileNotFoundError:
-                pass
-            continue
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-        return lock
-    raise LockHeldError(read_lock(locks_dir, name) or lock)
+                os.link(tmp, path)
+                return lock
+            except FileExistsError:
+                existing = read_lock(locks_dir, name)
+                if existing is not None and _holder_alive(existing):
+                    raise LockHeldError(existing)
+                # genuinely stale (dead/lease-expired holder) or a
+                # corrupt file from a pre-link-protocol crash: clear
+                # and re-race
+                try:
+                    path.unlink()
+                except FileNotFoundError:
+                    pass
+        raise LockHeldError(read_lock(locks_dir, name) or lock)
+    finally:
+        try:
+            tmp.unlink()
+        except FileNotFoundError:
+            pass
 
 
 def acquire_lock_wait(

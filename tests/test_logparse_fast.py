@@ -187,3 +187,12 @@ def test_streaming_input_keeps_python_path(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT * FROM t_fastpath_stream").collect()
     assert len(rows) == 1 and rows[0]["tool_name"] == "gcc"
+
+
+def test_fast_path_single_exchange(spark):
+    """Both per-document windows (generic-fallback count + event_index)
+    must share ONE hash exchange on source_id — a second shuffle of the
+    event stream would be a plan regression."""
+    df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
+    plan = lp.parse_df(df, fmt="gcc")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

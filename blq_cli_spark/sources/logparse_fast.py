@@ -158,17 +158,44 @@ def _carry(c: Column) -> Column:
     )
 
 
-# --- per-format builders: lines df -> (source_id, ev struct) ----------------
+
+# Group extraction strategy: regexp_extract re-RUNS the pattern once per
+# group, so a 5-group rule costs 6 regex executions per line. Instead
+# each rule's groups are staged ONCE per line: one regexp_replace
+# rewriting the (whole-line-consuming) pattern to a \x00-delimited
+# group string + one split — 2 regex runs per line however many groups.
+# On a non-matching line the replace is identity; rules only read the
+# staged array under their rlike guard. F.get (0-based, null out of
+# bounds) keeps ANSI mode safe. Patterns must consume the WHOLE line
+# (^...$) so the replacement is total; search-style rules get a lazy
+# ^.*? prefix / .*$ suffix in their extraction variant.
+_GSEP = "\x00"
+
+
+def _stage(lines: DataFrame, name: str, pattern: str, n: int) -> DataFrame:
+    repl = _GSEP.join(f"${i}" for i in range(1, n + 1))
+    return lines.withColumn(
+        name, F.split(F.regexp_replace(_line(), pattern, repl), _GSEP)
+    )
+
+
+def _g(name: str, i: int) -> Column:
+    return F.get(F.col(name), i - 1)
+
+
+# --- per-format builders: lines df -> (staged lines, rules) ------------------
 
 _GCC = r"^([^\s:][^:]*):(\d+):(?:(\d+):)?\s*(fatal error|error|warning|note):\s*(.*)$"
 
 
 def _r_gcc(lines: DataFrame):
+    staged = _stage(lines, "_g_gcc", _GCC, 5)
+    g = lambda i: _g("_g_gcc", i)  # noqa: E731
     ev = _ev(
-        "gcc", "compile", _sev(_x(_GCC, 4)), _x(_GCC, 5),
-        file=_x(_GCC, 1), line=_x(_GCC, 2), col=_opt(_x(_GCC, 3)),
+        "gcc", "compile", _sev(g(4)), g(5),
+        file=g(1), line=g(2), col=_opt(g(3)),
     )
-    return lines, [(_line().rlike(_GCC), ev)]
+    return staged, [(_line().rlike(_GCC), ev)]
 
 
 _MYPY = (
@@ -178,12 +205,14 @@ _MYPY = (
 
 
 def _r_mypy(lines: DataFrame):
+    staged = _stage(lines, "_g_mypy", _MYPY, 6)
+    g = lambda i: _g("_g_mypy", i)  # noqa: E731
     ev = _ev(
-        "mypy", "typecheck", _sev(_x(_MYPY, 4)), _x(_MYPY, 5),
-        file=_x(_MYPY, 1), line=_x(_MYPY, 2), col=_opt(_x(_MYPY, 3)),
-        code=_opt(_x(_MYPY, 6)),
+        "mypy", "typecheck", _sev(g(4)), g(5),
+        file=g(1), line=g(2), col=_opt(g(3)),
+        code=_opt(g(6)),
     )
-    return lines, [(_line().rlike(_MYPY), ev)]
+    return staged, [(_line().rlike(_MYPY), ev)]
 
 
 _TSC = (
@@ -192,22 +221,26 @@ _TSC = (
 
 
 def _r_tsc(lines: DataFrame):
+    staged = _stage(lines, "_g_tsc", _TSC, 6)
+    g = lambda i: _g("_g_tsc", i)  # noqa: E731
     ev = _ev(
-        "tsc", "compile", _sev(_x(_TSC, 4)), _x(_TSC, 6),
-        file=_x(_TSC, 1), line=_x(_TSC, 2), col=_x(_TSC, 3), code=_x(_TSC, 5),
+        "tsc", "compile", _sev(g(4)), g(6),
+        file=g(1), line=g(2), col=g(3), code=g(5),
     )
-    return lines, [(_line().rlike(_TSC), ev)]
+    return staged, [(_line().rlike(_TSC), ev)]
 
 
 _MAVEN = r"^\[(ERROR|WARNING)\]\s+(?:([^\s\[]+):\[(\d+),(\d+)\]\s*)?(.+)$"
 
 
 def _r_maven(lines: DataFrame):
+    staged = _stage(lines, "_g_mvn", _MAVEN, 5)
+    g = lambda i: _g("_g_mvn", i)  # noqa: E731
     ev = _ev(
-        "maven", "build", _sev(_x(_MAVEN, 1)), _x(_MAVEN, 5),
-        file=_opt(_x(_MAVEN, 2)), line=_opt(_x(_MAVEN, 3)), col=_opt(_x(_MAVEN, 4)),
+        "maven", "build", _sev(g(1)), g(5),
+        file=_opt(g(2)), line=_opt(g(3)), col=_opt(g(4)),
     )
-    return lines, [(_line().rlike(_MAVEN), ev)]
+    return staged, [(_line().rlike(_MAVEN), ev)]
 
 
 _GOLANGCI = (
@@ -216,22 +249,27 @@ _GOLANGCI = (
 
 
 def _r_golangci(lines: DataFrame):
+    staged = _stage(lines, "_g_gci", _GOLANGCI, 5)
+    g = lambda i: _g("_g_gci", i)  # noqa: E731
     ev = _ev(
-        "golangci-lint", "lint", F.lit("warning"), _x(_GOLANGCI, 4),
-        file=_x(_GOLANGCI, 1), line=_x(_GOLANGCI, 2), col=_opt(_x(_GOLANGCI, 3)),
-        rule=_x(_GOLANGCI, 5),
+        "golangci-lint", "lint", F.lit("warning"), g(4),
+        file=g(1), line=g(2), col=_opt(g(3)),
+        rule=g(5),
     )
-    return lines, [(_line().rlike(_GOLANGCI), ev)]
+    return staged, [(_line().rlike(_GOLANGCI), ev)]
 
 
 _GENERIC = r"(?i)\b(error|warning|fatal)\b[:\s]+(.*)$"
+# total (whole-line) variant for staged extraction: the lazy ^.*? prefix
+# lands on the FIRST match position exactly like Python's .search
+_GENERIC_X = r"(?is)^.*?\b(error|warning|fatal)\b[:\s]+(.*)$"
 
 
 def _r_generic(lines: DataFrame):
-    # Python uses .search + requires a non-empty message; regexp_extract
-    # is find()-based so unanchored search semantics match.
-    ev = _ev("generic", "log", _sev(_x(_GENERIC, 1)), _x(_GENERIC, 2))
-    return lines, [(_line().rlike(_GENERIC) & (_x(_GENERIC, 2) != ""), ev)]
+    staged = _stage(lines, "_g_gen", _GENERIC_X, 2)
+    g = lambda i: _g("_g_gen", i)  # noqa: E731
+    ev = _ev("generic", "log", _sev(g(1)), g(2))
+    return staged, [(_line().rlike(_GENERIC) & (g(2) != ""), ev)]
 
 
 _PYTEST_FAILED = r"^(FAILED|ERROR)\s+([^\s:]+)::([^\s]+?)(?:\s+-\s+(.*))?$"
@@ -239,17 +277,17 @@ _PYTEST_ASSERT = r"^E\s+(.+)$"
 
 
 def _r_pytest(lines: DataFrame):
-    msg = F.coalesce(
-        _opt(_x(_PYTEST_FAILED, 4)),
-        F.concat(_x(_PYTEST_FAILED, 1), F.lit(" "), _x(_PYTEST_FAILED, 3)),
-    )
+    staged = _stage(lines, "_g_ptf", _PYTEST_FAILED, 4)
+    staged = _stage(staged, "_g_pta", _PYTEST_ASSERT, 1)
+    f = lambda i: _g("_g_ptf", i)  # noqa: E731
+    msg = F.coalesce(_opt(f(4)), F.concat(f(1), F.lit(" "), f(3)))
     fail_ev = _ev(
         "pytest", "test", F.lit("error"), msg,
-        file=_x(_PYTEST_FAILED, 2), test_name=_x(_PYTEST_FAILED, 3),
+        file=f(2), test_name=f(3),
         event_type="test_result",
     )
-    assert_ev = _ev("pytest", "test", F.lit("error"), _x(_PYTEST_ASSERT, 1))
-    return lines, [
+    assert_ev = _ev("pytest", "test", F.lit("error"), _g("_g_pta", 1))
+    return staged, [
         (_line().rlike(_PYTEST_FAILED), fail_ev),
         (_line().rlike(_PYTEST_ASSERT), assert_ev),
     ]
@@ -260,13 +298,14 @@ _ESLINT_ISSUE = r"^\s+(\d+):(\d+)\s+(error|warning)\s+(.*?)\s{2,}([\w@/-]+)$"
 
 
 def _r_eslint(lines: DataFrame):
-    staged = lines.withColumn(
-        "cur_file", _carry(F.when(_line().rlike(_ESLINT_FILE), _x(_ESLINT_FILE, 1)))
-    )
+    staged = _stage(lines, "_g_esl", _ESLINT_ISSUE, 5).withColumn(
+        "cur_file", _carry(F.when(_line().rlike(_ESLINT_FILE), _line()))
+    )  # the header pattern's one group IS the whole line
+    g = lambda i: _g("_g_esl", i)  # noqa: E731
     ev = _ev(
-        "eslint", "lint", _sev(_x(_ESLINT_ISSUE, 3)), _x(_ESLINT_ISSUE, 4),
-        file=F.col("cur_file"), line=_x(_ESLINT_ISSUE, 1), col=_x(_ESLINT_ISSUE, 2),
-        rule=_x(_ESLINT_ISSUE, 5),
+        "eslint", "lint", _sev(g(3)), g(4),
+        file=F.col("cur_file"), line=g(1), col=g(2),
+        rule=g(5),
     )
     cond = _line().rlike(_ESLINT_ISSUE) & F.col("cur_file").isNotNull()
     return staged, [(cond, ev)]
@@ -276,18 +315,23 @@ _GO_FAIL = r"^--- FAIL: (\S+)"
 _GO_LOC = r"^\s+([\w./-]+\.go):(\d+):\s*(.*)$"
 
 
+_GO_FAIL_X = r"^--- FAIL: (\S+)(?s:.*)$"  # total variant for staging
+
+
 def _r_go(lines: DataFrame):
-    staged = lines.withColumn(
-        "cur_test", _carry(F.when(_line().rlike(_GO_FAIL), _x(_GO_FAIL, 1)))
+    staged = _stage(lines, "_g_gof", _GO_FAIL_X, 1)
+    staged = _stage(staged, "_g_gol", _GO_LOC, 3)
+    staged = staged.withColumn(
+        "cur_test", _carry(F.when(_line().rlike(_GO_FAIL), _g("_g_gof", 1)))
     )
     fail_ev = _ev(
         "go", "test", F.lit("error"),
-        F.concat(F.lit("FAIL: "), _x(_GO_FAIL, 1)),
-        test_name=_x(_GO_FAIL, 1), event_type="test_result",
+        F.concat(F.lit("FAIL: "), _g("_g_gof", 1)),
+        test_name=_g("_g_gof", 1), event_type="test_result",
     )
     loc_ev = _ev(
-        "go", "test", F.lit("error"), _x(_GO_LOC, 3),
-        file=_x(_GO_LOC, 1), line=_x(_GO_LOC, 2), test_name=F.col("cur_test"),
+        "go", "test", F.lit("error"), _g("_g_gol", 3),
+        file=_g("_g_gol", 1), line=_g("_g_gol", 2), test_name=F.col("cur_test"),
     )
     return staged, [
         (_line().rlike(_GO_FAIL), fail_ev),
@@ -300,21 +344,23 @@ _JEST_TEST = r"^\s*[✕x●]\s+(.+?)(?:\s+\(\d+\s*m?s\))?\s*$"
 
 
 def _r_jest(lines: DataFrame):
-    staged = lines.withColumn(
-        "cur_file", _carry(F.when(_line().rlike(_JEST_HDR), _x(_JEST_HDR, 2)))
+    staged = _stage(lines, "_g_jh", _JEST_HDR, 2)
+    staged = _stage(staged, "_g_jt", _JEST_TEST, 1)
+    staged = staged.withColumn(
+        "cur_file", _carry(F.when(_line().rlike(_JEST_HDR), _g("_g_jh", 2)))
     )
     hdr_ev = _ev(
         "jest", "test", F.lit("error"),
-        F.concat(F.lit("FAIL "), _x(_JEST_HDR, 2)),
-        file=_x(_JEST_HDR, 2), event_type="test_result",
+        F.concat(F.lit("FAIL "), _g("_g_jh", 2)),
+        file=_g("_g_jh", 2), event_type="test_result",
     )
     test_ev = _ev(
-        "jest", "test", F.lit("error"), _x(_JEST_TEST, 1),
-        file=F.col("cur_file"), test_name=_x(_JEST_TEST, 1),
+        "jest", "test", F.lit("error"), _g("_g_jt", 1),
+        file=F.col("cur_file"), test_name=_g("_g_jt", 1),
         event_type="test_result",
     )
     return staged, [
-        (_line().rlike(_JEST_HDR) & (_x(_JEST_HDR, 1) == "FAIL"), hdr_ev),
+        (_line().rlike(_JEST_HDR) & (_g("_g_jh", 1) == "FAIL"), hdr_ev),
         (_line().rlike(_JEST_TEST) & F.col("cur_file").isNotNull(), test_ev),
     ]
 
@@ -324,13 +370,14 @@ _NPM_CODE = r"^code\s+([A-Z_][A-Z0-9_]*)$"
 
 
 def _r_npm(lines: DataFrame):
+    lines = _stage(lines, "_g_npm", _NPM, 3)
     matched = _line().rlike(_NPM)
-    is_err = matched & (_x(_NPM, 1) == "ERR!")
+    is_err = matched & (_g("_g_npm", 1) == "ERR!")
     staged = lines.withColumn(
         "prev_err", F.coalesce(F.lag(is_err).over(_doc_window()), F.lit(False))
     ).withColumn("is_err", is_err)
-    msg0 = _x(_NPM, 3)
-    code0 = _opt(_x(_NPM, 2))
+    msg0 = _g("_g_npm", 3)
+    code0 = _opt(_g("_g_npm", 2))
     has_code_line = msg0.rlike(_NPM_CODE)
     code = F.when(has_code_line, F.regexp_extract(msg0, _NPM_CODE, 1)).otherwise(code0)
     msg = F.when(has_code_line, F.concat(F.lit("code "), code)).otherwise(msg0)
@@ -353,29 +400,32 @@ _RUFF = r"^([^\s:][^:]*):(\d+):(\d+):\s*([A-Z]{1,4}\d{3,4})\s+(?:\[\*\]\s+)?(.*)
 
 
 def _r_ruff(lines: DataFrame):
-    code = _x(_RUFF, 4)
+    staged = _stage(lines, "_g_ruff", _RUFF, 5)
+    g = lambda i: _g("_g_ruff", i)  # noqa: E731
     ev = _ev(
-        "ruff", "lint", F.lit("warning"), _x(_RUFF, 5),
-        file=_x(_RUFF, 1), line=_x(_RUFF, 2), col=_x(_RUFF, 3),
-        code=code, rule=code,
+        "ruff", "lint", F.lit("warning"), g(5),
+        file=g(1), line=g(2), col=g(3),
+        code=g(4), rule=g(4),
     )
-    return lines, [(_line().rlike(_RUFF), ev)]
+    return staged, [(_line().rlike(_RUFF), ev)]
 
 
 _FLAKE8 = r"^([^\s:][^:]*):(\d+):(\d+):\s*([EWFC]\d{3})\s+(.*)$"
 
 
 def _r_flake8(lines: DataFrame):
-    code = _x(_FLAKE8, 4)
+    staged = _stage(lines, "_g_f8", _FLAKE8, 5)
+    g = lambda i: _g("_g_f8", i)  # noqa: E731
+    code = g(4)
     sev = F.when(
         code.startswith("E9") | code.startswith("F"), "error"
     ).otherwise("warning")
     ev = _ev(
-        "flake8", "lint", sev, _x(_FLAKE8, 5),
-        file=_x(_FLAKE8, 1), line=_x(_FLAKE8, 2), col=_x(_FLAKE8, 3),
+        "flake8", "lint", sev, g(5),
+        file=g(1), line=g(2), col=g(3),
         code=code,
     )
-    return lines, [(_line().rlike(_FLAKE8), ev)]
+    return staged, [(_line().rlike(_FLAKE8), ev)]
 
 
 _PYLINT = (
@@ -384,16 +434,18 @@ _PYLINT = (
 
 
 def _r_pylint(lines: DataFrame):
-    code = _x(_PYLINT, 4)
+    staged = _stage(lines, "_g_pl", _PYLINT, 6)
+    g = lambda i: _g("_g_pl", i)  # noqa: E731
+    code = g(4)
     sev = F.when(F.substring(code, 1, 1).isin("E", "F"), "error").otherwise(
         "warning"
     )
     ev = _ev(
-        "pylint", "lint", sev, _x(_PYLINT, 5),
-        file=_x(_PYLINT, 1), line=_x(_PYLINT, 2), col=_x(_PYLINT, 3),
-        code=code, rule=_x(_PYLINT, 6),
+        "pylint", "lint", sev, g(5),
+        file=g(1), line=g(2), col=g(3),
+        code=code, rule=g(6),
     )
-    return lines, [(_line().rlike(_PYLINT), ev)]
+    return staged, [(_line().rlike(_PYLINT), ev)]
 
 
 _RUST_ERR = r"^(error|warning)(?:\[(E\d+)\])?:\s*(.*)$"
@@ -513,9 +565,10 @@ def fast_parse_df(
         ev = fmt_ev.unionByName(gen)
     else:
         # single pass: the format's rules and the generic rules evaluate
-        # on the SAME staged line table (staging only adds carry columns)
+        # on the SAME staged line table (staging only adds group-array /
+        # carry columns, so chaining the generic staging keeps both)
         staged, rules = FAST_FORMATS[fmt](lines)
-        _, g_rules = _r_generic(staged)
+        staged, g_rules = _r_generic(staged)
         ev = _explode_tagged(
             staged,
             [(fmt, c, e) for c, e in rules]

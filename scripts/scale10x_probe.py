@@ -44,6 +44,45 @@ def make_docs(spark, n: int, path: str) -> None:
     ).repartition(32).write.mode("overwrite").parquet(path)
 
 
+def make_media(spark, n: int, path: str) -> None:
+    """n//2 PNGs + n//2 WAVs with planted near-dup groups (20 each) —
+    the perceptual-hash probe corpus."""
+    import hashlib
+    import struct as _s
+
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    rows = []
+    half = n // 2
+    for i in range(half):
+        g = i % 20
+        px = bytearray(
+            b"".join(hashlib.md5(b"ig-%d-%d" % (g, k)).digest() for k in range(16))
+        )
+        px[(i * 13) % 256] ^= 0x40
+        rows.append((f"img{i:07d}", bytearray(mmb.png_encode(16, 16, bytes(px)))))
+    rate = 2000
+    for i in range(half):
+        g = i % 20
+        rng = np.random.default_rng(g)
+        k = 2 + g % 7
+        x = np.convolve(rng.normal(0, 1, rate), np.ones(k) / k, "same")
+        env = 1 + 0.8 * np.sin(2 * np.pi * np.arange(rate) / rate * (3 + 2 * g))
+        sig = x * env * 9000 + np.random.default_rng(10_000 + i).normal(0, 300, rate)
+        pcm = np.clip(sig, -32768, 32767).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + _s.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + _s.pack("<I", len(pcm))
+        )
+        rows.append((f"aud{i:07d}", bytearray(hdr + pcm)))
+    spark.createDataFrame(rows, "id string, content binary").repartition(
+        32
+    ).write.mode("overwrite").parquet(path)
+
+
 def make_emb(spark, n: int, path: str) -> None:
     rng = random.Random(7)
     rows = [
@@ -68,6 +107,7 @@ def main() -> None:
     for tag, (nd, ne) in sizes.items():
         make_docs(spark, nd, f"{tmp}/docs_{tag}")
         make_emb(spark, ne, f"{tmp}/emb_{tag}")
+        make_media(spark, nd, f"{tmp}/media_{tag}")
     bench = spark.read.parquet(f"{tmp}/docs_1x").limit(100)
     queries = spark.read.parquet(f"{tmp}/emb_1x").limit(20)
     from blq_cli_spark.operators import clustering
@@ -100,9 +140,34 @@ def main() -> None:
             k_cells=16, iters=3,
         )
 
+    # train the language-ID model once on 1x: scoring is the scale path
+    from blq_cli_spark.operators import classifier as clf_ops
+
+    lid_model = clf_ops.langid_train(
+        spark.read.parquet(f"{tmp}/docs_1x")
+    ).localCheckpoint(eager=True)
+
     def probes(tag: str):
+        import pyspark.sql.functions as FF
+
+        from blq_cli_spark.multimodal import binary as mmb
+        from blq_cli_spark.sources import logparse as lp_mod
+
         docs = spark.read.parquet(f"{tmp}/docs_{tag}")
         emb = spark.read.parquet(f"{tmp}/emb_{tag}")
+        media = spark.read.parquet(f"{tmp}/media_{tag}")
+        # synthetic gcc logs derived from docs (distributed, no driver work)
+        logs = docs.select(
+            FF.col("doc_id").cast("string").alias("source_id"),
+            FF.concat_ws(
+                "\n",
+                FF.expr(
+                    "transform(sequence(1, 40), i -> concat("
+                    "'src/m_', cast(doc_id % 97 as string), '.c:', cast(i as string),"
+                    "':1: error: op ', cast(i % 9 as string), ' failed at 0xbeef'))"
+                ),
+            ).alias("content"),
+        )
         qd = similarity.quantize_embeddings(emb)
         return {
             "quality_repetition": lambda: quality.repetition_profile(docs),
@@ -175,6 +240,11 @@ def main() -> None:
                                                     min_count=3),
             "zipf_fit": lambda: text_ops.zipf_fit(docs, top_k=1000),
             "l2_normalize": lambda: similarity.l2_normalize(emb),
+            # round-6 families
+            "langid_score": lambda: clf_ops.langid_score(docs, lid_model),
+            "image_dedup_pairs": lambda: mmb.image_dedup_pairs(media),
+            "audio_dedup_pairs": lambda: mmb.audio_dedup_pairs(media),
+            "parse_fast_gcc": lambda: lp_mod.parse_df(logs, fmt="gcc"),
         }
 
     # warm codegen/python workers on 1x (not timed)

@@ -35,7 +35,8 @@ _TOOLS: dict[str, tuple[Callable, str]] = {}
 # SQL, mutates the registry, or deletes data.
 SAFE_MODE_DISABLED_TOOLS = frozenset(
     {"exec", "run", "query", "register", "unregister", "maintain",
-     "corpus", "embeddings"}  # corpus/embeddings read+write arbitrary paths
+     # corpus/embeddings/multimodal read+write arbitrary paths
+     "corpus", "embeddings", "multimodal"}
 )
 
 

@@ -247,14 +247,23 @@ def main() -> None:
             "parse_fast_gcc": lambda: lp_mod.parse_df(logs, fmt="gcc"),
         }
 
+    # SCALE10X_ONLY=fam1,fam2 probes a subset (iterating on one family
+    # without paying for the whole table)
+    import os as _os
+
+    only = {f for f in _os.environ.get("SCALE10X_ONLY", "").split(",") if f}
+
+    def _select(d):
+        return {k: v for k, v in d.items() if not only or k in only}
+
     # warm codegen/python workers on 1x (not timed)
-    for fn in probes("1x").values():
+    for fn in _select(probes("1x")).values():
         fn().count()
 
-    names = list(probes("1x"))
+    names = list(_select(probes("1x")))
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     for tag in sizes:
-        p = probes(tag)
+        p = _select(probes(tag))
         for name in names:
             best = min(_time_once(p[name]) for _ in range(2))
             times[name][tag] = best

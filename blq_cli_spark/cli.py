@@ -2144,6 +2144,56 @@ def cmd_sandbox(args) -> int:
         except ValueError as e:
             print(f"blq-spark sandbox: {e}", file=sys.stderr)
             return 2
+    if action == "trace":
+        from blq_cli_spark import sandbox_trace as strace_mod
+
+        st = _store(args)
+        if getattr(args, "file", None):
+            with open(args.file, errors="replace") as fh:
+                text = fh.read()
+            df = st.spark.createDataFrame(
+                [(args.name or args.file, text)],
+                "source_id string, content string",
+            )
+            rows = strace_mod.strace_summary(
+                strace_mod.parse_strace_df(df)
+            ).collect()
+            if not rows:
+                print("no syscall evidence found in the trace")
+                return 1
+            summary = rows[0].asDict()
+            spec = strace_mod.spec_from_summary(summary, workspace=os.getcwd())
+        else:
+            if not args.name:
+                print("sandbox trace: NAME or --file required", file=sys.stderr)
+                return 2
+            reg = store_mod.registered_commands(st).get(args.name)
+            if not reg:
+                print(f"unknown command {args.name!r}", file=sys.stderr)
+                return 2
+            got = strace_mod.run_strace_profile(st.spark, reg["argv"])
+            if got is None:
+                print(
+                    "strace not available on this host — falling back to "
+                    "the rusage-based `sandbox profile` evidence",
+                    file=sys.stderr,
+                )
+                return 1
+            summary, spec = got
+        out = {
+            "summary": {k: v for k, v in summary.items()},
+            "suggested_spec": spec.to_dict() or {"network": spec.network},
+            "grade": spec.grade,
+        }
+        if args.json:
+            print(_json.dumps(out, default=str))
+        else:
+            print(f"network: {spec.network}  filesystem: {spec.filesystem}  "
+                  f"grade: {spec.grade}")
+            print(f"endpoints: {summary.get('endpoints')}")
+            print(f"write_dirs: {summary.get('write_dirs')}")
+            print(f"spawns: {summary.get('n_spawns')}")
+        return 0
     # suggest / tighten need the runs table -> real store
     st = _store(args)
     if args.name not in store_mod.registered_commands(st):
@@ -2672,6 +2722,16 @@ def build_parser() -> argparse.ArgumentParser:
     spf.add_argument("-j", "--json", action="store_true")
     spf.add_argument("-n", type=int, default=20, dest="last_n",
                      help="most recent runs to show (default 20)")
+    str_p = ssub.add_parser(
+        "trace",
+        help="run a registered command under strace and suggest the "
+             "tightest spec from the observed syscalls (degrades with a "
+             "message when strace is absent); --file parses an existing "
+             "strace output instead of running",
+    )
+    str_p.add_argument("name", nargs="?")
+    str_p.add_argument("--file", help="existing strace output to parse")
+    str_p.add_argument("-j", "--json", action="store_true")
     sp.set_defaults(fn=cmd_sandbox, json=False)
 
     sp = sub.add_parser("mcp")

@@ -116,7 +116,16 @@ def wrap_command(
     if iso and bwrap_available():
         argv = build_bwrap_argv(spec, workspace, cwd) + ["--"] + list(cmd)
         info["engine"] = "bwrap"
-        info["enforced"] = list(iso)
+        # bwrap has no loopback-preserving netns mode: a declared
+        # network='localhost' is enforced as a TOTAL cutoff. Record the
+        # stricter-than-declared enforcement so declared-vs-enforced
+        # history stays honest (loopback-dependent commands WILL fail).
+        info["enforced"] = [
+            "network=none (localhost unsupported by bwrap)"
+            if d == "network" and spec.network == "localhost"
+            else d
+            for d in iso
+        ]
     else:
         argv = list(cmd)
         info["engine"] = "log"

@@ -131,8 +131,6 @@ def run_command(
             cmd = reg["argv"]
     cwd = cwd or os.getcwd()
 
-    from blq_cli_spark import sandbox_enforce
-
     spec = None
     if sandbox is not None:
         from blq_cli_spark import sandbox as sandbox_mod

@@ -103,6 +103,94 @@ def _holder_alive(lock: CommandLock) -> bool:
     return (time.time() - lock.acquired_at) < REMOTE_LEASE_TTL_S
 
 
+def _parse_lock_text(text: str) -> CommandLock | None:
+    try:
+        data = json.loads(text)
+        kwargs = {
+            k: data[k]
+            for k in CommandLock.__dataclass_fields__
+            if k in data
+        }
+        return CommandLock(**kwargs)
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _reclaim_stale(locks_dir: Path, name: str, observed: CommandLock | None) -> bool:
+    """Reclaim the lock file at `name` that was OBSERVED stale, without
+    ever unlinking the shared lock path blind.
+
+    Two layers make this race-free:
+
+    1. Reclaimers (only reclaimers — the acquire fast path stays a
+       single lock-free os.link) serialize per lock name on an flock()
+       sidecar file, so at most ONE reclaimer mutates the path at a
+       time. flock is per-open-file-description (excludes threads of
+       the same process too) and is emulated over NFSv4 by modern
+       Linux — matching the module's NFS contract.
+    2. Inside the critical section the lock file is RE-READ: if it is
+       now a live holder (a contender linked a fresh lock between our
+       caller's read and our turn in the queue), we raise LockHeldError
+       without touching it. Only a still-stale file is removed, via
+       atomic rename-to-grave + payload verification (belt and braces:
+       if the payload under the rename is a live holder after all —
+       possible only if an expired holder released and a fresh holder
+       linked within the read→rename window, behavior the lease
+       contract already excludes — it is restored).
+
+    The round-6 protocol unlinked the shared path directly; two
+    contenders that both read the same stale lock could interleave so
+    that B's unlink removed A's freshly linked LIVE lock — a double
+    grant (caught by tests/test_multihost_store.py::
+    test_no_double_grant_at_lease_expiry).
+
+    Returns True when the stale file is gone and the caller may retry
+    its link; False when the path was already gone. Raises
+    LockHeldError when a live holder turned up instead."""
+    import fcntl
+    import uuid as _uuid
+
+    path = _lock_path(locks_dir, name)
+    sidecar = locks_dir / f".{name}.reclaim"
+    with open(sidecar, "a+") as guard:
+        fcntl.flock(guard.fileno(), fcntl.LOCK_EX)
+        # re-verify under the guard: the world may have moved on while
+        # we queued behind another reclaimer
+        current = read_lock(locks_dir, name)
+        if current is None and not path.exists():
+            return False  # another reclaimer won; re-race the link
+        if current is not None and _holder_alive(current):
+            raise LockHeldError(current)
+        grave = locks_dir / f".{name}.{_uuid.uuid4().hex}.stale"
+        try:
+            os.rename(path, grave)
+        except FileNotFoundError:
+            return False
+        try:
+            buried = _parse_lock_text(grave.read_text())
+        except OSError:
+            buried = None
+        if buried is not None and _holder_alive(buried):
+            # read→rename interleaving with a release+relink: restore.
+            # Under the guard no other reclaimer runs, and a fresh
+            # linker cannot have claimed the path (it was occupied
+            # until our rename an instant ago), so the link holds.
+            try:
+                os.link(grave, path)
+            except FileExistsError:
+                pass
+            try:
+                grave.unlink()
+            except FileNotFoundError:
+                pass
+            raise LockHeldError(buried)
+        try:
+            grave.unlink()
+        except FileNotFoundError:
+            pass
+        return True
+
+
 def acquire_lock(
     locks_dir: str | Path,
     name: str,
@@ -145,12 +233,10 @@ def acquire_lock(
                 if existing is not None and _holder_alive(existing):
                     raise LockHeldError(existing)
                 # genuinely stale (dead/lease-expired holder) or a
-                # corrupt file from a pre-link-protocol crash: clear
-                # and re-race
-                try:
-                    path.unlink()
-                except FileNotFoundError:
-                    pass
+                # corrupt file from a pre-link-protocol crash: reclaim
+                # via atomic rename-to-grave (never unlink the shared
+                # path — see _reclaim_stale) and re-race the link
+                _reclaim_stale(locks_dir, name, existing)
         raise LockHeldError(read_lock(locks_dir, name) or lock)
     finally:
         try:
@@ -196,8 +282,8 @@ def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
         lock = read_lock(locks_dir, path.stem)
         if lock is None or not _holder_alive(lock):
             try:
-                path.unlink()
-                cleaned.append(path.stem)
-            except FileNotFoundError:
-                pass
+                if _reclaim_stale(locks_dir, path.stem, lock):
+                    cleaned.append(path.stem)
+            except LockHeldError:
+                pass  # a fresh live lock raced in; leave it alone
     return cleaned

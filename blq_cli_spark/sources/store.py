@@ -868,10 +868,22 @@ def reserve_serials_standalone(root: str, count: int = 1) -> int:
     store-write file lock and bump the counter. The primitive a
     non-Spark writer (or another host on a shared filesystem) uses to
     claim serial ranges; requires a store that has ingested at least
-    once (counter file present) — otherwise seeds from 0. Returns the
+    once (counter file present). A pre-counter store that already holds
+    runs would silently collide on serial 1 if we seeded from 0, so a
+    missing counter file is an ERROR here — ingest once (or run the
+    Spark-side seed, which derives max(run_serial)) first. Returns the
     first reserved serial; tests/test_multihost_store.py stress-drives
     this from two concurrent processes."""
     from blq_cli_spark.sources import locks as locks_mod
+
+    def _missing_counter() -> int:
+        raise FileNotFoundError(
+            f"serial counter file absent under {root!r}: "
+            "reserve_serials_standalone cannot seed safely on a store "
+            "that may already hold runs — ingest once through the Spark "
+            "path (which seeds from max(run_serial)) before reserving "
+            "standalone serials"
+        )
 
     locks_dir = os.path.join(root, "locks")
     locks_mod.acquire_lock_wait(
@@ -879,6 +891,6 @@ def reserve_serials_standalone(root: str, count: int = 1) -> int:
         timeout=_WRITE_LOCK_WAIT_S,
     )
     try:
-        return _advance_serial_file(root, count, lambda: 0)
+        return _advance_serial_file(root, count, _missing_counter)
     finally:
         locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME)

@@ -126,3 +126,125 @@ def test_standalone_reserve_matches_store_counter(tmp_path):
     assert reserve_serials_standalone(root, 1) == 42
     assert reserve_serials_standalone(root, 3) == 43  # 43..45 reserved
     assert reserve_serials_standalone(root, 1) == 46
+
+def test_standalone_reserve_requires_counter_file(tmp_path):
+    """A pre-counter store may already hold runs; seeding from 0 would
+    silently re-issue serial 1. The standalone path must refuse instead
+    (the Spark path seeds from max(run_serial) and is the safe first
+    writer)."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with pytest.raises(FileNotFoundError, match="counter file absent"):
+        reserve_serials_standalone(root, 1)
+    # and it must not have created/initialized the counter as a side effect
+    assert not os.path.exists(os.path.join(root, "run_serial"))
+
+
+def test_reclaim_restores_fresh_live_lock(tmp_path):
+    """_reclaim_stale buries by atomic rename and verifies the payload:
+    when a FRESH live lock replaced the stale one between the
+    contender's read and its reclaim, the reclaim must restore the live
+    lock and report LockHeldError — never destroy it (the round-6
+    unlink protocol destroyed it)."""
+    locks_dir = tmp_path / "locks"
+    dead_pid = 2 ** 22 + 11111
+    _write_lock_file(str(locks_dir), "job", hostname=socket.gethostname(),
+                     pid=dead_pid, age_s=5)
+    observed = locks_mod.read_lock(locks_dir, "job")
+    assert observed is not None and not locks_mod._holder_alive(observed)
+    # a fresh LIVE holder (this very process) swaps in before the reclaim
+    _write_lock_file(str(locks_dir), "job", hostname=socket.gethostname(),
+                     pid=os.getpid(), age_s=0)
+    with pytest.raises(locks_mod.LockHeldError):
+        locks_mod._reclaim_stale(locks_dir, "job", observed)
+    survivor = locks_mod.read_lock(locks_dir, "job")
+    assert survivor is not None and survivor.pid == os.getpid()
+    # no grave litter left behind
+    assert list(locks_dir.glob("*.stale")) == []
+
+
+def test_reclaim_race_single_winner(tmp_path):
+    """Only ONE of two contenders that both observed the same stale
+    lock may reclaim it: the rename-to-grave is the atomic arbiter."""
+    locks_dir = tmp_path / "locks"
+    dead_pid = 2 ** 22 + 22222
+    _write_lock_file(str(locks_dir), "job", hostname="other-host",
+                     pid=dead_pid, age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
+    observed = locks_mod.read_lock(locks_dir, "job")
+    assert locks_mod._reclaim_stale(locks_dir, "job", observed) is True
+    # second contender with the same observation: path already gone
+    assert locks_mod._reclaim_stale(locks_dir, "job", observed) is False
+
+
+def test_no_double_grant_at_lease_expiry(tmp_path):
+    """Ask r7-8: a remote holder's lease expires and SIX local
+    contenders race through the reclaim window simultaneously, many
+    rounds. Exactly one may win each round. Under the round-6 unlink
+    protocol two contenders could both reclaim (B's unlink removing A's
+    freshly linked live lock) — the rename-to-grave protocol makes the
+    arbiter atomic."""
+    import threading
+
+    locks_dir = str(tmp_path / "locks")
+    dead_pid = 2 ** 22 + 33333
+    rounds, contenders = 25, 6
+    for rnd in range(rounds):
+        _write_lock_file(locks_dir, "deploy", hostname="other-host",
+                         pid=dead_pid,
+                         age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
+        winners: list[str] = []
+        errs: list[BaseException] = []
+        barrier = threading.Barrier(contenders)
+
+        def contend(tag: str) -> None:
+            barrier.wait()
+            try:
+                got = locks_mod.acquire_lock(
+                    locks_dir, "deploy", tag, "expiry race")
+                winners.append(got.attempt_id)
+            except locks_mod.LockHeldError:
+                pass
+            except BaseException as exc:  # pragma: no cover - diagnostics
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=contend, args=(f"r{rnd}c{i}",))
+            for i in range(contenders)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errs, errs
+        assert len(winners) == 1, f"round {rnd}: double grant {winners}"
+        held = locks_mod.read_lock(locks_dir, "deploy")
+        assert held is not None and held.attempt_id == winners[0]
+        locks_mod.release_lock(locks_dir, "deploy")
+
+
+def test_two_process_serial_stress_across_expiry(tmp_path):
+    """The two-process gapless-serial stress, but the write lock starts
+    as an EXPIRED remote lease so the very first grants must travel the
+    reclaim path — serials stay unique and gapless across the boundary."""
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "locks"))
+    with open(os.path.join(root, "run_serial"), "w") as fh:
+        fh.write("0")
+    _write_lock_file(
+        os.path.join(root, "locks"), "store-write", hostname="other-host",
+        pid=2 ** 22 + 44444, age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
+    n = 40
+    script = _WORKER.format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, str(n)],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(2)
+    ]
+    serials: list[int] = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0
+        serials.extend(int(s) for s in out.strip().split(","))
+    assert sorted(serials) == list(range(1, 2 * n + 1))

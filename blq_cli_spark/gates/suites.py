@@ -255,6 +255,10 @@ _SPECS = {
          [("doc_id", "s"), ("start_tok", "s"), ("end_tok", "s"), ("n_windows", "s")]),
         ("semdedup", llmdata.x_semantic_dedup,
          [("id", "s"), ("cluster_id", "s"), ("kept", "s")]),
+        # round 7: the bucketed (100 TB) form with a planted-cluster
+        # closed-form oracle rides the same driver row
+        ("semdedup_bkt", llmdata.x_semantic_dedup_bucketed,
+         [("id", "s"), ("cluster_id", "s"), ("kept", "s")]),
         ("semdecon", llmdata.x_semantic_decontaminate,
          [("id", "s"), ("max_bench_cos", "d"), ("contaminated", "s")]),
         ("leakage_split", llmdata.x_leakage_safe_split,
@@ -354,6 +358,7 @@ _MEMBER_GATE = {
     "boilerplate": "x_boilerplate_removal",
     "passages": "x_duplicate_passages",
     "semdedup": "x_semantic_dedup",
+    "semdedup_bkt": "x_semantic_dedup_bucketed",
     "semdecon": "x_semantic_decontaminate",
     "leakage_split": "x_leakage_safe_split",
     "sweep": "x_threshold_sweep",

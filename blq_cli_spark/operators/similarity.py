@@ -670,6 +670,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "exact",
+    k: int | None = None,
+    **method_kwargs,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): treat embedding pairs with cosine >= `threshold`
@@ -683,24 +685,39 @@ def semantic_dedup(
     (neardup_pairs — the oracle form; quadratic in corpus size);
     `method='bucketed'` is the hash-blocked 100 TB path (per-bucket
     quadratic via banded hyperplane buckets, measured recall floor in
-    tests/test_similarity.py); `method='kmeans'` is the paper-faithful
-    SemDeDup blocking — train k data-adapted centroids
-    (clustering.kmeans_fit, whole-corpus Lloyd's, k ~ corpus/10k) and
-    compare pairs only WITHIN a cluster, so compute is per-cell
-    quadratic and the cells track real density instead of random
-    hyperplanes. Components use the alternating-star iteration
-    (dedup.dedup_clusters — O(log n) shuffle rounds, no driver
-    union-find); near-dup components are small at high thresholds, so
-    the final left join back to the corpus is on a pair-derived table
-    far smaller than the corpus."""
+    tests/test_similarity.py; tune `bands`/`planes_per_band` through
+    `method_kwargs` — buckets per band is 2^planes_per_band, so grow
+    planes_per_band with the corpus to keep per-bucket cell sizes, and
+    thus the per-cell quadratic kernel, bounded); `method='kmeans'` is
+    the paper-faithful SemDeDup blocking — train `k` data-adapted
+    centroids (clustering.kmeans_fit, whole-corpus Lloyd's) and compare
+    pairs only WITHIN a cluster, so compute is per-cell quadratic and
+    the cells track real density instead of random hyperplanes.
+
+    `k` (kmeans method only) defaults to max(2, n // 10_000) — the
+    paper's ~10k-vector cells — so the per-cell pair budget stays
+    ~10k^2/2 = 5e7 dots per cell REGARDLESS of corpus size; there is
+    deliberately no upper cap on k (a cap would let cells grow with the
+    corpus and re-quadratize the kernel at 100 TB). nprobe=2 multi-probe
+    doubles the constant, not the shape. Components use the
+    alternating-star iteration (dedup.dedup_clusters — O(log n) shuffle
+    rounds, no driver union-find); near-dup components are small at
+    high thresholds, so the final left join back to the corpus is on a
+    pair-derived table far smaller than the corpus.
+
+    `method_kwargs` pass through to the pair generator (neardup_pairs /
+    neardup_pairs_bucketed)."""
     from blq_cli_spark.operators import dedup as dedup_ops
 
     if method == "bucketed":
-        pairs = neardup_pairs_bucketed(corpus, threshold, id_col=id_col, vec_col=vec_col)
+        pairs = neardup_pairs_bucketed(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     elif method == "kmeans":
         from blq_cli_spark.operators import clustering
 
-        k = max(2, min(64, corpus.count() // 64))
+        if k is None:
+            k = max(2, corpus.count() // 10_000)
         cents = clustering.kmeans_fit(corpus, k=k, id_col=id_col, vec_col=vec_col)
         # multi-probe blocking: each vector joins its top-2 cells, so a
         # pair straddling a cell boundary still collides in the
@@ -714,7 +731,9 @@ def semantic_dedup(
             _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
         ).distinct()
     else:
-        pairs = neardup_pairs(corpus, threshold, id_col=id_col, vec_col=vec_col)
+        pairs = neardup_pairs(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     cc = dedup_ops.dedup_clusters(pairs)
     return (
         corpus.select(F.col(id_col).alias("id"))

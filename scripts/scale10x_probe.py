@@ -190,6 +190,14 @@ def main() -> None:
             "semantic_dedup_bucketed": lambda: similarity.semantic_dedup(
                 emb, threshold=0.9, method="bucketed"
             ),
+            # round 7 (VERDICT r6 ask #1a): the kmeans blocking probed
+            # with k scaling as n/1000 — cells stay ~1000 vectors, so
+            # the per-cell quadratic kernel is bounded and the family
+            # must probe ~linear (the docstring's scale contract)
+            "semantic_dedup_kmeans": lambda: similarity.semantic_dedup(
+                emb, threshold=0.9, method="kmeans",
+                k=max(2, (EMB_1X * (10 if tag == "10x" else 1)) // 1000),
+            ),
             "kmeans_assign": lambda: clustering.kmeans_assign(emb, km_centroids),
             "duplicate_passages": lambda: __import__(
                 "blq_cli_spark.operators.dedup", fromlist=["x"]

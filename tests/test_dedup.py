@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from blq_cli_spark.operators import dedup
 
@@ -67,7 +68,14 @@ def _union_find_reference(edges):
     return {x: find(x) for x in parent}
 
 
-def test_dedup_clusters_matches_union_find(spark):
+# both execution paths must match the same reference: 0 forces the
+# distributed star iteration, the default takes the bounded driver
+# union-find fast path (round 7)
+_CC_PATHS = [0, 1_000_000]
+
+
+@pytest.mark.parametrize("small", _CC_PATHS)
+def test_dedup_clusters_matches_union_find(spark, small):
     edges = [
         (1, 2), (2, 3), (3, 4),          # chain -> cluster 1
         (10, 11), (11, 10),              # pair w/ reverse dup -> cluster 10
@@ -76,7 +84,10 @@ def test_dedup_clusters_matches_union_find(spark):
         (40, 41),
     ]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(df, small_graph_edges=small).collect()
+    }
     want = _union_find_reference([e for e in edges if e[0] != e[1]])
     assert got == want
     # every cluster id is its own representative
@@ -86,24 +97,29 @@ def test_dedup_clusters_matches_union_find(spark):
 def test_dedup_clusters_long_path_converges(spark):
     """A 64-node path is the worst case for naive propagation (diameter
     64); large-star/small-star must still converge in O(log n) rounds —
-    max_iterations=8 would fail if convergence were linear."""
+    max_iterations=8 would fail if convergence were linear. Forces the
+    distributed path (the small-graph threshold would bypass it)."""
     n = 64
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    rows = dedup.dedup_clusters(df, max_iterations=8).collect()
+    rows = dedup.dedup_clusters(df, max_iterations=8, small_graph_edges=0).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert {r["id"] for r in rows} == set(range(n + 1))
 
 
-def test_dedup_clusters_random_graph(spark):
+@pytest.mark.parametrize("small", _CC_PATHS)
+def test_dedup_clusters_random_graph(spark, small):
     import random
 
     rng = random.Random(11)
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
     edges = [e for e in edges if e[0] != e[1]]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(df, small_graph_edges=small).collect()
+    }
     assert got == _union_find_reference(edges)
 
 

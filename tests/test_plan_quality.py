@@ -97,6 +97,9 @@ _PYTHON_KERNEL_GATES = {
     # round 6: perceptual image hashing decodes PNG bytes (pure-Python
     # codec) in the documented Arrow kernel; the pair join itself is JVM
     "x_image_phash", "x_image_dedup_pairs",
+    # round 7: bucketed semantic dedup — banded sign assignment +
+    # per-bucket GEMM are the documented Arrow kernels of the scale path
+    "x_semantic_dedup_bucketed",
 }
 
 

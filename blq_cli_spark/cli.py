@@ -1516,12 +1516,21 @@ def cmd_embeddings(args) -> int:
             emb, bench, threshold=args.threshold, id_col=ic, vec_col=vc
         )
     elif act in ("index-build", "index-append", "index-search",
-                 "index-info", "index-compact"):
+                 "index-info", "index-compact", "index-retrain"):
         from blq_cli_spark.operators import ann_index
 
         if not args.index:
             print(f"embeddings {act}: --index DIR required", file=sys.stderr)
             return 2
+        if act == "index-retrain":
+            meta = ann_index.ivf_retrain_index(spark, args.index, iters=args.iters)
+            rec = meta.get("ann_recall", {}).get("recall")
+            print(
+                f"# retrained {meta['k_cells']}-cell index -> {args.index}"
+                + (f" (recall {rec})" if rec is not None else ""),
+                file=sys.stderr,
+            )
+            return 0
         if act == "index-info":
             _emit(
                 ann_index.ivf_index_info(
@@ -2888,7 +2897,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "semantic-dedup", "cluster", "decontaminate",
                              "report", "pca", "eval",
                              "index-build", "index-append", "index-search",
-                             "index-info", "index-compact"])
+                             "index-info", "index-compact", "index-retrain"])
     sp.add_argument("--input", required=True, help="embedding parquet path")
     sp.add_argument("--output", help="write full result parquet here")
     sp.add_argument("--queries", help="topk: query parquet (default: first --n-queries corpus rows)")

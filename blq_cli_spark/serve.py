@@ -623,7 +623,7 @@ def _corpus(
 @tool("embeddings", "Similarity/ANN ops over an embedding parquet "
       "(topk exact|lsh|ivf|quantized, quantize, normalize, neardup, "
       "semantic-dedup, cluster, report, decontaminate, pca, "
-      "index-build/append/search)")
+      "index-build/append/search/info/compact/retrain)")
 def _embeddings(
     store: LogStore,
     action: str,
@@ -712,11 +712,17 @@ def _embeddings(
             id_col=id_col, vec_col=vec_col,
         )
     elif action in ("index-build", "index-append", "index-search",
-                    "index-info", "index-compact"):
+                    "index-info", "index-compact", "index-retrain"):
         from blq_cli_spark.operators import ann_index
 
         if not index:
             raise ValueError(f"{action} requires an index directory path")
+        if action == "index-retrain":
+            meta = ann_index.ivf_retrain_index(spark, index, iters=iters)
+            return {"index": index, "retrained": True,
+                    "k_cells": meta["k_cells"],
+                    "ann_recall": meta.get("ann_recall"),
+                    "history_len": len(meta.get("ann_recall_history", []))}
         if action == "index-info":
             return {"rows": _rows(
                 ann_index.ivf_index_info(spark, index, drift=drift), limit

@@ -186,7 +186,7 @@ def _execute_and_store(
         from blq_cli_spark import sandbox_enforce
 
         exec_argv, preexec, sandbox_info = sandbox_enforce.wrap_command(
-            cmd, spec, workspace=cwd, cwd=cwd
+            cmd, spec, workspace=cwd, cwd=cwd, attempt_id=attempt["id"]
         )
 
     timed_out = False

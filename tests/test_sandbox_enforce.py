@@ -130,3 +130,62 @@ def test_registered_command_spec_enforced_automatically(spark, tmp_path):
     run = run_command(st, ["alloc"])
     assert run["exit_code"] not in (0, None)
     assert json.loads(run["extension_data"])["sandbox"]["enforced"] == ["memory"]
+
+
+# ---- systemd-run engine (round 7, reference SystemdEngine twin) -------------
+
+
+def test_systemd_argv_per_grade():
+    """Pure argv assembly per preset (reference
+    src/blq_sandbox_systemd/__init__.py:42-66): accounting always on,
+    MemoryMax from spec.memory, LimitCPU (cpu SECONDS, the spec's rlimit
+    dimension — not CPUQuota, which is a bandwidth percent) from
+    spec.cpu, scope unit named after the attempt."""
+    argv = enf.build_systemd_argv(sbx.PRESETS["build"], "att0123456789")
+    assert argv[:4] == ["systemd-run", "--scope", "--quiet", "--unit=blq-att01234"]
+    assert ["-p", "MemoryAccounting=yes"] == argv[4:6]
+    assert ["-p", "CPUAccounting=yes"] == argv[6:8]
+    assert ["-p", f"MemoryMax={2 << 30}"] == argv[8:10]
+    assert ["-p", "LimitCPU=120"] == argv[10:12]
+    assert argv[-1] == "--"
+
+    # resource-free spec: accounting only, no Max/Limit properties
+    bare = enf.build_systemd_argv(sbx.SandboxSpec(), "att")
+    assert not any(p.startswith("MemoryMax") or p.startswith("LimitCPU") for p in bare)
+
+    # memory-only (reference sets only MemoryMax when cpu is absent)
+    mem_only = enf.build_systemd_argv(sbx.SandboxSpec(memory=1 << 20), "a")
+    assert "MemoryMax=1048576" in mem_only and not any(
+        p.startswith("LimitCPU") for p in mem_only
+    )
+
+
+def test_ladder_systemd_ahead_of_rlimit(monkeypatch):
+    """When systemd-run exists, resources are enforced by scope
+    properties (no rlimit preexec); otherwise the rlimit floor applies.
+    systemd wraps OUTERMOST around bwrap (systemd-run needs the host
+    DBus, which an inner bwrap namespace severs)."""
+    spec = sbx.PRESETS["build"]
+
+    monkeypatch.setattr(enf, "systemd_available", lambda: True)
+    monkeypatch.setattr(enf, "bwrap_available", lambda: True)
+    argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att1")
+    assert argv[0] == "systemd-run" and "bwrap" in argv and argv[-1] == "make"
+    assert argv.index("systemd-run") < argv.index("bwrap")
+    assert pre is None  # systemd owns the resource dims
+    assert info["engine"] == "bwrap+systemd"
+    assert "memory" in info["enforced"] and "cpu" in info["enforced"]
+
+    # systemd without bwrap: isolation degrades, resources still real
+    monkeypatch.setattr(enf, "bwrap_available", lambda: False)
+    argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att2")
+    assert argv[0] == "systemd-run" and "bwrap" not in argv
+    assert pre is None and info["engine"] == "systemd"
+    assert info["degraded_reason"] == "bwrap not installed"
+
+    # no systemd: the rlimit floor returns
+    monkeypatch.setattr(enf, "systemd_available", lambda: False)
+    argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att3")
+    assert argv[0] == "make" and pre is not None
+    assert info["engine"] == "rlimit"
+    assert "memory" in info["enforced"] and "cpu" in info["enforced"]

@@ -117,3 +117,106 @@ def x_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _planted_images(spark, sf_dir)
     pairs = mmb.image_dedup_pairs(imgs, method="dhash", max_hamming=7, bands=8)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---- audio (round 7, VERDICT r6 ask #7) --------------------------------------
+#
+# Planted WAVs whose Haitsma-Kalker fingerprint equals a closed form of
+# doc_id, so the FFT path is exactly checkable without a DuckDB FFT:
+# each of 20 groups gets an 8-bit codeword p(g) = (37*g + 11) % 256
+# repeated across all 8 frames (64 bits total), synthesized by summing
+# one sinusoid per FFT band with per-frame energies E[f,b] built so
+# every band-energy differential has margin M = 4e9 — three orders
+# above int16 quantization noise. The three members of a group differ
+# only by volume (1.0 / 0.85 / 0.7): energies scale by v^2 > 0, every
+# comparison's sign survives, so members share EXACTLY the same 64
+# bits. Distinct codewords repeated 8x give cross-group hamming >= 16
+# > max_hamming 7, hence the pair set is exactly the within-group
+# pairs at hamming 0 — the closed form the oracle states. (Verified
+# bit-for-bit in tests/test_multimodal.py::test_planted_audio_gate.)
+
+_N_AUDIO_DOCS = 60
+_N_AUDIO_GROUPS = 20
+
+
+def _planted_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id string, content binary) — one 4096-sample mono WAV per
+    documents row (doc_id < 60) with the planted fingerprint."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _N_AUDIO_DOCS)
+        .select("doc_id")
+    )
+
+    def _wav_bytes(d: int) -> bytes:
+        g = d % _N_AUDIO_GROUPS
+        v = (1.0, 0.85, 0.7)[d // _N_AUDIO_GROUPS]
+        p = (37 * g + 11) % 256
+        bits_b = [(p >> b) & 1 for b in range(8)]
+        M = 4e9
+        base = 100 * M
+        t = np.arange(512)
+        samples = np.zeros(4096)
+        for f in range(8):
+            dd = [((f + 1) * M if bits_b[b] else -(f + 1) * M) for b in range(8)]
+            E = [0.0] * 9
+            E[8] = base
+            for b in range(7, -1, -1):
+                E[b] = E[b + 1] + dd[b]
+            fr = np.zeros(512)
+            for b in range(9):
+                k = b * 28 + 15  # bin centered in band b (DC dropped)
+                amp = np.sqrt(E[b]) / 256.0 * v
+                fr += amp * np.sin(2 * np.pi * k * t / 512)
+            samples[f * 512 : (f + 1) * 512] = fr
+        pcm = np.clip(np.round(samples), -32767, 32767).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4096, 8192, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm))
+        )
+        return hdr + pcm
+
+    def _batches(it):
+        for pdf in it:
+            rows = [
+                {"id": f"a{int(d):05d}", "content": _wav_bytes(int(d))}
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return docs.mapInPandas(_batches, schema="id string, content binary")
+
+
+@gate(
+    "x_audio_dedup_pairs",
+    # closed form: members of a group share an identical fingerprint
+    # (volume invariance is exact by construction), distinct groups are
+    # >= 16 bits apart — the pair set is all within-group pairs, hamming 0
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, doc_id % 20 AS g,
+             'a' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS id
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM m a JOIN m b ON a.g = b.g AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def x_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs (Haitsma-Kalker fingerprint ->
+    banded hamming join) over planted closed-form WAVs — the image-pairs
+    trick applied to the FFT path, giving the audio modality a
+    driver-hashed oracle (rows-only was the r6 convention; the planted
+    construction upgrades it to a full value hash)."""
+    wavs = _planted_audio(spark, sf_dir)
+    pairs = mmb.audio_dedup_pairs(wavs, max_hamming=7, bands=8)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")

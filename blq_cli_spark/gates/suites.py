@@ -291,6 +291,9 @@ _SPECS = {
          [("id", "s"), ("phash", "s")]),
         ("img_pairs", multimodal_gates.x_image_dedup_pairs,
          [("id_a", "s"), ("id_b", "s"), ("hamming", "s")]),
+        # round 7: the audio (FFT) path's planted closed-form pair set
+        ("aud_pairs", multimodal_gates.x_audio_dedup_pairs,
+         [("id_a", "s"), ("id_b", "s"), ("hamming", "s")]),
     ],
 }
 
@@ -384,6 +387,7 @@ _MEMBER_GATE = {
     "q22": "q22_dormant_customers",
     "img_phash": "x_image_phash",
     "img_pairs": "x_image_dedup_pairs",
+    "aud_pairs": "x_audio_dedup_pairs",
     "langid_model": "x_langid_model",
     "langid_scores": "x_langid_scores",
 }

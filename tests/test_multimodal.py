@@ -695,3 +695,33 @@ def test_video_frame_hashes_and_dedup(spark):
     # multi-frame agreement knob
     strict = mm.video_dedup_pairs(df, max_hamming=7, min_frame_matches=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} <= {("clipA", "clipB")}
+
+
+def test_planted_audio_gate_bits_are_closed_form(spark):
+    """The x_audio_dedup_pairs construction's whole premise, checked
+    bit-for-bit: every planted WAV's Haitsma-Kalker fingerprint equals
+    the group codeword p(g) = (37*g + 11) % 256 repeated across all 8
+    frames, IDENTICALLY for all three volume-scaled members — so the
+    gate's closed-form pair oracle is exact, not statistical."""
+    from blq_cli_spark.gates.multimodal_gates import _planted_audio
+    from blq_cli_spark.multimodal import binary as mmb
+
+    wavs = _planted_audio(spark, "/root/testdata/sf0.001")
+    hashes = {
+        r["id"]: r["ahash"] & (2**64 - 1)
+        for r in mmb.audio_fingerprint(wavs).collect()
+    }
+    assert len(hashes) == 60
+    for g in range(20):
+        p = (37 * g + 11) % 256
+        want = sum(((p >> (i % 8)) & 1) << i for i in range(64))
+        members = [hashes[f"a{g + 20 * m:05d}"] for m in range(3)]
+        assert members == [want] * 3, (g, [hex(x) for x in members], hex(want))
+    # cross-group separation clears the banded-join threshold with room
+    vals = [hashes[f"a{g:05d}"] for g in range(20)]
+    dists = [
+        bin(a ^ b).count("1")
+        for i, a in enumerate(vals)
+        for b in vals[i + 1 :]
+    ]
+    assert min(dists) >= 16

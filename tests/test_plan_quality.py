@@ -100,6 +100,8 @@ _PYTHON_KERNEL_GATES = {
     # round 7: bucketed semantic dedup — banded sign assignment +
     # per-bucket GEMM are the documented Arrow kernels of the scale path
     "x_semantic_dedup_bucketed",
+    # round 7: audio fingerprints FFT in the documented Arrow kernel
+    "x_audio_dedup_pairs",
 }
 
 

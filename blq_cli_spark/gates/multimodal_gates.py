@@ -220,3 +220,57 @@ def x_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("id_a", "id_b")
+
+
+# ---- baseline JPEG (round 7, VERDICT r6 ask #3) ------------------------------
+
+
+def _planted_jpegs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id string, content binary) — the x_image_phash construction
+    re-encoded as REAL baseline JPEGs (jpeg_encode_gray): same planted
+    bits, but a +/-6 brightness walk so the codec's round-trip error
+    (|err| <= 1 with the encoder's all-ones quantization, measured in
+    tests/test_multimodal.py) can never flip a dHash comparison whose
+    margin is 6."""
+    import pandas as pd
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _N_DOCS)
+        .select("doc_id")
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bits = _planted_bits(d)
+                px = bytearray()
+                for r in range(8):
+                    row = [128]
+                    for c in range(8):
+                        row.append(row[-1] - 6 if bits[r * 8 + c] else row[-1] + 6)
+                    px.extend(row)
+                rows.append(
+                    {"id": f"j{d:05d}", "content": mmb.jpeg_encode_gray(9, 8, bytes(px))}
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return docs.mapInPandas(_batches, schema="id string, content binary")
+
+
+@gate(
+    "x_jpeg_phash",
+    oracle=_HASHES_CTE.replace("'d' ||", "'j' ||")
+    + "\n    SELECT id, phash FROM hashes",
+)
+def x_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash through the full pure-Python BASELINE JPEG pipeline —
+    jpeg_encode_gray fixture bytes -> sniff -> jpeg_decode (canonical
+    Huffman + IDCT) -> resize -> bit walk — against the same closed-form
+    oracle as x_image_phash. A hash match proves the whole codec path
+    end to end (the r6 PNG/GIF discipline extended to the dominant
+    crawl image format; VERDICT r6 ask #3)."""
+    jpgs = _planted_jpegs(spark, sf_dir)
+    return mmb.image_perceptual_hash(jpgs, method="dhash").select("id", "phash")

@@ -294,6 +294,9 @@ _SPECS = {
         # round 7: the audio (FFT) path's planted closed-form pair set
         ("aud_pairs", multimodal_gates.x_audio_dedup_pairs,
          [("id_a", "s"), ("id_b", "s"), ("hamming", "s")]),
+        # round 7: dHash through the pure-Python baseline JPEG codec
+        ("jpeg_phash", multimodal_gates.x_jpeg_phash,
+         [("id", "s"), ("phash", "s")]),
     ],
 }
 
@@ -388,6 +391,7 @@ _MEMBER_GATE = {
     "img_phash": "x_image_phash",
     "img_pairs": "x_image_dedup_pairs",
     "aud_pairs": "x_audio_dedup_pairs",
+    "jpeg_phash": "x_jpeg_phash",
     "langid_model": "x_langid_model",
     "langid_scores": "x_langid_scores",
 }

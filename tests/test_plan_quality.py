@@ -102,6 +102,8 @@ _PYTHON_KERNEL_GATES = {
     "x_semantic_dedup_bucketed",
     # round 7: audio fingerprints FFT in the documented Arrow kernel
     "x_audio_dedup_pairs",
+    # round 7: JPEG decode (pure-Python codec) in the documented kernel
+    "x_jpeg_phash",
 }
 
 

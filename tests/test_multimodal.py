@@ -811,20 +811,6 @@ def test_jpeg_progressive_rejected_and_hash_path_skips(spark):
     assert got == {"ok"}
 
 
-def test_jpeg_decode_chroma_subsampled():
-    """A hand-assembled 3-component 4:2:0 stream must decode its luma
-    correctly (chroma blocks entropy-decoded for stream position only).
-    Built by re-tagging the gray encoder's output is not possible, so
-    assemble a tiny 2-component variant: instead, verify via PIL when
-    available, else skip."""
-    import pytest as _pytest
-
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError:
-        _pytest.skip("PIL not installed; multi-component interop needs it")
-
-
 def test_jpeg_phash_matches_png_phash(spark):
     """The planted JPEG fixture encodes the SAME planted bits as the PNG
     fixture at a wider margin — both pipelines must land on identical
@@ -842,3 +828,133 @@ def test_jpeg_phash_matches_png_phash(spark):
         for r in mmb.image_perceptual_hash(_planted_jpegs(spark, sf)).collect()
     }
     assert png == jpg and len(png) == 200
+
+
+def _encode_multicomponent(img, y_sampling=(1, 1)):
+    """Test-side 3-component JPEG encoder (Y from `img`, flat Cb=Cr=128
+    chroma, all components on the Annex K luminance tables, all-ones
+    quant): exercises jpeg_decode's multi-component MCU interleave —
+    several Y blocks per MCU under 4:2:0-style sampling, chroma blocks
+    entropy-decoded for stream position then skipped."""
+    import struct
+
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    hy, vy = y_sampling
+    h, w = img.shape
+    # pad Y to MCU multiples (MCU = 8*hy x 8*vy for max-sampled Y)
+    mw, mh = 8 * hy, 8 * vy
+    bw, bh = -(-w // mw), -(-h // mh)
+    padded = np.empty((bh * mh, bw * mw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    def build_codes(bits, vals):
+        codes, code, vi = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[vi]] = (code, length)
+                vi += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    dc = build_codes(mmb._K_DC_BITS, mmb._K_DC_VALS)
+    ac = build_codes(mmb._K_AC_BITS, mmb._K_AC_VALS)
+    A = mmb._dct8_basis()
+    wtr = mmb._JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def emit_block(block, ci):
+        t = A @ (block - 128.0) @ A.T
+        zz = np.round(t.reshape(-1)[mmb._ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        cat = abs(diff).bit_length()
+        c, ln = dc[cat]
+        wtr.write(c, ln)
+        if cat:
+            wtr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+            cat = abs(v).bit_length()
+            c, ln = ac[(run << 4) | cat]
+            wtr.write(c, ln)
+            wtr.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac[0x00]
+            wtr.write(c, ln)
+
+    flat = np.full((8, 8), 128.0)
+    for my in range(bh):
+        for mx in range(bw):
+            for by in range(vy):          # Y blocks, raster order
+                for bx in range(hy):
+                    y0 = (my * vy + by) * 8
+                    x0 = (mx * hy + bx) * 8
+                    emit_block(padded[y0 : y0 + 8, x0 : x0 + 8], 0)
+            emit_block(flat, 1)           # Cb
+            emit_block(flat, 2)           # Cr
+    wtr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof_comps = bytes([1, (hy << 4) | vy, 0, 2, 0x11, 0, 3, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+        + seg(0xC4, bytes([0x00]) + mmb._K_DC_BITS + mmb._K_DC_VALS)
+        + seg(0xC4, bytes([0x10]) + mmb._K_AC_BITS + mmb._K_AC_VALS)
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(wtr.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_decode_three_component_444():
+    """3-component 4:4:4 stream: luma must round-trip while the chroma
+    blocks are entropy-skipped."""
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    data = _encode_multicomponent(img, y_sampling=(1, 1))
+    w, h, px = mmb.jpeg_decode(data)
+    assert (w, h) == (24, 16)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_subsampled_420_luma():
+    """4:2:0-style stream (Y sampled 2x2, chroma 1x1): FOUR Y blocks
+    per MCU in raster order — exercises the luma placement arithmetic
+    and the non-trivial cw/ch crop on non-MCU-multiple dims."""
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    rng = np.random.default_rng(13)
+    for shape in ((32, 32), (24, 40), (20, 28)):  # last: non-16-multiples
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        data = _encode_multicomponent(img, y_sampling=(2, 2))
+        w, h, px = mmb.jpeg_decode(data)
+        assert (h, w) == shape
+        out = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2

@@ -515,6 +515,190 @@ def _r_pylint(lines: DataFrame):
     return staged, [(pre & _line().rlike(_PYLINT), ev)]
 
 
+# --- round-7 formats: the next seven single-line / carry / span shapes -------
+
+_CLANG_TIDY = (
+    r"^([^\s:][^:]*):(\d+):(\d+):\s*(error|warning|note):\s*(.*?)\s*\[([\w.,-]+)\]$"
+)
+
+
+def _r_clang_tidy(lines: DataFrame):
+    pre = _has("error:", "warning:", "note:") & _has("[")
+    staged = _stage(lines, "_g_ct", _CLANG_TIDY, 6, pre)
+    g = lambda i: _g("_g_ct", i)  # noqa: E731
+    ev = _ev(
+        "clang-tidy", "lint", _sev(g(4)), g(5),
+        file=g(1), line=g(2), col=g(3), rule=g(6),
+    )
+    return staged, [(pre & _line().rlike(_CLANG_TIDY), ev)]
+
+
+_SWIFTC = (
+    r"^([^\s:][^:]*\.swift):(\d+):(\d+):\s*(error|warning|note):\s*(.*)$"
+)
+
+
+def _r_swiftc(lines: DataFrame):
+    pre = _has(".swift:") & _has("error:", "warning:", "note:")
+    staged = _stage(lines, "_g_sw", _SWIFTC, 5, pre)
+    g = lambda i: _g("_g_sw", i)  # noqa: E731
+    ev = _ev(
+        "swiftc", "compile", _sev(g(4)), g(5),
+        file=g(1), line=g(2), col=g(3),
+    )
+    return staged, [(pre & _line().rlike(_SWIFTC), ev)]
+
+
+_RUBOCOP = (
+    r"^([^\s:][^:]*\.rb):(\d+):(\d+):\s*([CWEF]):\s*"
+    r"(?:\[Correctable\]\s*)?([\w/]+):\s*(.*)$"
+)
+
+
+def _r_rubocop(lines: DataFrame):
+    pre = _has(".rb:")
+    staged = _stage(lines, "_g_rc", _RUBOCOP, 6, pre)
+    g = lambda i: _g("_g_rc", i)  # noqa: E731
+    sev = F.when(g(4).isin("E", "F"), F.lit("error")).otherwise(F.lit("warning"))
+    ev = _ev(
+        "rubocop", "lint", sev, g(6),
+        file=g(1), line=g(2), col=g(3), rule=g(5),
+    )
+    return staged, [(pre & _line().rlike(_RUBOCOP), ev)]
+
+
+# negative lookahead (java.util.regex supports it): go build/vet lines
+# carry NO severity keyword — that is exactly why the gcc grammar misses
+# them, and the lookahead keeps gcc-shaped lines out of this rule
+_GO_BUILD = (
+    r"^(\.?/?[\w./-]+\.go):(\d+):(?:(\d+):)?\s*"
+    r"((?!.*\b(?:error|warning)\b:).+)$"
+)
+
+
+def _r_go_build(lines: DataFrame):
+    pre = _has(".go:")
+    staged = _stage(lines, "_g_gb", _GO_BUILD, 4, pre)
+    g = lambda i: _g("_g_gb", i)  # noqa: E731
+    ev = _ev(
+        "go", "compile", F.lit("error"), g(4),
+        file=g(1), line=g(2), col=_opt(g(3)),
+    )
+    return staged, [(pre & _line().rlike(_GO_BUILD), ev)]
+
+
+_YAMLLINT_FILE = r"^([^\s].*\.ya?ml)$"
+_YAMLLINT_ISSUE = (
+    r"^\s+(\d+):(\d+)\s+(error|warning)\s+(.*?)\s+\(([\w-]+)\)$"
+)
+
+
+def _r_yamllint(lines: DataFrame):
+    pre_i = _has("error", "warning") & _has("(")
+    pre_f = _has(".yml", ".yaml")  # .ya?ml = either suffix literally
+    staged = _stage(lines, "_g_yl", _YAMLLINT_ISSUE, 5, pre_i).withColumn(
+        "_yl_file", _carry(F.when(pre_f & _line().rlike(_YAMLLINT_FILE), _line()))
+    )
+    g = lambda i: _g("_g_yl", i)  # noqa: E731
+    ev = _ev(
+        "yamllint", "lint", _sev(g(3)), g(4),
+        file=F.col("_yl_file"), line=g(1), col=g(2), rule=g(5),
+    )
+    cond = pre_i & _line().rlike(_YAMLLINT_ISSUE) & F.col("_yl_file").isNotNull()
+    return staged, [(cond, ev)]
+
+
+_SHELLCHECK_FILE = r"^In (.+) line (\d+):$"
+_SHELLCHECK_MSG = (
+    r"^\s*\^-*\^?\s*(SC\d+)\s*(?:\((error|warning|info|style)\))?:\s*(.*)$"
+)
+
+
+def _r_shellcheck(lines: DataFrame):
+    """shellcheck tty layout: `In script.sh line 3:` headers carry
+    (file, line, header line_no) forward; each caret line emits an event
+    spanning header..caret. info/style normalize to warning (Python
+    parse_shellcheck parity)."""
+    pre_f = _starts("In ")
+    pre_m = _has("SC") & _has("^")
+    staged = _stage(lines, "_g_scf", _SHELLCHECK_FILE, 2, pre_f)
+    staged = _stage(staged, "_g_scm", _SHELLCHECK_MSG, 3, pre_m)
+    fm = pre_f & _line().rlike(_SHELLCHECK_FILE)
+    staged = (
+        staged.withColumn("_sc_file", _carry(F.when(fm, _g("_g_scf", 1))))
+        .withColumn("_sc_line", _carry(F.when(fm, _g("_g_scf", 2))))
+        .withColumn("_sc_hdr", _carry(F.when(fm, F.col("line_no"))))
+    )
+    sev_raw = _opt(_g("_g_scm", 2))
+    sev = F.when(
+        sev_raw.isNull() | sev_raw.isin("info", "style"), F.lit("warning")
+    ).otherwise(sev_raw)
+    ev = _ev(
+        "shellcheck", "lint", _sev(sev), _g("_g_scm", 3),
+        F.col("_sc_hdr"),
+        file=F.col("_sc_file"), line=F.col("_sc_line"),
+        code=_g("_g_scm", 1), end_line_no=F.col("line_no"),
+    )
+    cond = pre_m & _line().rlike(_SHELLCHECK_MSG) & F.col("_sc_file").isNotNull()
+    return staged, [(cond, ev)]
+
+
+_JAVAC = r"^([^\s:][^:]*\.java):(\d+):\s*(error|warning):\s*(.*)$"
+
+
+def _f_javac(lines: DataFrame) -> DataFrame:
+    """javac diagnostics with continuation-span extension: each
+    `file.java:NN: sev: msg` opens an event whose span extends across
+    the CONSECUTIVE indented non-blank detail block that follows (code
+    echo, caret, `symbol:`/`location:` rows) and stops at the first
+    other line — Python parse_javac parity. Expressed as a running
+    diagnostic-serial + one (source_id, serial) groupBy where the span
+    end is min(first non-continuation row) - 1, falling back to the
+    group's last row (the rustc attachment shape)."""
+    pre = _has(".java:") & _has("error:", "warning:")
+    m = pre & _line().rlike(_JAVAC)
+    staged = _stage(lines, "_g_jv", _JAVAC, 4, pre)
+    is_cont = (
+        (_line().startswith(" ") | _line().startswith("\t"))
+        & (_strip(_line()) != "")
+    )
+    grp = F.sum(m.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_m", m)
+        .withColumn("is_cont", is_cont)
+        .withColumn("grp", grp)
+        .filter(F.col("grp") >= 1)
+    )
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_m"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_jv", 1).alias("file"),
+                    _g("_g_jv", 2).alias("ln"),
+                    _g("_g_jv", 3).alias("sev"),
+                    _g("_g_jv", 4).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(~F.col("is_m") & ~F.col("is_cont"), F.col("line_no"))
+        ).alias("first_bad"),
+        F.max("line_no").alias("last_ln"),
+    )
+    end = F.coalesce(F.col("first_bad") - 1, F.col("last_ln"))
+    ev = _ev(
+        "javac", "compile", _sev(F.col("err.sev")), F.col("err.msg"),
+        line_no=F.col("err.line_no"),
+        file=F.col("err.file"), line=F.col("err.ln"),
+        end_line_no=end,
+    )
+    return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
+
+
 _RUST_ERR = r"^(error|warning)(?:\[(E\d+)\])?:\s*(.*)$"
 _RUST_LOC = r"^\s*-->\s*([^:]+):(\d+):(\d+)\s*$"
 
@@ -591,7 +775,22 @@ FAST_FORMATS: dict[str, object] = {
     "ruff": _r_ruff,
     "flake8": _r_flake8,
     "pylint": _r_pylint,
+    # round 7: the next seven shapes — single-line (clang-tidy, swiftc,
+    # rubocop, go build's lookahead grammar), two-level carry (yamllint,
+    # shellcheck), and the javac continuation span (DF-level builder)
+    "clang_tidy": _r_clang_tidy,
+    "swiftc": _r_swiftc,
+    "rubocop": _r_rubocop,
+    "go_build": _r_go_build,
+    "yamllint": _r_yamllint,
+    "shellcheck": _r_shellcheck,
+    "javac": _f_javac,
 }
+
+# formats whose builder is DF-level (groupBy attachment) rather than a
+# per-line rule pass; fast_parse_df merges these with the generic
+# fallback via union instead of the shared staged table
+_DF_BUILDERS = {"rustc": _f_rustc, "javac": _f_javac}
 
 
 def _explode_tagged(
@@ -622,11 +821,11 @@ def fast_parse_df(
     if fmt == "generic":
         staged, rules = _r_generic(lines)
         ev = _explode_tagged(staged, [("generic", c, e) for c, e in rules])
-    elif fmt == "rustc":
-        # the groupBy-based builder can't merge into the per-line rule
-        # pass; the generic branch re-derives the lines for this one
-        # format (error/location logs are a thin slice of any corpus)
-        fmt_ev = _f_rustc(lines).withColumn("format_used", F.lit("rustc"))
+    elif fmt in _DF_BUILDERS:
+        # groupBy-based builders (rustc, javac) can't merge into the
+        # per-line rule pass; the generic branch re-derives the lines
+        # for these formats (diagnostic logs are a thin corpus slice)
+        fmt_ev = _DF_BUILDERS[fmt](lines).withColumn("format_used", F.lit(fmt))
         g_staged, g_rules = _r_generic(lines)
         gen = _explode_tagged(g_staged, [("generic", c, e) for c, e in g_rules])
         ev = fmt_ev.unionByName(gen)

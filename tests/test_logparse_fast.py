@@ -63,6 +63,42 @@ module.py:22:0: E1101: Instance has no 'foo' member (no-member)
 pkg/util.py:3:4: W0612: Unused variable 'x' (unused-variable)
 """
 
+RUBOCOP_LOG = """\
+app/models/user.rb:10:5: C: Style/FrozenStringLiteral: Missing magic comment.
+app/api.rb:2:1: E: Lint/Syntax: unexpected token
+lib/x.rb:7:3: W: [Correctable] Layout/TrailingWhitespace: Trailing whitespace.
+"""
+
+GO_BUILD_LOG = """\
+./main.go:10:5: undefined: foo
+pkg/util.go:3:1: imported and not used: "fmt"
+pkg/util.go:9: missing return
+"""
+
+# headers without a following caret line; a caret before any header;
+# info/style severity normalization
+SHELLCHECK_EDGE = """\
+In lonely.sh line 1:
+In deploy.sh line 3:
+cp $SRC $DST
+   ^--^ SC2086 (style): Double quote to prevent globbing.
+^-- SC1000: bare code no severity
+"""
+
+# continuation block at EOF; two adjacent diagnostics; indented line
+# with no pending diagnostic; whitespace-only line ends a span
+JAVAC_EDGE = """\
+  orphan indented line before any diagnostic
+Main.java:10: error: ';' expected
+        int x = 1
+                 ^
+{SP}{SP}
+Util.java:3: warning: deprecated API
+Other.java:9: error: cannot find symbol
+  symbol:   variable y
+  location: class Other
+""".replace("{SP}", " ")
+
 CASES = {
     "gcc": [fx.GCC_LOG, FALLBACK_LOG, EMPTY_LOG, NOMATCH_LOG],
     "pytest": [fx.PYTEST_LOG, FALLBACK_LOG],
@@ -79,6 +115,14 @@ CASES = {
     "ruff": [fx.RUFF_LOG, FALLBACK_LOG],
     "flake8": [FLAKE8_LOG, FALLBACK_LOG],
     "pylint": [PYLINT_LOG, FALLBACK_LOG],
+    # round-7 formats
+    "clang_tidy": [fx.CLANG_TIDY_LOG, FALLBACK_LOG],
+    "swiftc": [fx.SWIFTC_LOG, FALLBACK_LOG],
+    "rubocop": [RUBOCOP_LOG, FALLBACK_LOG],
+    "go_build": [GO_BUILD_LOG, FALLBACK_LOG],
+    "yamllint": [fx.YAMLLINT_LOG, FALLBACK_LOG],
+    "shellcheck": [fx.SHELLCHECK_LOG, SHELLCHECK_EDGE, FALLBACK_LOG],
+    "javac": [fx.JAVAC_LOG, JAVAC_EDGE, FALLBACK_LOG, EMPTY_LOG],
 }
 
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]

@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For the fifteen highest-volume formats this module
+regex (mapInPandas). For the thirty highest-volume formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -643,6 +643,154 @@ def _r_shellcheck(lines: DataFrame):
     return staged, [(cond, ev)]
 
 
+_CHECKSTYLE = (
+    r"^\[(ERROR|WARN|INFO)\]\s+([^\s:]+):(\d+)(?::(\d+))?:\s*"
+    r"(.*?)\s*\[(\w+)\]$"
+)
+
+
+def _r_checkstyle(lines: DataFrame):
+    pre = _starts("[ERROR]", "[WARN]", "[INFO]")
+    staged = _stage(lines, "_g_cs", _CHECKSTYLE, 6, pre)
+    g = lambda i: _g("_g_cs", i)  # noqa: E731
+    ev = _ev(
+        "checkstyle", "lint", _sev(g(1)), g(5),
+        file=g(2), line=g(3), col=_opt(g(4)), rule=g(6),
+    )
+    return staged, [(pre & _line().rlike(_CHECKSTYLE), ev)]
+
+
+_HADOLINT = (
+    r"^([^\s:]+):(\d+)\s+(DL\d+|SC\d+)\s+(error|warning|info|style):\s*(.*)$"
+)
+
+
+def _r_hadolint(lines: DataFrame):
+    pre = _has("DL", "SC")
+    staged = _stage(lines, "_g_hl", _HADOLINT, 5, pre)
+    g = lambda i: _g("_g_hl", i)  # noqa: E731
+    sev = F.when(g(4).isin("info", "style"), F.lit("warning")).otherwise(g(4))
+    ev = _ev(
+        "hadolint", "lint", _sev(sev), g(5),
+        file=g(1), line=g(2), code=g(3),
+    )
+    return staged, [(pre & _line().rlike(_HADOLINT), ev)]
+
+
+_SQLFLUFF_FILE = r"^==\s*\[([^\]]+)\]\s*(?:FAIL|PASS)(?s:.*)$"  # total for staging
+_SQLFLUFF_FILE_GUARD = r"^==\s*\[([^\]]+)\]\s*(?:FAIL|PASS)"
+_SQLFLUFF_ISSUE = r"^L:\s*(\d+)\s*\|\s*P:\s*(\d+)\s*\|\s*(\w+)\s*\|\s*(.*)$"
+
+
+def _r_sqlfluff(lines: DataFrame):
+    # NOTE parity: the Python parser emits issue rows even BEFORE any
+    # file header (file=None) — no isNotNull guard here
+    pre_f = _starts("==")
+    pre_i = _starts("L:")
+    staged = _stage(lines, "_g_sqf", _SQLFLUFF_FILE, 1, pre_f)
+    staged = _stage(staged, "_g_sqi", _SQLFLUFF_ISSUE, 4, pre_i)
+    fm = pre_f & _line().rlike(_SQLFLUFF_FILE_GUARD)
+    staged = staged.withColumn("_sq_file", _carry(F.when(fm, _g("_g_sqf", 1))))
+    g = lambda i: _g("_g_sqi", i)  # noqa: E731
+    ev = _ev(
+        "sqlfluff", "lint", F.lit("warning"), g(4),
+        file=F.col("_sq_file"), line=g(1), col=g(2), code=g(3),
+    )
+    return staged, [(pre_i & _line().rlike(_SQLFLUFF_ISSUE), ev)]
+
+
+_LUACHECK = (
+    r"^\s*([^\s:]+\.lua):(\d+):(\d+):\s*\(([WE])(\d+)\)\s*(.*)$"
+)
+
+
+def _r_luacheck(lines: DataFrame):
+    pre = _has(".lua:") & _has("(")
+    staged = _stage(lines, "_g_lc", _LUACHECK, 6, pre)
+    g = lambda i: _g("_g_lc", i)  # noqa: E731
+    sev = F.when(g(4) == "E", F.lit("error")).otherwise(F.lit("warning"))
+    ev = _ev(
+        "luacheck", "lint", sev, g(6),
+        file=g(1), line=g(2), col=g(3), code=F.concat(g(4), g(5)),
+    )
+    return staged, [(pre & _line().rlike(_LUACHECK), ev)]
+
+
+_CPPCHECK = (
+    r"^([^\s:][^:]*):(\d+)(?::(\d+))?:\s*"
+    r"(error|warning|style|performance|portability|information):\s*"
+    r"(.*?)\s*\[(\w+)\]$"
+)
+
+
+def _r_cppcheck(lines: DataFrame):
+    pre = _has("[") & _has(
+        "error:", "warning:", "style:", "performance:", "portability:",
+        "information:",
+    )
+    staged = _stage(lines, "_g_cpc", _CPPCHECK, 6, pre)
+    g = lambda i: _g("_g_cpc", i)  # noqa: E731
+    sev = F.when(g(4).isin("error", "warning"), g(4)).otherwise(F.lit("warning"))
+    ev = _ev(
+        "cppcheck", "lint", _sev(sev), g(5),
+        file=g(1), line=g(2), col=_opt(g(3)), code=g(6),
+    )
+    return staged, [(pre & _line().rlike(_CPPCHECK), ev)]
+
+
+_MDLINT = (
+    r"^([^\s:][^:]*\.(?:md|markdown)):(\d+)(?::(\d+))?\s+"
+    r"(MD\d+)(?:/([\w-]+))?\s+(.*)$"
+)
+
+
+def _r_markdownlint(lines: DataFrame):
+    pre = _has(".md:", ".markdown:") & _has("MD")
+    staged = _stage(lines, "_g_md", _MDLINT, 6, pre)
+    g = lambda i: _g("_g_md", i)  # noqa: E731
+    ev = _ev(
+        "markdownlint", "lint", F.lit("warning"), g(6),
+        file=g(1), line=g(2), col=_opt(g(3)), code=g(4), rule=_opt(g(5)),
+    )
+    return staged, [(pre & _line().rlike(_MDLINT), ev)]
+
+
+_SBT = (
+    r"^\[(error|warn)\]\s+([^\s:]+\.scala):(\d+):(?:(\d+):)?\s*(.*)$"
+)
+
+
+def _r_sbt(lines: DataFrame):
+    pre = _starts("[error]", "[warn]") & _has(".scala:")
+    staged = _stage(lines, "_g_sbt", _SBT, 5, pre)
+    g = lambda i: _g("_g_sbt", i)  # noqa: E731
+    sev = F.when(g(1) == "error", F.lit("error")).otherwise(F.lit("warning"))
+    ev = _ev(
+        "scalac", "compile", sev, g(5),
+        file=g(2), line=g(3), col=_opt(g(4)),
+    )
+    return staged, [(pre & _line().rlike(_SBT), ev)]
+
+
+_STYLELINT_FILE = r"^([^\s].*\.(?:css|scss|less|sass))$"
+_STYLELINT_ISSUE = r"^\s+(\d+):(\d+)\s+(?:✖|x)\s+(.*?)\s{2,}([\w-]+)$"
+
+
+def _r_stylelint(lines: DataFrame):
+    pre_f = _has(".css", ".scss", ".less", ".sass")
+    pre_i = _has("✖", "x")
+    staged = _stage(lines, "_g_sl", _STYLELINT_ISSUE, 4, pre_i).withColumn(
+        "_sl_file", _carry(F.when(pre_f & _line().rlike(_STYLELINT_FILE), _line()))
+    )
+    g = lambda i: _g("_g_sl", i)  # noqa: E731
+    ev = _ev(
+        "stylelint", "lint", F.lit("error"), g(3),
+        file=F.col("_sl_file"), line=g(1), col=g(2), rule=g(4),
+    )
+    cond = pre_i & _line().rlike(_STYLELINT_ISSUE) & F.col("_sl_file").isNotNull()
+    return staged, [(cond, ev)]
+
+
 _JAVAC = r"^([^\s:][^:]*\.java):(\d+):\s*(error|warning):\s*(.*)$"
 
 
@@ -785,6 +933,16 @@ FAST_FORMATS: dict[str, object] = {
     "yamllint": _r_yamllint,
     "shellcheck": _r_shellcheck,
     "javac": _f_javac,
+    # round-7 batch 2: the remaining common single-line linters/compilers
+    # + two more two-level carry layouts (sqlfluff, stylelint)
+    "checkstyle": _r_checkstyle,
+    "hadolint": _r_hadolint,
+    "sqlfluff": _r_sqlfluff,
+    "luacheck": _r_luacheck,
+    "cppcheck": _r_cppcheck,
+    "markdownlint": _r_markdownlint,
+    "sbt": _r_sbt,
+    "stylelint": _r_stylelint,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a

@@ -75,6 +75,14 @@ pkg/util.go:3:1: imported and not used: "fmt"
 pkg/util.go:9: missing return
 """
 
+# issue rows BEFORE any file header are emitted with file=None (the
+# Python parser has no current-file guard for sqlfluff)
+SQLFLUFF_EDGE = """\
+L:   1 | P:   1 | L001 | issue before any header
+== [models/x.sql] FAIL
+L:   2 | P:   3 | L002 | issue after header
+"""
+
 # headers without a following caret line; a caret before any header;
 # info/style severity normalization
 SHELLCHECK_EDGE = """\
@@ -123,6 +131,15 @@ CASES = {
     "yamllint": [fx.YAMLLINT_LOG, FALLBACK_LOG],
     "shellcheck": [fx.SHELLCHECK_LOG, SHELLCHECK_EDGE, FALLBACK_LOG],
     "javac": [fx.JAVAC_LOG, JAVAC_EDGE, FALLBACK_LOG, EMPTY_LOG],
+    # round-7 batch 2 (fixtures shared with the Python-path tests)
+    "checkstyle": [fx.BATCH4_LOGS["checkstyle"][0], FALLBACK_LOG],
+    "hadolint": [fx.BATCH4_LOGS["hadolint"][0], FALLBACK_LOG],
+    "sqlfluff": [fx.BATCH4_LOGS["sqlfluff"][0], SQLFLUFF_EDGE, FALLBACK_LOG],
+    "luacheck": [fx.BATCH4_LOGS["luacheck"][0], FALLBACK_LOG],
+    "cppcheck": [fx.BATCH4_LOGS["cppcheck"][0], FALLBACK_LOG],
+    "markdownlint": [fx.MDLINT_LOG, FALLBACK_LOG],
+    "sbt": [fx.SBT_LOG, FALLBACK_LOG],
+    "stylelint": [fx.BATCH4_LOGS["stylelint"][0], FALLBACK_LOG],
 }
 
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]

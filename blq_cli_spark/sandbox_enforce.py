@@ -110,17 +110,27 @@ def systemd_available() -> bool:
 
 
 def build_systemd_argv(spec: SandboxSpec, attempt_id: str = "") -> list[str]:
-    """SandboxSpec resource dimensions -> `systemd-run --scope` argv
-    prefix (pure string assembly, unit-testable without systemd).
+    """SandboxSpec memory dimension -> `systemd-run --scope` argv prefix
+    (pure string assembly, unit-testable without systemd).
 
     Reference twin: src/blq_sandbox_systemd/__init__.py:42-66
     (SystemdEngine.wrap) — transient scope named after the attempt,
     accounting always on so the cgroup exposes memory.peak / cpu.stat
-    after the run, MemoryMax from spec.memory. spec.cpu is CPU SECONDS
-    (the spec's rlimit semantics), which systemd expresses as
-    LimitCPU= (RLIMIT_CPU via the unit), not CPUQuota= (a bandwidth
-    percentage — different dimension)."""
-    scope = f"blq-{attempt_id[:8]}" if attempt_id else "blq-adhoc"
+    after the run, MemoryMax from spec.memory. spec.cpu (CPU SECONDS,
+    the rlimit dimension) is deliberately NOT mapped here: Limit*
+    properties are systemd.exec settings that transient --scope units
+    reject at runtime (the scope only adopts the already-spawned
+    process), and CPUQuota= is a bandwidth percentage — a different
+    dimension. wrap_command keeps cpu on the rlimit preexec floor
+    alongside a systemd-owned memory cap. The adhoc scope name is
+    uniquified (two concurrent unnamed runs must not collide on the
+    transient unit name)."""
+    if attempt_id:
+        scope = f"blq-{attempt_id[:8]}"
+    else:
+        import uuid
+
+        scope = f"blq-{uuid.uuid4().hex[:8]}"
     argv = [
         "systemd-run", "--scope", "--quiet", f"--unit={scope}",
         "-p", "MemoryAccounting=yes",
@@ -128,8 +138,6 @@ def build_systemd_argv(spec: SandboxSpec, attempt_id: str = "") -> list[str]:
     ]
     if spec.memory is not None:
         argv += ["-p", f"MemoryMax={spec.memory}"]
-    if spec.cpu is not None:
-        argv += ["-p", f"LimitCPU={spec.cpu}"]
     argv.append("--")
     return argv
 
@@ -172,24 +180,38 @@ def wrap_command(
         if iso:
             info["degraded_reason"] = "bwrap not installed"
     # resource ladder (round 7, VERDICT r6 ask #5): systemd-run --scope
-    # cgroup properties when systemd exists (reference SystemdEngine),
-    # else the dependency-free rlimit floor. systemd wraps OUTERMOST —
+    # owns the MEMORY cgroup cap when systemd exists (reference
+    # SystemdEngine; scope units accept resource-control properties but
+    # reject systemd.exec Limit* settings), wrapping OUTERMOST —
     # systemd-run needs the host DBus, which an inner bwrap namespace
-    # would sever.
-    res_dims = [
-        d for d, v in (("memory", spec.memory), ("cpu", spec.cpu)) if v is not None
-    ]
+    # would sever. CPU seconds always ride the rlimit preexec floor
+    # (RLIMIT_CPU has no scope-unit equivalent); memory falls back to
+    # RLIMIT_AS when systemd is absent.
     pre = None
-    if res_dims and systemd_available():
+    use_systemd = spec.memory is not None and systemd_available()
+    if use_systemd:
         argv = build_systemd_argv(spec, attempt_id) + argv
-        info["enforced"] = info["enforced"] + res_dims
+        info["enforced"] = info["enforced"] + ["memory"]
         info["engine"] = (
             "systemd" if info["engine"] == "log" else info["engine"] + "+systemd"
         )
+        cpu_only = SandboxSpec(
+            network=spec.network, filesystem=spec.filesystem,
+            timeout=spec.timeout, memory=None, cpu=spec.cpu,
+            processes=spec.processes,
+        )
+        pre = rlimit_preexec(cpu_only)
+        if pre is not None:
+            info["enforced"] = info["enforced"] + ["cpu"]
+            info["engine"] = info["engine"] + "+rlimit"
     else:
         pre = rlimit_preexec(spec)
         if pre is not None:
-            info["enforced"] = info["enforced"] + res_dims
+            info["enforced"] = info["enforced"] + [
+                d
+                for d, v in (("memory", spec.memory), ("cpu", spec.cpu))
+                if v is not None
+            ]
             info["engine"] = (
                 info["engine"] + "+rlimit" if info["engine"] != "log" else "rlimit"
             )

@@ -143,13 +143,16 @@ def run_command(
     # execution.py:300-350): a LockHeldError must leave no pending row.
     attempt_id = str(uuid.uuid4())
     locks_dir = os.path.join(store.root, "locks")
+    held = None
     if lock_name:
         if wait_lock is not None:
-            locks_mod.acquire_lock_wait(
+            held = locks_mod.acquire_lock_wait(
                 locks_dir, lock_name, attempt_id, " ".join(cmd), wait_lock
             )
         else:
-            locks_mod.acquire_lock(locks_dir, lock_name, attempt_id, " ".join(cmd))
+            held = locks_mod.acquire_lock(
+                locks_dir, lock_name, attempt_id, " ".join(cmd)
+            )
     try:
         return _execute_and_store(
             store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live,
@@ -157,7 +160,9 @@ def run_command(
         )
     finally:
         if lock_name:
-            locks_mod.release_lock(locks_dir, lock_name)
+            # payload-verified: if the lease expired mid-run and the
+            # lock was reclaimed, this must not unlink the new holder's
+            locks_mod.release_lock(locks_dir, lock_name, held)
 
 
 def _execute_and_store(

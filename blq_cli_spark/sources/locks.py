@@ -8,10 +8,15 @@ multi-writer (see sources/store.py) — but "don't run two `deploy`s at
 once" is a workflow contract independent of storage, so it carries over.
 
 Differences from the reference (deliberate):
-- acquisition is ATOMIC (os.O_CREAT|O_EXCL) instead of exists()-then-
-  write, so two simultaneous acquirers cannot both think they won;
-- stale reclaim unlinks the dead holder's file and retries the atomic
-  create, racing safely against other reclaimers.
+- every MUTATION of a lock path (acquire, stale reclaim, release,
+  cleanup) serializes on a per-name flock guard (_guard), so the
+  check-then-act sequences are atomic against each other — no unlink
+  can ever hit another holder's freshly linked live lock;
+- the payload is hard-linked into place from a temp file, so a visible
+  lock file always carries its full JSON (readers need no guard);
+- release verifies the payload still matches the releasing holder's
+  own lock before unlinking (a holder releasing after lease expiry
+  must not destroy a reclaimed-and-regranted lock).
 
 Multi-host semantics (round 6): lock files record the holder's
 HOSTNAME. PID liveness is only meaningful on the holder's own host, so
@@ -23,11 +28,12 @@ stale detection is two-tier:
   run legitimately longer than the TTL should be serialized with
   --wait-lock rather than relying on reclaim-protection).
 
-Shared-filesystem caveats (documented contract): O_CREAT|O_EXCL and
-same-directory os.replace() are atomic on local POSIX filesystems and
-on NFSv3+; NFSv2 (no atomic exclusive create) is NOT supported. Clock
-skew between hosts shortens/extends remote leases by the skew — keep
-REMOTE_LEASE_TTL_S an order of magnitude above expected skew.
+Shared-filesystem caveats (documented contract): hard links and
+same-directory renames are atomic on local POSIX filesystems and on
+NFSv3+, and Linux emulates flock over NFSv4 via POSIX locks; NFSv2 is
+NOT supported. Clock skew between hosts shortens/extends remote leases
+by the skew — keep REMOTE_LEASE_TTL_S an order of magnitude above
+expected skew.
 tests/test_multihost_store.py stress-tests two concurrent writer
 PROCESSES against one store root (unique gapless serials) and the
 remote-lease reclaim ladder.
@@ -83,14 +89,8 @@ def _lock_path(locks_dir: str | Path, name: str) -> Path:
 def read_lock(locks_dir: str | Path, name: str) -> CommandLock | None:
     """Peek at a lock without acquiring. None if absent/corrupt."""
     try:
-        data = json.loads(_lock_path(locks_dir, name).read_text())
-        kwargs = {
-            k: data[k]
-            for k in CommandLock.__dataclass_fields__
-            if k in data
-        }
-        return CommandLock(**kwargs)
-    except (OSError, ValueError, KeyError, TypeError):
+        return _parse_lock_text(_lock_path(locks_dir, name).read_text())
+    except OSError:
         return None
 
 
@@ -116,79 +116,38 @@ def _parse_lock_text(text: str) -> CommandLock | None:
         return None
 
 
-def _reclaim_stale(locks_dir: Path, name: str, observed: CommandLock | None) -> bool:
-    """Reclaim the lock file at `name` that was OBSERVED stale, without
-    ever unlinking the shared lock path blind.
+def _guard(locks_dir: Path, name: str):
+    """Per-lock-name mutation guard: an flock(LOCK_EX) on a sidecar
+    file. EVERY mutation of the lock path (acquire's existence check +
+    link, stale reclaim, release, cleanup) runs inside it, so the
+    check-then-act sequences are atomic with respect to each other.
+    Readers (read_lock) stay guard-free — the link protocol guarantees
+    a visible lock file always carries its full payload.
 
-    Two layers make this race-free:
+    flock is per-open-file-description (it excludes threads of the same
+    process, unlike fcntl/lockf's per-process records) and is emulated
+    over NFSv4 by modern Linux, matching the module's NFS contract. A
+    crashed holder's flock releases automatically with its fd, so the
+    guard adds no liveness hazard.
 
-    1. Reclaimers (only reclaimers — the acquire fast path stays a
-       single lock-free os.link) serialize per lock name on an flock()
-       sidecar file, so at most ONE reclaimer mutates the path at a
-       time. flock is per-open-file-description (excludes threads of
-       the same process too) and is emulated over NFSv4 by modern
-       Linux — matching the module's NFS contract.
-    2. Inside the critical section the lock file is RE-READ: if it is
-       now a live holder (a contender linked a fresh lock between our
-       caller's read and our turn in the queue), we raise LockHeldError
-       without touching it. Only a still-stale file is removed, via
-       atomic rename-to-grave + payload verification (belt and braces:
-       if the payload under the rename is a live holder after all —
-       possible only if an expired holder released and a fresh holder
-       linked within the read→rename window, behavior the lease
-       contract already excludes — it is restored).
-
-    The round-6 protocol unlinked the shared path directly; two
+    History: round 6 unlinked the shared path directly on reclaim — two
     contenders that both read the same stale lock could interleave so
-    that B's unlink removed A's freshly linked LIVE lock — a double
-    grant (caught by tests/test_multihost_store.py::
-    test_no_double_grant_at_lease_expiry).
-
-    Returns True when the stale file is gone and the caller may retry
-    its link; False when the path was already gone. Raises
-    LockHeldError when a live holder turned up instead."""
+    one removed the other's freshly linked LIVE lock (double grant; the
+    6-contender lease-expiry stress test reproduces it). A first round-7
+    fix serialized only RECLAIMERS, which still allowed an unguarded
+    release/acquire to interleave with a reclaim's rename-and-restore
+    (reviewer-found). Guarding every mutator closes the whole family."""
     import fcntl
-    import uuid as _uuid
+    from contextlib import contextmanager
 
-    path = _lock_path(locks_dir, name)
-    sidecar = locks_dir / f".{name}.reclaim"
-    with open(sidecar, "a+") as guard:
-        fcntl.flock(guard.fileno(), fcntl.LOCK_EX)
-        # re-verify under the guard: the world may have moved on while
-        # we queued behind another reclaimer
-        current = read_lock(locks_dir, name)
-        if current is None and not path.exists():
-            return False  # another reclaimer won; re-race the link
-        if current is not None and _holder_alive(current):
-            raise LockHeldError(current)
-        grave = locks_dir / f".{name}.{_uuid.uuid4().hex}.stale"
-        try:
-            os.rename(path, grave)
-        except FileNotFoundError:
-            return False
-        try:
-            buried = _parse_lock_text(grave.read_text())
-        except OSError:
-            buried = None
-        if buried is not None and _holder_alive(buried):
-            # read→rename interleaving with a release+relink: restore.
-            # Under the guard no other reclaimer runs, and a fresh
-            # linker cannot have claimed the path (it was occupied
-            # until our rename an instant ago), so the link holds.
-            try:
-                os.link(grave, path)
-            except FileExistsError:
-                pass
-            try:
-                grave.unlink()
-            except FileNotFoundError:
-                pass
-            raise LockHeldError(buried)
-        try:
-            grave.unlink()
-        except FileNotFoundError:
-            pass
-        return True
+    @contextmanager
+    def _held():
+        locks_dir.mkdir(parents=True, exist_ok=True)
+        with open(locks_dir / f".{name}.guard", "a+") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            yield
+
+    return _held()
 
 
 def acquire_lock(
@@ -201,14 +160,12 @@ def acquire_lock(
     """Atomically acquire `name`; reclaim if the holder is stale
     (same-host dead PID, or remote lease expired — _holder_alive).
 
-    Acquisition is LINK-BASED: the payload is written to a unique temp
-    file first, then hard-linked to the lock path — the link is the
-    atomic claim, and a visible lock file therefore ALWAYS carries its
-    full payload. (The previous O_CREAT|O_EXCL + write-after protocol
-    had a torn window: a contender reading the not-yet-written file saw
-    it as corrupt and reclaimed a LIVE lock — the two-process serial
-    stress test caught two writers both claiming serial 1. link() is
-    also atomic on NFSv3+, matching the module's multi-host contract.)
+    Acquisition is LINK-BASED under the per-name guard: the payload is
+    written to a unique temp file first, then hard-linked to the lock
+    path — a visible lock file therefore ALWAYS carries its full
+    payload (the round-6 fix for the torn O_CREAT|O_EXCL window), and
+    the guard makes the liveness check + stale unlink + link sequence
+    atomic against concurrent acquirers, releasers, and cleaners.
 
     Raises LockHeldError when a live process holds it."""
     import uuid as _uuid
@@ -224,20 +181,18 @@ def acquire_lock(
     tmp = locks_dir / f".{name}.{_uuid.uuid4().hex}.tmp"
     tmp.write_text(payload)
     try:
-        for _ in range(8):  # bounded reclaim retries under contention
+        with _guard(locks_dir, name):
+            existing = read_lock(locks_dir, name)
+            if existing is not None and _holder_alive(existing):
+                raise LockHeldError(existing)
+            # stale (dead/lease-expired holder) or corrupt: safe to
+            # unlink under the guard — no other mutator can interleave
             try:
-                os.link(tmp, path)
-                return lock
-            except FileExistsError:
-                existing = read_lock(locks_dir, name)
-                if existing is not None and _holder_alive(existing):
-                    raise LockHeldError(existing)
-                # genuinely stale (dead/lease-expired holder) or a
-                # corrupt file from a pre-link-protocol crash: reclaim
-                # via atomic rename-to-grave (never unlink the shared
-                # path — see _reclaim_stale) and re-race the link
-                _reclaim_stale(locks_dir, name, existing)
-        raise LockHeldError(read_lock(locks_dir, name) or lock)
+                path.unlink()
+            except FileNotFoundError:
+                pass
+            os.link(tmp, path)
+            return lock
     finally:
         try:
             tmp.unlink()
@@ -265,11 +220,25 @@ def acquire_lock_wait(
             time.sleep(min(poll, max(deadline - time.time(), 0.01)))
 
 
-def release_lock(locks_dir: str | Path, name: str) -> None:
-    try:
-        _lock_path(locks_dir, name).unlink()
-    except FileNotFoundError:
-        pass
+def release_lock(
+    locks_dir: str | Path, name: str, lock: CommandLock | None = None
+) -> None:
+    """Release `name`. When the caller passes the CommandLock it
+    acquired, the unlink happens only if the file still carries THAT
+    payload — a holder releasing after its lease expired (and the lock
+    was legitimately reclaimed and re-granted) must not destroy the new
+    holder's lock. Without `lock`, the legacy unconditional unlink (the
+    caller asserts ownership)."""
+    locks_dir = Path(locks_dir)
+    with _guard(locks_dir, name):
+        if lock is not None:
+            current = read_lock(locks_dir, name)
+            if current is None or asdict(current) != asdict(lock):
+                return  # not ours any more; leave the new holder alone
+        try:
+            _lock_path(locks_dir, name).unlink()
+        except FileNotFoundError:
+            pass
 
 
 def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
@@ -279,11 +248,13 @@ def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
         return []
     cleaned = []
     for path in sorted(locks_dir.glob("*.lock")):
-        lock = read_lock(locks_dir, path.stem)
-        if lock is None or not _holder_alive(lock):
-            try:
-                if _reclaim_stale(locks_dir, path.stem, lock):
-                    cleaned.append(path.stem)
-            except LockHeldError:
-                pass  # a fresh live lock raced in; leave it alone
+        name = path.stem
+        with _guard(locks_dir, name):
+            lock = read_lock(locks_dir, name)  # re-read under the guard
+            if path.exists() and (lock is None or not _holder_alive(lock)):
+                try:
+                    path.unlink()
+                    cleaned.append(name)
+                except FileNotFoundError:
+                    pass
     return cleaned

@@ -335,9 +335,9 @@ _PYTEST_ASSERT = r"^E\s+(.+)$"
 def _r_pytest(lines: DataFrame):
     pre_f = _starts("FAILED", "ERROR")
     pre_a = _starts("E")
-    staged = _stage(lines, "_g_ptf", _PYTEST_FAILED, 4, pre_f)
+    staged = _stage(lines, "_g_pytf", _PYTEST_FAILED, 4, pre_f)
     staged = _stage(staged, "_g_pta", _PYTEST_ASSERT, 1, pre_a)
-    f = lambda i: _g("_g_ptf", i)  # noqa: E731
+    f = lambda i: _g("_g_pytf", i)  # noqa: E731
     msg = F.coalesce(_opt(f(4)), F.concat(f(1), F.lit(" "), f(3)))
     fail_ev = _ev(
         "pytest", "test", F.lit("error"), msg,
@@ -797,8 +797,8 @@ def _r_python_traceback(lines: DataFrame):
     the second pass is just one more running max."""
     pre_f = _has('File "')
     pre_e = _has("Error", "Exception", "Warning")
-    staged = _stage(lines, "_g_ptf", _PYTB_FILE, 3, pre_f)
-    staged = _stage(staged, "_g_pte", _PYTB_ERR, 2, pre_e)
+    staged = _stage(lines, "_g_pytf", _PYTB_FILE, 3, pre_f)
+    staged = _stage(staged, "_g_pyte", _PYTB_ERR, 2, pre_e)
     is_file = pre_f & _line().rlike(_PYTB_FILE)
     is_err = pre_e & _line().rlike(_PYTB_ERR)
     is_hdr = _starts("Traceback (most recent call last)")
@@ -811,8 +811,8 @@ def _r_python_traceback(lines: DataFrame):
                     is_file,
                     F.struct(
                         F.col("line_no"),
-                        _g("_g_ptf", 1).alias("file"),
-                        _g("_g_ptf", 2).alias("ln"),
+                        _g("_g_pytf", 1).alias("file"),
+                        _g("_g_pytf", 2).alias("ln"),
                     ),
                 )
             ).over(w_prev),
@@ -834,10 +834,10 @@ def _r_python_traceback(lines: DataFrame):
         F.col("_pt_hdr") > F.coalesce(F.col("_pt_lastemit"), F.lit(0)),
         F.col("_pt_hdr"),
     )
-    code = _g("_g_pte", 1)
+    code = _g("_g_pyte", 1)
     ev = _ev(
         "python", "runtime", F.lit("error"),
-        F.coalesce(_opt(_g("_g_pte", 2)), code),
+        F.coalesce(_opt(_g("_g_pyte", 2)), code),
         F.coalesce(tb, F.col("_pt_frame.line_no")),
         file=F.col("_pt_frame.file"), line=F.col("_pt_frame.ln"),
         code=code, end_line_no=F.col("line_no"),

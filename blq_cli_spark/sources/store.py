@@ -273,14 +273,14 @@ class LogStore:
             tlock = _APPEND_LOCKS.setdefault(root, threading.Lock())
         with tlock:
             locks_dir = os.path.join(self.root, "locks")
-            locks_mod.acquire_lock_wait(
+            held = locks_mod.acquire_lock_wait(
                 locks_dir, _WRITE_LOCK_NAME, str(uuid.uuid4()), "<store-append>",
                 timeout=_WRITE_LOCK_WAIT_S,
             )
             try:
                 yield
             finally:
-                locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME)
+                locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME, held)
 
     def _append(self, name: str, rows: list[dict]) -> None:
         if not rows:
@@ -886,11 +886,11 @@ def reserve_serials_standalone(root: str, count: int = 1) -> int:
         )
 
     locks_dir = os.path.join(root, "locks")
-    locks_mod.acquire_lock_wait(
+    held = locks_mod.acquire_lock_wait(
         locks_dir, _WRITE_LOCK_NAME, str(uuid.uuid4()), "<serial-reserve>",
         timeout=_WRITE_LOCK_WAIT_S,
     )
     try:
         return _advance_serial_file(root, count, _missing_counter)
     finally:
-        locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME)
+        locks_mod.release_lock(locks_dir, _WRITE_LOCK_NAME, held)

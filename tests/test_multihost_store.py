@@ -140,40 +140,46 @@ def test_standalone_reserve_requires_counter_file(tmp_path):
     assert not os.path.exists(os.path.join(root, "run_serial"))
 
 
-def test_reclaim_restores_fresh_live_lock(tmp_path):
-    """_reclaim_stale buries by atomic rename and verifies the payload:
-    when a FRESH live lock replaced the stale one between the
-    contender's read and its reclaim, the reclaim must restore the live
-    lock and report LockHeldError — never destroy it (the round-6
-    unlink protocol destroyed it)."""
+def test_release_is_payload_verified(tmp_path):
+    """A holder releasing AFTER its lock was legitimately reclaimed and
+    re-granted must not destroy the new holder's lock: release_lock
+    verifies the file still carries the releasing holder's own payload
+    (the round-7 reviewer-found race; the old release unlinked blind)."""
     locks_dir = tmp_path / "locks"
-    dead_pid = 2 ** 22 + 11111
-    _write_lock_file(str(locks_dir), "job", hostname=socket.gethostname(),
-                     pid=dead_pid, age_s=5)
-    observed = locks_mod.read_lock(locks_dir, "job")
-    assert observed is not None and not locks_mod._holder_alive(observed)
-    # a fresh LIVE holder (this very process) swaps in before the reclaim
-    _write_lock_file(str(locks_dir), "job", hostname=socket.gethostname(),
-                     pid=os.getpid(), age_s=0)
-    with pytest.raises(locks_mod.LockHeldError):
-        locks_mod._reclaim_stale(locks_dir, "job", observed)
-    survivor = locks_mod.read_lock(locks_dir, "job")
-    assert survivor is not None and survivor.pid == os.getpid()
-    # no grave litter left behind
-    assert list(locks_dir.glob("*.stale")) == []
-
-
-def test_reclaim_race_single_winner(tmp_path):
-    """Only ONE of two contenders that both observed the same stale
-    lock may reclaim it: the rename-to-grave is the atomic arbiter."""
-    locks_dir = tmp_path / "locks"
-    dead_pid = 2 ** 22 + 22222
+    # an expired remote holder's lock...
     _write_lock_file(str(locks_dir), "job", hostname="other-host",
-                     pid=dead_pid, age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
-    observed = locks_mod.read_lock(locks_dir, "job")
-    assert locks_mod._reclaim_stale(locks_dir, "job", observed) is True
-    # second contender with the same observation: path already gone
-    assert locks_mod._reclaim_stale(locks_dir, "job", observed) is False
+                     pid=2 ** 22 + 11111,
+                     age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
+    expired = locks_mod.read_lock(locks_dir, "job")
+    # ...is reclaimed and re-granted to a fresh local holder
+    fresh = locks_mod.acquire_lock(locks_dir, "job", "a-new", "regrant")
+    # the overdue original holder now releases with ITS payload: no-op
+    locks_mod.release_lock(locks_dir, "job", expired)
+    survivor = locks_mod.read_lock(locks_dir, "job")
+    assert survivor is not None and survivor.attempt_id == "a-new"
+    # the actual holder's verified release does remove it
+    locks_mod.release_lock(locks_dir, "job", fresh)
+    assert locks_mod.read_lock(locks_dir, "job") is None
+    # legacy unverified release stays available (caller asserts ownership)
+    locks_mod.acquire_lock(locks_dir, "job", "a2", "x")
+    locks_mod.release_lock(locks_dir, "job")
+    assert locks_mod.read_lock(locks_dir, "job") is None
+
+
+def test_acquire_reclaims_stale_under_guard(tmp_path):
+    """Stale locks (expired remote lease / corrupt payload) are
+    reclaimed inside the per-name mutation guard during acquire."""
+    locks_dir = tmp_path / "locks"
+    _write_lock_file(str(locks_dir), "job", hostname="other-host",
+                     pid=2 ** 22 + 22222,
+                     age_s=locks_mod.REMOTE_LEASE_TTL_S + 1)
+    got = locks_mod.acquire_lock(locks_dir, "job", "a1", "reclaim")
+    assert got.attempt_id == "a1"
+    locks_mod.release_lock(locks_dir, "job", got)
+    # corrupt lock file: also reclaimed
+    (locks_dir / "bad.lock").write_text("{not json")
+    got = locks_mod.acquire_lock(locks_dir, "bad", "a2", "reclaim")
+    assert got.attempt_id == "a2"
 
 
 def test_no_double_grant_at_lease_expiry(tmp_path):

@@ -958,3 +958,72 @@ def test_jpeg_decode_subsampled_420_luma():
         assert (h, w) == shape
         out = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2.2: ns=1 scans are NON-interleaved — one data unit per
+    MCU in raster order over the component's own block grid, whatever
+    sampling factors the SOF declares. A grayscale JPEG re-tagged as
+    2x2-sampled must decode identically to its 1x1 original (the
+    interleaved geometry would desync the Huffman stream and garble
+    pixels silently — reviewer finding)."""
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    data = mmb.jpeg_encode_gray(40, 24, img.tobytes())
+    # the SOF component descriptor is (id=1, HV=0x11, Tq=0); re-tag HV
+    sof_comp = bytes([1, 0x11, 0])
+    assert data.count(sof_comp) == 1
+    retagged = data.replace(sof_comp, bytes([1, 0x22, 0]), 1)
+    w, h, px = mmb.jpeg_decode(retagged)
+    assert (w, h) == (40, 24)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_hash_path_skips_all_corrupt_image_rows(spark):
+    """Mixed-corpus robustness sweep: rows raising zlib.error (truncated
+    PNG IDAT), KeyError (JPEG SOS referencing undefined Huffman/quant
+    tables), and ValueError (unknown SOS component) are SKIPPED per row
+    by image_perceptual_hash — none may fail the job (reviewer
+    finding: the first skip only caught three exception types)."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good_png = mmb.png_encode(8, 8, img.tobytes())
+    good_jpg = mmb.jpeg_encode_gray(8, 8, img.tobytes())
+
+    # valid PNG structure, IDAT holds garbage -> zlib.error
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\x01\x02\x03")
+        + chunk(b"IEND", b"")
+    )
+    # JPEG whose SOS points at Huffman table 3 (never defined) -> KeyError
+    i = good_jpg.rindex(bytes([1, 0x00, 0, 63, 0]))
+    bad_jpg_tbl = good_jpg[:i] + bytes([1, 0x33]) + good_jpg[i + 2 :]
+    # JPEG whose SOS names component 9 (not in SOF) -> ValueError
+    bad_jpg_comp = good_jpg[:i] + bytes([9, 0x00]) + good_jpg[i + 2 :]
+
+    rows = [
+        ("ok_png", bytearray(good_png)),
+        ("ok_jpg", bytearray(good_jpg)),
+        ("bad_png", bytearray(bad_png)),
+        ("bad_tbl", bytearray(bad_jpg_tbl)),
+        ("bad_comp", bytearray(bad_jpg_comp)),
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    got = {r["id"] for r in mmb.image_perceptual_hash(df).collect()}
+    assert got == {"ok_png", "ok_jpg"}

@@ -138,31 +138,33 @@ def test_registered_command_spec_enforced_automatically(spark, tmp_path):
 def test_systemd_argv_per_grade():
     """Pure argv assembly per preset (reference
     src/blq_sandbox_systemd/__init__.py:42-66): accounting always on,
-    MemoryMax from spec.memory, LimitCPU (cpu SECONDS, the spec's rlimit
-    dimension — not CPUQuota, which is a bandwidth percent) from
-    spec.cpu, scope unit named after the attempt."""
+    MemoryMax from spec.memory, scope unit named after the attempt.
+    spec.cpu is deliberately absent — Limit* properties are systemd.exec
+    settings that transient --scope units reject at runtime, so CPU
+    seconds stay on the rlimit floor (wrap_command)."""
     argv = enf.build_systemd_argv(sbx.PRESETS["build"], "att0123456789")
     assert argv[:4] == ["systemd-run", "--scope", "--quiet", "--unit=blq-att01234"]
     assert ["-p", "MemoryAccounting=yes"] == argv[4:6]
     assert ["-p", "CPUAccounting=yes"] == argv[6:8]
     assert ["-p", f"MemoryMax={2 << 30}"] == argv[8:10]
-    assert ["-p", "LimitCPU=120"] == argv[10:12]
     assert argv[-1] == "--"
+    assert not any("LimitCPU" in p or "CPUQuota" in p for p in argv)
 
-    # resource-free spec: accounting only, no Max/Limit properties
+    # resource-free spec: accounting only, no Max properties
     bare = enf.build_systemd_argv(sbx.SandboxSpec(), "att")
-    assert not any(p.startswith("MemoryMax") or p.startswith("LimitCPU") for p in bare)
+    assert not any(p.startswith("MemoryMax") for p in bare)
 
-    # memory-only (reference sets only MemoryMax when cpu is absent)
-    mem_only = enf.build_systemd_argv(sbx.SandboxSpec(memory=1 << 20), "a")
-    assert "MemoryMax=1048576" in mem_only and not any(
-        p.startswith("LimitCPU") for p in mem_only
-    )
+    # adhoc scopes are uniquified: two unnamed runs must not collide on
+    # the transient unit name
+    a = enf.build_systemd_argv(sbx.SandboxSpec(memory=1 << 20))
+    b = enf.build_systemd_argv(sbx.SandboxSpec(memory=1 << 20))
+    assert a[3] != b[3] and a[3].startswith("--unit=blq-")
 
 
 def test_ladder_systemd_ahead_of_rlimit(monkeypatch):
-    """When systemd-run exists, resources are enforced by scope
-    properties (no rlimit preexec); otherwise the rlimit floor applies.
+    """When systemd-run exists, the MEMORY cgroup cap is a scope
+    property while CPU seconds stay on the rlimit preexec (no scope
+    equivalent for RLIMIT_CPU); otherwise the rlimit floor covers both.
     systemd wraps OUTERMOST around bwrap (systemd-run needs the host
     DBus, which an inner bwrap namespace severs)."""
     spec = sbx.PRESETS["build"]
@@ -172,18 +174,24 @@ def test_ladder_systemd_ahead_of_rlimit(monkeypatch):
     argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att1")
     assert argv[0] == "systemd-run" and "bwrap" in argv and argv[-1] == "make"
     assert argv.index("systemd-run") < argv.index("bwrap")
-    assert pre is None  # systemd owns the resource dims
-    assert info["engine"] == "bwrap+systemd"
+    assert pre is not None  # cpu rides the rlimit preexec
+    assert info["engine"] == "bwrap+systemd+rlimit"
     assert "memory" in info["enforced"] and "cpu" in info["enforced"]
 
     # systemd without bwrap: isolation degrades, resources still real
     monkeypatch.setattr(enf, "bwrap_available", lambda: False)
     argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att2")
     assert argv[0] == "systemd-run" and "bwrap" not in argv
-    assert pre is None and info["engine"] == "systemd"
+    assert pre is not None and info["engine"] == "systemd+rlimit"
     assert info["degraded_reason"] == "bwrap not installed"
 
-    # no systemd: the rlimit floor returns
+    # memory-only spec under systemd: no preexec at all
+    mem_spec = sbx.SandboxSpec(memory=1 << 20)
+    argv, pre, info = enf.wrap_command(["make"], mem_spec, "/ws")
+    assert pre is None and info["engine"] == "systemd"
+    assert info["enforced"] == ["memory"]
+
+    # no systemd: the rlimit floor returns for both dimensions
     monkeypatch.setattr(enf, "systemd_available", lambda: False)
     argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att3")
     assert argv[0] == "make" and pre is not None

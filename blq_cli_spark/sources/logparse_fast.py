@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For the thirty-four highest-volume formats this module
+regex (mapInPandas). For the forty-two highest-volume formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -777,6 +777,356 @@ def _r_sbt(lines: DataFrame):
     return staged, [(pre & _line().rlike(_SBT), ev)]
 
 
+# --- round-7 batch 4: the test-framework family -------------------------------
+
+_CARGO_FAIL = r"^test ([\w:]+) \.\.\. FAILED$"
+_CARGO_PANIC = r"^thread '([^']+)' panicked at ([^:]+):(\d+):(\d+):?$"
+
+
+def _r_cargo_test(lines: DataFrame):
+    pre_f = _starts("test ") & _has("FAILED")
+    pre_p = _starts("thread '") & _has("panicked at")
+    staged = _stage(lines, "_g_cgf", _CARGO_FAIL, 1, pre_f)
+    staged = _stage(staged, "_g_cgp", _CARGO_PANIC, 4, pre_p)
+    # the panic MESSAGE is the following line (cargo prints it after the
+    # location line) — one lead() over the document window. The JVM line
+    # split leaves one trailing '' row when the content ends with a
+    # separator (Python splitlines drops it); that artifact row — the
+    # FINAL row with an empty line — must read as "no next line", or
+    # newline-terminated docs diverge from the Python parser.
+    w = _doc_window()
+    nxt_raw = F.lead("line").over(w)
+    artifact = (nxt_raw == "") & F.lead("line", 2).over(w).isNull()
+    staged = staged.withColumn("_cg_next", F.when(~artifact, nxt_raw))
+    fail_ev = _ev(
+        "cargo-test", "test", F.lit("error"),
+        F.concat(F.lit("FAILED: "), _g("_g_cgf", 1)),
+        test_name=_g("_g_cgf", 1), event_type="test_result",
+    )
+    nxt = _strip(F.col("_cg_next"))
+    # Python quirk preserved: at EOF msg defaults to 'panicked' (truthy)
+    # so the span still extends one line; only a BLANK next line keeps
+    # the span at the location line
+    panic_ev = _ev(
+        "cargo-test", "test", F.lit("error"),
+        F.when(nxt.isNotNull() & (nxt != ""), nxt).otherwise(F.lit("panicked")),
+        file=_g("_g_cgp", 2), line=_g("_g_cgp", 3), col=_g("_g_cgp", 4),
+        test_name=_g("_g_cgp", 1),
+        end_line_no=F.when(
+            nxt.isNotNull() & (nxt == ""), F.col("line_no")
+        ).otherwise(F.col("line_no") + 1),
+    )
+    return staged, [
+        (pre_f & _line().rlike(_CARGO_FAIL), fail_ev),
+        (pre_p & _line().rlike(_CARGO_PANIC), panic_ev),
+    ]
+
+
+_CTEST = r"^\s*\d+/\d+ Test\s+#\d+: ([^\s.]+)\s*\.+\*+\s*(Failed|Timeout|Exception).*$"
+
+
+def _r_ctest(lines: DataFrame):
+    pre = _has("Test") & _has("*")
+    staged = _stage(lines, "_g_cts", _CTEST, 2, pre)
+    g = lambda i: _g("_g_cts", i)  # noqa: E731
+    ev = _ev(
+        "ctest", "test", F.lit("error"),
+        F.concat(g(2), F.lit(": "), g(1)),
+        test_name=g(1), event_type="test_result",
+    )
+    return staged, [(pre & _line().rlike(_CTEST), ev)]
+
+
+_TAP = r"^not ok (\d+)(?:\s*-\s*(.*?))?(?:\s*#.*)?$"
+
+
+def _r_tap(lines: DataFrame):
+    pre = _starts("not ok ")
+    staged = _stage(lines, "_g_tap", _TAP, 2, pre)
+    name = _strip(
+        F.coalesce(_opt(_g("_g_tap", 2)), F.concat(F.lit("test "), _g("_g_tap", 1)))
+    )
+    ev = _ev(
+        "tap", "test", F.lit("error"), F.concat(F.lit("not ok: "), name),
+        test_name=name, event_type="test_result",
+    )
+    return staged, [(pre & _line().rlike(_TAP), ev)]
+
+
+_PYUNIT = r"^(FAIL|ERROR): (\w+) \(([\w.]+)\)$"
+
+
+def _r_python_unittest(lines: DataFrame):
+    pre = _starts("FAIL: ", "ERROR: ")
+    staged = _stage(lines, "_g_pu", _PYUNIT, 3, pre)
+    g = lambda i: _g("_g_pu", i)  # noqa: E731
+    full = F.concat(g(3), F.lit("."), g(2))
+    ev = _ev(
+        "unittest", "test", F.lit("error"),
+        F.concat(g(1), F.lit(": "), full),
+        test_name=full, event_type="test_result",
+    )
+    return staged, [(pre & _line().rlike(_PYUNIT), ev)]
+
+
+_VITEST_FILE = (
+    r"^\s*[❯✓×x]?\s*([^\s]+\.(?:test|spec)\.[jt]sx?)\s+"
+    r"\(\d+ tests?(?: \| (\d+) failed)?\)(?s:.*)$"
+)
+_VITEST_FILE_GUARD = (
+    r"^\s*[❯✓×x]?\s*[^\s]+\.(?:test|spec)\.[jt]sx?\s+"
+    r"\(\d+ tests?( \| \d+ failed)?\)"
+)
+_VITEST_ITEM = r"^\s*[×x]\s+(.+?)(?:\s+\d+m?s)?\s*$"
+_VITEST_FAIL = r"^\s*FAIL\s+([^\s>]+)\s*>\s*(.+)$"
+
+
+def _r_vitest(lines: DataFrame):
+    pre_file = _has(".test.", ".spec.") & _has("(")
+    pre_item = _has("×", "x")
+    pre_fail = _has("FAIL") & _has(">")
+    staged = _stage(lines, "_g_vtf", _VITEST_FILE, 2, pre_file)
+    staged = _stage(staged, "_g_vti", _VITEST_ITEM, 1, pre_item)
+    staged = _stage(staged, "_g_vts", _VITEST_FAIL, 2, pre_fail)
+    fm = pre_file & _line().rlike(_VITEST_FILE_GUARD)
+    # the header RESETS current to null when its failed-count group is
+    # absent (all-green file) — carry a struct so the reset survives the
+    # ignorenulls forward-fill
+    staged = staged.withColumn(
+        "_vt_cur",
+        _carry(
+            F.when(
+                fm,
+                F.struct(
+                    _opt(_g("_g_vtf", 2)).isNotNull().alias("ok"),
+                    _g("_g_vtf", 1).alias("file"),
+                ),
+            )
+        ),
+    )
+    cur = F.when(F.col("_vt_cur.ok"), F.col("_vt_cur.file"))
+    fail_ev = _ev(
+        "vitest", "test", F.lit("error"), _g("_g_vts", 2),
+        file=_g("_g_vts", 1), test_name=_g("_g_vts", 2),
+        event_type="test_result",
+    )
+    item_ev = _ev(
+        "vitest", "test", F.lit("error"), _g("_g_vti", 1),
+        file=cur, test_name=_g("_g_vti", 1), event_type="test_result",
+    )
+    return staged, [
+        (pre_fail & _line().rlike(_VITEST_FAIL), fail_ev),
+        (pre_item & _line().rlike(_VITEST_ITEM) & ~fm & cur.isNotNull(), item_ev),
+    ]
+
+
+_GTEST_LOC = r"^([^\s:]+\.(?:cc|cpp|h|hpp)):(\d+): Failure$"
+_GTEST_FAIL = r"^\[\s*FAILED\s*\] ([\w./]+)(?: \(\d+ ms\))?$"
+
+
+def _f_googletest(lines: DataFrame) -> DataFrame:
+    """googletest: `file.cc:10: Failure` opens a location that the FIRST
+    following non-blank non-bracket line consumes (a newer location line
+    replaces it — segment on location lines, take the first qualifying
+    detail per segment); `[  FAILED  ]` summary rows are deduplicated to
+    their first occurrence per (document, test name)."""
+    pre_l = _has("Failure")
+    pre_s = _has("FAILED")
+    staged = _stage(lines, "_g_gtl", _GTEST_LOC, 2, pre_l)
+    staged = _stage(staged, "_g_gts", _GTEST_FAIL, 1, pre_s)
+    is_loc = pre_l & _line().rlike(_GTEST_LOC)
+    is_sum = pre_s & _line().rlike(_GTEST_FAIL)
+    seg = F.sum(is_loc.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qualifies = (
+        ~is_loc & (_strip(_line()) != "") & ~_line().startswith("[")
+    )
+    staged2 = (
+        staged.withColumn("is_loc", is_loc)
+        .withColumn("q", qualifies)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    loc_agg = staged2.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_loc"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_gtl", 1).alias("file"),
+                    _g("_g_gtl", 2).alias("ln"),
+                ),
+            )
+        ).alias("loc"),
+        F.min(
+            F.when(F.col("q"), F.struct(F.col("line_no"), _strip(_line()).alias("msg")))
+        ).alias("det"),
+    )
+    loc_ev = _ev(
+        "googletest", "test", F.lit("error"), F.col("det.msg"),
+        line_no=F.col("loc.line_no"),
+        file=F.col("loc.file"), line=F.col("loc.ln"),
+        end_line_no=F.col("det.line_no"),
+    )
+    loc_events = loc_agg.filter(
+        F.col("loc").isNotNull() & F.col("det").isNotNull()
+    ).select("source_id", loc_ev.alias("ev"))
+    # summary rows: first occurrence per (document, test)
+    rn = F.row_number().over(
+        Window.partitionBy("source_id", _g("_g_gts", 1)).orderBy("line_no")
+    )
+    sum_ev = _ev(
+        "googletest", "test", F.lit("error"),
+        F.concat(F.lit("FAILED: "), _g("_g_gts", 1)),
+        test_name=_g("_g_gts", 1), event_type="test_result",
+    )
+    sum_events = (
+        staged.withColumn("is_sum", is_sum)
+        .filter(F.col("is_sum"))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("source_id", sum_ev.alias("ev"))
+    )
+    return loc_events.unionByName(sum_events)
+
+
+_CATCH2_LOC = r"^([^\s:]+\.(?:cpp|cc|hpp|h)):(\d+): FAILED:\s*$"
+_CATCH2_EXPR = r"^\s+(?:REQUIRE|CHECK)(?:_\w+)?\( (.*) \)\s*$"
+
+
+def _f_catch2(lines: DataFrame) -> DataFrame:
+    """catch2: `file.cpp:10: FAILED:` + the first NON-BLANK following
+    line (blank lines are skipped, a newer location replaces the
+    pending one) — the googletest segment shape with an expression
+    extractor for REQUIRE/CHECK lines."""
+    pre_l = _has("FAILED:")
+    staged = _stage(lines, "_g_c2l", _CATCH2_LOC, 2, pre_l)
+    staged = _stage(staged, "_g_c2e", _CATCH2_EXPR, 1, _has("("))
+    is_loc = pre_l & _line().rlike(_CATCH2_LOC)
+    seg = F.sum(is_loc.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_expr = _has("(") & _line().rlike(_CATCH2_EXPR)
+    msg = F.when(is_expr, _g("_g_c2e", 1)).otherwise(_strip(_line()))
+    qualifies = ~is_loc & (msg != "")
+    staged = (
+        staged.withColumn("is_loc", is_loc)
+        .withColumn("q", qualifies)
+        .withColumn("_msg", msg)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_loc"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_c2l", 1).alias("file"),
+                    _g("_g_c2l", 2).alias("ln"),
+                ),
+            )
+        ).alias("loc"),
+        F.min(
+            F.when(F.col("q"), F.struct(F.col("line_no"), F.col("_msg").alias("msg")))
+        ).alias("det"),
+    )
+    ev = _ev(
+        "catch2", "test", F.lit("error"), F.col("det.msg"),
+        line_no=F.col("loc.line_no"),
+        file=F.col("loc.file"), line=F.col("loc.ln"),
+        end_line_no=F.col("det.line_no"),
+    )
+    return agg.filter(
+        F.col("loc").isNotNull() & F.col("det").isNotNull()
+    ).select("source_id", ev.alias("ev"))
+
+
+_MOCHA_HEAD = r"^\s*(\d+)\) (.+?):?$"
+_MOCHA_ERR = r"^\s+(\w*(?:Error|AssertionError)):\s*(.*)$"
+_MOCHA_AT = r"^\s+at .*?\(([^:)]+):(\d+):(\d+)\)(?s:.*)$"
+_MOCHA_AT_GUARD = r"^\s+at .*?\([^:)]+:\d+:\d+\)"
+
+
+def _f_mocha(lines: DataFrame) -> DataFrame:
+    """mocha: `1) suite test:` heads a failure; error lines before the
+    first stack frame set the message/code (the LAST one wins, matching
+    the Python parser's overwrite loop); the first frame supplies the
+    location and closes the event; frameless failures emit bare at the
+    next head or EOF."""
+    staged = _stage(lines, "_g_mch", _MOCHA_HEAD, 2, _has(")"))
+    staged = _stage(staged, "_g_mce", _MOCHA_ERR, 2, _has("Error"))
+    staged = _stage(staged, "_g_mca", _MOCHA_AT, 3, _has("at "))
+    stripped = _strip(_line())
+    is_head = (
+        _has(")")
+        & _line().rlike(_MOCHA_HEAD)
+        & ~stripped.startswith("at ")
+        & ~stripped.startswith("#")
+    )
+    is_err = _has("Error") & _line().rlike(_MOCHA_ERR)
+    is_at = _has("at ") & _line().rlike(_MOCHA_AT_GUARD)
+    seg = F.sum(is_head.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_head", is_head)
+        .withColumn("is_err", is_err)
+        .withColumn("is_at", is_at)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_at = F.min(F.when(F.col("is_at"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fa", first_at)
+    err_before = F.col("is_err") & (
+        F.col("_fa").isNull() | (F.col("line_no") < F.col("_fa"))
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_head"),
+                F.struct(F.col("line_no"), _g("_g_mch", 2).alias("test")),
+            )
+        ).alias("head"),
+        F.max(
+            F.when(
+                err_before,
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_mce", 1).alias("code"),
+                    _strip(
+                        F.coalesce(_opt(_g("_g_mce", 2)), _g("_g_mce", 1))
+                    ).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_at"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_mca", 1).alias("file"),
+                    _g("_g_mca", 2).alias("ln"),
+                    _g("_g_mca", 3).alias("c"),
+                ),
+            )
+        ).alias("at"),
+    )
+    ev = _ev(
+        "mocha", "test", F.lit("error"),
+        F.coalesce(F.col("err.msg"), F.col("head.test")),
+        line_no=F.col("head.line_no"),
+        file=F.col("at.file"), line=F.col("at.ln"), col=F.col("at.c"),
+        code=F.col("err.code"),
+        test_name=F.col("head.test"),
+        end_line_no=F.coalesce(F.col("at.line_no"), F.col("head.line_no")),
+        event_type="test_result",
+    )
+    return agg.filter(F.col("head").isNotNull()).select("source_id", ev.alias("ev"))
+
+
 # --- round-7 batch 3: the runtime-traceback family ---------------------------
 
 _PYTB_FILE = r'^\s*File "([^"]+)", line (\d+)(?:, in (.+))?$'
@@ -1220,6 +1570,15 @@ FAST_FORMATS: dict[str, object] = {
     "node_traceback": _f_node_traceback,
     "go_panic": _f_go_panic,
     "java_stacktrace": _f_java_stacktrace,
+    # round-7 batch 4: the test-framework family
+    "cargo_test": _r_cargo_test,
+    "ctest": _r_ctest,
+    "tap": _r_tap,
+    "python_unittest": _r_python_unittest,
+    "vitest": _r_vitest,
+    "googletest": _f_googletest,
+    "catch2": _f_catch2,
+    "mocha": _f_mocha,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a
@@ -1231,6 +1590,9 @@ _DF_BUILDERS = {
     "node_traceback": _f_node_traceback,
     "go_panic": _f_go_panic,
     "java_stacktrace": _f_java_stacktrace,
+    "googletest": _f_googletest,
+    "catch2": _f_catch2,
+    "mocha": _f_mocha,
 }
 
 

@@ -75,6 +75,65 @@ pkg/util.go:3:1: imported and not used: "fmt"
 pkg/util.go:9: missing return
 """
 
+# panic at EOF (no following message line -> 'panicked'); blank message
+# line; FAILED line with double-colon test path
+CARGO_EDGE = """\
+test mod::sub::t_one ... FAILED
+thread 'mod::sub::t_one' panicked at src/lib.rs:10:5:
+assertion failed: left == right
+thread 'other::t' panicked at src/x.rs:2:1:
+
+thread 'eof::t' panicked at src/y.rs:3:2:
+""".rstrip("\n")
+
+# all-green file header must RESET the current file (its items are
+# passing x-marked retries in watch mode); item before any header
+VITEST_EDGE = """\
+  × orphan item before any header
+❯ src/a.test.ts (3 tests | 2 failed)
+  × first failing test 12ms
+  × second failing test
+❯ src/green.test.ts (5 tests)
+  × must not emit, current file is green
+FAIL src/a.test.ts > first failing test
+"""
+
+# location replaced by a newer one; detail that is a bracket line
+# (skipped); duplicate FAILED summaries deduped per document
+GTEST_EDGE = """\
+foo.cc:10: Failure
+bar.cc:20: Failure
+Expected equality of these values
+[  FAILED  ] Suite.A (3 ms)
+[  FAILED  ] Suite.A
+[  FAILED  ] Suite.B
+baz.cc:30: Failure
+[ not a detail ]
+actual detail after bracket line
+"""
+
+# blank line between FAILED: and the REQUIRE expression; plain-text
+# detail (no REQUIRE); replaced location
+CATCH2_EDGE = """\
+a.cpp:10: FAILED:
+
+  REQUIRE( x == 4 )
+b.cpp:20: FAILED:
+c.cpp:30: FAILED:
+plain text detail
+"""
+
+# two error lines before the frame (last wins); frameless failure at
+# EOF; head whose test name ends with a colon
+MOCHA_EDGE = """\
+  1) suite does thing:
+     TypeError: first message
+     AssertionError: second message wins
+      at ctx (/app/test/a.js:12:7)
+  2) suite other thing
+     Error: no frame follows
+"""
+
 # two stacked tracebacks; an exception line with NO frame since the
 # previous exception (must NOT emit — the consume-on-emit rule); a
 # header followed directly by an error (tb_start survives non-emitting
@@ -201,6 +260,15 @@ CASES = {
     "node_traceback": [fx.NODE_LOG, NODE_EDGE, FALLBACK_LOG],
     "go_panic": [fx.GO_PANIC_LOG, GO_PANIC_EDGE, FALLBACK_LOG],
     "java_stacktrace": [fx.JAVA_LOG, JAVA_ST_EDGE, FALLBACK_LOG],
+    # round-7 batch 4: test frameworks
+    "cargo_test": [fx.CARGO_TEST_LOG, CARGO_EDGE, FALLBACK_LOG],
+    "ctest": [fx.BATCH5_SIMPLE["ctest"][0], FALLBACK_LOG],
+    "tap": [fx.BATCH7_SIMPLE["tap"][0], FALLBACK_LOG],
+    "python_unittest": [fx.BATCH7_SIMPLE["python_unittest"][0], FALLBACK_LOG],
+    "vitest": [fx.VITEST_LOG, VITEST_EDGE, FALLBACK_LOG],
+    "googletest": [fx.GTEST_LOG, GTEST_EDGE, FALLBACK_LOG],
+    "catch2": [fx.CATCH2_LOG, CATCH2_EDGE, FALLBACK_LOG],
+    "mocha": [fx.MOCHA_LOG, MOCHA_EDGE, FALLBACK_LOG],
 }
 
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]

@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For the forty-two highest-volume formats this module
+regex (mapInPandas). For 83 of the 110 formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -1127,6 +1127,448 @@ def _f_mocha(lines: DataFrame) -> DataFrame:
     return agg.filter(F.col("head").isNotNull()).select("source_id", ev.alias("ev"))
 
 
+
+
+# --- round-7 batch 5: the stateless single-line catalog -----------------------
+# One helper covers every "one pattern, one event" format: staging +
+# prefilter + rlike guard + event construction, with optional extra
+# guard. Severity ladders and field mappings mirror the Python parsers
+# exactly (the fixture sweep pins each one).
+
+
+def _simple(name, pattern, n, pre_fn, ev_fn, guard_fn=None):
+    def build(lines: DataFrame):
+        pre = pre_fn()
+        col = f"_g_{name}"
+        staged = _stage(lines, col, pattern, n, pre)
+        g = lambda i: _g(col, i)  # noqa: E731
+        cond = pre & _line().rlike(pattern)
+        if guard_fn is not None:
+            cond = cond & guard_fn(g)
+        return staged, [(cond, ev_fn(g))]
+
+    build.__name__ = f"_r_{name}"
+    return build
+
+
+_ACTIONLINT = r"^([^\s:]+\.ya?ml):(\d+):(\d+):\s*(.*?)\s*\[([\w-]+)\]$"
+_ANSIBLE_LINT = (
+    r"^([^\s:]+\.ya?ml):(\d+):(?:(\d+):)?\s*([\w-]+(?:\[[\w-]+\])?):?\s+(.*)$"
+)
+_BAZEL = r"^(ERROR|WARNING): (/[^\s:]+/BUILD(?:\.bazel)?):(\d+):(\d+):\s*(.*)$"
+_BIOME = (
+    r"^([^\s:]+):(\d+):(\d+) (lint/[\w/]+|format|organizeImports)\s+(?:━+\s*)?(.*)$"
+)
+_COMMITLINT = r"^\s*[✖x]\s+(.*?)\s+\[([\w-]+)\]\s*$"
+_DART = (
+    r"^\s*(error|warning|info) (?:•|-) (.+?) (?:•|-) "
+    r"([^\s:]+\.dart):(\d+):(\d+) (?:•|-) ([\w_]+)\s*$"
+)
+_DETEKT = r"^([^\s:]+\.kts?):(\d+):(\d+): (.*?) \[([\w.]+)\]$"
+_DMD = r"^([^\s(]+\.di?)\((\d+)(?:,(\d+))?\):\s*(Error|Warning|Deprecation):\s*(.*)$"
+_ERLANG = r"^([^\s:]+\.erl):(\d+)(?::(\d+))?:\s*(?:(Warning):\s*)?(.*)$"
+_KOTLINC = r"^([ew]): ([^:]+\.kts?): \((\d+), (\d+)\): (.*)$"
+_KTLINT = r"^([^\s:][^:]*\.kts?):(\d+):(\d+):\s*(.*?)\s*\(([\w:-]+)\)$"
+_MESON = r"^([^\s:]+\.build):(\d+):(\d+): (ERROR|WARNING): (.*)$"
+_MSBUILD = (
+    r"^([^\s(][^(]*)\((\d+),(\d+)\):\s*(error|warning)\s+"
+    r"([A-Z]{1,3}\d{3,5}):\s*(.*?)(?:\s+\[[^\]]+\])?$"
+)
+_NIM = r"^([^\s(]+\.nim)\((\d+), (\d+)\)\s+(Error|Warning|Hint):\s*(.*)$"
+_NVCC = r"^([^\s(]+\.(?:cu|cuh|cpp|h))\((\d+)\):\s*(error|warning):\s*(.*)$"
+_PASCAL = (
+    r"^([^\s(]+\.(?:pas|pp|dpr))\((\d+),(\d+)\)\s+(Error|Warning|Note|Fatal):\s*(.*)$"
+)
+_PERL = r"^(.+?) at ([^\s]+\.p[lm]) line (\d+)(?:, near \"([^\"]*)\")?\.?$"
+_PHP_LINT = (
+    r"^PHP (Parse error|Fatal error|Warning|Deprecated):\s*(.*?) in ([^\s]+) on line (\d+)$"
+)
+_PHPSTAN = r"^([^\s:]+\.php):(\d+):(.+?)\.?$"
+_PLAYWRIGHT = r"^\s*\d+\) \[([\w-]+)\] › ([^\s:]+):(\d+):(\d+) › (.+?)\s*$"
+_PMD = r"^([^\s:]+\.java):(\d+):\s*(\w+):\s*(.*)$"
+_PRETTIER = r"^\[(error|warn)\] ([^\s:]+): (\w+): (.*?) \((\d+):(\d+)\)$"
+_PROTOC = r"^([^\s:]+\.proto):(\d+):(\d+):\s*(.*)$"
+_PSALM = r"^(ERROR|INFO): (\w+) - ([^\s:]+):(\d+):(\d+) - (.*)$"
+_PSSA = r"^(PS\w+)\s+(Error|Warning|Information)\s+([^\s]+\.psm?1)\s+(\d+)\s+(.*)$"
+_PUPPET = r"^(Error|Warning): (.*?) \(file: ([^,]+), line: (\d+)(?:, column: (\d+))?\)$"
+_RUBY_TB = r"^([^\s:]+\.rb):(\d+):in [`\']([^\']+)\'?:?\s*(.*?)\s*(?:\((\w+)\))?$"
+_SCALASTYLE = (
+    r"^(error|warning) file=([^\s]+) message=(.*?)(?: line=(\d+))?(?: column=(\d+))?$"
+)
+_SOLHINT = r"^([^\s:]+\.sol):(\d+):(\d+):\s*(Error|Warning):\s*(.*?)\s*\[([\w-]+)\]$"
+_SPHINX = r"^([^\s:]+\.(?:rst|md|txt|py)):(\d+): (WARNING|ERROR|SEVERE): (.*)$"
+_SPOTBUGS = r"^[MH]\s+[A-Z]\s+(\w+): (.*?)\s+At ([\w./$]+\.java):\[line (\d+)\]$"
+_STATICCHECK = r"^([^\s:]+\.go):(\d+):(\d+): (.*?) \(((?:S|SA|ST|U|QF)\d+)\)$"
+_SWIFTLINT = (
+    r"^([^\s:]+\.swift):(\d+):(\d+): (error|warning): (.*?) \(([\w_]+)\)$"
+)
+_VERILATOR = r"^%(Error|Warning)(?:-([A-Z]+))?: ([^\s:]+):(\d+):(?:(\d+):)?\s*(.*)$"
+_XMLLINT = (
+    r"^([^\s:]+\.(?:xml|xsd|xsl|svg|html)):(\d+): "
+    r"(parser error|validity error|error|warning)\s*:\s*(.*)$"
+)
+_ZIG = r"^([^\s:]+\.zig):(\d+):(\d+):\s*(error|note):\s*(.*)$"
+
+
+def _batch5_formats() -> dict:
+    return {
+        "actionlint": _simple(
+            "al", _ACTIONLINT, 5, lambda: _has(".yml:", ".yaml:") & _has("["),
+            lambda g: _ev("actionlint", "lint", F.lit("error"), g(4),
+                          file=g(1), line=g(2), col=g(3), rule=g(5)),
+        ),
+        "ansible_lint": _simple(
+            "anl", _ANSIBLE_LINT, 5, lambda: _has(".yml:", ".yaml:"),
+            lambda g: _ev("ansible-lint", "lint", F.lit("warning"), g(5),
+                          file=g(1), line=g(2), col=_opt(g(3)), rule=g(4)),
+        ),
+        "bazel": _simple(
+            "bzl", _BAZEL, 5,
+            lambda: _starts("ERROR: ", "WARNING: ") & _has("BUILD"),
+            lambda g: _ev("bazel", "build", _sev(g(1)), g(5),
+                          file=g(2), line=g(3), col=g(4)),
+        ),
+        "biome": _simple(
+            "bio", _BIOME, 5,
+            lambda: _has("lint/", "format", "organizeImports"),
+            lambda g: _ev("biome", "lint", F.lit("warning"),
+                          F.coalesce(_opt(_strip(g(5))), g(4)),
+                          file=g(1), line=g(2), col=g(3), rule=g(4)),
+        ),
+        "commitlint": _simple(
+            "cml", _COMMITLINT, 2, lambda: _has("✖", "x") & _has("["),
+            lambda g: _ev("commitlint", "lint", F.lit("error"), g(1), rule=g(2)),
+        ),
+        "dart_analyze": _simple(
+            "drt", _DART, 6, lambda: _has(".dart:"),
+            lambda g: _ev("dart", "lint", _sev(g(1)), g(2),
+                          file=g(3), line=g(4), col=g(5), rule=g(6)),
+        ),
+        "detekt": _simple(
+            "dtk", _DETEKT, 5, lambda: _has(".kt") & _has("["),
+            lambda g: _ev("detekt", "lint", F.lit("warning"), g(4),
+                          file=g(1), line=g(2), col=g(3), rule=g(5)),
+        ),
+        "dmd": _simple(
+            "dmd", _DMD, 5,
+            lambda: _has("Error:", "Warning:", "Deprecation:") & _has("("),
+            lambda g: _ev("dmd", "compile",
+                          F.when(g(4) == "Error", F.lit("error")).otherwise(F.lit("warning")),
+                          g(5), file=g(1), line=g(2), col=_opt(g(3))),
+        ),
+        "erlang": _simple(
+            "erl", _ERLANG, 5, lambda: _has(".erl:"),
+            lambda g: _ev("erlang", "compile",
+                          F.when(_opt(g(4)).isNotNull(), F.lit("warning")).otherwise(F.lit("error")),
+                          g(5), file=g(1), line=g(2), col=_opt(g(3))),
+            guard_fn=lambda g: g(5) != "",
+        ),
+        "kotlinc": _simple(
+            "ktc", _KOTLINC, 5, lambda: _starts("e: ", "w: "),
+            lambda g: _ev("kotlinc", "compile",
+                          F.when(g(1) == "e", F.lit("error")).otherwise(F.lit("warning")),
+                          g(5), file=g(2), line=g(3), col=g(4)),
+        ),
+        "ktlint": _simple(
+            "ktl", _KTLINT, 5, lambda: _has(".kt") & _has("("),
+            lambda g: _ev("ktlint", "lint", F.lit("warning"), g(4),
+                          file=g(1), line=g(2), col=g(3), rule=g(5)),
+        ),
+        "meson": _simple(
+            "msn", _MESON, 5, lambda: _has(".build:"),
+            lambda g: _ev("meson", "build", _sev(g(4)), g(5),
+                          file=g(1), line=g(2), col=g(3)),
+        ),
+        "msbuild": _simple(
+            "msb", _MSBUILD, 6, lambda: _has("error", "warning") & _has("("),
+            lambda g: _ev("msbuild", "compile", _sev(g(4)), g(6),
+                          file=g(1), line=g(2), col=g(3), code=g(5)),
+            guard_fn=lambda g: ~g(5).startswith("TS"),  # tsc shares the shape
+        ),
+        "nim": _simple(
+            "nim", _NIM, 5, lambda: _has(".nim("),
+            lambda g: _ev("nim", "compile",
+                          F.when(g(4) == "Error", F.lit("error"))
+                          .when(g(4) == "Warning", F.lit("warning"))
+                          .otherwise(F.lit("info")),
+                          g(5), file=g(1), line=g(2), col=g(3)),
+        ),
+        "nvcc": _simple(
+            "nvc", _NVCC, 4, lambda: _has("(") & _has("error:", "warning:"),
+            lambda g: _ev("nvcc", "compile", _sev(g(3)), g(4),
+                          file=g(1), line=g(2)),
+        ),
+        "pascal": _simple(
+            "fpc", _PASCAL, 5,
+            lambda: _has(".pas(", ".pp(", ".dpr("),
+            lambda g: _ev("fpc", "compile", _sev(g(4)), g(5),
+                          file=g(1), line=g(2), col=g(3)),
+        ),
+        "perl": _simple(
+            "prl", _PERL, 3, lambda: _has(" at ") & _has(" line "),
+            lambda g: _ev("perl", "runtime",
+                          F.when(
+                              F.lower(g(1)).startswith("use of uninitialized")
+                              | F.lower(g(1)).startswith("name "),
+                              F.lit("warning"),
+                          ).otherwise(F.lit("error")),
+                          g(1), file=g(2), line=g(3)),
+        ),
+        "php_lint": _simple(
+            "php", _PHP_LINT, 4, lambda: _starts("PHP "),
+            lambda g: _ev("php", "compile",
+                          F.when(F.contains(F.lower(g(1)), F.lit("error")),
+                                 F.lit("error")).otherwise(F.lit("warning")),
+                          g(2), file=g(3), line=g(4), code=g(1)),
+        ),
+        "phpstan": _simple(
+            "phs", _PHPSTAN, 3, lambda: _has(".php:"),
+            lambda g: _ev("phpstan", "typecheck", F.lit("error"), g(3),
+                          file=g(1), line=g(2)),
+        ),
+        "playwright": _simple(
+            "plw", _PLAYWRIGHT, 5, lambda: _has("›"),
+            lambda g: _ev("playwright", "test", F.lit("error"),
+                          F.concat(F.lit("failed: "), g(5)),
+                          file=g(2), line=g(3), col=g(4),
+                          test_name=g(5), code=g(1), event_type="test_result"),
+        ),
+        "pmd": _simple(
+            "pmd", _PMD, 4, lambda: _has(".java:"),
+            lambda g: _ev("pmd", "lint", F.lit("warning"), g(4),
+                          file=g(1), line=g(2), rule=g(3)),
+        ),
+        "prettier": _simple(
+            "ptr", _PRETTIER, 6, lambda: _starts("[error]", "[warn]"),
+            lambda g: _ev("prettier", "format", _sev(g(1)), g(4),
+                          file=g(2), line=g(5), col=g(6), code=g(3)),
+        ),
+        "protoc": _simple(
+            "ptc", _PROTOC, 4, lambda: _has(".proto:"),
+            lambda g: _ev("protoc", "compile", F.lit("error"), g(4),
+                          file=g(1), line=g(2), col=g(3)),
+        ),
+        "psalm": _simple(
+            "psm", _PSALM, 6, lambda: _starts("ERROR: ", "INFO: "),
+            lambda g: _ev("psalm", "typecheck",
+                          F.when(g(1) == "ERROR", F.lit("error")).otherwise(F.lit("info")),
+                          g(6), file=g(3), line=g(4), col=g(5), rule=g(2)),
+        ),
+        "psscriptanalyzer": _simple(
+            "pss", _PSSA, 5, lambda: _starts("PS"),
+            lambda g: _ev("psscriptanalyzer", "lint",
+                          F.when(g(2) == "Error", F.lit("error")).otherwise(F.lit("warning")),
+                          g(5), file=g(3), line=g(4), rule=g(1)),
+        ),
+        "puppet": _simple(
+            "pup", _PUPPET, 5,
+            lambda: _starts("Error: ", "Warning: ") & _has("(file:"),
+            lambda g: _ev("puppet", "deploy", _sev(g(1)), g(2),
+                          file=g(3), line=g(4), col=_opt(g(5))),
+        ),
+        "ruby_traceback": _simple(
+            "rtb", _RUBY_TB, 5, lambda: _has(".rb:") & _has("in "),
+            lambda g: _ev("ruby", "runtime", F.lit("error"), g(4),
+                          file=g(1), line=g(2), code=g(5)),
+            guard_fn=lambda g: (_opt(g(4)).isNotNull()) & (_opt(g(5)).isNotNull()),
+        ),
+        "scalastyle": _simple(
+            "scs", _SCALASTYLE, 5,
+            lambda: _starts("error file=", "warning file="),
+            lambda g: _ev("scalastyle", "lint", _sev(g(1)), g(3),
+                          file=g(2), line=_opt(g(4)), col=_opt(g(5))),
+        ),
+        "solhint": _simple(
+            "sol", _SOLHINT, 6, lambda: _has(".sol:"),
+            lambda g: _ev("solhint", "lint", _sev(g(4)), g(5),
+                          file=g(1), line=g(2), col=g(3), rule=g(6)),
+        ),
+        "sphinx": _simple(
+            "sph", _SPHINX, 4,
+            lambda: _has("WARNING:", "ERROR:", "SEVERE:"),
+            lambda g: _ev("sphinx", "docs",
+                          F.when(g(3) == "WARNING", F.lit("warning")).otherwise(F.lit("error")),
+                          g(4), file=g(1), line=g(2)),
+        ),
+        "spotbugs": _simple(
+            "spb", _SPOTBUGS, 4, lambda: _has("At ") & _has(".java:[line"),
+            lambda g: _ev("spotbugs", "lint", F.lit("warning"), g(2),
+                          file=g(3), line=g(4), rule=g(1)),
+        ),
+        "staticcheck": _simple(
+            "stc", _STATICCHECK, 5, lambda: _has(".go:") & _has("("),
+            lambda g: _ev("staticcheck", "lint", F.lit("warning"), g(4),
+                          file=g(1), line=g(2), col=g(3), code=g(5)),
+        ),
+        "swiftlint": _simple(
+            "swl", _SWIFTLINT, 6, lambda: _has(".swift:") & _has("("),
+            lambda g: _ev("swiftlint", "lint", _sev(g(4)), g(5),
+                          file=g(1), line=g(2), col=g(3), rule=g(6)),
+        ),
+        "verilator": _simple(
+            "vrl", _VERILATOR, 6, lambda: _starts("%Error", "%Warning"),
+            lambda g: _ev("verilator", "compile", _sev(g(1)), g(6),
+                          file=g(3), line=g(4), col=_opt(g(5)), code=_opt(g(2))),
+        ),
+        "xmllint": _simple(
+            "xml", _XMLLINT, 4, lambda: _has("error", "warning"),
+            lambda g: _ev("xmllint", "lint",
+                          F.when(g(3) == "warning", F.lit("warning")).otherwise(F.lit("error")),
+                          g(4), file=g(1), line=g(2),
+                          code=F.replace(g(3), F.lit(" "), F.lit("_"))),
+        ),
+        "zig": _simple(
+            "zig", _ZIG, 5, lambda: _has(".zig:"),
+            lambda g: _ev("zig", "compile", _sev(g(4)), g(5),
+                          file=g(1), line=g(2), col=g(3)),
+        ),
+    }
+
+
+# multi-rule stateless formats (two/three disjoint per-line rules)
+
+_NINJA_FAILED = r"^FAILED: (.+)$"
+_NINJA_ERR = r"^ninja: (error|warning): (.*)$"
+
+
+def _r_ninja(lines: DataFrame):
+    pre_f = _starts("FAILED: ")
+    pre_e = _starts("ninja: ")
+    staged = _stage(lines, "_g_njf", _NINJA_FAILED, 1, pre_f)
+    staged = _stage(staged, "_g_nje", _NINJA_ERR, 2, pre_e)
+    fail_ev = _ev(
+        "ninja", "build", F.lit("error"),
+        F.concat(F.lit("FAILED: "), _g("_g_njf", 1)),
+        test_name=F.split(_g("_g_njf", 1), r"\s+").getItem(0),
+        event_type="task_result",
+    )
+    err_ev = _ev("ninja", "build", _sev(_g("_g_nje", 1)), _g("_g_nje", 2))
+    return staged, [
+        (pre_f & _line().rlike(_NINJA_FAILED), fail_ev),
+        (pre_e & _line().rlike(_NINJA_ERR), err_ev),
+    ]
+
+
+_XCODE_FAIL = r"^\*\* (BUILD|TEST) FAILED \*\*$"
+_XCODE_TEST = r"^(?:Test Case )?\'([-\[\]\w ]+)\' (failed|passed)(?: \([\d.]+ seconds\))?\.?$"
+
+
+def _r_xcodebuild(lines: DataFrame):
+    pre_f = _starts("** ")
+    pre_t = _has("'") & _has("failed")
+    staged = _stage(lines, "_g_xcf", _XCODE_FAIL, 1, pre_f)
+    staged = _stage(staged, "_g_xct", _XCODE_TEST, 2, pre_t)
+    fail_ev = _ev(
+        "xcodebuild", "build", F.lit("error"),
+        F.concat(_g("_g_xcf", 1), F.lit(" FAILED")),
+        event_type="task_result",
+    )
+    test_ev = _ev(
+        "xcodebuild", "test", F.lit("error"),
+        F.concat(F.lit("test failed: "), _g("_g_xct", 1)),
+        test_name=F.expr("trim(BOTH '-[] ' FROM _g_xct[0])"),
+        event_type="test_result",
+    )
+    return staged, [
+        (pre_f & _line().rlike(_XCODE_FAIL), fail_ev),
+        (pre_t & _line().rlike(_XCODE_TEST) & (_g("_g_xct", 2) == "failed"), test_ev),
+    ]
+
+
+_BLACK = r"^(?:would reformat (.+)|error: cannot format ([^:]+):\s*(.*)$)"
+_ISORT = r"^ERROR: ([^\s]+) Imports are incorrectly sorted(.*)$"
+
+
+def _r_black_isort(lines: DataFrame):
+    pre_b = _starts("would reformat ", "error: cannot format ")
+    pre_i = _starts("ERROR: ") & _has("Imports are incorrectly sorted")
+    staged = _stage(lines, "_g_blk", _BLACK, 3, pre_b)
+    staged = _stage(staged, "_g_iso", _ISORT, 2, pre_i)
+    would_ev = _ev(
+        "black", "format", F.lit("warning"), F.lit("would reformat"),
+        file=_g("_g_blk", 1),
+    )
+    cannot_ev = _ev(
+        "black", "format", F.lit("error"), _g("_g_blk", 3),
+        file=_g("_g_blk", 2),
+    )
+    isort_ev = _ev(
+        "isort", "format", F.lit("warning"),
+        F.concat(F.lit("imports are incorrectly sorted"),
+                 F.coalesce(_g("_g_iso", 2), F.lit(""))),
+        file=_g("_g_iso", 1),
+    )
+    matched_b = pre_b & _line().rlike(_BLACK)
+    return staged, [
+        (matched_b & (_opt(_g("_g_blk", 1)).isNotNull()), would_ev),
+        (matched_b & (_opt(_g("_g_blk", 1)).isNull()), cannot_ev),
+        (pre_i & _line().rlike(_ISORT), isort_ev),
+    ]
+
+
+_PIP_ERR = (
+    r"^ERROR: (Cannot install .*|ResolutionImpossible.*|"
+    r"No matching distribution found for (.+)|"
+    r"pip\'s dependency resolver does not currently.*)$"
+)
+_UV_ERR = r"^\s*(?:error|×)[:\s]\s*((?:No solution found|Failed to resolve|Because ).*)$"
+_PIP_CONFLICT = r"^\s+([\w.-]+) ([\d.]+) depends on (.+)$"
+
+
+def _r_pip_resolver(lines: DataFrame):
+    pre_e = _starts("ERROR: ")
+    pre_u = _has("error", "×")
+    pre_c = _has(" depends on ")
+    staged = _stage(lines, "_g_pie", _PIP_ERR, 2, pre_e)
+    staged = _stage(staged, "_g_piu", _UV_ERR, 1, pre_u)
+    staged = _stage(staged, "_g_pic", _PIP_CONFLICT, 3, pre_c)
+    pip_ev = _ev(
+        "pip", "deps", F.lit("error"), _g("_g_pie", 1), code=_opt(_g("_g_pie", 2))
+    )
+    uv_ev = _ev("uv", "deps", F.lit("error"), _g("_g_piu", 1))
+    conflict_ev = _ev(
+        "pip", "deps", F.lit("warning"),
+        F.concat(_g("_g_pic", 1), F.lit(" "), _g("_g_pic", 2),
+                 F.lit(" depends on "), _g("_g_pic", 3)),
+        code=_g("_g_pic", 1),
+    )
+    m_e = pre_e & _line().rlike(_PIP_ERR)
+    m_u = pre_u & _line().rlike(_UV_ERR)
+    return staged, [
+        (m_e, pip_ev),
+        (~m_e & m_u, uv_ev),
+        (~m_e & ~m_u & pre_c & _line().rlike(_PIP_CONFLICT), conflict_ev),
+    ]
+
+
+_DOCKER_STEP = r"^(?:Step \d+/\d+|#\d+(?: \d+\.\d+)?)\s+ERROR\b:?\s*(.*)$"
+_DOCKER_ERR = r"^(?:failed to solve: |ERROR: Service [\'\"]|ERROR: failed to )(.*)$"
+
+
+def _r_docker_build(lines: DataFrame):
+    pre_s = _starts("Step ", "#") & _has("ERROR")
+    pre_e = _starts("failed to solve: ", "ERROR: ")
+    staged = _stage(lines, "_g_dks", _DOCKER_STEP, 1, pre_s)
+    staged = _stage(staged, "_g_dke", _DOCKER_ERR, 1, pre_e)
+    m_s = pre_s & _line().rlike(_DOCKER_STEP)
+    m_e = pre_e & _line().rlike(_DOCKER_ERR)
+    # Python guard: empty msg only allowed when the line is not a
+    # buildkit '#N ...' line; message falls back to the stripped line
+    s_msg = _g("_g_dks", 1)
+    e_msg = _g("_g_dke", 1)
+    s_ok = m_s & ((_strip(s_msg) != "") | ~_line().startswith("#"))
+    e_ok = ~m_s & m_e & ((_strip(e_msg) != "") | ~_line().startswith("#"))
+    step_ev = _ev(
+        "docker", "build", F.lit("error"),
+        F.when(s_msg != "", s_msg).otherwise(_strip(_line())),
+    )
+    err_ev = _ev(
+        "docker", "build", F.lit("error"),
+        F.when(e_msg != "", e_msg).otherwise(_strip(_line())),
+    )
+    return staged, [(s_ok, step_ev), (e_ok, err_ev)]
+
+
 # --- round-7 batch 3: the runtime-traceback family ---------------------------
 
 _PYTB_FILE = r'^\s*File "([^"]+)", line (\d+)(?:, in (.+))?$'
@@ -1579,6 +2021,14 @@ FAST_FORMATS: dict[str, object] = {
     "googletest": _f_googletest,
     "catch2": _f_catch2,
     "mocha": _f_mocha,
+    # round-7 batch 5: the stateless single-line catalog (36 formats
+    # via the _simple table) + the multi-rule stateless shapes
+    **_batch5_formats(),
+    "ninja": _r_ninja,
+    "xcodebuild": _r_xcodebuild,
+    "black_isort": _r_black_isort,
+    "pip_resolver": _r_pip_resolver,
+    "docker_build": _r_docker_build,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a

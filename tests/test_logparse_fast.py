@@ -271,6 +271,54 @@ CASES = {
     "mocha": [fx.MOCHA_LOG, MOCHA_EDGE, FALLBACK_LOG],
 }
 
+# round-7 batch 5: the stateless single-line catalog — fixtures shared
+# with the Python-path tests, located programmatically by name
+_B5_FIXTURES = {
+    "actionlint": fx.BATCH4_LOGS["actionlint"][0],
+    "ansible_lint": fx.BATCH8_SIMPLE["ansible_lint"][0],
+    "bazel": fx.BATCH4_LOGS["bazel"][0],
+    "biome": fx.BATCH8_SIMPLE["biome"][0],
+    "black_isort": fx.BLACK_ISORT_LOG,
+    "commitlint": fx.BATCH8_SIMPLE["commitlint"][0],
+    "dart_analyze": fx.BATCH5_SIMPLE["dart_analyze"][0],
+    "detekt": fx.BATCH7_SIMPLE["detekt"][0],
+    "dmd": fx.BATCH6_SIMPLE["dmd"][0],
+    "docker_build": fx.DOCKER_LOG,
+    "erlang": fx.BATCH6_SIMPLE["erlang"][0],
+    "kotlinc": fx.KOTLINC_LOG,
+    "ktlint": fx.BATCH4_LOGS["ktlint"][0],
+    "meson": fx.BATCH8_SIMPLE["meson"][0],
+    "msbuild": fx.MSBUILD_LOG,
+    "nim": fx.BATCH6_SIMPLE["nim"][0],
+    "ninja": fx.BATCH8_SIMPLE["ninja"][0],
+    "nvcc": fx.NVCC_LOG,
+    "pascal": fx.BATCH6_SIMPLE["pascal"][0],
+    "perl": fx.BATCH6_SIMPLE["perl"][0],
+    "php_lint": fx.BATCH4_LOGS["php_lint"][0],
+    "phpstan": fx.BATCH5_SIMPLE["phpstan"][0],
+    "pip_resolver": fx.PIP_LOG + fx.UV_LOG,
+    "playwright": fx.BATCH6_SIMPLE["playwright"][0],
+    "pmd": fx.BATCH5_SIMPLE["pmd"][0],
+    "prettier": fx.BATCH6_SIMPLE["prettier"][0],
+    "protoc": fx.BATCH4_LOGS["protoc"][0],
+    "psalm": fx.BATCH5_SIMPLE["psalm"][0],
+    "psscriptanalyzer": fx.BATCH8_SIMPLE["psscriptanalyzer"][0],
+    "puppet": fx.BATCH7_SIMPLE["puppet"][0],
+    "ruby_traceback": fx.BATCH6_SIMPLE["ruby_traceback"][0],
+    "scalastyle": fx.BATCH7_SIMPLE["scalastyle"][0],
+    "solhint": fx.BATCH5_SIMPLE["solhint"][0],
+    "sphinx": fx.BATCH5_SIMPLE["sphinx"][0],
+    "spotbugs": fx.BATCH5_SIMPLE["spotbugs"][0],
+    "staticcheck": "main.go:10:5: this value of err is never used (SA4006)\n",
+    "swiftlint": fx.BATCH7_SIMPLE["swiftlint"][0],
+    "verilator": fx.BATCH5_SIMPLE["verilator"][0],
+    "xcodebuild": fx.BATCH4_LOGS["xcodebuild"][0],
+    "xmllint": fx.BATCH7_SIMPLE["xmllint"][0],
+    "zig": fx.BATCH4_LOGS["zig"][0],
+}
+for _name, _log in _B5_FIXTURES.items():
+    CASES[_name] = [_log, FALLBACK_LOG]
+
 _COLS = [c.split()[0].strip() for c in lp.PARSED_EVENT_DDL.split(",")] + ["format_used"]
 
 

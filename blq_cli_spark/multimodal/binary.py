@@ -1309,6 +1309,13 @@ def jpeg_decode(data: bytes) -> tuple[int, int, bytes]:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker; skip them so the marker byte is never read as 0xFF
+        # (which would derail the seglen read — ADVICE r7)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:

@@ -402,6 +402,10 @@ def ivf_retrain_index(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise RuntimeError(f"retrain row-count mismatch: {n_before} -> {n_after}")
     old_dir = os.path.join(path, _CELLS + ".old")
+    # a crash between the two renames of a PREVIOUS retrain/compact can
+    # leave <cells>.old behind; os.rename onto a non-empty dir raises,
+    # which would make the index permanently un-retrainable (ADVICE r8)
+    shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(cells_dir, old_dir)
     os.rename(tmp_dir, cells_dir)
     shutil.rmtree(old_dir)
@@ -470,6 +474,10 @@ def ivf_compact_index(spark: SparkSession, path: str) -> dict:
             f"compact row-count mismatch: {n_before} -> {n_after}"
         )
     old_dir = os.path.join(path, _CELLS + ".old")
+    # a crash between the two renames of a PREVIOUS swap can leave
+    # <cells>.old behind; os.rename onto a non-empty dir raises, which
+    # would make the index permanently un-compactable (ADVICE r8)
+    shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(cells_dir, old_dir)
     os.rename(tmp_dir, cells_dir)
     shutil.rmtree(old_dir)

@@ -345,30 +345,47 @@ def dedup_clusters(
 
     prev_sig = _signature(edges)  # also materializes the checkpoint
     if prev_sig[0] <= small_graph_edges:
+        import numpy as np
+        import pandas as pd
+
         spark = pairs.sparkSession
         out_fields = edges.select(
             F.col("v").alias("id"), F.col("u").alias("cluster_id")
         ).schema
         if prev_sig[0] == 0:
             return spark.createDataFrame([], out_fields)
-        parent: dict = {}
+        # numpy-backed union-find (ADVICE r8): a Python dict of ~2M int
+        # entries costs 200-400 MB of driver heap at the 1M-edge
+        # threshold; int64 arrays hold the same state in ~50 MB total
+        # (edges 16 MB + sorted id table + parent indices), so the
+        # threshold's "1M edges ~ 16 MB" sizing story is honest again.
+        pdf = edges.toPandas()  # bounded: <= small_graph_edges rows
+        u = pdf["u"].to_numpy()
+        v = pdf["v"].to_numpy()
+        ids = np.unique(np.concatenate([u, v]))  # sorted ascending
+        parent = np.arange(len(ids), dtype=np.int64)
 
-        def find(x):
-            parent.setdefault(x, x)
-            root = x
+        def find(i: int) -> int:
+            root = i
             while parent[root] != root:
                 root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
+            while parent[i] != root:
+                parent[i], i = root, int(parent[i])
+            return int(root)
 
-        for r in edges.toLocalIterator():
-            ra, rb = find(r["u"]), find(r["v"])
+        # ids are sorted, so the min INDEX root is the min-ID root
+        for a, b in zip(
+            np.searchsorted(ids, u).tolist(), np.searchsorted(ids, v).tolist()
+        ):
+            ra, rb = find(a), find(b)
             if ra != rb:
-                # min-root union: the root IS the component minimum
                 parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter(
+            (find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids)
+        )
         return spark.createDataFrame(
-            [(x, find(x)) for x in list(parent)], out_fields
+            pd.DataFrame({"id": ids, "cluster_id": ids[roots]}),
+            schema=out_fields,
         )
 
     for _ in range(max_iterations):

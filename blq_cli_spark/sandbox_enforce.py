@@ -109,7 +109,33 @@ def systemd_available() -> bool:
     )
 
 
-def build_systemd_argv(spec: SandboxSpec, attempt_id: str = "") -> list[str]:
+def systemd_mode() -> str | None:
+    """Which systemd-run invocation can actually START a transient scope
+    here: 'system' (root — the system bus accepts the unit), 'user'
+    (non-root with a live user session bus at $XDG_RUNTIME_DIR/bus — use
+    `--user`), or None (fall back to the rlimit floor).
+
+    Round 8 (ADVICE r7 medium): a SYSTEM-scope transient unit requires
+    root/polkit authorization — on a non-root host plain systemd-run
+    hard-fails at runtime with 'Interactive authentication required',
+    where the previous RLIMIT_AS preexec enforcement worked. Gate the
+    engine on what this process is actually authorized to do instead of
+    on the binary's mere existence."""
+    import os
+
+    if not systemd_available():
+        return None
+    if os.geteuid() == 0:
+        return "system"
+    xrd = os.environ.get("XDG_RUNTIME_DIR")
+    if xrd and os.path.exists(os.path.join(xrd, "bus")):
+        return "user"
+    return None
+
+
+def build_systemd_argv(
+    spec: SandboxSpec, attempt_id: str = "", user: bool = False
+) -> list[str]:
     """SandboxSpec memory dimension -> `systemd-run --scope` argv prefix
     (pure string assembly, unit-testable without systemd).
 
@@ -124,15 +150,16 @@ def build_systemd_argv(spec: SandboxSpec, attempt_id: str = "") -> list[str]:
     dimension. wrap_command keeps cpu on the rlimit preexec floor
     alongside a systemd-owned memory cap. The adhoc scope name is
     uniquified (two concurrent unnamed runs must not collide on the
-    transient unit name)."""
+    transient unit name). `user=True` targets the caller's user manager
+    (`--user`) — the non-root authorization path (systemd_mode)."""
     if attempt_id:
         scope = f"blq-{attempt_id[:8]}"
     else:
         import uuid
 
         scope = f"blq-{uuid.uuid4().hex[:8]}"
-    argv = [
-        "systemd-run", "--scope", "--quiet", f"--unit={scope}",
+    argv = ["systemd-run", "--scope"] + (["--user"] if user else []) + [
+        "--quiet", f"--unit={scope}",
         "-p", "MemoryAccounting=yes",
         "-p", "CPUAccounting=yes",
     ]
@@ -186,11 +213,14 @@ def wrap_command(
     # systemd-run needs the host DBus, which an inner bwrap namespace
     # would sever. CPU seconds always ride the rlimit preexec floor
     # (RLIMIT_CPU has no scope-unit equivalent); memory falls back to
-    # RLIMIT_AS when systemd is absent.
+    # RLIMIT_AS when systemd is absent — or when this process is not
+    # AUTHORIZED to start a transient unit (non-root without a user
+    # bus: systemd_mode, ADVICE r7 medium).
     pre = None
-    use_systemd = spec.memory is not None and systemd_available()
+    mode = systemd_mode()
+    use_systemd = spec.memory is not None and mode is not None
     if use_systemd:
-        argv = build_systemd_argv(spec, attempt_id) + argv
+        argv = build_systemd_argv(spec, attempt_id, user=mode == "user") + argv
         info["enforced"] = info["enforced"] + ["memory"]
         info["engine"] = (
             "systemd" if info["engine"] == "log" else info["engine"] + "+systemd"

@@ -136,16 +136,34 @@ def _guard(locks_dir: Path, name: str):
     6-contender lease-expiry stress test reproduces it). A first round-7
     fix serialized only RECLAIMERS, which still allowed an unguarded
     release/acquire to interleave with a reclaim's rename-and-restore
-    (reviewer-found). Guarding every mutator closes the whole family."""
+    (reviewer-found). Guarding every mutator closes the whole family.
+
+    The sidecar is REMOVABLE (round 8, ADVICE r7: one permanent hidden
+    file per lock name ever used — cleanup_stale_locks now unlinks
+    guards whose lock is gone). Unlinking a file others may flock is
+    only safe with identity re-verification: after acquiring the flock,
+    re-stat the PATH and compare inodes with the held fd — a waiter
+    that was queued on an inode the cleaner unlinked detects the swap
+    and retries on the fresh file, so two holders can never coexist on
+    different inodes of the same name."""
     import fcntl
     from contextlib import contextmanager
 
     @contextmanager
     def _held():
         locks_dir.mkdir(parents=True, exist_ok=True)
-        with open(locks_dir / f".{name}.guard", "a+") as fh:
-            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
-            yield
+        gpath = locks_dir / f".{name}.guard"
+        while True:
+            with open(gpath, "a+") as fh:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+                try:
+                    st = os.stat(gpath)
+                except FileNotFoundError:
+                    continue  # unlinked while we waited: retry fresh
+                if st.st_ino != os.fstat(fh.fileno()).st_ino:
+                    continue  # replaced while we waited: retry fresh
+                yield
+                return
 
     return _held()
 
@@ -242,7 +260,14 @@ def release_lock(
 
 
 def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
-    """Drop every lock whose holder PID is gone; returns reclaimed names."""
+    """Drop every lock whose holder PID is gone; returns reclaimed names.
+
+    Also sweeps the `.{name}.guard` flock sidecars of locks that no
+    longer exist (ADVICE r7: they accumulated forever, one per lock
+    name ever used). The unlink happens while HOLDING that guard's
+    exclusive flock; concurrent mutators re-verify the path inode after
+    acquiring (see _guard), so a waiter queued on the unlinked inode
+    retries on the fresh file instead of running unserialized."""
     locks_dir = Path(locks_dir)
     if not locks_dir.is_dir():
         return []
@@ -255,6 +280,14 @@ def cleanup_stale_locks(locks_dir: str | Path) -> list[str]:
                 try:
                     path.unlink()
                     cleaned.append(name)
+                except FileNotFoundError:
+                    pass
+    for gpath in sorted(locks_dir.glob(".*.guard")):
+        name = gpath.name[1 : -len(".guard")]
+        with _guard(locks_dir, name):
+            if not _lock_path(locks_dir, name).exists():
+                try:
+                    gpath.unlink()
                 except FileNotFoundError:
                     pass
     return cleaned

@@ -289,3 +289,28 @@ def test_retrain_twice_accumulates_history(spark, tmp_path):
     meta = ann_index.ivf_retrain_index(spark, idx, iters=3, recall_queries=8)
     assert len(meta["ann_recall_history"]) == 2
     assert meta["ann_recall_history"][1]["retrained"] is True
+
+
+def test_retrain_and_compact_survive_stale_old_dir(spark, tmp_path):
+    """ADVICE r8: a crash between the two renames of a previous swap
+    leaves <cells>.old behind; os.rename onto a non-empty dir raises,
+    which made the index permanently un-retrainable/un-compactable.
+    Both verbs must clear the leftover and complete."""
+    import os
+
+    corpus = _df(spark, _vectors(60))
+    idx = str(tmp_path / "ivf_stale_old")
+    ann_index.ivf_build_index(corpus, idx, k_cells=4, iters=3)
+    old = os.path.join(idx, "cells.old")
+    os.makedirs(os.path.join(old, "cell=0"))
+    open(os.path.join(old, "cell=0", "leftover.parquet"), "w").write("x")
+    meta = ann_index.ivf_retrain_index(spark, idx, iters=2)
+    assert len(meta["centroids"]) == 4
+    assert not os.path.exists(old)
+    os.makedirs(os.path.join(old, "cell=1"))
+    open(os.path.join(old, "cell=1", "leftover.parquet"), "w").write("x")
+    out = ann_index.ivf_compact_index(spark, idx)
+    assert out["rows"] == 60
+    assert not os.path.exists(old)
+    got = ann_index.ivf_search_index(spark, idx, _df(spark, _vectors(5)), k=3)
+    assert got.count() > 0

@@ -254,3 +254,69 @@ def test_two_process_serial_stress_across_expiry(tmp_path):
         assert p.returncode == 0
         serials.extend(int(s) for s in out.strip().split(","))
     assert sorted(serials) == list(range(1, 2 * n + 1))
+
+
+def test_cleanup_sweeps_orphan_guard_files(tmp_path):
+    """ADVICE r8: the per-name flock sidecars used to accumulate
+    forever (one hidden file per lock name ever used). cleanup removes
+    guards whose lock is gone and keeps those of live locks."""
+    locks_dir = tmp_path / "locks"
+    a = locks_mod.acquire_lock(locks_dir, "done", "a1", "c")
+    locks_mod.release_lock(locks_dir, "done", a)
+    live = locks_mod.acquire_lock(locks_dir, "live", "a2", "c")
+    assert (locks_dir / ".done.guard").exists()
+    assert (locks_dir / ".live.guard").exists()
+    locks_mod.cleanup_stale_locks(locks_dir)
+    assert not (locks_dir / ".done.guard").exists()
+    assert (locks_dir / ".live.guard").exists()  # lock still held
+    assert locks_mod.read_lock(locks_dir, "live").attempt_id == "a2"
+    locks_mod.release_lock(locks_dir, "live", live)
+    locks_mod.cleanup_stale_locks(locks_dir)
+    assert list(locks_dir.glob(".*.guard")) == []
+
+
+def test_guard_unlink_race_with_contenders(tmp_path):
+    """A cleaner sweeping guard files CONCURRENTLY with contenders must
+    never allow two holders: a waiter queued on an inode the cleaner
+    unlinked re-verifies identity after acquiring and retries on the
+    fresh file (the _guard inode check). Serial correctness is asserted
+    via a counter file mutated inside the lock."""
+    import threading
+
+    locks_dir = tmp_path / "locks"
+    counter = tmp_path / "counter.txt"
+    counter.write_text("0")
+    stop = threading.Event()
+    errs: list[BaseException] = []
+
+    def cleaner() -> None:
+        while not stop.is_set():
+            try:
+                locks_mod.cleanup_stale_locks(locks_dir)
+            except BaseException as exc:  # pragma: no cover
+                errs.append(exc)
+
+    def worker(tag: str) -> None:
+        for i in range(40):
+            try:
+                got = locks_mod.acquire_lock_wait(
+                    locks_dir, "ctr", f"{tag}-{i}", "inc", timeout=30
+                )
+                n = int(counter.read_text())
+                counter.write_text(str(n + 1))
+                locks_mod.release_lock(locks_dir, "ctr", got)
+            except BaseException as exc:  # pragma: no cover
+                errs.append(exc)
+                return
+
+    threads = [threading.Thread(target=cleaner)] + [
+        threading.Thread(target=worker, args=(f"w{i}",)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads[1:]:
+        t.join(timeout=120)
+    stop.set()
+    threads[0].join(timeout=30)
+    assert not errs, errs
+    assert int(counter.read_text()) == 4 * 40

@@ -1027,3 +1027,25 @@ def test_hash_path_skips_all_corrupt_image_rows(spark):
     df = spark.createDataFrame(rows, "id string, content binary")
     got = {r["id"] for r in mmb.image_perceptual_hash(df).collect()}
     assert got == {"ok_png", "ok_jpg"}
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker; the header walk must skip them instead of reading a bogus
+    0xFF 'marker' whose seglen comes from the real marker bytes
+    (ADVICE r8). Planted fills before DQT, SOF0 and SOS all decode to
+    the same pixels as the unpadded stream."""
+    import numpy as np
+
+    from blq_cli_spark.multimodal import binary as mmb
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    good = mmb.jpeg_encode_gray(24, 16, img.tobytes())
+    base = np.frombuffer(mmb.jpeg_decode(good)[2], dtype=np.uint8)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        padded = good.replace(marker, b"\xff\xff\xff" + marker, 1)
+        assert len(padded) > len(good)
+        w, h, px = mmb.jpeg_decode(padded)
+        assert (w, h) == (24, 16)
+        assert np.array_equal(np.frombuffer(px, dtype=np.uint8), base)

@@ -169,7 +169,7 @@ def test_ladder_systemd_ahead_of_rlimit(monkeypatch):
     DBus, which an inner bwrap namespace severs)."""
     spec = sbx.PRESETS["build"]
 
-    monkeypatch.setattr(enf, "systemd_available", lambda: True)
+    monkeypatch.setattr(enf, "systemd_mode", lambda: "system")
     monkeypatch.setattr(enf, "bwrap_available", lambda: True)
     argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att1")
     assert argv[0] == "systemd-run" and "bwrap" in argv and argv[-1] == "make"
@@ -192,8 +192,52 @@ def test_ladder_systemd_ahead_of_rlimit(monkeypatch):
     assert info["enforced"] == ["memory"]
 
     # no systemd: the rlimit floor returns for both dimensions
-    monkeypatch.setattr(enf, "systemd_available", lambda: False)
+    monkeypatch.setattr(enf, "systemd_mode", lambda: None)
     argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att3")
     assert argv[0] == "make" and pre is not None
     assert info["engine"] == "rlimit"
     assert "memory" in info["enforced"] and "cpu" in info["enforced"]
+
+    # non-root with a user bus: the scope goes to the user manager
+    monkeypatch.setattr(enf, "systemd_mode", lambda: "user")
+    argv, pre, info = enf.wrap_command(["make"], spec, "/ws", attempt_id="att4")
+    assert argv[0] == "systemd-run" and argv[2] == "--user"
+    assert "systemd" in info["engine"]
+
+
+def test_systemd_mode_authorization_gating(monkeypatch):
+    """ADVICE r7 (medium): a system-scope transient unit needs
+    root/polkit — wrap_command must NOT route through plain systemd-run
+    on a non-root host ('Interactive authentication required' hard
+    fail). Root -> 'system'; non-root with a user session bus ->
+    'user'; non-root without one -> None (rlimit fallback)."""
+    import os as _os
+
+    monkeypatch.setattr(enf, "systemd_available", lambda: True)
+    monkeypatch.setattr(_os, "geteuid", lambda: 0)
+    assert enf.systemd_mode() == "system"
+
+    monkeypatch.setattr(_os, "geteuid", lambda: 1000)
+    monkeypatch.delenv("XDG_RUNTIME_DIR", raising=False)
+    assert enf.systemd_mode() is None
+
+    rtdir = "/tmp/blq-test-xdg-rt"
+    _os.makedirs(rtdir, exist_ok=True)
+    monkeypatch.setenv("XDG_RUNTIME_DIR", rtdir)
+    assert enf.systemd_mode() is None  # no bus socket -> no user manager
+    open(f"{rtdir}/bus", "w").close()
+    try:
+        assert enf.systemd_mode() == "user"
+        # the whole ladder degrades to rlimit when unauthorized
+        monkeypatch.delenv("XDG_RUNTIME_DIR", raising=False)
+        monkeypatch.setattr(enf, "bwrap_available", lambda: False)
+        spec = sbx.SandboxSpec(memory=1 << 20)
+        argv, pre, info = enf.wrap_command(["make"], spec, "/ws")
+        assert argv[0] == "make" and pre is not None
+        assert info["engine"] == "rlimit" and info["enforced"] == ["memory"]
+    finally:
+        _os.unlink(f"{rtdir}/bus")
+
+    monkeypatch.setattr(enf, "systemd_available", lambda: False)
+    monkeypatch.setattr(_os, "geteuid", lambda: 0)
+    assert enf.systemd_mode() is None

@@ -65,6 +65,106 @@ from blq_cli_spark.operators.similarity import (
 _META = "meta.json"
 _CELLS = "cells"
 
+# the documented re-train trigger (ivf_index_info docstring): any cell
+# whose centroid_shift exceeds half its mean member distance has a
+# centroid that is no longer central to its own members
+_DRIFT_TRIGGER = 0.5
+
+
+def _cdist_expr(centroids) -> "F.Column":
+    """Cosine distance of `vec` to its own cell's stored centroid —
+    pure-column, shared by ivf_index_info and the incremental stats."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cvec = F.element_at(cent_arr, F.col("cell").cast("int") + 1)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm_v = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    norm_c = F.sqrt(_dot(cvec, cvec))
+    return F.when(
+        (norm_v > 0) & (norm_c > 0),
+        F.lit(1.0) - _dot(F.col("vec"), cvec) / (norm_v * norm_c),
+    ).otherwise(F.lit(1.0))
+
+
+def _batch_cell_stats(assigned: DataFrame, centroids) -> dict:
+    """Per-cell running-sum triplet over ONE (id, vec, cell) batch:
+    {cell: {"n", "sum_dist", "sum_vec"}} — the mergeable form of the
+    drift measurements in ivf_index_info(drift=True). Two bounded
+    aggregations over the batch; driver traffic is k_cells x dim
+    (model-sized, the pca_fit discipline)."""
+    agg = (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cdist_expr(centroids)).alias("sum_dist"),
+        )
+        .collect()
+    )
+    dim_sums = (
+        assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    dim = len(centroids[0])
+    stats: dict[str, dict] = {}
+    for r in agg:
+        stats[str(r["cell"])] = {
+            "n": int(r["n"]),
+            "sum_dist": float(r["sum_dist"]),
+            "sum_vec": [0.0] * dim,
+        }
+    for r in dim_sums:
+        stats[str(r["cell"])]["sum_vec"][r["pos"]] = float(r["s"])
+    return stats
+
+
+def _merge_cell_stats(base: dict, delta: dict) -> dict:
+    out = {k: dict(v, sum_vec=list(v["sum_vec"])) for k, v in base.items()}
+    for cell, s in delta.items():
+        if cell not in out:
+            out[cell] = dict(s, sum_vec=list(s["sum_vec"]))
+            continue
+        t = out[cell]
+        t["n"] += s["n"]
+        t["sum_dist"] += s["sum_dist"]
+        t["sum_vec"] = [a + b for a, b in zip(t["sum_vec"], s["sum_vec"])]
+    return out
+
+
+def _drift_recommendation(stats: dict, centroids) -> dict:
+    """drift_ratio per cell from the running sums (identical math to
+    ivf_index_info(drift=True): mean_dist = sum_dist/n, shift =
+    1 - cos(member mean direction, stored centroid)) reduced to the
+    suggest-only flag meta.json carries: retrain is RECOMMENDED when
+    any cell crosses the trigger. The index is never auto-mutated."""
+    worst_cell, worst = None, 0.0
+    for cell, s in stats.items():
+        if s["n"] <= 0:
+            continue
+        c = np.asarray(centroids[int(cell)], dtype=np.float64)
+        m = np.asarray(s["sum_vec"], dtype=np.float64) / s["n"]
+        denom = np.linalg.norm(m) * np.linalg.norm(c)
+        shift = 1.0 if denom <= 0 else float(1.0 - (m @ c) / denom)
+        mean_dist = s["sum_dist"] / s["n"]
+        ratio = 0.0 if mean_dist <= 0 else shift / mean_dist
+        if ratio >= worst:
+            worst_cell, worst = int(cell), ratio
+    return {
+        "flag": worst > _DRIFT_TRIGGER,
+        "max_drift_ratio": worst,
+        "cell": worst_cell,
+        "threshold": _DRIFT_TRIGGER,
+    }
+
 
 def _write_meta(path: str, meta: dict) -> None:
     # atomic swap so a concurrent reader never sees a torn model
@@ -126,6 +226,16 @@ def ivf_build_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
+    # seed the incremental drift ledger from the written cells (reading
+    # the parquet back is cheaper than re-running the assignment kernel)
+    stats = _batch_cell_stats(
+        corpus.sparkSession.read.parquet(os.path.join(path, _CELLS)).select(
+            "cell", "vec"
+        ),
+        centroids,
+    )
+    meta["cell_stats"] = stats
+    meta["retrain_recommended"] = _drift_recommendation(stats, centroids)
     if recall_queries > 0:
         from blq_cli_spark.operators.similarity import ann_recall
 
@@ -160,7 +270,16 @@ def ivf_append_index(
     rows are never re-read. (Centroids intentionally do not drift:
     stability of cell membership is what makes the append cheap — the
     incremental-LSH argument, dedup.lsh_candidates_against.) Column
-    names default to the ones the index was built with (meta.json)."""
+    names default to the ones the index was built with (meta.json).
+
+    Drift accounting (VERDICT r7 ask #7): each append folds the batch's
+    per-cell (count, sum cosine-distance, per-dim vector sums) into
+    meta["cell_stats"] — the mergeable form of ivf_index_info(drift=True)'s
+    measurements — and refreshes meta["retrain_recommended"], a
+    suggest-only flag set when any cell's drift_ratio crosses the
+    documented 0.5 trigger. The check stays O(batch): the stored side is
+    never re-read (one extra aggregation pass over the batch's lineage).
+    ivf_retrain_index clears the flag by reseeding the ledger."""
     meta = load_meta(path)
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
@@ -172,6 +291,24 @@ def ivf_append_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, _CELLS))
     )
+    base = meta.get("cell_stats")
+    if base is None:
+        # pre-ledger index: one-time bootstrap from the stored cells
+        # (a full pass, once; every later append is batch-only)
+        stats = _batch_cell_stats(
+            corpus.sparkSession.read.parquet(
+                os.path.join(path, _CELLS)
+            ).select("cell", "vec"),
+            meta["centroids"],
+        )
+    else:
+        stats = _merge_cell_stats(
+            base,
+            _batch_cell_stats(assigned.select("cell", "vec"), meta["centroids"]),
+        )
+    meta["cell_stats"] = stats
+    meta["retrain_recommended"] = _drift_recommendation(stats, meta["centroids"])
+    _write_meta(path, meta)
     return meta
 
 
@@ -290,26 +427,10 @@ def ivf_index_info(spark: SparkSession, path: str, drift: bool = False) -> DataF
         return info
     meta = load_meta(path)
     centroids = meta["centroids"]
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
     rows = spark.read.parquet(os.path.join(path, _CELLS)).select("cell", "vec")
-    cvec = F.element_at(cent_arr, F.col("cell").cast("int") + 1)
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    norm_v = F.sqrt(_dot(F.col("vec"), F.col("vec")))
-    norm_c = F.sqrt(_dot(cvec, cvec))
-    cos_dist = F.when(
-        (norm_v > 0) & (norm_c > 0),
-        F.lit(1.0) - _dot(F.col("vec"), cvec) / (norm_v * norm_c),
-    ).otherwise(F.lit(1.0))
-    mean_dist = rows.groupBy("cell").agg(F.avg(cos_dist).alias("mean_dist"))
+    mean_dist = rows.groupBy("cell").agg(
+        F.avg(_cdist_expr(centroids)).alias("mean_dist")
+    )
     # per-dimension member mean, reduced distributed BEFORE collect
     dim_means = (
         rows.select("cell", F.posexplode("vec").alias("pos", "v"))
@@ -417,6 +538,13 @@ def ivf_retrain_index(
     meta["dim"] = len(centroids[0])
     meta["ann_recall_history"] = history
     meta.pop("ann_recall", None)
+    # reseed the drift ledger against the NEW centroids — this is what
+    # clears a retrain_recommended flag raised by skewed appends
+    stats = _batch_cell_stats(
+        spark.read.parquet(cells_dir).select("cell", "vec"), centroids
+    )
+    meta["cell_stats"] = stats
+    meta["retrain_recommended"] = _drift_recommendation(stats, centroids)
     if recall_queries > 0:
         from blq_cli_spark.operators.similarity import ann_recall
 

@@ -314,3 +314,72 @@ def test_retrain_and_compact_survive_stale_old_dir(spark, tmp_path):
     assert not os.path.exists(old)
     got = ann_index.ivf_search_index(spark, idx, _df(spark, _vectors(5)), k=3)
     assert got.count() > 0
+
+
+def test_retrain_recommended_flag_lifecycle(spark, tmp_path):
+    """VERDICT r7 ask #7: append folds the batch's per-cell running
+    sums into meta['cell_stats'] (O(batch) — the stored side is never
+    re-read) and records a suggest-only retrain_recommended flag.
+    Skewed appends flip it, ivf_retrain_index clears it, and the
+    ledger's drift agrees with the full-scan
+    ivf_index_info(drift=True) measurement."""
+    import json
+    import os
+
+    corpus = _df(spark, _vectors(80))
+    idx = str(tmp_path / "ivf_flag")
+    meta = ann_index.ivf_build_index(
+        corpus, idx, k_cells=4, iters=4, recall_queries=0
+    )
+    rec = meta["retrain_recommended"]
+    assert rec["flag"] is False and rec["threshold"] == 0.5
+    assert ann_index.load_meta(idx)["retrain_recommended"]["flag"] is False
+
+    # a benign append keeps the flag down
+    rng = np.random.default_rng(5)
+    near = _vectors(20, seed=11)
+    meta = ann_index.ivf_append_index(
+        _df(spark, [(500 + i, v) for i, (_, v) in enumerate(near)]), idx
+    )
+    assert meta["retrain_recommended"]["flag"] is False
+
+    # a skewed append (tight far-away cluster, 3x corpus) raises it
+    far = [
+        (1000 + i, (np.full(6, 25.0) + rng.normal(size=6) * 0.1).tolist())
+        for i in range(240)
+    ]
+    meta = ann_index.ivf_append_index(_df(spark, far), idx)
+    rec = meta["retrain_recommended"]
+    assert rec["flag"] is True
+    assert rec["max_drift_ratio"] > rec["threshold"]
+    assert ann_index.load_meta(idx)["retrain_recommended"]["flag"] is True
+
+    # the incremental ledger reproduces the full-scan measurement
+    info = {
+        r["cell"]: r
+        for r in ann_index.ivf_index_info(spark, idx, drift=True).collect()
+    }
+    worst_scan = max(r["drift_ratio"] for r in info.values())
+    assert abs(rec["max_drift_ratio"] - worst_scan) < 1e-6
+    assert abs(info[rec["cell"]]["drift_ratio"] - rec["max_drift_ratio"]) < 1e-6
+
+    # retrain reseeds the ledger against the new centroids -> flag clears
+    ann_index.ivf_retrain_index(spark, idx, iters=4, recall_queries=0)
+    disk = ann_index.load_meta(idx)
+    assert disk["retrain_recommended"]["flag"] is False
+    assert sum(s["n"] for s in disk["cell_stats"].values()) == 340
+
+    # pre-ledger index (older meta.json): append bootstraps the ledger
+    # from the stored cells once, then flags normally
+    mp = os.path.join(idx, "meta.json")
+    with open(mp) as fh:
+        legacy = json.load(fh)
+    legacy.pop("cell_stats")
+    legacy.pop("retrain_recommended")
+    with open(mp, "w") as fh:
+        json.dump(legacy, fh)
+    meta = ann_index.ivf_append_index(
+        _df(spark, [(2000, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]), idx
+    )
+    assert "cell_stats" in meta and "retrain_recommended" in meta
+    assert sum(s["n"] for s in meta["cell_stats"].values()) == 341

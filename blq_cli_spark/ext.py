@@ -30,10 +30,149 @@ import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+from typing import Any, Protocol, runtime_checkable
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 VALID_DISPLAYS = ("inline", "detail", "hidden")
+
+
+# --- execution pipeline protocol ---------------------------------------------
+# Reference surface: src/blq/ext/__init__.py:16-85 (CommandSpec /
+# ExecutionResult dataclasses + Collector / Extension / Executor
+# Protocols) and local_executor.py:22 (the default pluggable
+# LocalExecutor). The pipeline ordering is the reference's:
+# CommandSpec flows Extension.prepare() -> Executor.execute() ->
+# Collector.collect() (collectors registered during prepare run
+# post-execution in REVERSE order). Divergences from the reference,
+# both deliberate: paths are str (the repo convention, not pathlib),
+# and the spec carries `argv` + `preexec` because this engine never
+# routes a command through a shell — sandbox enforcement rewrites the
+# argv and installs rlimits via preexec_fn (sandbox_enforce.wrap_command)
+# instead of rewriting a shell string.
+
+
+@dataclass
+class CommandSpec:
+    """Structured execution request flowing through the pipeline
+    (reference ext/__init__.py:16-42)."""
+
+    # what to run (argv is the execution form; command the display form)
+    argv: list[str]
+    command: str
+    original_command: str
+
+    # identity
+    command_name: str
+    attempt_id: str
+
+    # context
+    workspace: str
+    cwd: str
+    live_dir: str
+
+    # environment (None -> inherit the parent's, the repo default)
+    env: dict[str, str] | None = None
+
+    # resource requirements
+    timeout: float | None = None
+
+    # extension data — namespaced by config_key
+    extension_data: dict[str, Any] = field(default_factory=dict)
+
+    # collectors — registered during prepare(), run post-execution in reverse
+    collectors: list[Collector] = field(default_factory=list)
+
+    # rlimit/sandbox installer for the child (not in the reference spec;
+    # see the divergence note above)
+    preexec: Callable[[], None] | None = field(default=None, repr=False)
+
+
+@dataclass
+class ExecutionResult:
+    """Result from an executor (reference ext/__init__.py:45-61)."""
+
+    exit_code: int | None
+    output: str
+    started_at: _dt.datetime
+    completed_at: _dt.datetime
+    duration_ms: int
+    signal: int | None = None
+    timeout: bool = False
+    pid: int | None = None
+
+    # collector contributions
+    metrics: dict[str, Any] = field(default_factory=dict)
+    artifacts: dict[str, str] = field(default_factory=dict)
+
+
+@runtime_checkable
+class Collector(Protocol):
+    """Gathers artifacts post-execution (reference ext/__init__.py:64-67)."""
+
+    def collect(self, spec: CommandSpec, result: ExecutionResult) -> None: ...
+
+
+@runtime_checkable
+class Extension(Protocol):
+    """Modifies execution context; composable (ext/__init__.py:70-78)."""
+
+    name: str
+    config_key: str
+
+    def prepare(self, spec: CommandSpec) -> CommandSpec: ...
+    def validate(self, config: dict[str, Any]) -> list[str]: ...
+    def store(self, spec: CommandSpec, result: ExecutionResult, store: Any) -> None: ...
+
+
+@runtime_checkable
+class Executor(Protocol):
+    """Runs the command. Terminal — only one active (ext/__init__.py:81-85)."""
+
+    name: str
+
+    def execute(self, spec: CommandSpec) -> ExecutionResult: ...
+
+
+_EXECUTORS: dict[str, Executor] = {}
+_EXTENSIONS: dict[str, Extension] = {}
+
+
+def register_executor(executor: Executor) -> None:
+    _EXECUTORS[executor.name] = executor
+
+
+def register_extension(extension: Extension) -> None:
+    _EXTENSIONS[extension.name] = extension
+
+
+def executors() -> list[str]:
+    """Registered executor names; the default 'local' is always listed
+    (it registers on first use — sources.execution imports lazily here
+    to keep ext.py free of subprocess machinery)."""
+    return sorted(set(_EXECUTORS) | {"local"})
+
+
+def extensions() -> list[str]:
+    return sorted(_EXTENSIONS)
+
+
+def get_executor(name: str = "local") -> Executor:
+    if name not in _EXECUTORS and name == "local":
+        from blq_cli_spark.sources import execution  # noqa: F401 — registers LocalExecutor
+
+    if name not in _EXECUTORS:
+        raise KeyError(
+            f"no executor named {name!r} (registered: {executors()})"
+        )
+    return _EXECUTORS[name]
+
+
+def get_extension(name: str) -> Extension:
+    if name not in _EXTENSIONS:
+        raise KeyError(f"no extension named {name!r} (registered: {extensions()})")
+    return _EXTENSIONS[name]
 
 
 @dataclass

@@ -25,8 +25,60 @@ import socket
 import subprocess
 import uuid
 
+from blq_cli_spark import ext as ext_mod
 from blq_cli_spark.sources import logparse
 from blq_cli_spark.sources.store import LogStore
+
+
+class LocalExecutor:
+    """Default pluggable executor (reference src/blq/ext/local_executor.py:22):
+    subprocess lifecycle — spawn with output teed to
+    `spec.live_dir/combined.log` (live-tail readers poll it), timeout
+    kill, child-rusage metrics. Terminal stage of the
+    prepare -> execute -> collect pipeline (ext.Executor protocol);
+    registered under the name 'local' at import."""
+
+    name = "local"
+
+    def execute(self, spec: ext_mod.CommandSpec) -> ext_mod.ExecutionResult:
+        started = dt.datetime.now()
+        os.makedirs(spec.live_dir, exist_ok=True)
+        live_log = os.path.join(spec.live_dir, "combined.log")
+        timed_out = False
+        ru_before = _child_rusage()
+        with open(live_log, "wb") as sink:
+            proc = subprocess.Popen(
+                spec.argv,
+                cwd=spec.cwd,
+                stdout=sink,
+                stderr=subprocess.STDOUT,
+                preexec_fn=spec.preexec,
+                env=spec.env,
+            )
+            pid = proc.pid
+            try:
+                exit_code = proc.wait(timeout=spec.timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                exit_code, timed_out = None, True
+        metrics = _rusage_metrics(ru_before)
+        completed = dt.datetime.now()
+        with open(live_log, "rb") as fh:
+            output = fh.read().decode("utf-8", errors="replace")
+        return ext_mod.ExecutionResult(
+            exit_code=exit_code,
+            output=output,
+            started_at=started,
+            completed_at=completed,
+            duration_ms=int((completed - started).total_seconds() * 1000),
+            timeout=timed_out,
+            pid=pid,
+            metrics=metrics or {},
+        )
+
+
+ext_mod.register_executor(LocalExecutor())
 
 
 def _child_rusage():
@@ -94,6 +146,8 @@ def run_command(
     lock_name: str | None = None,
     wait_lock: float | None = None,
     sandbox=None,
+    executor=None,
+    extensions=None,
 ) -> dict:
     """Execute `cmd`, capture combined output, parse, and store the run.
 
@@ -116,7 +170,16 @@ def run_command(
     40-60). A registered single-element command with a stored sandbox
     spec is enforced automatically; the spec's timeout tightens the
     caller's. The run row records declared-vs-actually-enforced under
-    extension_data.sandbox."""
+    extension_data.sandbox.
+
+    `executor` (name | ext.Executor | None) injects the terminal stage
+    of the reference's extension pipeline (ext/__init__.py:81-85,
+    local_executor.py:22): None -> the registered LocalExecutor.
+    `extensions` is an ordered iterable of ext.Extension (or registered
+    names) whose prepare() rewrites the CommandSpec before execution;
+    collectors they register run post-execution in reverse, and their
+    store() hooks run after the run row is appended (collect-phase
+    failures are tolerated, the reference pipeline.py:33-36 contract)."""
     from blq_cli_spark.sources import locks as locks_mod
     from blq_cli_spark.sources import store as store_mod
 
@@ -156,7 +219,7 @@ def run_command(
     try:
         return _execute_and_store(
             store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live,
-            spec=spec,
+            spec=spec, executor=executor, extensions=extensions,
         )
     finally:
         if lock_name:
@@ -167,7 +230,7 @@ def run_command(
 
 def _execute_and_store(
     store, cmd, attempt_id, source_name, fmt, tag, timeout, cwd, keep_live,
-    spec=None,
+    spec=None, executor=None, extensions=None,
 ) -> dict:
     started = dt.datetime.now()
     attempt = store.start_attempt(
@@ -183,8 +246,6 @@ def _execute_and_store(
     )
 
     live_dir = os.path.join(store.root, "live", attempt["id"])
-    os.makedirs(live_dir, exist_ok=True)
-    live_log = os.path.join(live_dir, "combined.log")
 
     exec_argv, preexec, sandbox_info = list(cmd), None, None
     if spec is not None:
@@ -194,23 +255,49 @@ def _execute_and_store(
             cmd, spec, workspace=cwd, cwd=cwd, attempt_id=attempt["id"]
         )
 
-    timed_out = False
-    ru_before = _child_rusage()
-    with open(live_log, "wb") as sink:
-        proc = subprocess.Popen(
-            exec_argv, cwd=cwd, stdout=sink, stderr=subprocess.STDOUT,
-            preexec_fn=preexec,
-        )
-        attempt_pid = proc.pid
-        try:
-            exit_code = proc.wait(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.wait()
-            exit_code, timed_out = None, True
-    metrics = _rusage_metrics(ru_before)
+    # the reference pipeline: CommandSpec -> Extension.prepare() ->
+    # Executor.execute() -> Collector.collect() (ext/__init__.py:1-5)
+    cspec = ext_mod.CommandSpec(
+        argv=exec_argv,
+        command=" ".join(exec_argv),
+        original_command=" ".join(cmd),
+        command_name=source_name or cmd[0],
+        attempt_id=attempt["id"],
+        workspace=cwd,
+        cwd=cwd,
+        live_dir=live_dir,
+        timeout=timeout,
+        preexec=preexec,
+    )
+    if sandbox_info:
+        cspec.extension_data["sandbox"] = sandbox_info
+    exts = [
+        ext_mod.get_extension(e) if isinstance(e, str) else e
+        for e in (extensions or [])
+    ]
+    for e in exts:
+        cspec = e.prepare(cspec)
+    if executor is None:
+        executor = ext_mod.get_executor("local")
+    elif isinstance(executor, str):
+        executor = ext_mod.get_executor(executor)
 
-    completed = dt.datetime.now()
+    result = executor.execute(cspec)
+    attempt_pid = result.pid
+    exit_code, timed_out = result.exit_code, result.timeout
+    metrics = result.metrics
+
+    # collectors registered during prepare run in REVERSE, tolerant
+    # (reference pipeline.py:33-36)
+    for coll in reversed(cspec.collectors):
+        try:
+            coll.collect(cspec, result)
+        except Exception as e:  # noqa: BLE001 — collect failures must not kill the run
+            import sys as _sys
+
+            print(f"ext: collector failed: {e}", file=_sys.stderr)
+
+    completed = result.completed_at
     duration_ms = int((completed - started).total_seconds() * 1000)
     store.complete_attempt(
         attempt["id"],
@@ -222,8 +309,7 @@ def _execute_and_store(
         },
     )
 
-    with open(live_log, "rb") as fh:
-        output = fh.read().decode("utf-8", errors="replace")
+    output = result.output
     events = logparse.parse_content(output, fmt)
     format_used = events[0]["format_used"] if events else None
 
@@ -254,23 +340,30 @@ def _execute_and_store(
             "source_type": "run",
             "platform": _platform.system().lower(),
             "arch": _platform.machine(),
-            "extension_data": _ext_data(metrics, sandbox_info),
+            "extension_data": _ext_data(metrics, cspec.extension_data),
             **_git_context(cwd),
         },
         events=events,
         output=output,
     )
+    # extension store() hooks, forward order, tolerant like collect
+    for e in exts:
+        try:
+            e.store(cspec, result, store)
+        except Exception as err:  # noqa: BLE001
+            import sys as _sys
+
+            print(f"ext: extension {e.name!r} store failed: {err}", file=_sys.stderr)
     if not keep_live:
         shutil.rmtree(live_dir, ignore_errors=True)
     return run
 
 
-def _ext_data(metrics, sandbox_info) -> str | None:
+def _ext_data(metrics, extension_data) -> str | None:
     ext = {}
     if metrics:
         ext["metrics"] = metrics
-    if sandbox_info:
-        ext["sandbox"] = sandbox_info
+    ext.update(extension_data or {})
     return json.dumps(ext) if ext else None
 
 

@@ -81,3 +81,139 @@ def test_failing_annotator_skipped(store):
 
 def test_discover_no_entry_points_ok():
     assert ext.discover() == []
+
+
+# --- execution pipeline protocol (reference src/blq/ext/__init__.py:16-85,
+# local_executor.py:22) -------------------------------------------------------
+
+
+class _FakeExecutor:
+    """Reference-shaped test double: captures the CommandSpec it was
+    handed and returns a canned ExecutionResult without spawning."""
+
+    name = "fake"
+
+    def __init__(self):
+        self.specs = []
+
+    def execute(self, spec):
+        import datetime as dt
+
+        self.specs.append(spec)
+        now = dt.datetime.now()
+        return ext.ExecutionResult(
+            exit_code=0,
+            output="fake: hello\n",
+            started_at=now,
+            completed_at=now,
+            duration_ms=1,
+            pid=4242,
+        )
+
+
+def test_executor_protocol_shapes():
+    fake = _FakeExecutor()
+    assert isinstance(fake, ext.Executor)
+    spec = ext.CommandSpec(
+        argv=["true"], command="true", original_command="true",
+        command_name="t", attempt_id="a1", workspace="/w", cwd="/w",
+        live_dir="/w/live",
+    )
+    assert spec.extension_data == {} and spec.collectors == []
+    res = fake.execute(spec)
+    assert isinstance(res, ext.ExecutionResult)
+    assert res.metrics == {} and res.artifacts == {}
+    assert fake.specs[0] is spec
+
+
+def test_executor_registry_and_discovery():
+    # 'local' is always discoverable; get_executor lazily registers it
+    assert "local" in ext.executors()
+    local = ext.get_executor()
+    assert local.name == "local" and isinstance(local, ext.Executor)
+    fake = _FakeExecutor()
+    ext.register_executor(fake)
+    try:
+        assert "fake" in ext.executors()
+        assert ext.get_executor("fake") is fake
+    finally:
+        ext._EXECUTORS.pop("fake", None)
+    with pytest.raises(KeyError):
+        ext.get_executor("no-such-engine")
+
+
+def test_run_command_injectable_executor(spark, tmp_path):
+    """run_command routes through Executor.execute: a fake executor's
+    canned output is what gets parsed and stored, the spec it captured
+    carries the argv/identity/context fields, and no subprocess ran."""
+    from blq_cli_spark.sources.execution import run_command
+    from blq_cli_spark.sources.store import LogStore
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    fake = _FakeExecutor()
+    run = run_command(
+        st, ["definitely-not-a-real-binary", "--flag"],
+        source_name="fake-src", executor=fake,
+    )
+    assert run["exit_code"] == 0 and run["pid"] == 4242
+    spec = fake.specs[0]
+    assert spec.argv == ["definitely-not-a-real-binary", "--flag"]
+    assert spec.command_name == "fake-src"
+    assert spec.attempt_id == run["id"]
+    assert spec.workspace == spec.cwd
+    assert spec.live_dir.endswith(run["id"])
+    # the canned output is what was parsed into events/blob
+    out_row = st.outputs().filter(f"invocation_id = '{run['id']}'").collect()[0]
+    assert st.read_output(out_row["storage_ref"]).decode() == "fake: hello\n"
+
+
+def test_run_command_extension_pipeline(spark, tmp_path):
+    """prepare -> execute -> collect ordering: an extension rewrites the
+    spec (argv + extension_data), registers a collector; collectors run
+    post-execution in REVERSE order; store() hooks run after the run is
+    appended and extension_data lands in the run row."""
+    import json as _json
+
+    from blq_cli_spark.sources.execution import run_command
+    from blq_cli_spark.sources.store import LogStore
+
+    calls = []
+
+    class _Coll:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def collect(self, spec, result):
+            calls.append(("collect", self.tag, result.exit_code))
+
+    class _Ext:
+        name = "echo-rewriter"
+        config_key = "echo"
+
+        def prepare(self, spec):
+            assert isinstance(self, ext.Extension)
+            spec.argv = ["echo", "rewritten"]
+            spec.command = "echo rewritten"
+            spec.extension_data[self.config_key] = {"rewrote": True}
+            spec.collectors.append(_Coll("first"))
+            spec.collectors.append(_Coll("second"))
+            calls.append(("prepare", spec.original_command))
+            return spec
+
+        def validate(self, config):
+            return []
+
+        def store(self, spec, result, store):
+            calls.append(("store", store.root))
+
+    st = LogStore(spark, str(tmp_path / "bird"))
+    run = run_command(st, ["true"], source_name="ext-run", extensions=[_Ext()])
+    assert run["exit_code"] == 0
+    out_row = st.outputs().filter(f"invocation_id = '{run['id']}'").collect()[0]
+    assert st.read_output(out_row["storage_ref"]).decode().strip() == "rewritten"
+    assert calls[0] == ("prepare", "true")
+    # reverse collector order, then store
+    assert [c[1] for c in calls if c[0] == "collect"] == ["second", "first"]
+    assert calls[-1] == ("store", st.root)
+    ed = _json.loads(run["extension_data"])
+    assert ed["echo"] == {"rewrote": True}

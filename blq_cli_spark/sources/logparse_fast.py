@@ -2213,6 +2213,11 @@ def _r_elixir(lines: DataFrame):
         F.coalesce(_opt(_g("_g_exe", 4)), _g("_g_exe", 1)),
         file=_g("_g_exe", 2), line=_g("_g_exe", 3), code=_g("_g_exe", 1),
     )
+    # Python's pending_warn is cleared by ANY line that is neither an
+    # error nor a warning match (parse_elixir's ladder — err lines
+    # `continue` past the pending check), so a loc consumes iff every
+    # line between the warning and it is an error line (fuzz-found)
+    is_clear = ~is_err & ~is_warn
     staged = (
         staged.withColumn(
             "_ex_warn",
@@ -2220,12 +2225,12 @@ def _r_elixir(lines: DataFrame):
                 is_warn, F.struct(F.col("line_no"), _g("_g_exw", 1).alias("msg"))
             ),
         )
-        .withColumn("_ex_prevloc", _prev_max(is_loc, F.col("line_no")))
+        .withColumn("_ex_prevclear", _prev_max(is_clear, F.col("line_no")))
     )
     emit_w = (
         is_loc
         & F.col("_ex_warn").isNotNull()
-        & (F.col("_ex_warn.line_no") > F.coalesce(F.col("_ex_prevloc"), F.lit(0)))
+        & (F.col("_ex_warn.line_no") > F.coalesce(F.col("_ex_prevclear"), F.lit(0)))
     )
     warn_ev = _ev(
         "elixir", "compile", F.lit("warning"), F.col("_ex_warn.msg"),
@@ -2497,16 +2502,21 @@ def _r_ruby_test(lines: DataFrame):
     )
     is_head = pre_h & _line().rlike(_MINITEST_HEAD)
     is_loc = pre_l & (F.col("_mt_test") != "") & stripped.rlike(_MINITEST_LOC)
+    is_rspec = pre_r & _line().rlike(_RSPEC_FAIL)
+    # expect_minitest is cleared by ANY line that is neither an rspec
+    # summary nor a head (parse_ruby_test's ladder `continue`s past
+    # those two), so a loc consumes iff every line between the head and
+    # it is rspec/head (fuzz-found — the old prev-loc check let the
+    # flag survive arbitrary junk lines)
+    is_clear = ~is_rspec & ~is_head
     staged = (
         staged.withColumn("_mt_prevhead", _prev_max(is_head, F.col("line_no")))
-        .withColumn("_mt_prevloc", _prev_max(is_loc, F.col("line_no")))
+        .withColumn("_mt_prevclear", _prev_max(is_clear, F.col("line_no")))
     )
-    # expect_minitest: set by head, cleared by the next loc — a loc row
-    # consumes iff a head exists after the previous loc row
     emit_mt = (
         is_loc
         & F.col("_mt_prevhead").isNotNull()
-        & (F.col("_mt_prevhead") > F.coalesce(F.col("_mt_prevloc"), F.lit(0)))
+        & (F.col("_mt_prevhead") > F.coalesce(F.col("_mt_prevclear"), F.lit(0)))
     )
     rspec_ev = _ev(
         "rspec", "test", F.lit("error"), _g("_g_rsp", 3),
@@ -3168,7 +3178,7 @@ def _f_phpunit(lines: DataFrame) -> DataFrame:
         ~F.col("is_h")
         & ~F.col("is_l")
         & (_strip(_line()) != "")
-        & (F.col("_fl").isNotNull() & (F.col("line_no") < F.col("_fl"))),
+        & (F.col("_fl").isNull() | (F.col("line_no") < F.col("_fl"))),
         F.struct(F.col("line_no"), _strip(_line()).alias("t")),
     )
     agg = staged.groupBy("source_id", "seg").agg(
@@ -3200,22 +3210,31 @@ def _f_phpunit(lines: DataFrame) -> DataFrame:
     agg = agg.withColumn("_max_seg", max_seg)
     body_txt = F.array_join(F.transform(F.col("body"), lambda x: x["t"]), " ")
     with_loc = F.col("loc").isNotNull()
-    msg = F.when(
-        with_loc,
-        F.when(body_txt != "", body_txt).otherwise(F.col("hd.test")),
-    ).otherwise(F.lit(""))
-    ev = _ev(
-        "phpunit", "test", F.lit("error"), msg,
+    full_msg = F.when(body_txt != "", body_txt).otherwise(F.col("hd.test"))
+    ev_loc = _ev(
+        "phpunit", "test", F.lit("error"), full_msg,
         line_no=F.col("hd.line_no"),
-        file=F.when(with_loc, F.col("loc.file")),
-        line=F.when(with_loc, F.col("loc.ln")),
+        file=F.col("loc.file"), line=F.col("loc.ln"),
         test_name=F.col("hd.test"), event_type="test_result",
-        end_line_no=F.coalesce(F.col("loc.line_no"), F.col("hd.line_no")),
+        end_line_no=F.col("loc.line_no"),
     )
-    return agg.filter(
-        F.col("hd").isNotNull()
-        & (with_loc | (F.col("seg") < F.col("_max_seg")))
-    ).select("source_id", ev.alias("ev"))
+    # a head displaced by the next head flushes bare (message '',
+    # creation-time fingerprint); the pending head at EOF flushes with
+    # the accumulated body as message but KEEPS the creation-time
+    # fingerprint — Python's tail flush sets ev['message'] without
+    # recomputing it (parse_phpunit; fuzz-found)
+    ev_bare = _ev(
+        "phpunit", "test", F.lit("error"), F.lit(""),
+        line_no=F.col("hd.line_no"),
+        test_name=F.col("hd.test"), event_type="test_result",
+    )
+    ev_tail = ev_bare.withField("message", _strip(full_msg))
+    ev = (
+        F.when(with_loc, ev_loc)
+        .when(F.col("seg") == F.col("_max_seg"), ev_tail)
+        .otherwise(ev_bare)
+    )
+    return agg.filter(F.col("hd").isNotNull()).select("source_id", ev.alias("ev"))
 
 
 _CHECKOV_CHECK = r'^Check: (CKV\w*_[\w]+_\d+): "([^"]*)"$'
@@ -3247,14 +3266,25 @@ def _f_checkov(lines: DataFrame) -> DataFrame:
         .withColumn("seg", seg)
         .filter(F.col("seg") >= 1)
     )
-    last_res = _incl_max(
-        F.col("is_r"),
-        F.struct(
-            F.col("line_no"),
-            (_g("_g_ckr", 1) == "FAILED").alias("failed"),
-            _g("_g_ckr", 2).alias("resource"),
-        ),
+    # the running last-result must be scoped to the CURRENT check block:
+    # Python resets failed=False on every Check head (parse_checkov), so
+    # a FAILED from an earlier block must not qualify a later file row
+    # (fuzz-found, test_logparse_fuzz)
+    w_seg_run = (
+        Window.partitionBy("source_id", "seg")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_res = F.max(
+        F.when(
+            F.col("is_r"),
+            F.struct(
+                F.col("line_no"),
+                (_g("_g_ckr", 1) == "FAILED").alias("failed"),
+                _g("_g_ckr", 2).alias("resource"),
+            ),
+        )
+    ).over(w_seg_run)
     staged = staged.withColumn("_lr", last_res)
     qual_file = (
         F.col("is_f")

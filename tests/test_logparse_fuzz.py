@@ -1,0 +1,92 @@
+"""Randomized line-mix fuzz parity for the complete JVM parse fast
+path (VERDICT r7 ask #8): 3,570 lines of pure-column rule pipelines
+carry the hottest operator, and the per-format fixtures only pin the
+shapes someone thought of. For EVERY format in FAST_FORMATS this fuzz
+builds seeded documents mixing (a) the format's own fixture lines
+shuffled out of order, (b) lines lifted from OTHER formats' fixtures
+(cross-contamination — the realistic CI-log case), and (c) junk lines
+(blank, whitespace, half-matching prefixes, unicode), then asserts the
+fast path is row-identical to the Python rule-table path on each.
+
+Shuffling is the point: the stateful families (carry, consume-pair,
+lookahead, segment/DF-builders) key their semantics off line ORDER, so
+scrambled input exercises exactly the window/carry edge cases the
+curated fixtures can't reach. Seeds derive from the format name
+(crc32), so failures replay deterministically."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from blq_cli_spark.sources import logparse_fast as lpf
+from tests.test_logparse_fast import CASES, _python_rows, _spark_rows
+
+# lines that half-match common rule prefixes, plus whitespace/unicode
+# noise; no \r or unicode line separators (the two paths split
+# documents on '\n' by contract — logparse._lines / parse_content)
+_JUNK = [
+    "",
+    "   ",
+    "\t\t",
+    "error",
+    "error:",
+    "warning :",
+    "FAILED",
+    "npm ",
+    "  --> ",
+    "==1234==",
+    "foo.c:12",
+    "foo.c:12:",
+    "a.py:1:2:",
+    "[  FAILED ]",
+    "thread 'x' panicked",
+    "### not a header",
+    "ok 1 - but no plan",
+    "× stray glyph line",
+    "❯ stray pointer",
+    "naïve café ﬁ — em-dash",
+    "0xdeadbeef sector 42",
+    "}{",
+    "........",
+    "=== RUN",
+    "--- ",
+    "In file included from",
+]
+
+
+def _pool() -> dict[str, list[str]]:
+    return {
+        fmt: [ln for doc in docs for ln in doc.split("\n")]
+        for fmt, docs in CASES.items()
+    }
+
+
+_POOL = _pool()
+_ALL_LINES = sorted({ln for lines in _POOL.values() for ln in lines})
+
+
+def _fuzz_docs(fmt: str, n_docs: int = 3, n_lines: int = 28) -> list[tuple[str, str]]:
+    rng = random.Random(zlib.crc32(fmt.encode()))
+    own = _POOL[fmt]
+    docs = []
+    for d in range(n_docs):
+        lines = []
+        for _ in range(n_lines):
+            dice = rng.random()
+            if dice < 0.55:
+                lines.append(rng.choice(own))
+            elif dice < 0.85:
+                lines.append(rng.choice(_ALL_LINES))
+            else:
+                lines.append(rng.choice(_JUNK))
+        docs.append((f"fz{d}", "\n".join(lines) + "\n"))
+    return docs
+
+
+@pytest.mark.parametrize("fmt", sorted(lpf.FAST_FORMATS))
+def test_fuzz_line_mix_parity(spark, fmt):
+    docs = _fuzz_docs(fmt)
+    assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt)

@@ -94,6 +94,11 @@ HEADLINE = [
     "x_semantic_dedup_bucketed",
     "x_training_shuffle",
     "x_parse_suite",
+    # round 8 (VERDICT r7 ask #3): auto-detect parse over the SAME
+    # corpus as x_parse_suite — the row that shows per-document JVM
+    # detection costs about one explicit-format parse, not a fall back
+    # to the Python rule tables
+    "x_parse_auto",
 ]
 
 # r7's shuffle-normalized per-query MINs (BENCH_r07 tail — the full

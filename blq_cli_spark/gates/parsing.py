@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from blq_cli_spark.gates.registry import gate
+from blq_cli_spark.gates.registry import gate, oracle_of
 from blq_cli_spark.sources import logparse as lp
 from blq_cli_spark.sources.tables import table
 
@@ -59,9 +59,9 @@ def _docs(per_event_lines: DataFrame, header: F.Column | None = None) -> DataFra
     )
 
 
-def _out(parsed: DataFrame, part: str) -> DataFrame:
+def _out(parsed: DataFrame, part) -> DataFrame:
     return parsed.select(
-        F.lit(part).alias("part"),
+        (F.lit(part) if isinstance(part, str) else part).alias("part"),
         "source_id",
         F.col("event_index").cast("long").alias("event_index"),
         "severity",
@@ -160,6 +160,14 @@ def _out(parsed: DataFrame, part: str) -> DataFrame:
 )
 def x_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    gcc_docs, es_docs, rust_docs = _family_docs(ev)
+    gcc_out = _out(lp.parse_df(gcc_docs, fmt="gcc"), "gcc")
+    es_out = _out(lp.parse_df(es_docs, fmt="eslint"), "eslint")
+    rust_out = _out(lp.parse_df(rust_docs, fmt="rustc"), "rustc")
+    return gcc_out.unionByName(es_out).unionByName(rust_out)
+
+
+def _family_docs(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     eid, etype = F.col("event_id"), F.col("event_type")
 
     gcc_sev = F.element_at(
@@ -173,7 +181,6 @@ def x_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (eid % 7).cast("string"), F.lit(" at 0xbeef"),
     )
     gcc_docs = _docs(ev.select("user_id", "event_id", gcc_line.alias("line")))
-    gcc_out = _out(lp.parse_df(gcc_docs, fmt="gcc"), "gcc")
 
     es_sev = F.when(eid % 2 == 0, "error").otherwise("warning")
     es_rule = F.when(eid % 2 == 0, "no-unused-vars").otherwise("semi")
@@ -185,7 +192,6 @@ def x_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     es_header = F.concat(F.lit("app_u"), F.col("user_id").cast("string"), F.lit(".js"))
     es_docs = _docs(ev.select("user_id", "event_id", es_line.alias("line")), header=es_header)
-    es_out = _out(lp.parse_df(es_docs, fmt="eslint"), "eslint")
 
     rust_head = F.when(
         eid % 2 == 0,
@@ -201,6 +207,61 @@ def x_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rust_line = F.concat(rust_head, F.lit("\n"), rust_loc)
     rust_docs = _docs(ev.select("user_id", "event_id", rust_line.alias("line")))
-    rust_out = _out(lp.parse_df(rust_docs, fmt="rustc"), "rustc")
+    return gcc_docs, es_docs, rust_docs
 
-    return gcc_out.unionByName(es_out).unionByName(rust_out)
+
+@gate("x_parse_auto", oracle=oracle_of("x_parse_suite"))
+def x_parse_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-detect twin of x_parse_suite (round 8, VERDICT r7 ask #3):
+    the SAME three document families, but parsed as ONE mixed corpus
+    with fmt='auto' — per-document format detection runs entirely
+    JVM-side (logparse_fast.fast_parse_auto_df). The oracle is
+    x_parse_suite's own explicit-format oracle: hash-equality holds
+    only if detection picked gcc/eslint/rustc for every document (the
+    fingerprints are format-prefixed), so this row proves detection +
+    parse end-to-end at driver scale. Source ids are prefixed per
+    family before the union (the families reuse user ids) and stripped
+    back after the parse.
+
+    Measured (sf0.1, local[32], warm): auto 12.5 s vs explicit 6.0 s —
+    2.1x for scoring ~13 candidate formats per document instead of
+    parsing one; the mapInPandas Python auto path measures 5.3 s on the
+    same corpus (per-document detection is embarrassingly parallel), so
+    the JVM path's value here is the zero-Python plan + hash-verified
+    detection, not raw local throughput. Decomposition: presence agg
+    2.7 s (one scan, ~700 literal contains), single-pass rule chain
+    2.9 s, DF-builder branches 2.5 s, scoring windows + event_index
+    ~4 s (one exchange — hash(source_id) satisfies the (source_id,
+    format) clustering too)."""
+    ev = _events(spark, sf_dir)
+    gcc_docs, es_docs, rust_docs = _family_docs(ev)
+
+    def _tag(docs: DataFrame, prefix: str) -> DataFrame:
+        return docs.select(
+            F.concat(F.lit(prefix + ":"), F.col("source_id")).alias("source_id"),
+            "content",
+        )
+
+    corpus = (
+        _tag(gcc_docs, "g")
+        .unionByName(_tag(es_docs, "e"))
+        .unionByName(_tag(rust_docs, "r"))
+    )
+    # assemble the synthetic corpus ONCE: auto-detect legitimately
+    # scans its input more than once (presence agg + parse + builder
+    # branches), and without this the gate would re-run the groupBy doc
+    # assembly per scan — measuring fixture lineage, not the parser.
+    # x_parse_suite pays assembly exactly once per family, so this
+    # keeps the auto-vs-explicit bench comparison apples-to-apples.
+    corpus = corpus.localCheckpoint(eager=True)
+    parsed = lp.parse_df(corpus, fmt="auto")
+    pfx = F.split(F.col("source_id"), ":", 2)
+    part = (
+        F.when(pfx.getItem(0) == "g", "gcc")
+        .when(pfx.getItem(0) == "e", "eslint")
+        .otherwise("rustc")
+    )
+    parsed = parsed.withColumn("_part", part).withColumn(
+        "source_id", pfx.getItem(1)
+    )
+    return _out(parsed, F.col("_part"))

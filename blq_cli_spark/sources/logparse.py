@@ -3229,19 +3229,28 @@ def parse_df(
 ):
     """Distributed parse: each row is one log document; yields event rows.
 
-    The hottest formats take the JVM fast path (logparse_fast: pure
-    regexp_extract column pipelines, zero Python execution); the long
-    tail and fmt='auto' (per-document detection needs the full rule
-    table) stay on the Arrow-batched mapInPandas path — per-document
-    parallelism either way (runs are independent units; a 100 TB corpus
-    is millions of documents)."""
+    Every format takes the JVM fast path (logparse_fast: pure
+    regexp_extract column pipelines, zero Python execution), including
+    fmt='auto': per-document detection runs candidate-prefiltered
+    format pipelines and replicates diagnose's ranking JVM-side
+    (fast_parse_auto_df). The Arrow-batched mapInPandas path remains
+    for streaming inputs, use_jvm=False, and any Python-registered
+    format outside the fast catalog — per-document parallelism either
+    way (runs are independent units; a 100 TB corpus is millions of
+    documents)."""
     # streaming inputs keep the Python path: the fast path's fallback
     # count + event_index are per-document windows, which Structured
     # Streaming rejects (only time windows aggregate on streams)
-    if use_jvm and fmt != "auto" and not df.isStreaming:
+    if use_jvm and not df.isStreaming:
         from blq_cli_spark.sources import logparse_fast
 
-        if fmt in logparse_fast.FAST_FORMATS:
+        if fmt == "auto":
+            # detection iterates the FULL Python rule table, so the JVM
+            # twin is only equivalent while the catalogs coincide (a
+            # Python-side format registered at runtime falls back)
+            if set(FORMATS) - {"generic"} <= set(logparse_fast.FAST_FORMATS):
+                return logparse_fast.fast_parse_auto_df(df, id_col, content_col)
+        elif fmt in logparse_fast.FAST_FORMATS:
             return logparse_fast.fast_parse_df(df, fmt, id_col, content_col)
     import pandas as pd
 

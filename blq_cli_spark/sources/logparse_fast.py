@@ -85,18 +85,47 @@ def _x(pattern: str, idx: int, col: Column | None = None) -> Column:
 # tests/test_logparse_fast.py (both paths, all fixtures).
 
 
+# When _PRE_DOC is set (the auto-detect candidate pass), the prefilter
+# helpers re-target the WHOLE-DOCUMENT content column instead of the
+# exploded line: contains stays contains, and a line-start prefix
+# becomes start-of-document OR after-a-line-break. Every doc-level
+# translation is implied by its line-level original (a line containing
+# s means the document contains s), so candidate sets are always a
+# SUPERSET of event-producing documents — over-inclusion costs one
+# wasted scoring pass, never a missed detection.
+_PRE_DOC: Column | None = None
+
+
+class _doc_prefilter_mode:
+    """Context manager: evaluate _has/_starts/_has_ci against a
+    document-content column (fast_parse_auto_df's candidate pass)."""
+
+    def __init__(self, content: Column):
+        self.content = content
+
+    def __enter__(self):
+        global _PRE_DOC
+        self._prev = _PRE_DOC
+        _PRE_DOC = self.content
+
+    def __exit__(self, *exc):
+        global _PRE_DOC
+        _PRE_DOC = self._prev
+
+
 def _has(*subs: str) -> Column:
     """True when the line contains ANY of the literal substrings."""
-    c = F.contains(_line(), F.lit(subs[0]))
+    target = _PRE_DOC if _PRE_DOC is not None else _line()
+    c = F.contains(target, F.lit(subs[0]))
     for s in subs[1:]:
-        c = c | F.contains(_line(), F.lit(s))
+        c = c | F.contains(target, F.lit(s))
     return c
 
 
 def _has_ci(*subs: str) -> Column:
     """Case-insensitive contains-any (one lower() per line; still far
     cheaper than a case-insensitive regex alternation)."""
-    low = F.lower(_line())
+    low = F.lower(_PRE_DOC if _PRE_DOC is not None else _line())
     c = F.contains(low, F.lit(subs[0]))
     for s in subs[1:]:
         c = c | F.contains(low, F.lit(s))
@@ -105,6 +134,16 @@ def _has_ci(*subs: str) -> Column:
 
 def _starts(*prefixes: str) -> Column:
     """True when the line starts with ANY of the literal prefixes."""
+    if _PRE_DOC is not None:
+        c = None
+        for s in prefixes:
+            one = (
+                F.startswith(_PRE_DOC, F.lit(s))
+                | F.contains(_PRE_DOC, F.lit("\n" + s))
+                | F.contains(_PRE_DOC, F.lit("\r" + s))
+            )
+            c = one if c is None else c | one
+        return c
     c = F.startswith(_line(), F.lit(prefixes[0]))
     for s in prefixes[1:]:
         c = c | F.startswith(_line(), F.lit(s))
@@ -361,15 +400,15 @@ def _r_eslint(lines: DataFrame):
     # contain ".js"/".ts", so five substrings cover all seven)
     pre_f = _has(".js", ".ts", ".mjs", ".cjs", ".vue")
     staged = _stage(lines, "_g_esl", _ESLINT_ISSUE, 5, pre_i).withColumn(
-        "cur_file", _carry(F.when(pre_f & _line().rlike(_ESLINT_FILE), _line()))
+        "_es_file", _carry(F.when(pre_f & _line().rlike(_ESLINT_FILE), _line()))
     )  # the header pattern's one group IS the whole line
     g = lambda i: _g("_g_esl", i)  # noqa: E731
     ev = _ev(
         "eslint", "lint", _sev(g(3)), g(4),
-        file=F.col("cur_file"), line=g(1), col=g(2),
+        file=F.col("_es_file"), line=g(1), col=g(2),
         rule=g(5),
     )
-    cond = pre_i & _line().rlike(_ESLINT_ISSUE) & F.col("cur_file").isNotNull()
+    cond = pre_i & _line().rlike(_ESLINT_ISSUE) & F.col("_es_file").isNotNull()
     return staged, [(cond, ev)]
 
 
@@ -386,7 +425,7 @@ def _r_go(lines: DataFrame):
     staged = _stage(lines, "_g_gof", _GO_FAIL_X, 1, pre_f)
     staged = _stage(staged, "_g_gol", _GO_LOC, 3, pre_l)
     staged = staged.withColumn(
-        "cur_test", _carry(F.when(pre_f & _line().rlike(_GO_FAIL), _g("_g_gof", 1)))
+        "_go_test", _carry(F.when(pre_f & _line().rlike(_GO_FAIL), _g("_g_gof", 1)))
     )
     fail_ev = _ev(
         "go", "test", F.lit("error"),
@@ -395,11 +434,11 @@ def _r_go(lines: DataFrame):
     )
     loc_ev = _ev(
         "go", "test", F.lit("error"), _g("_g_gol", 3),
-        file=_g("_g_gol", 1), line=_g("_g_gol", 2), test_name=F.col("cur_test"),
+        file=_g("_g_gol", 1), line=_g("_g_gol", 2), test_name=F.col("_go_test"),
     )
     return staged, [
         (pre_f & _line().rlike(_GO_FAIL), fail_ev),
-        (pre_l & _line().rlike(_GO_LOC) & F.col("cur_test").isNotNull(), loc_ev),
+        (pre_l & _line().rlike(_GO_LOC) & F.col("_go_test").isNotNull(), loc_ev),
     ]
 
 
@@ -415,7 +454,7 @@ def _r_jest(lines: DataFrame):
     staged = _stage(lines, "_g_jh", _JEST_HDR, 2, pre_h)
     staged = _stage(staged, "_g_jt", _JEST_TEST, 1, pre_t)
     staged = staged.withColumn(
-        "cur_file", _carry(F.when(pre_h & _line().rlike(_JEST_HDR), _g("_g_jh", 2)))
+        "_je_file", _carry(F.when(pre_h & _line().rlike(_JEST_HDR), _g("_g_jh", 2)))
     )
     hdr_ev = _ev(
         "jest", "test", F.lit("error"),
@@ -424,12 +463,12 @@ def _r_jest(lines: DataFrame):
     )
     test_ev = _ev(
         "jest", "test", F.lit("error"), _g("_g_jt", 1),
-        file=F.col("cur_file"), test_name=_g("_g_jt", 1),
+        file=F.col("_je_file"), test_name=_g("_g_jt", 1),
         event_type="test_result",
     )
     return staged, [
         (pre_h & _line().rlike(_JEST_HDR) & (_g("_g_jh", 1) == "FAIL"), hdr_ev),
-        (pre_t & _line().rlike(_JEST_TEST) & F.col("cur_file").isNotNull(), test_ev),
+        (pre_t & _line().rlike(_JEST_TEST) & F.col("_je_file").isNotNull(), test_ev),
     ]
 
 
@@ -1148,6 +1187,7 @@ def _simple(name, pattern, n, pre_fn, ev_fn, guard_fn=None):
         return staged, [(cond, ev_fn(g))]
 
     build.__name__ = f"_r_{name}"
+    build.pre_fn = pre_fn  # the auto-detect candidate pass reuses it
     return build
 
 
@@ -1589,8 +1629,8 @@ def _r_python_traceback(lines: DataFrame):
     the second pass is just one more running max."""
     pre_f = _has('File "')
     pre_e = _has("Error", "Exception", "Warning")
-    staged = _stage(lines, "_g_pytf", _PYTB_FILE, 3, pre_f)
-    staged = _stage(staged, "_g_pyte", _PYTB_ERR, 2, pre_e)
+    staged = _stage(lines, "_g_ptbf", _PYTB_FILE, 3, pre_f)
+    staged = _stage(staged, "_g_ptbe", _PYTB_ERR, 2, pre_e)
     is_file = pre_f & _line().rlike(_PYTB_FILE)
     is_err = pre_e & _line().rlike(_PYTB_ERR)
     is_hdr = _starts("Traceback (most recent call last)")
@@ -1603,8 +1643,8 @@ def _r_python_traceback(lines: DataFrame):
                     is_file,
                     F.struct(
                         F.col("line_no"),
-                        _g("_g_pytf", 1).alias("file"),
-                        _g("_g_pytf", 2).alias("ln"),
+                        _g("_g_ptbf", 1).alias("file"),
+                        _g("_g_ptbf", 2).alias("ln"),
                     ),
                 )
             ).over(w_prev),
@@ -1626,10 +1666,10 @@ def _r_python_traceback(lines: DataFrame):
         F.col("_pt_hdr") > F.coalesce(F.col("_pt_lastemit"), F.lit(0)),
         F.col("_pt_hdr"),
     )
-    code = _g("_g_pyte", 1)
+    code = _g("_g_ptbe", 1)
     ev = _ev(
         "python", "runtime", F.lit("error"),
-        F.coalesce(_opt(_g("_g_pyte", 2)), code),
+        F.coalesce(_opt(_g("_g_ptbe", 2)), code),
         F.coalesce(tb, F.col("_pt_frame.line_no")),
         file=F.col("_pt_frame.file"), line=F.col("_pt_frame.ln"),
         code=code, end_line_no=F.col("line_no"),
@@ -3518,6 +3558,136 @@ _DF_BUILDERS = {
 }
 
 
+# --- auto-detect candidate prefilters (round 8, VERDICT r7 ask #3) -----------
+# One doc-level prefilter per hand-written format (the _simple table's
+# formats carry theirs as fn.pre_fn), mirroring the pre_* lines inside
+# each rule function: the OR of a format's rule prefilters — evaluated
+# under _doc_prefilter_mode so _has/_starts hit the whole content
+# column. Soundness contract: a format that produces >=1 event on a
+# document MUST be admitted (every event requires some rule whose
+# prefilter its line passed), so OR over all of a format's prefilters
+# is sound by construction; checkov/junit_xml keep an AND because one
+# event provably requires all of those line kinds in the document.
+# Guarded by tests/test_logparse_auto.py's diagnose-vs-candidate sweep
+# over every fixture and fuzz document.
+_AUTO_PRE: dict[str, object] = {
+    "gcc": lambda: _has("error:", "warning:", "note:"),
+    "mypy": lambda: _has(".py") & _has("error:", "warning:", "note:"),
+    "tsc": lambda: _has("TS") & _has("error", "warning"),
+    "maven": lambda: _starts("[ERROR]", "[WARNING]"),
+    "golangci_lint": lambda: _has(".go:"),
+    "pytest": lambda: _starts("FAILED", "ERROR") | _starts("E"),
+    "eslint": lambda: _has("error", "warning")
+    | _has(".js", ".ts", ".mjs", ".cjs", ".vue"),
+    "go_test": lambda: _starts("--- FAIL:") | _has(".go:"),
+    "jest": lambda: _has("FAIL", "PASS") | _has("✕", "x", "●"),
+    "npm": lambda: _starts("npm "),
+    "rustc": lambda: _starts("error", "warning"),  # events need an err head (grp>=1)
+    "ruff": lambda: _has(":"),
+    "flake8": lambda: _has(":"),
+    "pylint": lambda: _has(":") & _has("("),
+    "clang_tidy": lambda: _has("error:", "warning:", "note:") & _has("["),
+    "swiftc": lambda: _has(".swift:") & _has("error:", "warning:", "note:"),
+    "rubocop": lambda: _has(".rb:"),
+    "go_build": lambda: _has(".go:"),
+    "yamllint": lambda: (_has("error", "warning") & _has("("))
+    | _has(".yml", ".yaml"),
+    "shellcheck": lambda: _starts("In ") | (_has("SC") & _has("^")),
+    "javac": lambda: _has(".java:") & _has("error:", "warning:"),
+    "checkstyle": lambda: _starts("[ERROR]", "[WARN]", "[INFO]"),
+    "hadolint": lambda: _has("DL", "SC"),
+    "sqlfluff": lambda: _starts("==") | _starts("L:"),
+    "luacheck": lambda: _has(".lua:") & _has("("),
+    "cppcheck": lambda: _has("[")
+    & _has(
+        "error:", "warning:", "style:", "performance:", "portability:",
+        "information:",
+    ),
+    "markdownlint": lambda: _has(".md:", ".markdown:") & _has("MD"),
+    "sbt": lambda: _starts("[error]", "[warn]") & _has(".scala:"),
+    "stylelint": lambda: _has(".css", ".scss", ".less", ".sass")
+    | _has("✖", "x"),
+    "python_traceback": lambda: _has('File "')
+    | _has("Error", "Exception", "Warning")
+    | _starts("Traceback (most recent call last)"),
+    "node_traceback": lambda: _has("Error"),  # seg>=1 needs an Error head
+    "go_panic": lambda: _starts("panic: "),  # seg>=1 needs a panic head
+    "java_stacktrace": lambda: _has("Exception", "Error")
+    & (_has("at ") & _has("(")),  # emit needs hdr AND >=1 frame
+    "cargo_test": lambda: (_starts("test ") & _has("FAILED"))
+    | (_starts("thread '") & _has("panicked at")),
+    "ctest": lambda: _has("Test") & _has("*"),
+    "tap": lambda: _starts("not ok "),
+    "python_unittest": lambda: _starts("FAIL: ", "ERROR: "),
+    "vitest": lambda: (_has(".test.", ".spec.") & _has("("))
+    | _has("×", "x")
+    | (_has("FAIL") & _has(">")),
+    "googletest": lambda: _has("Failure") | _has("FAILED"),
+    "catch2": lambda: _has("FAILED:"),
+    "mocha": lambda: _has(")"),
+    "ninja": lambda: _starts("FAILED: ") | _starts("ninja: "),
+    "xcodebuild": lambda: _starts("** ") | (_has("'") & _has("failed")),
+    "black_isort": lambda: _starts("would reformat ", "error: cannot format ")
+    | (_starts("ERROR: ") & _has("Imports are incorrectly sorted")),
+    "pip_resolver": lambda: _starts("ERROR: ")
+    | _has("error", "×")
+    | _has(" depends on "),
+    "docker_build": lambda: (_starts("Step ", "#") & _has("ERROR"))
+    | _starts("failed to solve: ", "ERROR: "),
+    "ansible": lambda: _starts("TASK [")
+    | _starts("fatal: [", "failed: ["),
+    "cypress": lambda: _has("Running:") | (_has(")") & _has(" > ")),
+    "gfortran": lambda: _has(".f", ".F") | _starts("Error: ", "Warning: "),
+    "ocaml": lambda: _starts('File "') | _starts("Error", "Warning"),
+    "latex": lambda: _starts("! ") | _has(".tex") | _starts("l."),
+    "scalatest": lambda: _has("*** FAILED ***")
+    | (_has(".scala:") & _has("(")),
+    "elixir": lambda: _starts("** (") | _starts("warning: ") | _has(".ex"),
+    "clojure": lambda: _starts("Syntax error", "Execution error"),
+    "gradle": lambda: _starts("> Task ") | _starts("* What went wrong:"),
+    "nunit": lambda: _has(") ") & _has(" : "),
+    "terraform": lambda: _starts("Error: ", "Warning: "),
+    "tflint": lambda: _starts("Error: ", "Warning: ", "Notice: ") & _has("("),
+    "make_ld": lambda: (_starts("make") & _has("*** ["))
+    | _has("ld: ")
+    | _has("undefined reference to ")
+    | _starts("collect2: error: "),
+    "junit_xml": lambda: _has("<testcase") & _has("<failure", "<error"),
+    "ruby_test": lambda: _starts("rspec ")
+    | ((_has(") ") & _has(":")) & (_has("[") & _has("]"))),
+    "deno": lambda: _starts("error: TS"),  # seg>=1 needs the TS err head
+    "julia": lambda: _starts("ERROR:"),  # seg>=1 needs the ERROR head
+    "ghc": lambda: _has(".hs:", ".lhs:"),
+    "hlint": lambda: _has(".hs:", ".lhs:"),
+    "cmake": lambda: _starts("CMake Error", "CMake Warning"),
+    "bandit": lambda: _starts(">> Issue: ["),  # seg>=1 needs the Issue head
+    "valgrind": lambda: _starts("=="),
+    "r_script": lambda: _starts("Error"),
+    "dotnet_test": lambda: _has("Failed "),  # seg>=1 needs the Failed head
+    "phpunit": lambda: _has(")") & _has("::"),
+    "checkov": lambda: _starts("Check: CKV")
+    & _has("for resource: ")
+    & _has("File: "),
+    "gitleaks": lambda: _starts(
+        "Finding:", "Secret:", "RuleID:", "File:", "Line:", "Commit:"
+    ),
+}
+
+
+def _auto_candidate_exprs(content: Column) -> dict[str, Column]:
+    """Doc-level candidate prefilter per format (generic excluded —
+    diagnose never scores it). True whenever the format COULD produce
+    >=1 event on the document; see the _AUTO_PRE soundness contract."""
+    out: dict[str, Column] = {}
+    with _doc_prefilter_mode(content):
+        for fmt, fn in FAST_FORMATS.items():
+            if fmt == "generic":
+                continue
+            pre_fn = getattr(fn, "pre_fn", None) or _AUTO_PRE[fmt]
+            out[fmt] = pre_fn()
+    return out
+
+
 def _explode_tagged(
     staged: DataFrame, tagged: list[tuple[str, Column, Column]]
 ) -> DataFrame:
@@ -3597,4 +3767,161 @@ def fast_parse_df(
         F.col("ev.log_line_start").alias("log_line_start"),
         F.col("ev.log_line_end").alias("log_line_end"),
         "format_used",
+    )
+
+
+def _events_for(lines: DataFrame, fmt: str) -> DataFrame:
+    """(source_id, ev) rows for ONE format's rules — no generic merge,
+    no fallback filter: the raw `list(FORMATS[fmt](lines))` twin that
+    diagnose scores (logparse.py diagnose())."""
+    if fmt in _DF_BUILDERS:
+        return _DF_BUILDERS[fmt](lines).select("source_id", "ev")
+    staged, rules = FAST_FORMATS[fmt](lines)
+    return _explode_tagged(staged, [(fmt, c, e) for c, e in rules]).select(
+        "source_id", "ev"
+    )
+
+
+def fast_parse_auto_df(
+    df: DataFrame, id_col: str = "source_id", content_col: str = "content"
+) -> DataFrame:
+    """Pure-column twin of parse_df(fmt='auto'): per-document format
+    detection with logparse.diagnose's EXACT ranking, entirely JVM-side
+    (round 8, VERDICT r7 ask #3 — auto is the most common ingest mode
+    and previously routed the whole corpus down the Python rule tables).
+
+    Shape:
+    1. candidate pass — each format's doc-level prefilter
+       (_auto_candidate_exprs) names the documents it could possibly
+       parse; ONE bounded agg collects which formats appear in the
+       corpus at all (<=109 booleans of driver traffic).
+    2. per-candidate scoring — each present format's rule pipeline runs
+       ONLY on its candidate documents, producing the same event
+       structs the final answer needs (scored once, emitted once).
+    3. ranking — diagnose's confidence per (document, format):
+       bround((located+1)/(n+1) + 0.5*specific/n, 4) with located/
+       specific counting truthy ref_file / code-rule-test_name exactly
+       like the Python scorer; winner per document by (n*conf desc,
+       n desc, FORMATS-table order asc) — the same stable-sort
+       tie-break detect_format inherits from FORMATS dict order.
+    4. fallback — generic events rank below every real format, so a
+       document no format scored keeps its generic events (and a
+       document generic can't parse either yields nothing), which is
+       parse_content's detect-then-fallback chain.
+
+    Scale: all PRESENT per-line formats' rules evaluate in ONE pass
+    over the staged line table (the fast_parse_df staging-chain move,
+    widened — one scan, one exchange, however many formats score),
+    so scan amplification = 2 + candidate-DF-builder formats (each of
+    those needs its own groupBy attachment and is gated by a selective
+    prefilter); zero Python stages anywhere (plan-asserted in
+    tests/test_logparse_auto.py); the only collect is the 1-row
+    presence agg. Streaming stays on the Python path (parse_df gate)."""
+    from blq_cli_spark.sources import logparse as _lp
+
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    cand = _auto_candidate_exprs(content)
+    # diagnose iterates FORMATS in table order and Python's stable sort
+    # preserves it for ties — replicate via the index
+    fmt_order = {f: i for i, f in enumerate(_lp.FORMATS)}
+
+    present_row = df.agg(
+        *[F.max(c.cast("int")).alias(f) for f, c in cand.items()]
+    ).collect()[0]
+    present = [f for f in cand if present_row[f]]
+    per_line = [f for f in present if f not in _DF_BUILDERS]
+    builders = [f for f in present if f in _DF_BUILDERS]
+
+    # one staged line table carrying every present per-line format's
+    # group/carry columns + the generic rules; running a format's rules
+    # on non-candidate documents is harmless (they produce no events —
+    # exactly what diagnose sees) and the line-level prefilters keep
+    # those rows out of the regex engine
+    parts = []
+    staged = _lines(df, id_col, content_col)
+    tagged: list[tuple[str, Column, Column]] = []
+    for fmt in per_line:
+        staged, rules = FAST_FORMATS[fmt](staged)
+        tagged += [(fmt, c, e) for c, e in rules]
+    staged, g_rules = _r_generic(staged)
+    tagged += [("generic", c, e) for c, e in g_rules]
+    parts.append(
+        _explode_tagged(staged, tagged).withColumnRenamed("format_used", "_fmt")
+    )
+    for fmt in builders:
+        sub_lines = _lines(df.filter(cand[fmt]), id_col, content_col)
+        parts.append(_events_for(sub_lines, fmt).withColumn("_fmt", F.lit(fmt)))
+    allev = parts[0]
+    for p in parts[1:]:
+        allev = allev.unionByName(p)
+
+    idx_map = F.create_map(
+        *[
+            x
+            for fmt in present + ["generic"]
+            for x in (F.lit(fmt), F.lit(fmt_order.get(fmt, len(fmt_order))))
+        ]
+    )
+    allev = allev.withColumn("_fmt_idx", F.element_at(idx_map, F.col("_fmt")))
+    allev = allev.withColumn(
+        "_is_gen", (F.col("_fmt") == "generic").cast("int")
+    )
+    # one exchange for all three window passes below: hash(source_id)
+    # satisfies the (source_id, _fmt) clustering too, so EnsureRequirements
+    # inserts no further shuffle of the (fat) event structs
+    allev = allev.repartition(F.col("source_id"))
+
+    # diagnose's per-(document, format) score from the events themselves
+    loc_flag = (
+        F.col("ev.ref_file").isNotNull() & (F.col("ev.ref_file") != "")
+    ).cast("int")
+    spec_flag = (
+        F.coalesce(
+            F.nullif(F.col("ev.code"), F.lit("")),
+            F.nullif(F.col("ev.rule"), F.lit("")),
+            F.nullif(F.col("ev.test_name"), F.lit("")),
+        ).isNotNull()
+    ).cast("int")
+    w_df = Window.partitionBy("source_id", "_fmt")
+    n = F.count(F.lit(1)).over(w_df)
+    located = F.sum(loc_flag).over(w_df)
+    specific = F.sum(spec_flag).over(w_df)
+    conf = F.bround(
+        (located + F.lit(1.0)) / (n + F.lit(1.0))
+        + F.lit(0.5) * specific / n,
+        4,
+    )
+    allev = allev.withColumn("_key", n.cast("double") * conf).withColumn("_n", n)
+    # all rows of one (document, format) share the same (_key, _n,
+    # _fmt_idx) triple, so dense_rank==1 keeps exactly the winner's rows
+    rk = F.dense_rank().over(
+        Window.partitionBy("source_id").orderBy(
+            F.asc("_is_gen"), F.desc("_key"), F.desc("_n"), F.asc("_fmt_idx")
+        )
+    )
+    ev = allev.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+
+    idx = F.row_number().over(
+        Window.partitionBy("source_id").orderBy(
+            F.col("ev.log_line_start"), F.col("ev.log_line_end")
+        )
+    )
+    return ev.select(
+        "source_id",
+        idx.alias("event_index"),
+        F.col("ev.event_type").alias("event_type"),
+        F.col("ev.severity").alias("severity"),
+        F.col("ev.ref_file").alias("ref_file"),
+        F.col("ev.ref_line").alias("ref_line"),
+        F.col("ev.ref_column").alias("ref_column"),
+        F.col("ev.message").alias("message"),
+        F.col("ev.code").alias("code"),
+        F.col("ev.rule").alias("rule"),
+        F.col("ev.tool_name").alias("tool_name"),
+        F.col("ev.category").alias("category"),
+        F.col("ev.test_name").alias("test_name"),
+        F.col("ev.fingerprint").alias("fingerprint"),
+        F.col("ev.log_line_start").alias("log_line_start"),
+        F.col("ev.log_line_end").alias("log_line_end"),
+        F.col("_fmt").alias("format_used"),
     )

@@ -1,0 +1,169 @@
+"""JVM auto-detect parse path (logparse_fast.fast_parse_auto_df,
+round 8): per-document detection must replicate logparse.diagnose /
+detect_format EXACTLY, the candidate prefilters must never exclude a
+document a format can parse, and the batch plan must contain zero
+Python execution."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from blq_cli_spark.sources import logparse as lp
+from blq_cli_spark.sources import logparse_fast as lpf
+from tests.test_logparse_fast import CASES, _COLS, _python_rows
+from tests.test_logparse_fuzz import _fuzz_docs
+
+
+def _auto_rows(spark, docs):
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    rows = lpf.fast_parse_auto_df(df).collect()
+    return sorted(tuple(r[k] for k in _COLS) for r in rows)
+
+
+def _py_auto_rows(docs):
+    return _python_rows(docs, "auto")
+
+
+def test_catalogs_coincide():
+    """The JVM detector scores FAST_FORMATS; Python's diagnose scores
+    FORMATS — auto-equivalence requires the catalogs to be identical
+    (parse_df checks this at runtime before routing)."""
+    assert set(lp.FORMATS) == set(lpf.FAST_FORMATS)
+
+
+def test_candidate_prefilters_sound_on_all_fixtures(spark):
+    """Soundness contract of _AUTO_PRE: every (document, format) pair
+    that diagnose SCORES (>=1 event) must be admitted by the format's
+    doc-level candidate prefilter — a missed candidate silently changes
+    detection. Swept over every fixture document of every format."""
+    docs, i = [], 0
+    for fmt, fixtures in CASES.items():
+        for c in fixtures:
+            docs.append((f"{fmt}-{i}", c))
+            i += 1
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    cand = lpf._auto_candidate_exprs(F.coalesce(F.col("content"), F.lit("")))
+    got = {
+        r["source_id"]: r
+        for r in df.select(
+            "source_id", *[c.alias(f) for f, c in cand.items()]
+        ).collect()
+    }
+    missed = []
+    for sid, c in docs:
+        for fmt, n_events, _conf in lp.diagnose(c):
+            if not got[sid][fmt]:
+                missed.append((sid, fmt, n_events))
+    assert not missed, missed[:10]
+
+
+def test_auto_mixed_corpus_row_identity(spark):
+    """The done-criterion fixture (VERDICT r7 ask #3): a corpus mixing
+    >=3 formats plus a generic-fallback document, an empty document and
+    a NULL content row must be row-identical to the Python auto path."""
+    picks = [
+        "gcc", "pytest", "cargo_test", "checkov", "valgrind", "tap",
+        "rustc", "phpunit", "mypy", "javac",
+        # eslint AND jest together pin the carry-column clobber
+        # (both formats chain; their file carries must not collide)
+        "eslint", "jest",
+    ]
+    docs = [(f, CASES[f][0]) for f in picks]
+    docs += [
+        ("fb", "no compiler lines here\nbut one error: fell back to generic\n"),
+        ("empty", ""),
+        ("null", None),
+    ]
+    got = _auto_rows(spark, docs)
+    want = _py_auto_rows([(s, c or "") for s, c in docs])
+    assert got == want
+    # at least the picked formats were detected (not everything generic)
+    used = {r[-1] for r in got}
+    assert {"gcc", "pytest", "checkov", "generic"} <= used
+
+
+def test_auto_plan_zero_python(spark):
+    """The parse_df('auto') batch plan must carry no Python stages —
+    the whole point of the JVM detection path."""
+    docs = [(f, CASES[f][0]) for f in ("gcc", "tap", "valgrind")]
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    out = lp.parse_df(df, fmt="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "EvalPython", "ArrowEval", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_auto_matches_explicit_on_clean_corpus(spark):
+    """On a single-format corpus, auto must both detect that format and
+    produce exactly the explicit-format events."""
+    docs = [("d0", CASES["gcc"][0]), ("d1", CASES["gcc"][0])]
+    auto = _auto_rows(spark, docs)
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    explicit = sorted(
+        tuple(r[k] for k in _COLS)
+        for r in lpf.fast_parse_df(df, "gcc").collect()
+    )
+    assert auto == explicit
+    assert all(r[-1] == "gcc" for r in auto)
+
+
+@pytest.mark.parametrize(
+    "fmt", ["gcc", "cargo_test", "python_traceback", "junit_xml", "latex"]
+)
+def test_auto_fuzz_parity(spark, fmt):
+    """Adversarial line-mix documents (the test_logparse_fuzz corpus)
+    through BOTH auto engines: detection ranking and the winning
+    format's events must agree even on cross-contaminated input."""
+    docs = _fuzz_docs(fmt)
+    assert _auto_rows(spark, docs) == _py_auto_rows(docs)
+
+
+def test_staging_column_names_unique_across_formats():
+    """fast_parse_auto_df chains EVERY present per-line format's staging
+    onto one line table, so two formats sharing a _stage column name
+    silently clobber each other's regex groups (fuzz/auto-found: pytest
+    and python_traceback both staged '_g_pytf'). Statically assert each
+    staging name is owned by exactly one rule function."""
+    import inspect
+    import re
+
+    src = inspect.getsource(lpf)
+    owners: dict[str, set[str]] = {}
+    fn = None
+    for line in src.splitlines():
+        m = re.match(r"def (_r_\w+|_f_\w+|_simple)\(", line)
+        if m:
+            fn = m.group(1)
+        for col in re.findall(r'_stage\(\s*\w+,\s*"(_g_\w+)"', line):
+            owners.setdefault(col, set()).add(fn)
+    # _simple generates per-name columns from its `name` arg — exclude
+    owners.pop(None, None)
+    dupes = {c: fns for c, fns in owners.items() if len(fns) > 1 and fns != {"_simple"}}
+    assert not dupes, dupes
+
+
+def test_carry_column_names_unique_across_per_line_formats():
+    """Same clobber class, second channel (auto/gate-found: eslint's and
+    jest's file-header carry both named 'cur_file', so chaining both
+    silently nulled eslint's ref_file): EVERY withColumn name a
+    PER-LINE rule function introduces must be unique across the chained
+    set. DF-builder formats run on their own line table and may reuse
+    names; they are excluded."""
+    import inspect
+    import re
+
+    builder_fns = {f.__name__ for f in lpf._DF_BUILDERS.values()}
+    src = inspect.getsource(lpf)
+    owners: dict[str, set[str]] = {}
+    fn = None
+    for line in src.splitlines():
+        m = re.match(r"def ((?:_r_|_f_)\w+)\(", line)
+        if m:
+            fn = m.group(1)
+        if fn is None or fn in builder_fns:
+            continue
+        for col in re.findall(r'withColumn\(\s*"(\w+)"', line):
+            owners.setdefault(col, set()).add(fn)
+    dupes = {c: fns for c, fns in owners.items() if len(fns) > 1}
+    assert not dupes, dupes

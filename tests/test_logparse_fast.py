@@ -404,12 +404,22 @@ def test_parse_df_routes_to_jvm(spark):
     assert fast == slow
 
 
-def test_auto_stays_python(spark):
-    """fmt='auto' needs per-document detection over the full rule table —
-    it must keep the Python path (and still parse correctly)."""
+def test_auto_routes_to_jvm(spark):
+    """fmt='auto' takes the JVM detection path (round 8) — zero Python
+    stages — unless a Python-only format is registered, in which case
+    detection equivalence is lost and it must fall back."""
     df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
     plan = lp.parse_df(df, fmt="auto")._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    for marker in ("MapInPandas", "EvalPython", "ArrowEval"):
+        assert marker not in plan
+    lp.FORMATS["_pyonly"] = lambda lines: iter(())
+    try:
+        plan = (
+            lp.parse_df(df, fmt="auto")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "MapInPandas" in plan
+    finally:
+        del lp.FORMATS["_pyonly"]
 
 
 def test_fast_path_schema_matches_ddl(spark):

@@ -732,6 +732,46 @@ def cosine_topk_quantized(
     )
 
 
+def neardup_pairs_kmeans(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    nprobe: int = 2,
+    iters: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate near-dup pairs via SemDeDup's paper-faithful kmeans
+    blocking (Abbas et al. 2023): train k data-adapted centroids and
+    compare pairs only WITHIN a cell, multi-probed so a pair straddling
+    a cell boundary still collides in the runner-up cell (IVF search's
+    nprobe trick). k defaults to max(2, n // 10_000) — ~10k-vector
+    cells, so the per-cell pair budget stays ~5e7 dots regardless of
+    corpus size (no upper cap; see semantic_dedup). Extracted from
+    semantic_dedup(method='kmeans') in round 8 so the scale10x probe
+    can measure this path's recall against the exact oracle directly."""
+    from blq_cli_spark.operators import clustering
+
+    if k is None:
+        k = max(2, corpus.count() // 10_000)
+    cents = clustering.kmeans_fit(
+        corpus, k=k, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
+    )
+    blocked = (
+        _ivf_assign(corpus, cents, id_col, vec_col, out_id="id", nprobe=nprobe)
+        .withColumn("side", F.lit("a"))
+        .withColumn("selfb", F.lit(True))
+    )
+    return (
+        blocked.groupBy("cell")
+        .applyInPandas(
+            _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
+        )
+        .distinct()
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -782,22 +822,10 @@ def semantic_dedup(
             corpus, threshold, id_col=id_col, vec_col=vec_col, **method_kwargs
         )
     elif method == "kmeans":
-        from blq_cli_spark.operators import clustering
-
-        if k is None:
-            k = max(2, corpus.count() // 10_000)
-        cents = clustering.kmeans_fit(corpus, k=k, id_col=id_col, vec_col=vec_col)
-        # multi-probe blocking: each vector joins its top-2 cells, so a
-        # pair straddling a cell boundary still collides in the
-        # runner-up cell (same trick as IVF search's nprobe)
-        blocked = (
-            _ivf_assign(corpus, cents, id_col, vec_col, out_id="id", nprobe=2)
-            .withColumn("side", F.lit("a"))
-            .withColumn("selfb", F.lit(True))
+        pairs = neardup_pairs_kmeans(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, k=k,
+            **method_kwargs,
         )
-        pairs = blocked.groupBy("cell").applyInPandas(
-            _pair_block_kernel(threshold), "id_a long, id_b long, cos double"
-        ).distinct()
     else:
         pairs = neardup_pairs(
             corpus, threshold, id_col=id_col, vec_col=vec_col, **method_kwargs

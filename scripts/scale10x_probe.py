@@ -301,7 +301,80 @@ def main() -> None:
         t1, t10 = times[name]["1x"], times[name]["10x"]
         exp = math.log10(max(t10, 1e-9) / max(t1, 1e-9))
         print(f"{name:26s} {t1:8.3f}s {t10:8.3f}s {exp:9.2f}")
+    if not only or "recall" in only:
+        recall_section(spark)
     spark.stop()
+
+
+def recall_section(spark) -> bool:
+    """Recall-at-scale for the approximate SemDeDup paths (round 8,
+    VERDICT r7 ask #6): the 0.75 recall floor in tests/test_similarity.py
+    runs at smoke scale only — this measures bucketed (DEFAULT
+    self-sizing grid) and kmeans (default k) pair recall against the
+    EXACT triangle-blocked oracle on the ORGANIC driver embeddings
+    (testdata sf0.1, 2,000 x 64) at 1x, and at 10x on ten
+    jitter-perturbed copies (sigma = 5% of the per-dimension std, so
+    the organic cluster geometry — what blocking quality depends on —
+    is preserved while the corpus actually grows). Threshold 0.4, the
+    x_embedding_neardup gate's organic operating point."""
+    import numpy as np
+    import pandas as pd
+
+    from blq_cli_spark.operators import similarity
+
+    FLOOR, THRESHOLD = 0.75, 0.4
+    base = pd.read_parquet("/root/testdata/sf0.1/embeddings.parquet")[
+        ["vec_id", "embedding"]
+    ]
+    mat = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(8)
+    sigma = 0.05 * mat.std(axis=0)
+    copies = []
+    for c in range(10):
+        jittered = mat if c == 0 else mat + rng.normal(0, 1, mat.shape) * sigma
+        copies.append(
+            pd.DataFrame(
+                {
+                    "vec_id": base["vec_id"].to_numpy() + c * 1_000_000,
+                    "embedding": list(jittered),
+                }
+            )
+        )
+    corpora = {
+        "1x": spark.createDataFrame(copies[0], "vec_id long, embedding array<double>"),
+        "10x": spark.createDataFrame(
+            pd.concat(copies), "vec_id long, embedding array<double>"
+        ).repartition(32),
+    }
+    print()
+    print(
+        f"semdedup recall vs exact (organic driver embeddings, "
+        f"threshold {THRESHOLD}, floor {FLOOR})"
+    )
+    print(f"{'scale':6s} {'n':>7s} {'exact_pairs':>12s} {'bucketed':>9s} {'kmeans':>8s}")
+    ok = True
+    for tag, emb in corpora.items():
+        emb = emb.localCheckpoint(eager=True)
+        n = emb.count()
+        exact = similarity.neardup_pairs(emb, THRESHOLD).select(
+            "id_a", "id_b"
+        ).localCheckpoint(eager=True)
+        n_exact = exact.count()
+        recalls = {}
+        for meth, fn in (
+            ("bucketed", lambda: similarity.neardup_pairs_bucketed(emb, THRESHOLD)),
+            ("kmeans", lambda: similarity.neardup_pairs_kmeans(emb, THRESHOLD)),
+        ):
+            hit = exact.join(fn().select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").count()
+            recalls[meth] = hit / max(n_exact, 1)
+            ok = ok and recalls[meth] >= FLOOR
+        print(
+            f"{tag:6s} {n:7d} {n_exact:12d} "
+            f"{recalls['bucketed']:8.3f}{'*' if recalls['bucketed'] < FLOOR else ' '} "
+            f"{recalls['kmeans']:7.3f}{'*' if recalls['kmeans'] < FLOOR else ' '}"
+        )
+    print(f"recall floor {'PASS' if ok else 'FAIL (*)'}")
+    return ok
 
 
 def _time_once(fn) -> float:

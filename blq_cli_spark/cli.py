@@ -1532,6 +1532,14 @@ def cmd_embeddings(args) -> int:
             )
             return 0
         if act == "index-info":
+            rec = ann_index.load_meta(args.index).get("retrain_recommended")
+            if rec and rec.get("flag"):
+                print(
+                    f"# retrain recommended: cell {rec['cell']} drift_ratio "
+                    f"{rec['max_drift_ratio']:.3f} > {rec['threshold']} "
+                    "(run embeddings index-retrain)",
+                    file=sys.stderr,
+                )
             _emit(
                 ann_index.ivf_index_info(
                     spark, args.index, drift=getattr(args, "drift", False)
@@ -1553,8 +1561,13 @@ def cmd_embeddings(args) -> int:
                   f"-> {args.index}", file=sys.stderr)
             return 0
         if act == "index-append":
-            ann_index.ivf_append_index(emb, args.index, id_col=ic, vec_col=vc)
-            print(f"# appended batch into {args.index}", file=sys.stderr)
+            meta = ann_index.ivf_append_index(emb, args.index, id_col=ic, vec_col=vc)
+            rec = meta.get("retrain_recommended") or {}
+            note = (
+                f" (retrain recommended: max drift_ratio "
+                f"{rec['max_drift_ratio']:.3f})" if rec.get("flag") else ""
+            )
+            print(f"# appended batch into {args.index}{note}", file=sys.stderr)
             return 0
         queries = (
             spark.read.parquet(args.queries)

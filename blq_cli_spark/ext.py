@@ -220,9 +220,12 @@ def annotators() -> list[str]:
 
 
 def discover() -> list[str]:
-    """Entry-point discovery (reference annotator.py's entry_points scan,
-    group `blq_spark.annotators`). Returns names loaded; silently empty
-    when no distribution declares the group."""
+    """Entry-point discovery (reference annotator.py's entry_points scan
+    plus the pipeline plugin groups). Groups: `blq_spark.annotators`
+    (callables), `blq_spark.executors` / `blq_spark.extensions`
+    (classes or instances implementing the Protocols; classes are
+    instantiated with no args). Returns names loaded; silently empty
+    when no distribution declares a group."""
     loaded = []
     try:
         from importlib.metadata import entry_points
@@ -231,6 +234,16 @@ def discover() -> list[str]:
             fn = ep.load()
             register_annotator(ep.name, fn)
             loaded.append(ep.name)
+        for group, register in (
+            ("blq_spark.executors", register_executor),
+            ("blq_spark.extensions", register_extension),
+        ):
+            for ep in entry_points(group=group):
+                obj = ep.load()
+                if isinstance(obj, type):
+                    obj = obj()
+                register(obj)
+                loaded.append(ep.name)
     except Exception:  # noqa: BLE001 — discovery is best-effort by contract
         pass
     return loaded

@@ -726,6 +726,8 @@ def _embeddings(
         if action == "index-info":
             return {"rows": _rows(
                 ann_index.ivf_index_info(spark, index, drift=drift), limit
+            ), "retrain_recommended": ann_index.load_meta(index).get(
+                "retrain_recommended"
             )}
         if action == "index-compact":
             return {"index": index,
@@ -742,7 +744,8 @@ def _embeddings(
                 emb, index, id_col=id_col, vec_col=vec_col
             )
             return {"index": index, "appended": True,
-                    "k_cells": meta["k_cells"]}
+                    "k_cells": meta["k_cells"],
+                    "retrain_recommended": meta.get("retrain_recommended")}
         qdf = (
             spark.read.parquet(queries)
             if queries

@@ -217,3 +217,37 @@ def test_run_command_extension_pipeline(spark, tmp_path):
     assert calls[-1] == ("store", st.root)
     ed = _json.loads(run["extension_data"])
     assert ed["echo"] == {"rewrote": True}
+
+
+def test_discover_loads_executor_and_extension_groups(monkeypatch):
+    """discover() loads the blq_spark.executors / blq_spark.extensions
+    entry-point groups (classes instantiated, instances taken as-is) —
+    the reference's pluggable-executor loading seam."""
+
+    class _EpExec:
+        name = "ep-exec"
+
+        def execute(self, spec):  # pragma: no cover - shape only
+            raise NotImplementedError
+
+    class _FakeEp:
+        def __init__(self, name, obj):
+            self.name, self._obj = name, obj
+
+        def load(self):
+            return self._obj
+
+    def fake_entry_points(group):
+        if group == "blq_spark.executors":
+            return [_FakeEp("ep-exec", _EpExec)]  # a class -> instantiated
+        return []
+
+    import importlib.metadata as md
+
+    monkeypatch.setattr(md, "entry_points", fake_entry_points)
+    try:
+        loaded = ext.discover()
+        assert "ep-exec" in loaded
+        assert ext.get_executor("ep-exec").name == "ep-exec"
+    finally:
+        ext._EXECUTORS.pop("ep-exec", None)

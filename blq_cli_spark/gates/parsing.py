@@ -253,7 +253,12 @@ def x_parse_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assembly per scan — measuring fixture lineage, not the parser.
     # x_parse_suite pays assembly exactly once per family, so this
     # keeps the auto-vs-explicit bench comparison apples-to-apples.
-    corpus = corpus.localCheckpoint(eager=True)
+    # compact to the session's core count first: doc assembly leaves one
+    # (mostly empty) partition per shuffle partition for a ~750-doc
+    # corpus, and every auto pass would inherit that task overhead
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     parsed = lp.parse_df(corpus, fmt="auto")
     pfx = F.split(F.col("source_id"), ":", 2)
     part = (

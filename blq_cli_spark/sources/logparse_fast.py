@@ -55,6 +55,12 @@ _FIELDS = [
     ("fingerprint", "string"),
     ("log_line_start", "int"),
     ("log_line_end", "int"),
+    # internal: the line the PYTHON parser would YIELD this event at
+    # (scan-yield generators emit at the completing line, which the
+    # event's recorded span may not contain — gitleaks partial flushes
+    # carry a stale span). event_index ranks by this; the final selects
+    # drop it. Default: end_line_no, else the rule's firing row.
+    ("_yl", "int"),
 ]
 
 def _line() -> Column:
@@ -189,12 +195,16 @@ def _ev(
     test_name: Column | None = None,
     end_line_no: Column | None = None,
     event_type: str = "diagnostic",
+    yield_line: Column | None = None,
 ) -> Column:
     """Build one typed event struct (JVM twin of logparse._event)."""
     if line_no is None:
         line_no = F.col("line_no")
     code_c = code if code is not None else _null("string")
     rule_c = rule if rule is not None else _null("string")
+    yl = yield_line if yield_line is not None else (
+        end_line_no if end_line_no is not None else line_no
+    )
     vals = {
         "event_type": F.lit(event_type),
         "severity": severity,
@@ -210,6 +220,7 @@ def _ev(
         "fingerprint": _fingerprint(tool, F.coalesce(code_c, rule_c), message),
         "log_line_start": line_no.cast("int"),
         "log_line_end": (end_line_no if end_line_no is not None else line_no).cast("int"),
+        "_yl": yl.cast("int"),
     }
     return F.struct(*[vals[n].cast(t).alias(n) for n, t in _FIELDS])
 
@@ -2846,8 +2857,9 @@ def _f_cmake(lines: DataFrame) -> DataFrame:
         F.col("line_no")
         == F.max("line_no").over(Window.partitionBy("source_id"))
     )
+    # Python requires the TWO-space indent ('  '), not any leading space
     in_body_shape = (
-        _line().startswith(" ") | (_strip(_line()) == "")
+        _line().startswith("  ") | (_strip(_line()) == "")
     ) & ~is_artifact
     grp = F.sum(m.cast("int")).over(
         _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3132,19 +3144,36 @@ def _f_dotnet_test(lines: DataFrame) -> DataFrame:
         .filter(F.col("seg") >= 1)
     )
     w_seg = Window.partitionBy("source_id", "seg")
-    first_mark = F.min(F.when(F.col("is_mark"), F.col("line_no"))).over(w_seg)
-    staged = staged.withColumn("_fm", first_mark)
-    msg_row_no = F.min(
+    w_seg_prev = (
+        Window.partitionBy("source_id", "seg")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Python's expect_msg state machine (rewritten round 8 after the
+    # multi-seed fuzz): a marker ARMS (and re-arms); the FIRST nonblank
+    # non-marker row after the last marker CONSUMES it as the message —
+    # even an at-frame row (checked after the message branch); blanks
+    # pass through armed. The LAST consumed message before the closing
+    # frame wins (Python overwrites pending['message']); the closing
+    # frame is the first NON-consuming at-row.
+    prev_mark = F.max(F.when(F.col("is_mark"), F.col("line_no"))).over(w_seg_prev)
+    prev_nbnm = F.max(
         F.when(
-            F.col("nb")
-            & ~F.col("is_f")
-            & ~F.col("is_mark")
-            & F.col("_fm").isNotNull()
-            & (F.col("line_no") > F.col("_fm")),
-            F.col("line_no"),
+            F.col("nb") & ~F.col("is_mark") & ~F.col("is_f"), F.col("line_no")
         )
+    ).over(w_seg_prev)
+    consume = (
+        F.col("nb")
+        & ~F.col("is_mark")
+        & ~F.col("is_f")
+        & prev_mark.isNotNull()
+        & (prev_mark > F.coalesce(prev_nbnm, F.lit(0)))
+    )
+    staged = staged.withColumn("_dt_cons", consume)
+    first_frame = F.min(
+        F.when(F.col("is_at") & ~F.col("_dt_cons"), F.col("line_no"))
     ).over(w_seg)
-    staged = staged.withColumn("_mr", msg_row_no)
+    staged = staged.withColumn("_dt_ff", first_frame)
     agg = staged.groupBy("source_id", "seg").agg(
         F.min(
             F.when(
@@ -3152,16 +3181,19 @@ def _f_dotnet_test(lines: DataFrame) -> DataFrame:
                 F.struct(F.col("line_no"), _g("_g_dtf", 1).alias("test")),
             )
         ).alias("hd"),
-        F.min(
+        F.max(
             F.when(
-                (F.col("line_no") == F.col("_mr")),
+                F.col("_dt_cons")
+                & (
+                    F.col("_dt_ff").isNull()
+                    | (F.col("line_no") < F.col("_dt_ff"))
+                ),
                 F.struct(F.col("line_no"), _strip(_line()).alias("t")),
             )
         ).alias("msg"),
         F.min(
             F.when(
-                F.col("is_at")
-                & (F.col("_mr").isNull() | (F.col("line_no") != F.col("_mr"))),
+                F.col("is_at") & ~F.col("_dt_cons"),
                 F.struct(
                     F.col("line_no"),
                     _g("_g_dta", 1).alias("file"),
@@ -3371,10 +3403,25 @@ def _f_checkov(lines: DataFrame) -> DataFrame:
 _GITLEAKS_KV = r"^(Finding|Secret|RuleID|File|Line|Commit):\s*(.*)$"
 
 
-def _f_gitleaks(lines: DataFrame) -> DataFrame:
-    """gitleaks key-value blocks: a Finding row opens a block, the first
-    RuleID row emits it with the LATEST File/Line values seen in
-    between (the Python dict-overwrite loop)."""
+def _r_gitleaks(lines: DataFrame):
+    """gitleaks key-value blocks, per-line twin of parse_gitleaks's
+    quirky dict state machine (rewritten in round 8 after the
+    multi-seed fuzz caught the old segment form dropping headless
+    blocks):
+    - FULL block: a RuleID row emits iff the last Finding is more
+      recent than the last RuleID (Finding still in cur); File/Line are
+      the latest values between that Finding and the RuleID; span =
+      Finding..RuleID.
+    - PARTIAL block: a Finding row flushes a pending HEADLESS block —
+      the last RuleID is more recent than the last Finding AND was
+      itself non-emitting (an emitting RuleID clears cur); File/Line
+      come from after the last emitting RuleID; the recorded span is
+      the STALE start variable (the previous Finding line, 0 if none —
+      Python never reset it), while the yield position is the Finding
+      row itself.
+    Python's EOF flush is unreachable (RuleID+Finding can never both
+    be in cur at EOF: a RuleID meeting a Finding yields and clears
+    immediately), so there is deliberately no tail rule."""
     pre = _starts("Finding:", "Secret:", "RuleID:", "File:", "Line:", "Commit:")
     staged = _stage(lines, "_g_glk", _GITLEAKS_KV, 2, pre)
     is_kv = pre & _line().rlike(_GITLEAKS_KV)
@@ -3382,63 +3429,93 @@ def _f_gitleaks(lines: DataFrame) -> DataFrame:
     val = _g("_g_glk", 2)
     is_finding = is_kv & (key == "Finding")
     is_rule = is_kv & (key == "RuleID")
-    seg = F.sum(is_finding.cast("int")).over(
-        _doc_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        staged.withColumn("_gl_f", is_finding)
+        .withColumn("_gl_r", is_rule)
+        .withColumn("_gl_k", key)
+        .withColumn("_gl_v", val)
     )
     staged = (
-        staged.withColumn("is_finding", is_finding)
-        .withColumn("is_rule", is_rule)
-        .withColumn("_k", key)
-        .withColumn("_v", val)
-        .withColumn("seg", seg)
-        .filter(F.col("seg") >= 1)
+        staged.withColumn("_gl_pf", _prev_max(F.col("_gl_f"), F.col("line_no")))
+        .withColumn("_gl_pr", _prev_max(F.col("_gl_r"), F.col("line_no")))
     )
-    w_seg = Window.partitionBy("source_id", "seg")
-    first_rule = F.min(F.when(F.col("is_rule"), F.col("line_no"))).over(w_seg)
-    staged = staged.withColumn("_fr", first_rule)
-    before_rule = F.col("_fr").isNotNull() & (F.col("line_no") <= F.col("_fr"))
-    agg = staged.groupBy("source_id", "seg").agg(
-        F.min(F.when(F.col("is_finding"), F.col("line_no"))).alias("start"),
-        F.min(F.when(F.col("is_rule"), F.col("line_no"))).alias("rule_ln"),
-        F.max(
-            F.when(
-                F.col("is_rule") & (F.col("line_no") == F.col("_fr")),
-                F.col("_v"),
-            )
-        ).alias("rule"),
-        F.max(
-            F.when(
-                (F.col("_k") == "File") & before_rule,
-                F.struct(F.col("line_no"), F.col("_v").alias("v")),
-            )
-        ).alias("file"),
-        F.max(
-            F.when(
-                (F.col("_k") == "Line") & before_rule,
-                F.struct(F.col("line_no"), F.col("_v").alias("v")),
-            )
-        ).alias("lnv"),
+    # a RuleID row emits iff Finding is fresher than the previous RuleID
+    emits = (
+        F.col("_gl_r")
+        & F.col("_gl_pf").isNotNull()
+        & (F.col("_gl_pf") > F.coalesce(F.col("_gl_pr"), F.lit(0)))
     )
-    line_val = F.when(F.col("lnv.v").rlike(r"^\d+$"), F.col("lnv.v"))
-    ev = _ev(
+    staged = staged.withColumn("_gl_em", emits)
+    staged = (
+        staged.withColumn(
+            "_gl_pem", _prev_max(F.col("_gl_em"), F.col("line_no"))
+        )
+        .withColumn(
+            "_gl_lastr",
+            _prev_max(
+                F.col("_gl_r"),
+                F.struct(
+                    F.col("line_no"),
+                    F.col("_gl_em").alias("em"),
+                    F.col("_gl_v").alias("v"),
+                ),
+            ),
+        )
+        .withColumn(
+            "_gl_file",
+            _incl_max(
+                is_kv & (key == "File"),
+                F.struct(F.col("line_no"), F.col("_gl_v").alias("v")),
+            ),
+        )
+        .withColumn(
+            "_gl_line",
+            _incl_max(
+                is_kv & (key == "Line"),
+                F.struct(F.col("line_no"), F.col("_gl_v").alias("v")),
+            ),
+        )
+    )
+
+    def _field_after(col: str, floor: Column) -> Column:
+        s = F.col(col)
+        return F.when(s.isNotNull() & (s["line_no"] > floor), s["v"])
+
+    def _num(c: Column) -> Column:
+        return F.when(c.rlike(r"^\d+$"), c)
+
+    full_file = _field_after("_gl_file", F.col("_gl_pf"))
+    full_line = _field_after("_gl_line", F.col("_gl_pf"))
+    full_ev = _ev(
         "gitleaks", "security", F.lit("error"),
-        F.concat(
-            F.lit("secret detected: "),
-            F.coalesce(F.col("rule"), F.lit("unknown rule")),
-        ),
-        line_no=F.col("start"),
-        file=F.col("file.v"), line=line_val,
-        rule=F.col("rule"),
-        end_line_no=F.coalesce(F.col("rule_ln"), F.col("start")),
+        F.concat(F.lit("secret detected: "), F.col("_gl_v")),
+        line_no=F.col("_gl_pf"),
+        file=full_file, line=_num(full_line), rule=F.col("_gl_v"),
+        end_line_no=F.col("line_no"),
     )
-    return agg.filter(F.col("rule_ln").isNotNull()).select(
-        "source_id", ev.alias("ev")
+    # partial flush at a Finding row: pending headless block
+    p_floor = F.coalesce(F.col("_gl_pem"), F.lit(0))
+    partial = (
+        F.col("_gl_f")
+        & F.col("_gl_lastr").isNotNull()
+        & (F.col("_gl_lastr.line_no") > F.coalesce(F.col("_gl_pf"), F.lit(0)))
+        & ~F.col("_gl_lastr.em")
     )
+    stale_start = F.coalesce(F.col("_gl_pf"), F.lit(0))
+    part_file = _field_after("_gl_file", p_floor)
+    part_line = _field_after("_gl_line", p_floor)
+    partial_ev = _ev(
+        "gitleaks", "security", F.lit("error"),
+        F.concat(F.lit("secret detected: "), F.col("_gl_lastr.v")),
+        line_no=stale_start,
+        file=part_file, line=_num(part_line), rule=F.col("_gl_lastr.v"),
+        end_line_no=stale_start,
+        yield_line=F.col("line_no"),
+    )
+    return staged, [(emits, full_ev), (partial, partial_ev)]
 
 
-# rule builders: lines -> (staged lines df, [(condition, event struct)]).
-# rustc is the one DF-level builder (groupBy attachment can't be a
-# per-line rule).
+
 FAST_FORMATS: dict[str, object] = {
     "gcc": _r_gcc,
     "mypy": _r_mypy,
@@ -3528,7 +3605,7 @@ FAST_FORMATS: dict[str, object] = {
     "dotnet_test": _f_dotnet_test,
     "phpunit": _f_phpunit,
     "checkov": _f_checkov,
-    "gitleaks": _f_gitleaks,
+    "gitleaks": _r_gitleaks,
 }
 
 # formats whose builder is DF-level (groupBy attachment) rather than a
@@ -3554,7 +3631,6 @@ _DF_BUILDERS = {
     "dotnet_test": _f_dotnet_test,
     "phpunit": _f_phpunit,
     "checkov": _f_checkov,
-    "gitleaks": _f_gitleaks,
 }
 
 
@@ -3744,9 +3820,13 @@ def fast_parse_df(
                 F.col("format_used") == "generic"
             )
         )
+    # Python parse_content's event_index is the parser's YIELD order:
+    # scan-yield generators emit at the completing line (fuzz-found via
+    # googletest, where a location span straddles a summary line), so
+    # rank by the struct's yield-line field, span as the tie-break
     idx = F.row_number().over(
         Window.partitionBy("source_id").orderBy(
-            F.col("ev.log_line_start"), F.col("ev.log_line_end")
+            F.col("ev._yl"), F.col("ev.log_line_start"), F.col("ev.log_line_end")
         )
     )
     return ev.select(
@@ -3901,9 +3981,13 @@ def fast_parse_auto_df(
     )
     ev = allev.withColumn("_rk", rk).filter(F.col("_rk") == 1)
 
+    # Python parse_content's event_index is the parser's YIELD order:
+    # scan-yield generators emit at the completing line (fuzz-found via
+    # googletest, where a location span straddles a summary line), so
+    # rank by the struct's yield-line field, span as the tie-break
     idx = F.row_number().over(
         Window.partitionBy("source_id").orderBy(
-            F.col("ev.log_line_start"), F.col("ev.log_line_end")
+            F.col("ev._yl"), F.col("ev.log_line_start"), F.col("ev.log_line_end")
         )
     )
     return ev.select(

@@ -68,8 +68,12 @@ _POOL = _pool()
 _ALL_LINES = sorted({ln for lines in _POOL.values() for ln in lines})
 
 
-def _fuzz_docs(fmt: str, n_docs: int = 3, n_lines: int = 28) -> list[tuple[str, str]]:
-    rng = random.Random(zlib.crc32(fmt.encode()))
+def _fuzz_docs(
+    fmt: str, n_docs: int = 3, n_lines: int = 28, seed: int = 0
+) -> list[tuple[str, str]]:
+    rng = random.Random(
+        zlib.crc32(fmt.encode()) ^ (seed * 0x9E3779B9) if seed else zlib.crc32(fmt.encode())
+    )
     own = _POOL[fmt]
     docs = []
     for d in range(n_docs):
@@ -87,6 +91,20 @@ def _fuzz_docs(fmt: str, n_docs: int = 3, n_lines: int = 28) -> list[tuple[str, 
 
 
 @pytest.mark.parametrize("fmt", sorted(lpf.FAST_FORMATS))
-def test_fuzz_line_mix_parity(spark, fmt):
-    docs = _fuzz_docs(fmt)
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_line_mix_parity(spark, fmt, seed):
+    docs = _fuzz_docs(fmt, seed=seed)
+    assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt)
+
+
+# the exact (format, seed) mixes where the round-8 multi-seed sweep
+# caught real drift — each found a genuine state-machine divergence
+# (gitleaks headless blocks, dotnet last-message-wins, googletest
+# yield-order, cmake one-space indent) — stay pinned forever
+@pytest.mark.parametrize(
+    "fmt,seed",
+    [("dotnet_test", 2), ("gitleaks", 2), ("googletest", 2), ("cmake", 3)],
+)
+def test_fuzz_drift_pins(spark, fmt, seed):
+    docs = _fuzz_docs(fmt, seed=seed)
     assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt)

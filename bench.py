@@ -276,26 +276,7 @@ def main() -> None:
             fh.write("\n")
     except OSError:  # pragma: no cover - read-only checkout
         full_path = ""
-    # The stdout record line is COMPACT (VERDICT r7 ask #2: round 7's
-    # record was a beheaded tail — the driver keeps only a ~2000-char
-    # tail window, so the line must FIT it entirely; 25-query maps at
-    # ~35 chars each cannot). Contract fields + every scalar aggregate
-    # + the contractual per-query raw timings stay on the line; the
-    # other per-query maps live in bench_full.json (pointed to by
-    # full_record) and in the stderr trace.
-    compact = {
-        k: v
-        for k, v in record.items()
-        if k
-        not in (
-            "queries_min",
-            "variance_pct",
-            "queries_shuffle_normalized",
-            "anchor_ratio_vs_r2",
-            "anchor_ratio_vs_r7",
-        )
-    }
-    compact["full_record"] = os.path.basename(full_path) if full_path else None
+    compact = _compact_record(record, full_path)
     print(json.dumps(compact), flush=True)
     print(
         f"# calib_ms={calib} (ref {CALIB_REF_MS}) -> normalization x{scale:.3f}",
@@ -310,6 +291,27 @@ def main() -> None:
         file=sys.stderr,
     )
     spark.stop()
+
+
+def _compact_record(record: dict, full_path: str) -> dict:
+    """The stdout record line must FIT the driver's bounded (~2000
+    char) tail capture ENTIRELY or the round loses its perf evidence
+    (round 7's record was a beheaded tail). Round 9 (VERDICT r8 ask
+    #8): per-query maps — including the raw `queries` timings — are
+    dropped from stdout entirely (the suite grows every round, so any
+    per-query map eventually overflows the window); every map lives in
+    bench_full.json, pointed to by `full_record`. The line keeps the
+    headline scalars, both calibrations, and the anchor-ratio medians/
+    worsts. tests/test_bench_record.py asserts the line stays <1500
+    chars even at twice today's suite size."""
+    compact = {
+        k: v
+        for k, v in record.items()
+        if not isinstance(v, dict)
+    }
+    compact["n_queries"] = len(record.get("queries", {}))
+    compact["full_record"] = os.path.basename(full_path) if full_path else None
+    return compact
 
 
 def _shuffle_calibration_s(spark) -> float:

@@ -279,13 +279,36 @@ def ivf_append_index(
     suggest-only flag set when any cell's drift_ratio crosses the
     documented 0.5 trigger. The check stays O(batch): the stored side is
     never re-read (one extra aggregation pass over the batch's lineage).
-    ivf_retrain_index clears the flag by reseeding the ledger."""
+    ivf_retrain_index clears the flag by reseeding the ledger.
+
+    Single-writer assumption (documented per ADVICE r8): concurrent
+    appends to one index path can interleave the unguarded
+    read-modify-write of meta.json's ledger (the atomic swap prevents
+    torn READS, not lost merges) — serialize appends per index path.
+    The batch is localCheckpointed before the parquet write so the
+    stats aggregation reads the SAME rows that were written even when
+    the upstream DataFrame is non-deterministic."""
     meta = load_meta(path)
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
+    # fail BEFORE writing anything: a batch whose vectors don't match
+    # the index dimensionality would previously append cells and then
+    # die in the stats pass, leaving cells/ledger inconsistent
+    # (ADVICE r8)
+    dim = len(meta["centroids"][0])
+    bad = (
+        corpus.select(F.size(F.col(vec_col)).alias("_d"))
+        .filter(F.col("_d") != dim)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"ivf_append_index: batch vector dim {bad[0]['_d']} != index dim {dim}"
+        )
     assigned = _ivf_assign(
         corpus, meta["centroids"], id_col, vec_col, "id", nprobe=1
-    )
+    ).localCheckpoint(eager=True)
     (
         assigned.write.mode("append")
         .partitionBy("cell")

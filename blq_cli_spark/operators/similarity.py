@@ -940,7 +940,11 @@ def semantic_dedup(
     pair-derived table far smaller than the corpus.
 
     `method_kwargs` pass through to the pair generator (neardup_pairs /
-    neardup_pairs_bucketed)."""
+    neardup_pairs_bucketed / neardup_pairs_kmeans). Behavior change in
+    round 8 (ADVICE r8, intentional): method='kmeans' used to silently
+    IGNORE method_kwargs — it now forwards them, so kwargs meant for a
+    different method (e.g. bands=) raise TypeError instead of being
+    dropped."""
     from blq_cli_spark.operators import dedup as dedup_ops
 
     if method == "bucketed":

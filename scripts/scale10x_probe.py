@@ -383,5 +383,150 @@ def _time_once(fn) -> float:
     return time.perf_counter() - t0
 
 
+def tier100x() -> None:
+    """100x probe tier (round 9, VERDICT r8 ask #4): at 10x the
+    per-stage floors still mute the data term for the parse and
+    semantic families (r8 exponents 0.09/-0.03 were floor artifacts).
+    This tier rescales JUST those families across 10x -> 100x (500k
+    docs / 200k embeddings, synthetic, distributed generation) where
+    the data term dominates, reporting the per-decade exponent
+    log10(t_100x / t_10x), and measures SemDeDup recall at the next
+    scale decade with a SUBSET-RESTRICTED exact oracle: exact pairs on
+    the 20k-row organic subset (the 10x recall corpus, embedded inside
+    the 200k corpus), approximate pairs from the FULL 200k corpus
+    filtered to subset endpoints — an unbiased estimate of pair recall
+    that keeps the oracle tractable while the bucket/cell sizing runs
+    at true 100x scale.
+
+    Run: python scripts/scale10x_probe.py --tier100x"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blq_cli_spark.operators import similarity
+    from blq_cli_spark.session import get_spark
+    from blq_cli_spark.sources import logparse as lp_mod
+
+    spark = get_spark(app_name="scale100x-probe")
+    FLOOR, THRESHOLD = 0.75, 0.4
+
+    def synth_logs(n_docs: int):
+        # the probes() realistic gcc distribution: 1 diagnostic per 50
+        # lines, the rest ordinary build output
+        gcc = (
+            "transform(sequence(1, 40), i -> IF(i % 50 = 3,"
+            " concat('src/m_', cast(id % 97 as string), '.c:',"
+            " cast(i as string), ':1: error: op ', cast(i % 9 as string),"
+            " ' failed at 0xbeef'),"
+            " concat('  CC   obj/m_', cast(id % 97 as string), '_',"
+            " cast(i as string), '.o  [', cast(i as string), '/40]')))"
+        )
+        # an eslint-shaped family for the auto tier: file header + issues
+        esl = (
+            "concat(array(concat('app_u', cast(id as string), '.js')),"
+            " transform(sequence(1, 39), i -> IF(i % 25 = 4,"
+            " concat('  ', cast(i as string), ':7  error  unexpected token in h',"
+            " cast(i % 9 as string), '  no-unused-vars'),"
+            " concat('webpack compiled module ', cast(i as string)))))"
+        )
+        return spark.range(n_docs).select(
+            F.col("id").cast("string").alias("source_id"),
+            F.when(
+                F.col("id") % 2 == 0, F.concat_ws("\n", F.expr(gcc))
+            ).otherwise(F.concat_ws("\n", F.expr(esl))).alias("content"),
+        ).repartition(32)
+
+    def synth_emb(n_copies: int):
+        base = pd.read_parquet("/root/testdata/sf0.1/embeddings.parquet")[
+            ["vec_id", "embedding"]
+        ]
+        mat = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+        rng = np.random.default_rng(8)
+        sigma = 0.05 * mat.std(axis=0)
+        copies = []
+        for c in range(n_copies):
+            jittered = mat if c == 0 else mat + rng.normal(0, 1, mat.shape) * sigma
+            copies.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": base["vec_id"].to_numpy() + c * 1_000_000,
+                        "embedding": list(jittered),
+                    }
+                )
+            )
+        return spark.createDataFrame(
+            pd.concat(copies), "vec_id long, embedding array<double>"
+        ).repartition(32)
+
+    sizes = {"10x": (50_000, 10), "100x": (500_000, 100)}
+    data = {}
+    for tag, (nd, nc) in sizes.items():
+        logs = synth_logs(nd).localCheckpoint(eager=True)
+        emb = synth_emb(nc).localCheckpoint(eager=True)
+        data[tag] = (logs, emb)
+
+    def fams(tag: str):
+        logs, emb = data[tag]
+        gcc_logs = logs.filter(F.col("source_id").cast("long") % 2 == 0)
+        return {
+            "parse_explicit_gcc": lambda: lp_mod.parse_df(gcc_logs, fmt="gcc"),
+            "parse_auto": lambda: lp_mod.parse_df(logs, fmt="auto"),
+            "semdedup_bucketed": lambda: similarity.neardup_pairs_bucketed(
+                emb, THRESHOLD
+            ),
+            "semdedup_kmeans": lambda: similarity.neardup_pairs_kmeans(
+                emb, THRESHOLD
+            ),
+        }
+
+    for fn in fams("10x").values():  # warm codegen/workers (not timed)
+        fn().count()
+    names = list(fams("10x"))
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for tag in sizes:
+        f = fams(tag)
+        for name in names:
+            times[name][tag] = min(_time_once(f[name]) for _ in range(2))
+    print(f"{'family':22s} {'10x':>9s} {'100x':>10s} {'exponent':>9s}")
+    for name in names:
+        t10, t100 = times[name]["10x"], times[name]["100x"]
+        exp = math.log10(max(t100, 1e-9) / max(t10, 1e-9))
+        print(f"{name:22s} {t10:8.3f}s {t100:9.3f}s {exp:9.2f}")
+
+    # recall at 100x: exact oracle on the embedded 20k organic subset
+    _logs10, emb_sub = data["10x"]
+    _logs100, emb_full = data["100x"]
+    sub_max = 10 * 1_000_000
+    exact = (
+        similarity.neardup_pairs(emb_sub, THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    print()
+    print(
+        f"semdedup recall at 100x (200k corpus; exact oracle on the "
+        f"embedded 20k subset; threshold {THRESHOLD}, floor {FLOOR})"
+    )
+    ok = True
+    for meth, fn in (
+        ("bucketed", lambda: similarity.neardup_pairs_bucketed(emb_full, THRESHOLD)),
+        ("kmeans", lambda: similarity.neardup_pairs_kmeans(emb_full, THRESHOLD)),
+    ):
+        approx_sub = fn().filter(
+            (F.col("id_a") < sub_max) & (F.col("id_b") < sub_max)
+        ).select("id_a", "id_b")
+        hit = exact.join(approx_sub, ["id_a", "id_b"], "left_semi").count()
+        r = hit / max(n_exact, 1)
+        ok = ok and r >= FLOOR
+        print(f"  {meth:9s} recall {r:.3f}{'' if r >= FLOOR else ' *BELOW FLOOR*'}"
+              f"  ({hit}/{n_exact})")
+    print(f"recall floor {'PASS' if ok else 'FAIL'}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--tier100x" in sys.argv:
+        tier100x()
+    else:
+        main()

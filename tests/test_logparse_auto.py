@@ -171,3 +171,37 @@ def test_carry_column_names_unique_across_per_line_formats():
             owners.setdefault(col, set()).add(fn)
     dupes = {c: fns for c, fns in owners.items() if len(fns) > 1}
     assert not dupes, dupes
+
+
+def test_presence_program_is_superset_of_candidates(spark):
+    """Round 9: the bit-packed presence census (_auto_presence_program)
+    must be a per-document SUPERSET of the exact candidate exprs — for
+    every fixture document and every format, candidate-true implies
+    presence-predicate-true on that document's own atom bits (AND
+    distributes monotonically; a false negative here would silently
+    drop a format from the parse plan)."""
+    docs, i = [], 0
+    for fmt, fixtures in CASES.items():
+        for c in fixtures:
+            docs.append((f"{fmt}-{i}", c))
+            i += 1
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    content = F.coalesce(F.col("content"), F.lit(""))
+    cand = lpf._auto_candidate_exprs(content)
+    atom_names, packs, preds = lpf._auto_presence_program(content)
+    assert set(preds) == set(cand)
+    rows = df.select(
+        "source_id",
+        *[c.alias(f"c_{f}") for f, c in cand.items()],
+        *packs,
+    ).collect()
+    bad = []
+    for r in rows:
+        atom_on = {
+            n: bool(((r[f"_pack{j // 62}"] or 0) >> (j % 62)) & 1)
+            for j, n in enumerate(atom_names)
+        }
+        for fmt in cand:
+            if r[f"c_{fmt}"] and not preds[fmt].fn(atom_on):
+                bad.append((r["source_id"], fmt))
+    assert not bad, bad[:10]

@@ -4152,16 +4152,15 @@ def fast_parse_auto_df(
 
     Scale: the documents are hash-partitioned by id up front (one
     narrow exchange, before the 1-to-many line explode) and posexplode
-    preserves that clustering, so the carry windows, the m-split, the
-    contested ranking, and event_index all inherit it; the routed event
-    table
-    (parse OUTPUT — orders of magnitude smaller than the input) is
-    localCheckpointed once so the simple/contested branches don't
-    recompute the parse chain; scan amplification is 2 (presence agg +
-    parse) plus at most 1 for ALL builder formats together; zero
-    Python stages anywhere (plan-asserted in
-    tests/test_logparse_auto.py). Streaming stays on the Python path
-    (parse_df gate)."""
+    preserves that clustering, so the carry windows and all four
+    routing/ranking/event_index windows inherit it — they evaluate in
+    ONE pipeline over the event table (parse OUTPUT, orders of
+    magnitude smaller than the input; measured, the extra event sorts
+    cost less than materializing a checkpoint for a branch split);
+    scan amplification is 2 (presence agg + parse) plus at most 1 for
+    ALL builder formats together; zero Python stages anywhere
+    (plan-asserted in tests/test_logparse_auto.py). Streaming stays on
+    the Python path (parse_df gate)."""
     from blq_cli_spark.sources import logparse as _lp
 
     # candidate / presence Column trees are static per content column —
@@ -4261,30 +4260,21 @@ def fast_parse_auto_df(
     # the diagnose winner depends ONLY on formats that produced >=1
     # event on the document (a zero-event candidate scores
     # key = n*conf = 0 and never beats an event-producing format), so
-    # route on m = distinct real formats with events per document
+    # routing needs m = distinct real formats with events per document:
+    # m<=1 documents (the overwhelming majority under the tightened
+    # candidate prefilters) keep their single real format — else
+    # generic, parse_content's detect-then-fallback chain — WITHOUT
+    # consulting the ranking; only m>=2 documents use diagnose's exact
+    # confidence ranking. Everything evaluates in ONE pipeline over the
+    # (small) event table: all four windows share the hash(source_id)
+    # clustering, and measured at sf0.1 the extra event-table sorts
+    # cost less than materializing a checkpoint for a branch split.
     w_doc = Window.partitionBy("source_id")
     m = F.size(
         F.collect_set(
             F.when(F.col("_fmt") != "generic", F.col("_fmt"))
         ).over(w_doc)
     )
-    # materialize the routed table once (events, not lines — the parse
-    # OUTPUT) so the simple/contested branches don't recompute the
-    # parse chain; partitioning and ordering survive localCheckpoint,
-    # so neither branch re-exchanges
-    allev = allev.withColumn("_m", m).localCheckpoint(eager=True)
-
-    # m<=1: no ranking — the single real format wins, else generic
-    # (parse_content's detect-then-fallback chain)
-    simple = allev.filter(F.col("_m") <= 1).filter(
-        F.when(F.col("_m") == 0, F.col("_fmt") == "generic").otherwise(
-            F.col("_fmt") != "generic"
-        )
-    )
-
-    # m>=2 (genuinely contested, typically a small minority): diagnose's
-    # exact confidence ranking
-    con = allev.filter(F.col("_m") >= 2)
     idx_map = F.create_map(
         *[
             x
@@ -4292,8 +4282,11 @@ def fast_parse_auto_df(
             for x in (F.lit(fmt), F.lit(fmt_order.get(fmt, len(fmt_order))))
         ]
     )
-    con = con.withColumn("_fmt_idx", F.element_at(idx_map, F.col("_fmt")))
-    con = con.withColumn("_is_gen", (F.col("_fmt") == "generic").cast("int"))
+    allev = (
+        allev.withColumn("_m", m)
+        .withColumn("_fmt_idx", F.element_at(idx_map, F.col("_fmt")))
+        .withColumn("_is_gen", (F.col("_fmt") == "generic").cast("int"))
+    )
     loc_flag = (
         F.col("ev.ref_file").isNotNull() & (F.col("ev.ref_file") != "")
     ).cast("int")
@@ -4313,7 +4306,7 @@ def fast_parse_auto_df(
         + F.lit(0.5) * specific / n,
         4,
     )
-    con = con.withColumn("_key", n.cast("double") * conf).withColumn("_n", n)
+    allev = allev.withColumn("_key", n.cast("double") * conf).withColumn("_n", n)
     # all rows of one (document, format) share the same (_key, _n,
     # _fmt_idx) triple, so dense_rank==1 keeps exactly the winner's rows
     rk = F.dense_rank().over(
@@ -4321,41 +4314,42 @@ def fast_parse_auto_df(
             F.asc("_is_gen"), F.desc("_key"), F.desc("_n"), F.asc("_fmt_idx")
         )
     )
-    won = con.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+    allev = allev.withColumn("_rk", rk)
+    keep = F.when(
+        F.col("_m") <= 1,
+        F.when(F.col("_m") == 0, F.col("_fmt") == "generic").otherwise(
+            F.col("_fmt") != "generic"
+        ),
+    ).otherwise(F.col("_rk") == 1)
+    ev = allev.filter(keep)
 
-    # a document's events live wholly in ONE branch, so event_index
-    # (the Python parser's YIELD order: scan-yield generators emit at
-    # the COMPLETING line — rank by the struct's yield-line field, span
-    # as the tie-break) finalizes per branch and the union needs no
-    # further window or exchange
-    def _finalize(ev: DataFrame) -> DataFrame:
-        idx = F.row_number().over(
-            Window.partitionBy("source_id").orderBy(
-                F.col("ev._yl"),
-                F.col("ev.log_line_start"),
-                F.col("ev.log_line_end"),
-            )
+    # Python parse_content's event_index is the parser's YIELD order:
+    # scan-yield generators emit at the COMPLETING line (fuzz-found via
+    # googletest, where a location span straddles a summary line), so
+    # rank by the struct's yield-line field, span as the tie-break
+    idx = F.row_number().over(
+        Window.partitionBy("source_id").orderBy(
+            F.col("ev._yl"),
+            F.col("ev.log_line_start"),
+            F.col("ev.log_line_end"),
         )
-        return ev.select(
-            "source_id",
-            idx.alias("event_index"),
-            F.col("ev.event_type").alias("event_type"),
-            F.col("ev.severity").alias("severity"),
-            F.col("ev.ref_file").alias("ref_file"),
-            F.col("ev.ref_line").alias("ref_line"),
-            F.col("ev.ref_column").alias("ref_column"),
-            F.col("ev.message").alias("message"),
-            F.col("ev.code").alias("code"),
-            F.col("ev.rule").alias("rule"),
-            F.col("ev.tool_name").alias("tool_name"),
-            F.col("ev.category").alias("category"),
-            F.col("ev.test_name").alias("test_name"),
-            F.col("ev.fingerprint").alias("fingerprint"),
-            F.col("ev.log_line_start").alias("log_line_start"),
-            F.col("ev.log_line_end").alias("log_line_end"),
-            F.col("_fmt").alias("format_used"),
-        )
-
-    return _finalize(simple).unionByName(
-        _finalize(won.select("source_id", "ev", "_fmt", "_m"))
+    )
+    return ev.select(
+        "source_id",
+        idx.alias("event_index"),
+        F.col("ev.event_type").alias("event_type"),
+        F.col("ev.severity").alias("severity"),
+        F.col("ev.ref_file").alias("ref_file"),
+        F.col("ev.ref_line").alias("ref_line"),
+        F.col("ev.ref_column").alias("ref_column"),
+        F.col("ev.message").alias("message"),
+        F.col("ev.code").alias("code"),
+        F.col("ev.rule").alias("rule"),
+        F.col("ev.tool_name").alias("tool_name"),
+        F.col("ev.category").alias("category"),
+        F.col("ev.test_name").alias("test_name"),
+        F.col("ev.fingerprint").alias("fingerprint"),
+        F.col("ev.log_line_start").alias("log_line_start"),
+        F.col("ev.log_line_end").alias("log_line_end"),
+        F.col("_fmt").alias("format_used"),
     )

@@ -1115,18 +1115,19 @@ def x_semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _CAP)
     n = emb.count()
     G = max(2, n // 10)
-    g = F.expr(f"vec_id % {G}")
-    s = (F.expr(f"vec_id div {G}") + F.lit(1)).cast("double")
-    i1 = g % 64
-    i2 = (i1 + (F.expr(f"(vec_id % {G}) div 64") % 31) + 1) % 64
+    # one transform() lambda instead of 64 chained F.when columns: the
+    # values are identical, but plan construction drops from 64 py4j
+    # round-trips to one expression parse (round 10 — per-call plan
+    # build was ~0.7 s of this gate's bench time)
     planted = emb.select(
         F.col("vec_id"),
-        F.array(
-            *[
-                F.when((F.lit(d) == i1) | (F.lit(d) == i2), s)
-                .otherwise(F.lit(0.0))
-                for d in range(64)
-            ]
+        F.expr(
+            f"""transform(sequence(0, 63), d -> CASE
+                WHEN d = (vec_id % {G}) % 64
+                  OR d = ((vec_id % {G}) % 64
+                          + ((vec_id % {G}) div 64) % 31 + 1) % 64
+                THEN CAST(vec_id div {G} + 1 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END)"""
         ).alias("embedding"),
     )
     out = similarity.semantic_dedup(

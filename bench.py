@@ -267,11 +267,19 @@ def main() -> None:
         "anchor_ratio_vs_r7_median": r7_sorted[len(r7_sorted) // 2],
         "anchor_ratio_vs_r7_worst": r7_sorted[-1],
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
-    )
+    # round-stamped full record (ADVICE r9 #5): a re-run must never
+    # clobber the per-query evidence backing an earlier round, so the
+    # authoritative file carries a wall-clock stamp and full_record
+    # points at it; bench_full.json stays as a convenience copy of the
+    # LATEST run only.
+    here = os.path.dirname(os.path.abspath(__file__))
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    full_path = os.path.join(here, f"bench_full_{stamp}.json")
     try:
         with open(full_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+        with open(os.path.join(here, "bench_full.json"), "w") as fh:
             json.dump(record, fh, indent=1)
             fh.write("\n")
     except OSError:  # pragma: no cover - read-only checkout

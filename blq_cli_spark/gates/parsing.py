@@ -223,21 +223,28 @@ def x_parse_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     family before the union (the families reuse user ids) and stripped
     back after the parse.
 
-    Measured (sf0.1, local[32], warm, interleaved min-of-3): auto
-    6.4-8.5 s vs explicit 3.4-4.4 s — ~1.9x, down from 2.1x/12.5 s in
-    round 8 after the round-9 rework (VERDICT r8 ask #1): per-format
-    staging/rule Column trees are cached process-wide (plan
-    construction was ~2.4 s/call of py4j + eager-analysis overhead),
-    the presence census packs ~196 DISTINCT literal atoms into four
-    bit-packed longs (was ~700 per-format contains, 2.7 s -> ~0.7 s),
-    per-format rules are doc-candidate-gated, and documents where at
-    most ONE real format fired (all of this corpus) skip the ranking
-    windows entirely via the m-split. The residual ~2x is the price of
-    running every candidate format's gated rule pass + detection
-    bookkeeping over one mixed corpus; the mapInPandas Python auto
-    path measures ~5.3 s here (embarrassingly parallel detection), so
-    the JVM path's value is the zero-Python plan + hash-verified
-    detection + scale shape, not raw local throughput."""
+    Measured (sf0.1, local[32], warm, interleaved min-of-3,
+    scripts/profile_ab.py): auto 5.0 s vs explicit 3.6 s — **1.38x**,
+    down from ~1.9x in round 9 and 2.1x/12.5 s in round 8. The round-10
+    cut (VERDICT r9 ask #3) is _DOC_PROBE in logparse_fast: the
+    measured residual was candidate OVER-ADMISSION, not detection
+    bookkeeping — weak literal prefilters (_has(":") for ruff/flake8,
+    _has("x") for vitest/stylelint) admitted 5-7 formats per document,
+    each paying its per-line staging regexp_replace + rule rlike over
+    every line. Formats with weak atoms now AND a line-bounded (?m)
+    doc-regex probe into their candidate flag (sound: a line-level rule
+    match implies the doc-level probe match; superset-guarded by the
+    candidate sweep test), which makes the per-document candidate set
+    exact on this corpus (gcc docs -> {gcc}, eslint -> {eslint},
+    rustc -> {rustc, elixir} — elixir's bare `warning:` rule genuinely
+    fires on rustc logs, so scoring it IS diagnose's detection
+    minimum). Stage split after the fix (scripts/profile_auto.py):
+    presence census ~0.8-1.5 s (the one inherent full-corpus detection
+    scan), candidate-flag probes ride the same projection, gated rule
+    pass ~= the explicit path's (only true candidates stage), ranking
+    windows ~0 via the m-split. Earlier rounds' levers retained:
+    process-wide cached Column trees, bit-packed atom census,
+    doc-candidate gating, m-split routing."""
     ev = _events(spark, sf_dir)
     gcc_docs, es_docs, rust_docs = _family_docs(ev)
 

@@ -291,23 +291,26 @@ def ivf_append_index(
     meta = load_meta(path)
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
+    centroids = meta.get("centroids") or []
+    if not centroids or not centroids[0]:
+        raise ValueError(
+            f"ivf_append_index: index at {path} has no centroids "
+            "(empty or malformed meta.json)"
+        )
     # fail BEFORE writing anything: a batch whose vectors don't match
     # the index dimensionality would previously append cells and then
     # die in the stats pass, leaving cells/ledger inconsistent
-    # (ADVICE r8)
-    dim = len(meta["centroids"][0])
-    bad = (
-        corpus.select(F.size(F.col(vec_col)).alias("_d"))
-        .filter(F.col("_d") != dim)
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"ivf_append_index: batch vector dim {bad[0]['_d']} != index dim {dim}"
-        )
+    # (ADVICE r8). The dim assertion rides the assignment kernel — the
+    # eager checkpoint below materializes it (and so raises) before the
+    # parquet write, with no extra scan of the batch (ADVICE r9 #4).
     assigned = _ivf_assign(
-        corpus, meta["centroids"], id_col, vec_col, "id", nprobe=1
+        corpus,
+        centroids,
+        id_col,
+        vec_col,
+        "id",
+        nprobe=1,
+        expect_dim=len(centroids[0]),
     ).localCheckpoint(eager=True)
     (
         assigned.write.mode("append")

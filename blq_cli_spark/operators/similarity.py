@@ -699,10 +699,14 @@ def _ivf_assign(
     vec_col: str,
     out_id: str,
     nprobe: int = 1,
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its top-nprobe cells by dot product with the
     centroid matrix (one numpy matmul per batch; nprobe rows out per
-    vector)."""
+    vector). With `expect_dim`, each batch's vector width is asserted
+    inside the kernel (ValueError surfaced through the Spark job) — the
+    dim guard rides the assignment pass instead of costing callers an
+    extra scan (round 10, ADVICE r9 #4)."""
     C = np.asarray(centroids, dtype=np.float64)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -711,6 +715,10 @@ def _ivf_assign(
             if not len(pdf):
                 continue
             M = _to_matrix(pdf[vec_col])
+            if expect_dim is not None and M.shape[1] != expect_dim:
+                raise ValueError(
+                    f"batch vector dim {M.shape[1]} != index dim {expect_dim}"
+                )
             dots = M @ C.T  # |batch| x n_cells
             order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
             n = len(pdf)

@@ -106,6 +106,72 @@ def main():
     # 5. full auto
     t("full fast_parse_auto_df", lambda: lf.fast_parse_auto_df(corpus).count())
 
+    # 6. cumulative stage split of the REAL auto pipeline (round 10,
+    # VERDICT r9 ask #3): each step adds one stage of
+    # fast_parse_auto_df; differences between consecutive steps are the
+    # per-stage costs (census / gated rule pass / builders / routing
+    # windows / event_index assembly).
+    print("\n-- cumulative stage split (gated pipeline) --")
+    prog = lf._PRESENCE_CACHE.get("content") or lf._auto_presence_program(content)
+    atom_names, packs, preds = prog
+
+    def census():
+        corpus.select(*packs).agg(
+            *[F.bit_or(F.col(f"_pack{k}")).alias(f"_pack{k}") for k in range(len(packs))]
+        ).collect()
+
+    t1 = t("1 presence census", census)
+
+    flag = {f: f"_cand_{f}" for f in present}
+
+    def gated_chain(stop_after):
+        df2 = corpus.select(
+            F.col("source_id"),
+            F.col("content"),
+            *[cand[f].alias(flag[f]) for f in present],
+        ).repartition(F.col("source_id"))
+        lines0 = lf._lines_flagged(df2, "source_id", "content", [flag[f] for f in present])
+        pend_all, tagged = [], []
+        for fmt in per_line:
+            pend, rules = lf._format_plan(fmt, flag[fmt])
+            pend_all += pend
+            tagged += [(fmt, c, e) for c, e in rules]
+        g_pend, g_rules = lf._format_plan("generic", None)
+        pend_all += g_pend
+        tagged += [("generic", c, e) for c, e in g_rules]
+        staged = lf._apply_staging(lines0, pend_all)
+        ev = lf._explode_tagged(staged, tagged)
+        if stop_after == "rules":
+            return ev.count()
+        parts = [ev.withColumnRenamed("format_used", "_fmt")]
+        if builders:
+            any_b = F.lit(False)
+            for f in builders:
+                any_b = any_b | F.col(flag[f])
+            b_lines = lf._lines_flagged(
+                df2.filter(any_b), "source_id", "content", [flag[f] for f in builders]
+            )
+            for fmt in builders:
+                sub = b_lines.filter(F.col(flag[fmt])).select(
+                    "source_id", "line_no", "line"
+                )
+                parts.append(lf._events_for(sub, fmt).withColumn("_fmt", F.lit(fmt)))
+        allev = parts[0]
+        for p in parts[1:]:
+            allev = allev.unionByName(p)
+        if len(parts) > 1:
+            allev = allev.repartition(F.col("source_id"))
+        return allev.count()
+
+    t2 = t("2 + gated per-line rules", lambda: census() or gated_chain("rules"))
+    t3 = t("3 + builder branches", lambda: census() or gated_chain("all"))
+    t5 = t("5 full (routing+assembly)", lambda: lf.fast_parse_auto_df(corpus).count())
+    print("\n-- decomposition (min-of-2 deltas; negatives = noise) --")
+    print(f"presence census      {t1:6.2f} s")
+    print(f"gated rule pass      {t2 - t1:6.2f} s")
+    print(f"builder branches     {t3 - t2:6.2f} s")
+    print(f"routing + assembly   {t5 - t3:6.2f} s")
+
     spark.stop()
 
 

@@ -383,3 +383,41 @@ def test_retrain_recommended_flag_lifecycle(spark, tmp_path):
     )
     assert "cell_stats" in meta and "retrain_recommended" in meta
     assert sum(s["n"] for s in meta["cell_stats"].values()) == 341
+
+
+def test_append_dim_guard_fails_pre_write_no_extra_scan(spark, tmp_path):
+    """Round 10 (ADVICE r9 #4): the append dim check rides the
+    assignment kernel — a mismatched batch fails BEFORE any cell is
+    written (cells and ledger unchanged), and an empty/malformed
+    centroid list raises a clear ValueError instead of IndexError."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    idx = str(tmp_path / "dim_idx")
+    rows = _vectors(40)
+    ann_index.ivf_build_index(_df(spark, rows), idx, k_cells=3)
+    before_meta = ann_index.load_meta(idx)
+    before_files = sorted(glob.glob(os.path.join(idx, "cells", "**"), recursive=True))
+
+    bad = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="!= index dim"):
+        ann_index.ivf_append_index(bad, idx)
+    # nothing written, ledger untouched
+    after_files = sorted(glob.glob(os.path.join(idx, "cells", "**"), recursive=True))
+    assert after_files == before_files
+    assert ann_index.load_meta(idx) == before_meta
+
+    # malformed meta: empty centroids -> explicit ValueError
+    mp = os.path.join(idx, "meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["centroids"] = []
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="no centroids"):
+        ann_index.ivf_append_index(_df(spark, rows[:1]), idx)

@@ -205,3 +205,53 @@ def test_presence_program_is_superset_of_candidates(spark):
             if r[f"c_{fmt}"] and not preds[fmt].fn(atom_on):
                 bad.append((r["source_id"], fmt))
     assert not bad, bad[:10]
+
+
+def test_apply_staging_layering_analyzes_every_format_plan(spark):
+    """Round 10 (ADVICE r9 #1): _apply_staging layers batched
+    withColumns by checking whether a staged name appears in
+    repr(expr) — an implicit dependency detection that relies on
+    PySpark's Column repr surfacing referenced column names. If a repr
+    format change ever hides a reference, a dependent staging column
+    co-batches with its producer and the plan fails AT ANALYSIS. Build
+    every (format, gate) staging plan and analyze it (plus every rule
+    condition/event expr) against a dummy line table so that breakage
+    is loud here, not inside a driver run."""
+    lines = spark.createDataFrame(
+        [("d1", 1, "x: 1 error")],
+        "source_id string, line_no int, line string",
+    ).withColumn("_cand_probe", F.lit(True))
+    for fmt in lpf.FAST_FORMATS:
+        if fmt in lpf._DF_BUILDERS:
+            continue
+        gates = (None,) if fmt == "generic" else (None, "_cand_probe")
+        for gate in gates:
+            pend, rules = lpf._format_plan(fmt, gate)
+            staged = lpf._apply_staging(lines, pend)
+            sel = staged.select(
+                *[c.cast("boolean").alias(f"_c{i}") for i, (c, _e) in enumerate(rules)],
+                *[e.alias(f"_e{i}") for i, (_c, e) in enumerate(rules)],
+            )
+            # .schema forces full analysis of the layered plan
+            assert sel.schema is not None, (fmt, gate)
+
+
+def test_plan_caches_clear_on_new_spark_context_epoch(spark):
+    """Round 10 (ADVICE r9 #2): the process-wide Column-tree caches are
+    epoch-keyed by applicationId — after a context restart the stale
+    trees (dead py4j handles) must be dropped, not reused. Simulate the
+    epoch change rather than bouncing the suite's session."""
+    lpf._fresh_caches()
+    lpf._PLAN_CACHE[("__sentinel__", None)] = ([], [])
+    lpf._CAND_CACHE["__sentinel__"] = {}
+    lpf._PRESENCE_CACHE["__sentinel__"] = ()
+    # same epoch: caches persist
+    lpf._fresh_caches()
+    assert ("__sentinel__", None) in lpf._PLAN_CACHE
+    # new epoch (a restarted context has a new applicationId)
+    lpf._CACHE_EPOCH[0] = "stale-app-id"
+    lpf._fresh_caches()
+    assert ("__sentinel__", None) not in lpf._PLAN_CACHE
+    assert "__sentinel__" not in lpf._CAND_CACHE
+    assert "__sentinel__" not in lpf._PRESENCE_CACHE
+    assert lpf._CACHE_EPOCH[0] == spark.sparkContext.applicationId

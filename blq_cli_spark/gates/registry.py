@@ -58,8 +58,14 @@ def oracle_of(name: str) -> str:
 DRIVER_ORDER = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
-    "q5_region_revenue",
-    "q10_returned_items",
+    # round 10 (VERDICT r9 ask #6): q5/q10 rotate OUT (their
+    # region-join-agg and returned-items shapes live inside
+    # q_deep_suite's q8/q9-family members; both stay registered after
+    # the window and hash-checked by tests/test_gate_parity.py) to
+    # fund driver rows for the PNG/GIF pixel path and the text
+    # normalizer, which previously sat past the 50-gate window.
+    "x_image_phash",
+    "x_normalize_text",
     "q18_large_orders",
     "q6_forecast_revenue",
     "q19_brand_size_quantity",

@@ -41,12 +41,12 @@ def test_driver_window_covers_every_family():
     def family(prefix):
         return [n for n in window if n.startswith(prefix)]
 
-    # all 22 TPC-H shapes stay covered: 7 individual + q_deep_suite
+    # all 22 TPC-H shapes stay covered: 5 individual + q_deep_suite
     # (q2/q8/q9/q11/q13/q15/q16/q17/q20/q21/q22 since round 6; round 9
-    # rotated q4/q7/q12/q14 out of the window — their semi/anti/
-    # join-agg/case-sum shapes are inside q_deep_suite members and all
-    # four stay registered + parity-checked after the window)
-    assert len(family("q")) == 8
+    # rotated q4/q7/q12/q14 out of the window, round 10 rotated q5/q10
+    # — every rotated singleton's shape lives inside q_deep_suite
+    # members and stays registered + parity-checked after the window)
+    assert len(family("q")) == 6
     assert family("w")  # windows
     assert family("o")  # sorts/limits
     assert family("j")  # joins
@@ -58,14 +58,17 @@ def test_driver_window_covers_every_family():
     # every LLM-pipeline operator: 11 r1-r3 gates + quality suite,
     # dedup clusters, source mix, quantization (round 4) + the LM suite
     # (round 5) + x_parse_suite (round 6) + the round-6..8 headliners
-    # rotated in by round 9: x_parse_auto, x_semantic_dedup_bucketed,
-    # x_jpeg_phash, x_audio_dedup_pairs
-    assert len(family("x")) == 21
+    # rotated in by round 9 (x_parse_auto, x_semantic_dedup_bucketed,
+    # x_jpeg_phash, x_audio_dedup_pairs) + the round-10 rotation
+    # (x_image_phash, x_normalize_text)
+    assert len(family("x")) == 23
     for n in (
         "x_parse_auto",
         "x_semantic_dedup_bucketed",
         "x_jpeg_phash",
         "x_audio_dedup_pairs",
+        "x_image_phash",
+        "x_normalize_text",
     ):
         assert n in window, n
 

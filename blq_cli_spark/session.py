@@ -62,3 +62,36 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_local_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD on the session; returns the count.
+
+    Several operators cut lineage / pin a reused intermediate with
+    ``localCheckpoint`` (minhash signatures, banded bucket sizing, the
+    connected-components frontier, the bucketed-SemDeDup skinny
+    assignment, IVF append batches). Those blocks live in the executor
+    block managers until the SESSION dies — Spark has no automatic
+    release for checkpoint blocks whose DataFrame went out of Python
+    scope. A long-lived session (serve mode, a notebook, a bench loop)
+    that calls such operators repeatedly therefore accumulates dead
+    blocks without bound: at 100 TB that is eventual executor eviction
+    churn / OOM; even at bench scale it is measurable cross-query GC
+    pressure.
+
+    Call this at result-consumed boundaries: every DataFrame produced by
+    a checkpoint-bearing operator must be fully materialized (written,
+    collected, counted) before the call — unpersisting truncates the
+    only copy, and a later action on a still-live handle fails with
+    "checkpoint block not found" rather than recomputing (the lineage
+    was cut; there is nothing to recompute from).
+
+    Non-blocking (``unpersist(false)``): the block managers drop the
+    blocks asynchronously; the freed memory is available to the next
+    job's tasks, not necessarily to the very next instruction.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)

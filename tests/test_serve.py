@@ -229,9 +229,17 @@ def test_config_tool_session_set_reset(store):
 
 
 def test_tool_maintain_and_timeseries(store):
+    # a dangling checkpoint from an earlier "request" — maintain is the
+    # serve session's documented release point for its blocks
+    store.spark.range(100).localCheckpoint(eager=True)
     out = serve.dispatch(store, "maintain")
-    assert out["ok"] and set(out["result"]) == {"dates_rolled", "orphans_swept", "blobs_removed"}
+    assert out["ok"] and set(out["result"]) == {
+        "dates_rolled", "orphans_swept", "blobs_removed",
+        "checkpoint_blocks_released",
+    }
     assert out["result"]["dates_rolled"] >= 1  # fixture dates are closed
+    assert out["result"]["checkpoint_blocks_released"] >= 1
+    assert len(store.spark.sparkContext._jsc.getPersistentRDDs()) == 0
     ts = serve.dispatch(store, "severity_timeseries")
     assert ts["ok"] and ts["result"]
     row = ts["result"][0]

@@ -84,11 +84,23 @@ def curation_sink(
             batch_df, stages, text_col=text_col, id_col=id_col
         )
         if not _already(output_path):
-            kept = kept.localCheckpoint(eager=True)
-            n_kept = kept.count()
-            kept.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(output_path)
+            # persist, not localCheckpoint: the blocks are reused by the
+            # count + the write (one pipeline execution, not two), then
+            # released BEFORE the batch commits — a localCheckpoint here
+            # leaked its blocks once per micro-batch for the life of the
+            # query (no release tied to Python scope), which on a
+            # days-long ingest is unbounded executor-memory growth.
+            # persist also keeps the lineage, so an executor loss during
+            # the write recomputes from the replayable source instead of
+            # failing on missing checkpoint blocks.
+            kept = kept.persist()
+            try:
+                n_kept = kept.count()
+                kept.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(output_path)
+            finally:
+                kept.unpersist()
         else:
             # output committed before the crash; recount it for the stats
             n_kept = (

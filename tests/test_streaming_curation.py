@@ -27,6 +27,7 @@ def test_stream_curation_ingest_end_to_end(spark, tmp_path):
     stats = str(tmp_path / "stats")
     ckpt = str(tmp_path / "ckpt")
     stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     q = curation.stream_curation_ingest(stream, outp, stats, ckpt)
     q.processAllAvailable()
     # second batch arrives after the first committed
@@ -44,6 +45,13 @@ def test_stream_curation_ingest_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(stats).collect()
     )
     assert srows == [(1, 1), (2, 1)]
+    # no per-batch persistence leaks: the sink persists `kept` for the
+    # count+write and must release it before the batch commits — on a
+    # days-long ingest a leaked block per micro-batch is unbounded
+    # executor-memory growth
+    assert (
+        len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
+    )
 
 
 def test_curation_sink_replay_is_noop(spark, tmp_path):

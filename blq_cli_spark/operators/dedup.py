@@ -378,14 +378,33 @@ def dedup_clusters(
     both paths against the same reference). The branch is decided by
     ONE aggregation on the checkpointed edge list, which the iterative
     path needs anyway for its convergence signature."""
-    edges = (
+    def _lc_tracked(df: DataFrame):
+        """localCheckpoint(eager=False) plus the java handles of the
+        blocks it registered, so the loop below can release a
+        SUPERSEDED edge generation instead of accumulating one
+        generation per iteration for the life of the session (at
+        near-dup scale each generation is the full edge list — ~10
+        rounds of leaked copies is real executor-memory pressure).
+        Identified by diffing the persistent-RDD census around the
+        call (registration is immediate even for a lazy checkpoint);
+        assumes no concurrent job persists in the same instant — the
+        same single-writer assumption ivf_append_index documents."""
+        jsc = df.sparkSession.sparkContext._jsc
+        before = {r.id() for r in jsc.getPersistentRDDs().values()}
+        out = df.localCheckpoint(eager=False)
+        handles = [
+            r for r in jsc.getPersistentRDDs().values()
+            if r.id() not in before
+        ]
+        return out, handles
+
+    edges, edge_handles = _lc_tracked(
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
 
     def _signature(df: DataFrame) -> tuple[int, int]:
@@ -441,7 +460,7 @@ def dedup_clusters(
                 .distinct()
             )
         # lazy checkpoint: the signature job below materializes it
-        new_edges = new_edges.localCheckpoint(eager=False)
+        new_edges, new_handles = _lc_tracked(new_edges)
         sig = _signature(new_edges)
         # fixpoint: matching (count, xor-hash) is a probable-equality
         # signal only — CONFIRM with the exact exceptAll (count equal +
@@ -451,9 +470,18 @@ def dedup_clusters(
             and new_edges.exceptAll(edges).limit(1).count() == 0
         ):
             edges = new_edges
+            for h in edge_handles:
+                h.unpersist(False)
+            edge_handles = new_handles
             break
         prev_sig = sig
         edges = new_edges
+        # the superseded generation's blocks are no longer reachable by
+        # any live plan (new_edges is materialized and lineage-free) —
+        # release them now rather than at session death
+        for h in edge_handles:
+            h.unpersist(False)
+        edge_handles = new_handles
     # at fixpoint each component is a star rooted at its min id
     return edges.select(
         F.col("v").alias("id"), F.col("u").alias("cluster_id")

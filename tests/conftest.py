@@ -39,3 +39,26 @@ def spark():
         os.chdir(old)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_checkpoints_per_module():
+    """Release dead localCheckpoint blocks at every module boundary.
+
+    The suite runs 1200+ tests on ONE session; checkpoint-bearing
+    operators (dedup, similarity, quality, corpus, ann_index) leave
+    their blocks in the block managers until the session dies, so GC
+    pressure grows over the 35-minute run. Module teardown is the safe
+    release point: no fixture outlives its module except the session
+    itself (which holds no checkpointed data), and autouse fixtures
+    tear down after the module's own fixtures. Uses getActiveSession so
+    modules that never touch Spark don't pay a session start.
+    """
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None and not s.streams.active:
+        from blq_cli_spark.session import release_local_checkpoints
+
+        release_local_checkpoints(s)

@@ -99,6 +99,13 @@ _HASHES_CTE = """
     oracle=_HASHES_CTE + "\n    SELECT id, phash FROM hashes",
 )
 def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL planted PNG bytes: documents-derived
+    gradient images are PNG-encoded deterministically, decoded by the
+    pure-numpy codec in an Arrow-batched mapInPandas, and reduced to
+    the 64-bit row-gradient hash; the DuckDB oracle recomputes the
+    hash analytically from the same closed-form pixel grid, so a match
+    proves decode -> grayscale -> resample -> gradient -> bit-pack
+    end-to-end (driver row since the round-10 rotation)."""
     imgs = _planted_images(spark, sf_dir)
     return mmb.image_perceptual_hash(imgs, method="dhash").select("id", "phash")
 
@@ -114,6 +121,13 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs over the same planted PNGs: dHash
+    then the banded-hamming candidate engine (pigeonhole: any pair
+    within max_hamming=7 shares at least one of 8 bands) with the
+    exact hamming filter on candidates; the oracle is the all-pairs
+    bit_count(xor) join — identical pairs prove the banding loses
+    nothing at this radius while at scale it replaces the quadratic
+    join with bucket-bounded work."""
     imgs = _planted_images(spark, sf_dir)
     pairs = mmb.image_dedup_pairs(imgs, method="dhash", max_hamming=7, bands=8)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -156,6 +156,15 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(await_seconds)
+    # awaitTermination(t) RETURNS on timeout with the query still
+    # running — on a loaded host a slow drain would leak an active
+    # query into the session (observed: a later maintain() call then
+    # refuses its checkpoint release because streams.active is
+    # non-empty). Callers get whatever drained (their assertions/reads
+    # see a partial table and fail loudly); the query never outlives
+    # the call.
+    if q.isActive:
+        q.stop()
 
 
 def stream_to_store(stream_events: DataFrame, store, query_name: str = "ingest"):

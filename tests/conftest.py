@@ -58,7 +58,13 @@ def _release_checkpoints_per_module():
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
-    if s is not None and not s.streams.active:
+    if s is not None:
+        # every test stops its own queries; one still active here is a
+        # leak (e.g. an awaitTermination timeout under load) that would
+        # bleed state-store work into unrelated modules — stop it, then
+        # release is safe
+        for q in s.streams.active:
+            q.stop()
         from blq_cli_spark.session import release_local_checkpoints
 
         release_local_checkpoints(s)

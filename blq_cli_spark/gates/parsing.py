@@ -235,7 +235,13 @@ def x_parse_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent full-corpus detection scan), i.e. the parser-side residual
     is at the detection minimum. Note min-of-2 bench invocations can
     still read this ratio anywhere in 1.26-2.0 (30-160% single-shot
-    variance on an idle host) — hence bench.py's 3-pass default. The round-10
+    variance on an idle host) — hence bench.py's 3-pass default. Inside
+    the FULL 26-query bench suite the same pair reads ~1.7x even at
+    min-of-3 (auto ~7.3 s while the explicit twin drops to ~4.2 s):
+    running 24 other queries between passes shifts JVM state — code
+    cache, GC, python workers — in the explicit gate's favor; the
+    interleaved isolated A/B above is the apples-to-apples parser
+    measure, and both are reported. The round-10
     cut (VERDICT r9 ask #3) is _DOC_PROBE in logparse_fast: the
     measured residual was candidate OVER-ADMISSION, not detection
     bookkeeping — weak literal prefilters (_has(":") for ruff/flake8,

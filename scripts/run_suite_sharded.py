@@ -15,7 +15,8 @@ Usage: python scripts/run_suite_sharded.py [N_SHARDS] [extra pytest args]
 Exit code is non-zero if any shard fails; per-shard tails are printed.
 
 Shards are balanced by measured file cost (a coarse built-in table of
-the known heavy files; unlisted files count 1), not file count, so one
+the known heavy files; unlisted files count 40 —
+the measured average of the small modules), not file count, so one
 shard doesn't end up with all the Spark-heavy modules.
 """
 
@@ -52,10 +53,10 @@ def main() -> int:
     # greedy longest-processing-time assignment
     shards: list[list[str]] = [[] for _ in range(n)]
     loads = [0.0] * n
-    for f in sorted(files, key=lambda f: -COSTS.get(os.path.basename(f), 1)):
+    for f in sorted(files, key=lambda f: -COSTS.get(os.path.basename(f), 40)):
         i = loads.index(min(loads))
         shards[i].append(f)
-        loads[i] += COSTS.get(os.path.basename(f), 1)
+        loads[i] += COSTS.get(os.path.basename(f), 40)
 
     cpus = max(2, (os.cpu_count() or 8) // n)
     procs = []

@@ -3851,6 +3851,17 @@ _DF_BUILDERS = {
     "checkov": _f_checkov,
 }
 
+# Per-line triggers that GUARANTEE >=1 emitted event for a document iff
+# any of its lines matches (round 10: used to gate the generic
+# fallback's staging off matched documents' lines in fast_parse_df).
+# Only builders with a PROVEN guarantee belong here: rustc's _f_rustc
+# emits exactly one event per error/warning header line (each header
+# opens its own running-serial group and the group's err struct is
+# non-null), with or without a following `-->` location line.
+_BUILDER_EVENT_TRIGGERS = {
+    "rustc": lambda: _starts("error", "warning") & _line().rlike(_RUST_ERR),
+}
+
 
 # --- auto-detect candidate prefilters (round 8, VERDICT r7 ask #3) -----------
 # One doc-level prefilter per hand-written format (the _simple table's
@@ -4105,8 +4116,8 @@ def fast_parse_df(
     including the per-document fallback to 'generic' when the requested
     format yields no events (parse_content semantics)."""
     lines = _lines(df, id_col, content_col)
-    g_pend, g_rules = _format_plan("generic", None)
     if fmt == "generic":
+        g_pend, g_rules = _format_plan("generic", None)
         staged = _apply_staging(lines, g_pend)
         ev = _explode_tagged(staged, [("generic", c, e) for c, e in g_rules])
     elif fmt in _DF_BUILDERS:
@@ -4114,20 +4125,57 @@ def fast_parse_df(
         # per-line rule pass; the generic branch re-derives the lines
         # for these formats (diagnostic logs are a thin corpus slice)
         fmt_ev = _DF_BUILDERS[fmt](lines).withColumn("format_used", F.lit(fmt))
-        gen = _explode_tagged(
-            _apply_staging(lines, g_pend),
-            [("generic", c, e) for c, e in g_rules],
-        )
+        trig = _BUILDER_EVENT_TRIGGERS.get(fmt)
+        if trig is None:
+            g_pend, g_rules = _format_plan("generic", None)
+            gen = _explode_tagged(
+                _apply_staging(lines, g_pend),
+                [("generic", c, e) for c, e in g_rules],
+            )
+        else:
+            # round 10 (generic-fallback gating): the trigger GUARANTEES
+            # >=1 builder event iff any line matches, so a matched doc
+            # discards its generic events in the fallback filter below —
+            # gating generic's staging+rules off matched lines changes
+            # only discarded rows (fallback docs have zero trigger lines,
+            # so their generic evaluation is untouched)
+            g_pend, g_rules = _format_plan("generic", "_no_fmt")
+            glines = lines.withColumn(
+                "_no_fmt", ~F.coalesce(trig(), F.lit(False))
+            )
+            gen = _explode_tagged(
+                _apply_staging(glines, g_pend),
+                [("generic", c, e) for c, e in g_rules],
+            )
         ev = fmt_ev.unionByName(gen)
     else:
         # single pass: the format's rules and the generic rules evaluate
         # on the SAME staged line table (staging only adds group-array /
-        # carry columns, so chaining the generic staging keeps both)
+        # carry columns, so chaining the generic staging keeps both).
+        # Round 10: the format's rule conditions are staged ONCE as
+        # boolean columns (evaluated exactly once per line, reused by the
+        # explode) and the generic fallback is GATED per line on "no
+        # format rule matched" — output-identical because the fallback
+        # filter below keeps generic events only for documents where no
+        # format rule fired on ANY line (on such documents the gate is
+        # true everywhere), while matched documents' generic events are
+        # discarded regardless. Generic's (?is) whole-line regex then
+        # never runs on the (typically dominant) matched lines.
         pend, rules = _format_plan(fmt, None)
-        staged = _apply_staging(lines, pend + g_pend)
+        staged = _apply_staging(lines, pend)
+        mcols = {
+            f"_mcf{i}": F.coalesce(c, F.lit(False))
+            for i, (c, _e) in enumerate(rules)
+        }
+        staged = staged.withColumns(mcols)
+        no_fmt = F.lit(True)
+        for name in mcols:
+            no_fmt = no_fmt & ~F.col(name)
+        g_pend, g_rules = _format_plan("generic", "_no_fmt")
+        staged = _apply_staging(staged.withColumn("_no_fmt", no_fmt), g_pend)
         ev = _explode_tagged(
             staged,
-            [(fmt, c, e) for c, e in rules]
+            [(fmt, F.col(f"_mcf{i}"), e) for i, (_c, e) in enumerate(rules)]
             + [("generic", c, e) for c, e in g_rules],
         )
     if fmt != "generic":
@@ -4283,15 +4331,33 @@ def fast_parse_auto_df(
     # rules chain on, GATED by its doc-candidate flag (_line_gate_mode
     # folds the flag into each prefilter built inside the rule
     # function), so a format's regexes run only on its candidate
-    # documents' lines; generic stays ungated (it is every document's
-    # fallback)
+    # documents' lines. Round 10: each rule condition is additionally
+    # staged ONCE as a boolean column (reused by the explode), and
+    # generic is GATED per line on "_no_real" = no per-line real-format
+    # rule matched — output-identical because routing keeps generic
+    # events only for m==0 documents (where no real rule fired on any
+    # line, so the gate is true everywhere and generic evaluates
+    # exactly as before), while m>=1 documents' generic rows are
+    # dropped by the keep filter regardless (generic sorts after every
+    # real format in the contested ranking, so its row count never
+    # affects the winner). Builder-only documents (real events but no
+    # per-line match) still evaluate generic and still discard it.
     pend_all: list[tuple[str, Column]] = []
     tagged: list[tuple[str, Column, Column]] = []
+    mc_names: list[str] = []
     for fmt in per_line:
         pend, rules = _format_plan(fmt, flag[fmt])
         pend_all += pend
-        tagged += [(fmt, c, e) for c, e in rules]
-    g_pend, g_rules = _format_plan("generic", None)
+        for i, (c, e) in enumerate(rules):
+            name = f"_mc_{fmt}_{i}"
+            pend_all.append((name, F.coalesce(c, F.lit(False))))
+            mc_names.append(name)
+            tagged.append((fmt, F.col(name), e))
+    no_real = F.lit(True)
+    for name in mc_names:
+        no_real = no_real & ~F.col(name)
+    pend_all.append(("_no_real", no_real))
+    g_pend, g_rules = _format_plan("generic", "_no_real")
     pend_all += g_pend
     tagged += [("generic", c, e) for c, e in g_rules]
     staged = _apply_staging(lines0, pend_all)

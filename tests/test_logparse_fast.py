@@ -447,6 +447,30 @@ def test_mixed_corpus_event_index_and_fallback(spark):
     assert "c" not in by_src
 
 
+def test_builder_fallback_with_gated_generic(spark):
+    """Round-10 generic gating for builder formats: with fmt='rustc'
+    (a _BUILDER_EVENT_TRIGGERS member) a mixed corpus must still fall
+    back to generic on documents with zero rustc events — including
+    documents whose lines contain severity words that the gate could
+    wrongly suppress — and match the Python reference exactly."""
+    docs = [
+        ("r", fx.RUST_LOG),
+        ("fb", FALLBACK_LOG),  # 'error:' mid-line: generic, not rustc
+        ("c", EMPTY_LOG),
+        ("n", NOMATCH_LOG),
+    ]
+    df = spark.createDataFrame(docs, "source_id string, content string")
+    fast = sorted(map(tuple, lp.parse_df(df, fmt="rustc").collect()))
+    slow = sorted(map(tuple, lp.parse_df(df, fmt="rustc", use_jvm=False).collect()))
+    assert fast == slow
+    used = {r[0]: set() for r in fast}
+    for r in fast:
+        used[r[0]].add(r[-1])
+    assert used["r"] == {"rustc"}
+    assert used["fb"] == {"generic"}
+    assert "c" not in used and "n" not in used
+
+
 def test_streaming_input_keeps_python_path(spark, tmp_path):
     """Structured Streaming rejects per-document windows, so parse_df
     must route streaming DataFrames to the mapInPandas path (the round-6

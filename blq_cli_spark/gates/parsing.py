@@ -234,7 +234,12 @@ def _family_docs_table(ev: DataFrame) -> DataFrame:
     # ONE groupBy carrying all three families' lines: the per-event
     # struct sorts by its leading event_id field exactly like the
     # per-family _docs assembly did, so each family's body is
-    # byte-identical to the old three-shuffle construction.
+    # byte-identical to the old three-shuffle construction. Grouping
+    # directly on the derived source_id (bijective with user_id) leaves
+    # the docs table hash-partitioned on the EXACT attribute every
+    # downstream parse window (carry staging, fallback count,
+    # event_index) partitions by, so the per-line/per-event exchanges
+    # vanish from the explicit parse plans.
     arr = F.array_sort(
         F.collect_list(
             F.struct(
@@ -245,14 +250,17 @@ def _family_docs_table(ev: DataFrame) -> DataFrame:
             )
         )
     )
-    grouped = ev.groupBy("user_id").agg(arr.alias("_arr"))
-    es_header = F.concat(F.lit("app_u"), F.col("user_id").cast("string"), F.lit(".js"))
+    grouped = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("source_id")
+    ).agg(arr.alias("_arr"))
+    # source_id == "u" + user_id, so the eslint header re-derives from it
+    es_header = F.concat(F.lit("app_"), F.col("source_id"), F.lit(".js"))
 
     def body(field: str) -> F.Column:
         return F.concat_ws("\n", F.transform(F.col("_arr"), lambda x: x[field]))
 
     return grouped.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("source_id"),
+        "source_id",
         body("l_gcc").alias("gcc"),
         F.concat(es_header, F.lit("\n"), body("l_es")).alias("eslint"),
         body("l_rust").alias("rustc"),

@@ -128,7 +128,7 @@ def extract_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "content"
                 )
             yield pd.DataFrame(rows, columns=[c.split()[0] for c in META_DDL.split(",")])
 
-    return df.mapInPandas(_batches, schema=META_DDL)
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=META_DDL)
 
 
 def hash_features(df: DataFrame, dim: int = 64, id_col: str = "id", bin_col: str = "content") -> DataFrame:
@@ -159,7 +159,7 @@ def hash_features(df: DataFrame, dim: int = 64, id_col: str = "id", bin_col: str
             )
 
     _ = np  # numpy reserved for the real model path
-    return df.mapInPandas(_batches, schema="id string, features array<float>")
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema="id string, features array<float>")
 
 
 def _require_pil():
@@ -297,7 +297,7 @@ def decode_image(
                 )
             yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
 
-    return df.mapInPandas(_batches, schema="id string, width int, height int, pixels array<int>")
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema="id string, width int, height int, pixels array<int>")
 
 
 def resize_image(
@@ -348,7 +348,7 @@ def resize_image(
                 )
             yield pd.DataFrame(rows, columns=["id", "width", "height", "pixels"])
 
-    return df.mapInPandas(
+    return df.select(id_col, bin_col).mapInPandas(
         _batches, schema="id string, width int, height int, pixels array<int>"
     )
 
@@ -405,7 +405,7 @@ def audio_features(
                 columns=["id", "window_index", "start_ms", "rms", "zero_cross_rate", "peak"],
             )
 
-    return df.mapInPandas(
+    return df.select(id_col, bin_col).mapInPandas(
         _batches,
         schema=(
             "id string, window_index int, start_ms long,"
@@ -520,7 +520,7 @@ def sample_video_frames(
                     )
             yield pd.DataFrame(rows, columns=["id", "frame_index", "ts_ms", "frame_hash"])
 
-    return df.mapInPandas(
+    return df.select(id_col, bin_col).mapInPandas(
         _batches, schema="id string, frame_index int, ts_ms long, frame_hash string"
     )
 
@@ -563,7 +563,7 @@ def audio_windows(
                 columns=["id", "window_index", "start_ms", "n_bytes", "window_hash"],
             )
 
-    return df.mapInPandas(
+    return df.select(id_col, bin_col).mapInPandas(
         _batches,
         schema="id string, window_index int, start_ms long, n_bytes long, window_hash string",
     )
@@ -716,7 +716,7 @@ def image_perceptual_hash(
                     rows.append({"id": rid, "phash": h})
             yield pd.DataFrame(rows, columns=["id", "phash"])
 
-    return df.mapInPandas(_batches, schema="id string, phash long")
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema="id string, phash long")
 
 
 def image_dedup_pairs(
@@ -837,7 +837,7 @@ def audio_fingerprint(
                     rows.append({"id": rid, "ahash": h})
             yield pd.DataFrame(rows, columns=["id", "ahash"])
 
-    return df.mapInPandas(_batches, schema="id string, ahash long")
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema="id string, ahash long")
 
 
 def audio_dedup_pairs(
@@ -1118,7 +1118,7 @@ def video_frame_hashes(
                     )
             yield pd.DataFrame(rows, columns=["id", "frame_index", "phash"])
 
-    return df.mapInPandas(_batches, schema="id string, frame_index int, phash long")
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema="id string, frame_index int, phash long")
 
 
 def video_dedup_pairs(

@@ -92,7 +92,7 @@ def kmeans_fit(
     )
     dim = C.shape[1]
     for _ in range(iters):
-        partials = corpus.mapInPandas(
+        partials = corpus.select(id_col, vec_col).mapInPandas(
             _partial_kernel(C, id_col, vec_col),
             "cell long, cnt long, vsum array<double>",
         ).persist()  # two consumers below; without it the assignment
@@ -156,4 +156,6 @@ def kmeans_assign(
                 }
             )
 
-    return corpus.mapInPandas(kernel, "id long, cell long, sim double")
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "id long, cell long, sim double"
+    )

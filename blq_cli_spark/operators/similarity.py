@@ -116,7 +116,9 @@ def cosine_topk(
                     }
                 )
 
-    scored = corpus.mapInPandas(score, "qid long, nid long, cos double")
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "qid long, nid long, cos double"
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -398,7 +400,7 @@ def _bucketed_prep(
     # ONE projection pass, materialized skinny (no vectors): census and
     # kernel input both read the checkpoint, so they cannot disagree
     # and the GEMM never re-runs.
-    skinny = corpus.mapInPandas(
+    skinny = corpus.select(id_col, vec_col).mapInPandas(
         assign_ids, "id long, band int, bucket long"
     ).localCheckpoint(eager=False)
     census = (
@@ -624,7 +626,9 @@ def _with_bucket(
                 }
             )
 
-    return df.mapInPandas(assign, f"{out_id} long, vec array<float>, bucket long")
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{out_id} long, vec array<float>, bucket long"
+    )
 
 
 def lsh_bucket_topk(
@@ -793,7 +797,9 @@ def _ivf_assign(
                 }
             )
 
-    return df.mapInPandas(assign, f"{out_id} long, vec array<float>, cell long")
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{out_id} long, vec array<float>, cell long"
+    )
 
 
 def ivf_topk(
@@ -1082,7 +1088,7 @@ def semantic_decontaminate(
                 }
             )
 
-    return corpus.mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         score, "id long, max_bench_cos double, contaminated boolean"
     )
 

@@ -138,7 +138,11 @@ COMPARABLE_18 = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from blq_cli_spark.gates import queries
-    from blq_cli_spark.session import get_spark, release_local_checkpoints
+    from blq_cli_spark.session import (
+        get_spark,
+        quiet_rdd_release_warnings,
+        release_local_checkpoints,
+    )
 
     # console progress bars OFF: their \r-frames flooded the driver's
     # tail capture in round 7 and beheaded the JSON record line
@@ -147,6 +151,13 @@ def main() -> None:
         app_name="blq-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Round 11 (VERDICT r10 ask #1): the between-queries block release
+    # logs one WARN line per dropped checkpoint block; that spam filled
+    # the driver's bounded tail in round 10 and pushed every
+    # "# query: time" line out of PERF_r10. Silence that one logger so
+    # the per-query stderr lines and the JSON record both land in the
+    # tail again.
+    quiet_rdd_release_warnings(spark)
     qs = queries()
 
     # warm the JVM + parquet footers with a trivial action (not timed)

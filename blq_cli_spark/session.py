@@ -89,9 +89,50 @@ def release_local_checkpoints(spark: SparkSession) -> int:
     Non-blocking (``unpersist(false)``): the block managers drop the
     blocks asynchronously; the freed memory is available to the next
     job's tasks, not necessarily to the very next instruction.
+
+    Classic sessions only: the persistent-RDD census lives on the
+    driver-side JVM gateway, which a Spark Connect client does not
+    have. Under Connect this is a no-op returning 0 (blocks are then
+    owned by the server's session lifecycle) instead of an
+    AttributeError deep in py4j.
     """
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    sc = getattr(spark, "sparkContext", None)
+    jsc = getattr(sc, "_jsc", None) if sc is not None else None
+    if jsc is None:  # Spark Connect client: no JVM gateway
+        return 0
+    jmap = jsc.getPersistentRDDs()
     rdds = list(jmap.values())
     for rdd in rdds:
         rdd.unpersist(False)
     return len(rdds)
+
+
+def quiet_rdd_release_warnings(spark: SparkSession) -> bool:
+    """Drop the ``org.apache.spark.rdd`` logger to ERROR; True on success.
+
+    Every ``release_local_checkpoints`` call makes Spark log one
+    ``WARN MapPartitionsRDD: RDD n was locally checkpointed, its
+    lineage has been truncated and cannot be recomputed after
+    unpersisting`` line PER released block. At a correct call site the
+    warning is vacuous by contract (the result was already consumed;
+    nothing will ever ask for a recompute), but the spam is not free:
+    a bounded log-tail capture (the bench driver's) loses the real
+    per-query lines under it (round 10: BENCH_r10's tail was 100%
+    this WARN and PERF_r10 lost its whole per_query table).
+
+    Scoped to the ``org.apache.spark.rdd`` logger only — everything
+    else keeps the session's normal level. Classic sessions only (the
+    log4j2 Configurator lives behind the py4j gateway); returns False
+    under Connect or if the logging backend is not log4j2.
+    """
+    sc = getattr(spark, "sparkContext", None)
+    jvm = getattr(sc, "_jvm", None) if sc is not None else None
+    if jvm is None:
+        return False
+    try:
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+        return True
+    except Exception:
+        return False

@@ -4,6 +4,7 @@ length asserted far below the ~2000-char window even for a suite twice
 today's size."""
 
 import json
+import sys
 
 import bench
 
@@ -55,3 +56,55 @@ def test_compact_record_fits_tail_window():
             assert key in compact, key
         assert compact["n_queries"] == n
         assert compact["full_record"] == "bench_full.json"
+
+
+def test_tail_window_fits_per_query_lines_with_release_enabled():
+    """Round 11 (VERDICT r10 ask #1): with the between-queries block
+    release enabled, the ONLY things bench emits after warmup are the
+    pass-1 per-query stderr lines, the JSON record, and two calib
+    comment lines — the release itself must be silent (bench.py calls
+    quiet_rdd_release_warnings; one WARN per released block buried the
+    whole per-query table in round 10). Assert the silent-path output
+    block fits a driver tail window even at 2x today's suite size."""
+    import io
+    from contextlib import redirect_stderr, redirect_stdout
+
+    for n in (26, 52):  # today's suite and 2x growth
+        qnames = [f"x_query_with_a_long_name_{i:02d}" for i in range(n)]
+        out, err = io.StringIO(), io.StringIO()
+        with redirect_stdout(out), redirect_stderr(err):
+            for q in qnames:
+                # exact format string from bench.main's pass-0 loop
+                print(f"# {q}: {123.456:.3f}s ({10**7} rows)", file=sys.stderr)
+            compact = bench._compact_record(
+                _fake_full_record(n), "/x/bench_full.json"
+            )
+            print(json.dumps(compact), flush=True)
+            print("# calib_ms=55.5 (ref 50.0) -> normalization x0.901", file=sys.stderr)
+            print(
+                "# shuffle_calib_s=1.427 (ref 0.89) -> normalization x0.624; "
+                "vs r2 anchor: median 0.94 worst 1.13; vs r7 anchor: "
+                "median 0.95 worst 1.21",
+                file=sys.stderr,
+            )
+        block = err.getvalue() + out.getvalue()
+        # zero WARN lines may appear between the per-query lines and the
+        # record (the release is silenced); every emitted line is either
+        # a '# ' comment or the JSON record
+        for line in block.splitlines():
+            assert line.startswith("#") or line.startswith("{"), line
+        # per-query lines stay short enough that a bounded tail keeps
+        # many of them alongside the <1500-char JSON line
+        per_q = [
+            l for l in err.getvalue().splitlines()
+            if l.startswith("# x_query")
+        ]
+        assert len(per_q) == n
+        assert all(len(l) < 70 for l in per_q)
+        # the JSON line + trailing comments + the last 15 query lines
+        # (what the driver minimally needs for a populated per_query)
+        tail_essentials = (
+            "\n".join(per_q[-15:]) + "\n" + json.dumps(compact) + "\n"
+            + "\n".join(err.getvalue().splitlines()[-2:])
+        )
+        assert len(tail_essentials) < 2600, (n, len(tail_essentials))

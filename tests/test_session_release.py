@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from blq_cli_spark.session import release_local_checkpoints
+from blq_cli_spark.session import (
+    quiet_rdd_release_warnings,
+    release_local_checkpoints,
+)
 
 
 def test_release_frees_blocks_and_returns_count(spark):
@@ -47,3 +50,37 @@ def test_session_fully_usable_after_release(spark):
 def test_release_is_idempotent_and_safe_on_empty_session(spark):
     release_local_checkpoints(spark)
     assert release_local_checkpoints(spark) == 0
+
+
+def test_release_is_noop_without_jvm_gateway():
+    """Connect-shaped session (no sparkContext._jsc): no-op, not a py4j
+    AttributeError (VERDICT r10 ask #8 — no _jsc access blows up on the
+    query path)."""
+
+    class _ConnectishSession:
+        pass  # no sparkContext attribute at all, like pyspark.sql.connect
+
+    class _NoGatewayContext:
+        sparkContext = object()  # has no _jsc
+
+    assert release_local_checkpoints(_ConnectishSession()) == 0
+    assert release_local_checkpoints(_NoGatewayContext()) == 0
+    assert quiet_rdd_release_warnings(_ConnectishSession()) is False
+    assert quiet_rdd_release_warnings(_NoGatewayContext()) is False
+
+
+def test_quiet_rdd_release_warnings_drops_logger_to_error(spark):
+    """The release WARN spam killer (VERDICT r10 ask #1): after the
+    call, the org.apache.spark.rdd logger sits at ERROR, so the
+    one-WARN-per-released-block flood cannot bury the bench's
+    per-query stderr lines in the driver's bounded tail capture."""
+    assert quiet_rdd_release_warnings(spark) is True
+    jvm = spark.sparkContext._jvm
+    lvl = jvm.org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.rdd"
+    ).getLevel()
+    assert str(lvl) == "ERROR"
+    # a full checkpoint+release cycle still works with the logger quiet
+    df = spark.range(500).localCheckpoint(eager=True)
+    assert df.count() == 500
+    assert release_local_checkpoints(spark) >= 1

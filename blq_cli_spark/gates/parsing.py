@@ -234,7 +234,14 @@ def _family_docs_table(ev: DataFrame) -> DataFrame:
     # ONE groupBy carrying all three families' lines: the per-event
     # struct sorts by its leading event_id field exactly like the
     # per-family _docs assembly did, so each family's body is
-    # byte-identical to the old three-shuffle construction. Grouping
+    # byte-identical to the old three-shuffle construction. The
+    # combined struct tie-breaks event_id ties on the gcc line for ALL
+    # families (ADVICE r10 #2), so byte-identity additionally requires
+    # event_id to be UNIQUE per user — true of the driver's events
+    # fixture (and of the oracle, whose row_number over event_id would
+    # be ambiguous under ties too); asserted in
+    # tests/test_logparse_fast.py::test_events_fixture_event_id_unique_per_user.
+    # Grouping
     # directly on the derived source_id (bijective with user_id) leaves
     # the docs table hash-partitioned on the EXACT attribute every
     # downstream parse window (carry staging, fallback count,

@@ -20,6 +20,8 @@ separately.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -420,17 +422,39 @@ def _oracle_part(part: str, cols, width: int) -> str:
     return f"SELECT '{part}' AS part, {', '.join(casts)} FROM (\n{inner}\n)"
 
 
+# Round 11 (VERDICT r10 ask #5): the LLM suites' members each scanned
+# `documents` (and the semantic members `embeddings`) independently —
+# ~20 redundant corpus reads per suite build, and a union plan whose
+# every arm repeats the scan lineage. Inside these suites, table()
+# serves ONE eagerly-checkpointed copy per table (sources.tables.
+# shared_tables); member outputs are byte-identical (same rows, same
+# lineage semantics), so the suite oracle hashes are unchanged. The
+# TPC-H deep suite deliberately stays on direct scans: its members
+# prune lineitem to narrow column subsets at the parquet footer, which
+# a full-width checkpoint would forfeit.
+_SHARED_TABLES = {
+    "x_lm_suite": ("documents",),
+    "x_quality_suite": ("documents", "embeddings"),
+}
+
+
 def _make_suite(suite_name: str) -> None:
     parts = _SPECS[suite_name]
     width = max(len(cols) for _, _, cols in parts)
     oracle = "\nUNION ALL\n".join(_oracle_part(p, cols, width) for p, _, cols in parts)
+    shared = _SHARED_TABLES.get(suite_name, ())
 
-    def run(spark: SparkSession, sf_dir: str, _parts=parts, _w=width) -> DataFrame:
-        out = None
-        for p, fn, cols in _parts:
-            piece = _spark_part(fn(spark, sf_dir), p, cols, _w)
-            out = piece if out is None else out.unionByName(piece)
-        return out
+    def run(
+        spark: SparkSession, sf_dir: str, _parts=parts, _w=width, _sh=shared
+    ) -> DataFrame:
+        from blq_cli_spark.sources.tables import shared_tables
+
+        with shared_tables(spark, sf_dir, _sh) if _sh else _nullcontext():
+            out = None
+            for p, fn, cols in _parts:
+                piece = _spark_part(fn(spark, sf_dir), p, cols, _w)
+                out = piece if out is None else out.unionByName(piece)
+            return out
 
     run.__name__ = suite_name
     run.__doc__ = (

@@ -71,10 +71,22 @@ def frequent_terms(
 
     Returns [(value, estimated_count)] sorted desc; CMS never
     undercounts, so true heavy hitters cannot be pushed out by
-    estimation error."""
+    estimation error.
+
+    Classic sessions only (documented constraint, VERDICT r10 ask #8):
+    querying the serialized sketch driver-side goes through the JVM
+    gateway (`CountMinSketch.readFrom`), which a Spark Connect client
+    does not expose — fail loudly up front rather than deep in py4j.
+    No GATE query path reaches this helper."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if getattr(spark, "_jvm", None) is None:
+        raise NotImplementedError(
+            "frequent_terms requires a classic SparkSession (the CMS "
+            "deserializer lives behind the JVM gateway, absent under "
+            "Spark Connect)"
+        )
     raw = df.select(
         F.count_min_sketch(
             F.col(value_col), F.lit(float(eps)), F.lit(float(confidence)),

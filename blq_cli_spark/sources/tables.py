@@ -10,6 +10,8 @@ ReadSchema).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -26,6 +28,56 @@ TABLES = (
 )
 
 
+# Thread-local shared-scan override (round 11, VERDICT r10 ask #5):
+# inside a `shared_tables` context, table() serves a localCheckpoint'ed
+# copy of the named tables so a union-suite's ~20 member pipelines read
+# the corpus ONCE instead of once per member. Thread-local for the same
+# reason the logparse prefilter state is: concurrent plan construction
+# on other threads must not see another gate's override.
+_TL_SHARED = threading.local()
+
+
+class shared_tables:
+    """Context manager: one materialized scan feeding many consumers.
+
+    Every `table()` call for (sf_dir, name) inside the context returns
+    the SAME eagerly-localCheckpoint'ed DataFrame. Two effects on a
+    union-suite of N members over the same corpus: the parquet is read
+    once instead of N times, and each member's plan subtree starts at
+    the checkpoint RDD instead of repeating the scan+normalize lineage
+    — the N-way union's analysis/optimization cost shrinks with it
+    (guide §3.3: very wide unions make planning itself the bottleneck;
+    materialize to truncate).
+
+    Used for the document/embedding suites only: those members consume
+    nearly every column, so the checkpoint stores ~what any one scan
+    reads. NOT used for the TPC-H deep suite — its members prune the
+    wide fact table to narrow column subsets at the parquet scan, and a
+    full-width materialization would cost more at scale than the
+    repeated pruned reads it saves.
+
+    Blocks follow the session release contract
+    (session.release_local_checkpoints at result-consumed boundaries)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, names: tuple[str, ...]):
+        self.spark, self.sf_dir, self.names = spark, sf_dir, names
+
+    def __enter__(self):
+        self._prev = getattr(_TL_SHARED, "cache", None)
+        cache = dict(self._prev or {})
+        for n in self.names:
+            key = (self.sf_dir, n)
+            if key not in cache:
+                cache[key] = table(self.spark, self.sf_dir, n).localCheckpoint(
+                    eager=True
+                )
+        _TL_SHARED.cache = cache
+        return self
+
+    def __exit__(self, *exc):
+        _TL_SHARED.cache = self._prev
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table.
 
@@ -37,6 +89,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     one load boundary. Session timezone is pinned to UTC, so the NTZ ->
     LTZ cast is value-preserving (wall clock == instant) and rendering is
     engine-independent (matches DuckDB's naive-timestamp view)."""
+    cache = getattr(_TL_SHARED, "cache", None)
+    if cache is not None:
+        got = cache.get((sf_dir, name))
+        if got is not None:
+            return got
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

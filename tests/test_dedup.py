@@ -503,6 +503,7 @@ def test_lsh_candidates_against_broadcasts_hot_reps(spark):
     ) in {(r["id_a"], r["id_b"]) for r in rows}
 
 
+@pytest.mark.heavy  # round 11 (VERDICT r10 ask #2): 26 s tracemalloc pin, opt-in tier
 def test_smallgraph_unionfind_memory_stays_array_backed():
     """Round 9 (VERDICT r8 ask #7): the small-graph fast path's
     union-find must stay numpy-array-backed. At the 1M-edge threshold

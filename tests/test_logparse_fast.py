@@ -504,3 +504,39 @@ def test_fast_path_single_exchange(spark):
     df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
     plan = lp.parse_df(df, fmt="gcc")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_events_fixture_event_id_unique_per_user(spark):
+    """ADVICE r10 #2: x_parse_suite's one-shuffle fixture sorts ONE
+    combined struct(event_id, l_gcc, l_es, l_rust), so event_id ties
+    within a user would tie-break on the gcc line for ALL families
+    (the old per-family assembly tie-broke per family, and the oracle's
+    row_number OVER (ORDER BY event_id) is equally ambiguous). The
+    byte-identity argument therefore REQUIRES event_id uniqueness per
+    user — assert it on the driver's deterministic events fixture."""
+    import pyspark.sql.functions as F
+
+    from blq_cli_spark.sources.tables import table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        dup = (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, sf_dir
+
+
+def test_fallback_window_sort_elided(spark):
+    """Round 11 (VERDICT r10 ask #6): the fallback-count window is
+    ordered by the event_index keys with a full-partition frame, so the
+    event table is sorted ONCE — the event_index window's sort must be
+    elided (one Sort above the explode-side exchange, not two). The
+    line-level carry sorts (eslint etc.) are separate and unaffected."""
+    df = spark.createDataFrame([("r1", fx.GCC_LOG)], "source_id string, content string")
+    plan = lp.parse_df(df, fmt="gcc")._jdf.queryExecution().executedPlan().toString()
+    # gcc has no carry staging: the whole plan needs exactly one Sort
+    # (shared by the fallback-count and event_index windows)
+    assert plan.count("Sort ") == 1, plan.count("Sort ")

@@ -62,6 +62,7 @@ def test_poll_live_events(spark, tmp_path):
     assert df2.filter("ref_file = 'src/b.c'").count() == 1
 
 
+@pytest.mark.heavy  # round 11 (VERDICT r10 ask #2): 60 s real-trigger stateful soak, opt-in tier
 def test_stateful_run_progress(spark, drop_dir):
     from blq_cli_spark.streaming import stateful
 
@@ -450,6 +451,7 @@ def test_stream_neardup_ingest_flags_cross_batch_dups(spark, tmp_path):
     assert sig_ids == {1, 2, 3}
 
 
+@pytest.mark.heavy  # round 11 (VERDICT r10 ask #2): 13 s two-query replay soak, opt-in tier
 def test_neardup_sink_batch_replay_is_noop(spark, tmp_path):
     """ADVICE r4: foreachBatch is at-least-once, so a crash-replayed
     micro-batch re-invokes the sink with the SAME batch_id. The sink must
@@ -491,6 +493,7 @@ def test_neardup_sink_batch_replay_is_noop(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy  # round 11 (VERDICT r10 ask #2): 19 s real-trigger streaming projection run, opt-in tier
 def test_stream_classifier_and_gopher_projections(spark, tmp_path):
     """classifier_score and gopher_rules are stateless per-document
     projections, so both run unchanged on a streaming DataFrame — the
@@ -526,6 +529,7 @@ def test_stream_classifier_and_gopher_projections(spark, tmp_path):
     assert rules[1]["token_count_ok"] and rules[2]["token_count_ok"]
 
 
+@pytest.mark.heavy  # round 11 (VERDICT r10 ask #2): 12 s windowed-state soak, opt-in tier
 def test_windowed_source_kl_flags_drifted_source(spark, tmp_path):
     """Drift monitor: per-window KL vs a bounded baseline spikes for the
     source whose token distribution shifted; the in-distribution source

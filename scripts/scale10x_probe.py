@@ -505,22 +505,17 @@ def tier100x() -> None:
         gcc_logs = logs.filter(F.col("source_id").cast("long") % 2 == 0)
 
         def minhash_counts():
-            # the x_minhash_lsh_candidates gate shape after the round-11
-            # distinct fold: raw per-band pair stream -> sides explode ->
-            # one count(DISTINCT partner) per doc
+            # the x_minhash_lsh_candidates gate shape (distinct pairs ->
+            # sides explode -> per-doc count; the round-11 distinct fold
+            # was measured and rejected — see the gate docstring)
             cands = dd.minhash_lsh_candidates(
                 logs, text_col="content", id_col="source_id",
-                n=3, num_hashes=8, bands=4, distinct=False,
+                n=3, num_hashes=8, bands=4,
             )
             sides = cands.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("id_a").alias("d"), F.col("id_b").alias("p")),
-                        F.struct(F.col("id_b").alias("d"), F.col("id_a").alias("p")),
-                    )
-                ).alias("s")
-            ).select("s.d", "s.p")
-            return sides.groupBy("d").agg(F.count_distinct("p").alias("n"))
+                F.explode(F.array("id_a", "id_b")).alias("d")
+            )
+            return sides.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
 
         return {
             "parse_explicit_gcc": lambda: lp_mod.parse_df(gcc_logs, fmt="gcc"),

@@ -106,6 +106,12 @@ def main():
     # 5. full auto
     t("full fast_parse_auto_df", lambda: lf.fast_parse_auto_df(corpus).count())
 
+    # NOTE (round 11): fast_parse_auto_df now FUSES the census with the
+    # parse scan (one checkpointed pass; flags rebuild from per-doc
+    # pack bits). The split below still measures the stages in their
+    # round-10 standalone shapes — useful for attributing cost, but
+    # "1 presence census" is no longer a separate corpus scan in the
+    # real pipeline.
     # 6. cumulative stage split of the REAL auto pipeline (round 10,
     # VERDICT r9 ask #3): each step adds one stage of
     # fast_parse_auto_df; differences between consecutive steps are the
